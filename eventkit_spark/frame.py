@@ -1,0 +1,293 @@
+"""EventFrame — the engine's stream façade over a Spark DataFrame.
+
+The reference's one abstraction is the totally ordered, timed Event
+stream with fluent operators chained off it (eventkit/event.py:638-1310).
+EventFrame mirrors that surface 1:1 on a lazily-planned DataFrame
+(SURVEY.md §1.3): canonical columns are
+
+    seq  BIGINT     -- emit order within a key (gapless not required)
+    ts   TIMESTAMP  -- event time (optional but needed by timing ops)
+    <key columns>   -- optional partition key(s): the scale dimension
+    <payload cols>  -- 1..n positional payload columns
+
+Construction is lazy (a logical plan, not a live object graph —
+SURVEY.md §3.1's architectural inversion); ``collect``/``to_list`` are the
+reference's ``run()`` terminal path (event.py:235-257).
+
+Scale: with key columns set, every order-dependent operator is an
+independent per-key computation (one shuffle on the key, then
+partition-local windows). Unkeyed streams are the reference's
+single-process model and run single-task — fine for tests, documented as
+the non-scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+
+from .operators import aggregate as _agg
+from .operators import combine as _combine
+from .operators import misc as _misc
+from .operators import select as _select
+from .operators import timing as _timing
+from .operators import transform as _transform
+from . import state as _state
+
+
+class EventFrame:
+    """A (possibly keyed) ordered event stream backed by a DataFrame."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        value_cols: Sequence[str] = ("value",),
+        seq_col: str = "seq",
+        ts_col: str | None = "ts",
+        key_cols: Sequence[str] = (),
+        end_ts=None,
+    ):
+        self.df = df
+        self.value_cols = list(value_cols)
+        self.seq_col = seq_col
+        self.ts_col = ts_col if ts_col in df.columns else None
+        self.key_cols = [k for k in key_cols]
+        # Optional explicit end-of-stream time (the reference's done event
+        # can fire later than the last emit, e.g. a marble '|'); None means
+        # "ends at its last emit".
+        self.end_ts = end_ts
+
+    # -- plumbing -----------------------------------------------------
+    def _with(self, df=None, value_cols=None, seq_col=None, ts_col=None, key_cols=None):
+        return EventFrame(
+            df if df is not None else self.df,
+            value_cols if value_cols is not None else self.value_cols,
+            seq_col or self.seq_col,
+            ts_col if ts_col is not None else self.ts_col,
+            key_cols if key_cols is not None else self.key_cols,
+            end_ts=self.end_ts,
+        )
+
+    def pipe(self, *fns: Callable[["EventFrame"], "EventFrame"]) -> "EventFrame":
+        """Operator composition (event.py:259-282)."""
+        ef = self
+        for fn in fns:
+            ef = fn(ef)
+        return ef
+
+    # -- terminals (event.py:235-257 run/list; event.py:339-389 aiter) -
+    def collect(self):
+        return self.df.collect()
+
+    def to_list(self):
+        """Ordered payload list — the reference's ``run()`` golden-list
+        shape. Unary payloads unwrap to scalars (the 1-tuple convention,
+        SURVEY.md §1.2)."""
+        from pyspark.sql import functions as F
+
+        order = [*(self.key_cols or []), self.seq_col]
+        rows = self.df.orderBy(*[F.col(c) for c in order]).collect()
+        if len(self.value_cols) == 1:
+            return [r[self.value_cols[0]] for r in rows]
+        return [tuple(r[c] for c in self.value_cols) for r in rows]
+
+    def to_local_iterator(self):
+        return self.df.toLocalIterator()
+
+    # -- selection (SURVEY.md §2.2) -----------------------------------
+    def filter(self, predicate=None):
+        return _select.filter_(self, predicate)
+
+    def skip(self, count: int = 1):
+        return _select.skip(self, count)
+
+    def take(self, count: int = 1):
+        return _select.take(self, count)
+
+    def takewhile(self, predicate):
+        return _select.takewhile(self, predicate)
+
+    def dropwhile(self, predicate):
+        return _select.dropwhile(self, predicate)
+
+    def takeuntil(self, notifier: "EventFrame"):
+        return _select.takeuntil(self, notifier)
+
+    def changes(self):
+        return _select.changes(self)
+
+    def unique(self, by=None):
+        return _select.unique(self, by)
+
+    def last(self):
+        return _select.last(self)
+
+    # -- transforms (SURVEY.md §2.3) ----------------------------------
+    def constant(self, value):
+        return _transform.constant(self, value)
+
+    def iterate(self, values: Iterable):
+        return _transform.iterate(self, values)
+
+    def enumerate(self, start: int = 0, step: int = 1):
+        return _transform.enumerate_(self, start, step)
+
+    def count(self, start: int = 0, step: int = 1):
+        return _transform.count(self, start, step)
+
+    def timestamp(self):
+        return _transform.timestamp(self)
+
+    def partial(self, *left):
+        return _transform.partial(self, *left)
+
+    def partial_right(self, *right):
+        return _transform.partial_right(self, *right)
+
+    def star(self):
+        return _transform.star(self)
+
+    def pack(self):
+        return _transform.pack(self)
+
+    def pluck(self, *selectors: str):
+        return _transform.pluck(self, *selectors)
+
+    def previous(self, count: int = 1):
+        return _transform.previous(self, count)
+
+    def copy(self):
+        """Rows are immutable — identity (transform.py:144-155)."""
+        return self
+
+    deepcopy = copy
+
+    def chunk(self, size: int):
+        return _transform.chunk(self, size)
+
+    def map(self, fn, names=None):
+        """Column-expression map (the fast, codegen'd path)."""
+        return _transform.map_cols(self, fn, names)
+
+    def map_pandas(self, fn, return_type, name: str = "value"):
+        """Arbitrary-Python map (Arrow-batched pandas UDF)."""
+        return _transform.map_pandas(self, fn, return_type, name)
+
+    def try_map_pandas(self, fn, return_type, name: str = "value"):
+        """map_pandas that routes exceptions to the error column."""
+        return _misc.try_map_pandas(self, fn, return_type, name)
+
+    # -- aggregates (SURVEY.md §2.4) ----------------------------------
+    def reduce(self, merge_expr, initializer=None, result_type="double"):
+        return _agg.reduce_(self, merge_expr, initializer, result_type)
+
+    def min(self):
+        return _agg.min_(self)
+
+    def max(self):
+        return _agg.max_(self)
+
+    def sum(self, start=0):
+        return _agg.sum_(self, start)
+
+    def product(self, start=1):
+        return _agg.product(self, start)
+
+    def mean(self):
+        return _agg.mean(self)
+
+    def any(self):
+        return _agg.any_(self)
+
+    def all(self):
+        return _agg.all_(self)
+
+    def ema(self, n: int | None = None, weight: float | None = None):
+        return _agg.ema(self, n, weight)
+
+    def ema_exact(self, n: int | None = None, weight: float | None = None):
+        return _state.ema_exact(self, n, weight)
+
+    def pairwise(self):
+        return _agg.pairwise(self)
+
+    def list(self):
+        return _agg.list_(self)
+
+    def deque(self, count: int = 0):
+        return _agg.deque(self, count)
+
+    array = deque  # ArrayType column is the engine's numpy-array analog
+
+    def array_min(self, n: int = 0):
+        return _agg.array_min(self, n)
+
+    def array_max(self, n: int = 0):
+        return _agg.array_max(self, n)
+
+    def array_sum(self, n: int = 0):
+        return _agg.array_sum(self, n)
+
+    def array_prod(self, n: int = 0):
+        return _agg.array_prod(self, n)
+
+    def array_mean(self, n: int = 0):
+        return _agg.array_mean(self, n)
+
+    def array_std(self, n: int = 0):
+        return _agg.array_std(self, n)
+
+    def array_any(self, n: int = 0):
+        return _agg.array_any(self, n)
+
+    def array_all(self, n: int = 0):
+        return _agg.array_all(self, n)
+
+    # -- combinators (SURVEY.md §2.5) ---------------------------------
+    def merge(self, *others: "EventFrame"):
+        return _combine.merge(self, *others)
+
+    def chain(self, *others: "EventFrame"):
+        return _combine.chain(self, *others)
+
+    def concat(self, *others: "EventFrame"):
+        return _combine.concat(self, *others)
+
+    def switch(self, *others: "EventFrame"):
+        return _combine.switch(self, *others)
+
+    def zip(self, *others: "EventFrame"):
+        return _combine.zip_(self, *others)
+
+    def ziplatest(self, *others: "EventFrame", partial: bool = True):
+        return _combine.ziplatest(self, *others, partial=partial)
+
+    def fork_zip(self, *branch_fns):
+        return _combine.fork_zip(self, *branch_fns)
+
+    # -- timing (SURVEY.md §2.6) --------------------------------------
+    def delay(self, seconds: float):
+        return _timing.delay(self, seconds)
+
+    def timeout(self, seconds: float):
+        return _timing.timeout(self, seconds)
+
+    def debounce(self, seconds: float, on_first: bool = False):
+        return _timing.debounce(self, seconds, on_first)
+
+    def sample(self, timer: "EventFrame"):
+        return _timing.sample(self, timer)
+
+    def chunkwith(self, timer: "EventFrame", emit_empty: bool = True):
+        return _timing.chunkwith(self, timer, emit_empty)
+
+    def throttle(self, maximum: float, interval: float, cost: float = 1.0):
+        return _state.throttle(self, maximum, interval, cost)
+
+    # -- error channel (SURVEY.md §2.7) -------------------------------
+    def errors(self):
+        return _misc.errors(self)
+
+    def end_on_error(self):
+        return _misc.end_on_error(self)

@@ -1,0 +1,80 @@
+"""Shared window/order helpers for stream operators.
+
+The engine's canonical stream model (SURVEY.md §1.3): a DataFrame with
+``seq`` (emit order within a key), optional ``ts`` (event time), optional
+partition key columns, and one or more payload columns.
+
+Scale note: every order-dependent operator windows over
+``partitionBy(*key_cols).orderBy(seq)``. With key columns present this is
+fully partition-parallel (each key's stream is an independent task). With
+no key the stream is a single totally-ordered sequence — the reference's
+model (eventkit/event.py:186-218 emits are totally ordered) — and Spark
+must run it in one task; callers are expected to supply keys for large
+data (the driver's `events` table keys on ``user_id``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window as W, functions as F
+
+# Internal helper column names (dropped before results are returned).
+RN = "__ek_rn"
+TAG = "__ek_src"
+
+
+def wkey(ef):
+    """Partition window for the stream's keys (global if unkeyed)."""
+    if ef.key_cols:
+        return W.partitionBy(*ef.key_cols)
+    return W.partitionBy(F.lit(0))
+
+
+def worder(ef):
+    """Emit-order window: partition by keys, order by seq."""
+    return wkey(ef).orderBy(F.col(ef.seq_col))
+
+
+def wcum(ef):
+    """Cumulative frame: unbounded preceding .. current row."""
+    return worder(ef).rowsBetween(W.unboundedPreceding, W.currentRow)
+
+
+def wtrail(ef, n: int):
+    """Trailing frame of the last ``n`` rows (clipped at stream start)."""
+    return worder(ef).rowsBetween(-(n - 1), W.currentRow)
+
+
+def value_col(ef) -> Column:
+    """The single payload column (errors if the stream is n-ary)."""
+    if len(ef.value_cols) != 1:
+        raise ValueError(
+            f"operator needs a unary stream, got payload columns {ef.value_cols}; "
+            "use .pack() first"
+        )
+    return F.col(ef.value_cols[0])
+
+
+def as_column(predicate, ef) -> Column:
+    """Coerce a predicate/expr spec into a Column.
+
+    Accepts a Column, a SQL expression string, or a callable receiving the
+    payload Columns (in order) and returning a Column. Keeping predicates
+    as Column expressions (not Python UDFs) is what lets Catalyst push
+    them into the scan.
+    """
+    if isinstance(predicate, Column):
+        return predicate
+    if isinstance(predicate, str):
+        return F.expr(predicate)
+    if callable(predicate):
+        return predicate(*[F.col(c) for c in ef.value_cols])
+    raise TypeError(f"cannot build a Column from {predicate!r}")
+
+
+def meta_cols(ef) -> list[str]:
+    """seq/ts/key columns that ride along unchanged through payload ops."""
+    cols = [ef.seq_col]
+    if ef.ts_col:
+        cols.append(ef.ts_col)
+    cols.extend(ef.key_cols)
+    return cols

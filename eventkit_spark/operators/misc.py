@@ -1,0 +1,72 @@
+"""Error-channel operators: errors / end_on_error, plus try_map.
+
+Reference semantics: eventkit/ops/misc.py:5-27 (SURVEY.md §2.7). The
+reference gives every Event an ``error_event`` side channel; the engine's
+convention (SURVEY.md §1.3) is a nullable ``error`` string column that
+riding alongside the payload — populated by ``try_map`` (the fallible-UDF
+wrapper) or by sources that ingest dirty data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import RN, meta_cols, wcum
+
+
+ERROR_COL = "error"
+
+
+def try_map_pandas(ef, fn, return_type, name: str = "value"):
+    """Arrow-batched map that captures per-row exceptions into the
+    ``error`` column instead of failing the job (the reference emits
+    (source, exception) on error_event, eventkit/ops/op.py:29-33)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("v", return_type), StructField("e", StringType())]
+    )
+
+    def _kernel(*cols):
+        vals, errs = [], []
+        for xs in zip(*cols):
+            try:
+                vals.append(fn(*xs))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 - error channel semantics
+                vals.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        return pd.DataFrame({"v": vals, "e": errs})
+
+    _udf = F.pandas_udf(_kernel, out_schema)
+
+    packed = _udf(*[F.col(c) for c in ef.value_cols])
+    cols = [F.col(c) for c in meta_cols(ef)]
+    df = ef.df.select(*cols, packed.alias("__ek_packed")).select(
+        *[F.col(c) for c in meta_cols(ef)],
+        F.col("__ek_packed.v").alias(name),
+        F.col("__ek_packed.e").alias(ERROR_COL),
+    )
+    return ef._with(df=df, value_cols=[name])
+
+
+def errors(ef):
+    """The error side-channel as a stream (misc.py:5-15)."""
+    if ERROR_COL not in ef.df.columns:
+        raise ValueError("stream has no error column; use try_map_pandas first")
+    df = ef.df.filter(F.col(ERROR_COL).isNotNull()).select(
+        *[F.col(c) for c in meta_cols(ef)], F.col(ERROR_COL).alias("value")
+    )
+    return ef._with(df=df, value_cols=["value"])
+
+
+def end_on_error(ef):
+    """Terminate the stream at the first error row (misc.py:17-27):
+    cumulative all-clear flag, then filter."""
+    if ERROR_COL not in ef.df.columns:
+        raise ValueError("stream has no error column; use try_map_pandas first")
+    ok = F.when(F.col(ERROR_COL).isNull(), 1).otherwise(0)
+    flag = F.min(ok).over(wcum(ef))
+    df = ef.df.withColumn(RN, flag)
+    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))

@@ -1,0 +1,145 @@
+"""Selection operators: filter / skip / take / takewhile / dropwhile /
+takeuntil / changes / unique / last.
+
+Reference semantics: eventkit/ops/select.py:5-145 (see SURVEY.md §2.2).
+All are expressed as Column expressions + window functions so Catalyst can
+prune/push; none use Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .common import RN, as_column, wcum, worder
+
+
+def filter_(ef, predicate):
+    """Keep rows where predicate holds (eventkit/ops/select.py:5-14).
+
+    Default (predicate=None) keeps truthy payloads, i.e. non-null,
+    non-zero, non-empty — mapped here to ``value is not null and
+    value <> falsy-zero`` for the common unary numeric/bool case.
+    """
+    if predicate is None:
+        c = F.col(ef.value_cols[0])
+        pred = c.isNotNull() & (c.cast("boolean") == F.lit(True))
+    else:
+        pred = as_column(predicate, ef)
+    return ef._with(df=ef.df.filter(pred))
+
+
+def skip(ef, count: int = 1):
+    """Drop the first ``count`` rows per key (select.py:17-29); SQL OFFSET."""
+    df = ef.df.withColumn(RN, F.row_number().over(worder(ef)))
+    return ef._with(df=df.filter(F.col(RN) > count).drop(RN))
+
+
+def take(ef, count: int = 1):
+    """Keep only the first ``count`` rows per key (select.py:32-46); LIMIT."""
+    df = ef.df.withColumn(RN, F.row_number().over(worder(ef)))
+    return ef._with(df=df.filter(F.col(RN) <= count).drop(RN))
+
+
+def takewhile(ef, predicate):
+    """Pass rows until the predicate is first false (select.py:49-61).
+
+    Cumulative-AND flag: min over the cumulative frame of the 0/1
+    predicate stays 1 only while every prior row passed.
+    """
+    pred = as_column(predicate, ef)
+    flag = F.min(F.when(pred, 1).otherwise(0)).over(wcum(ef))
+    df = ef.df.withColumn(RN, flag)
+    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+
+
+def dropwhile(ef, predicate):
+    """Drop rows until the predicate is first false, then pass everything
+    (select.py:64-76). Cumulative-OR of NOT predicate."""
+    pred = as_column(predicate, ef)
+    flag = F.max(F.when(pred, 0).otherwise(1)).over(wcum(ef))
+    df = ef.df.withColumn(RN, flag)
+    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+
+
+def takeuntil(ef, notifier):
+    """Pass source rows strictly before the notifier's first emit
+    (select.py:79-99). Event-time cut via the notifier's min ts.
+
+    Scale: the notifier min-ts aggregate is one tiny DataFrame —
+    broadcast-joined (per key when keyed), so no shuffle of the source.
+    """
+    if not ef.ts_col or not notifier.ts_col:
+        raise ValueError("takeuntil needs event-time (ts) on both streams")
+    if ef.key_cols:
+        cut = notifier.df.groupBy(*notifier.key_cols).agg(
+            F.min(notifier.ts_col).alias("__ek_cut")
+        )
+        joined = ef.df.join(
+            F.broadcast(cut),
+            on=[ef.df[k] == cut[k2] for k, k2 in zip(ef.key_cols, notifier.key_cols)],
+            how="left",
+        )
+        df = joined.filter(
+            F.col("__ek_cut").isNull() | (F.col(ef.ts_col) < F.col("__ek_cut"))
+        ).select(*ef.df.columns)
+    else:
+        cut = notifier.df.agg(F.min(notifier.ts_col).alias("__ek_cut"))
+        df = (
+            ef.df.join(F.broadcast(cut), how="cross")
+            .filter(F.col("__ek_cut").isNull() | (F.col(ef.ts_col) < F.col("__ek_cut")))
+            .drop("__ek_cut")
+        )
+    return ef._with(df=df)
+
+
+def changes(ef):
+    """Emit only rows that differ from the immediately previous row
+    (select.py:102-112). Null-safe compare over the full payload tuple."""
+    w = worder(ef)
+    conds = []
+    for c in ef.value_cols:
+        prev = F.lag(F.col(c)).over(w)
+        conds.append(~F.col(c).eqNullSafe(prev))
+    first = F.lag(F.col(ef.seq_col)).over(w).isNull()
+    changed = first
+    for c in conds:
+        changed = changed | c
+    df = ef.df.withColumn(RN, changed)
+    return ef._with(df=df.filter(F.col(RN)).drop(RN))
+
+
+def unique(ef, by=None):
+    """First occurrence per distinct payload (or per ``by`` expression)
+    wins, in emit order (select.py:115-130 — implementing the documented
+    semantics; the reference's ``_seen.add(args)`` keyed-dedup bug,
+    SURVEY.md §7.2, is not replicated).
+
+    Scale: this is an order-preserving distinct — row_number over
+    (keys, dedup-key) then rank==1; shuffles once on the dedup key.
+    """
+    dedup = by if by is not None else [F.col(c) for c in ef.value_cols]
+    if not isinstance(dedup, (list, tuple)):
+        dedup = [dedup]
+    dedup = [as_column(d, ef) if not hasattr(d, "over") else d for d in dedup]
+    parts = [F.col(k) for k in ef.key_cols] + list(dedup)
+    w = W.partitionBy(*parts).orderBy(F.col(ef.seq_col))
+    df = ef.df.withColumn(RN, F.row_number().over(w))
+    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+
+
+def last(ef):
+    """Only the final row per key (select.py:133-145)."""
+    w = wcum(ef)
+    if ef.key_cols:
+        # max_by avoids a sort: one hash aggregate per key.
+        aggs = [F.max(ef.seq_col).alias(ef.seq_col)]
+        if ef.ts_col:
+            aggs.append(F.max_by(F.col(ef.ts_col), F.col(ef.seq_col)).alias(ef.ts_col))
+        aggs += [
+            F.max_by(F.col(c), F.col(ef.seq_col)).alias(c) for c in ef.value_cols
+        ]
+        df = ef.df.groupBy(*ef.key_cols).agg(*aggs)
+        return ef._with(df=df.select(*ef.df.columns))
+    w = W.partitionBy(F.lit(0)).orderBy(F.col(ef.seq_col).desc())
+    df = ef.df.withColumn(RN, F.row_number().over(w))
+    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))

@@ -1,0 +1,178 @@
+"""Event-time timing operators: delay / timeout / debounce / sample.
+
+Reference semantics: eventkit/ops/timing.py (SURVEY.md §2.6). The
+reference schedules on the asyncio wall clock; the engine re-bases the
+same observable semantics on the stream's event-time column, which makes
+every op deterministic over recorded data (no sleeps) and identical in
+meaning for replayed streams. Throttle (the one inherently sequential
+re-timestamping op) lives in ``state.py`` as a pandas kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .common import RN, meta_cols, wcum, worder
+
+
+def _shift(ts_col, seconds: float):
+    # timestamp + fractional-second interval, JVM-side
+    return F.timestamp_micros(
+        (F.unix_micros(F.col(ts_col)) + F.lit(int(round(seconds * 1e6)))).cast("long")
+    )
+
+
+def delay(ef, seconds: float):
+    """Shift every emit later by ``seconds`` (timing.py:8-28) — a pure
+    event-time shift; order and payload are untouched."""
+    if not ef.ts_col:
+        raise ValueError("delay() needs an event-time column")
+    df = ef.df.withColumn(ef.ts_col, _shift(ef.ts_col, seconds))
+    return ef._with(df=df)
+
+
+def timeout(ef, seconds: float):
+    """Cut the stream at the first inter-event gap > ``seconds``
+    (timing.py:31-64). The reference then emits one empty value and ends;
+    we keep the pre-gap prefix (the empty sentinel has no tabular payload
+    — callers that need it can append a NULL row with ts = last+timeout).
+    """
+    if not ef.ts_col:
+        raise ValueError("timeout() needs an event-time column")
+    w = worder(ef)
+    gap = F.col(ef.ts_col).cast("double") - F.lag(F.col(ef.ts_col)).over(w).cast("double")
+    ok = F.when(gap.isNull() | (gap <= seconds), 1).otherwise(0)
+    flag = F.min(ok).over(wcum(ef))
+    df = ef.df.withColumn(RN, flag)
+    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+
+
+def debounce(ef, seconds: float, on_first: bool = False):
+    """Drop rapid-succession rows (timing.py:67-101).
+
+    ``on_first=True``: emit the first row of each burst (gap from the
+    previous row >= interval), drop the rest — a pure lag compare.
+    ``on_first=False`` (default): emit only the last row of each burst,
+    re-stamped ``seconds`` later (the reference's delayed emit at
+    time+interval) — a pure lead compare.
+    """
+    if not ef.ts_col:
+        raise ValueError("debounce() needs an event-time column")
+    w = worder(ef)
+    t = F.col(ef.ts_col).cast("double")
+    if on_first:
+        gap = t - F.lag(t).over(w)
+        keep = gap.isNull() | (gap >= seconds)
+        df = ef.df.withColumn(RN, keep)
+        return ef._with(df=df.filter(F.col(RN)).drop(RN))
+    nxt = F.lead(t).over(w)
+    keep = nxt.isNull() | ((nxt - t) >= seconds)
+    df = ef.df.withColumn(RN, keep)
+    df = df.filter(F.col(RN)).drop(RN)
+    df = df.withColumn(ef.ts_col, _shift(ef.ts_col, seconds))
+    return ef._with(df=df)
+
+
+def sample(ef, timer):
+    """At each tick of the ``timer`` stream, emit the source's latest
+    value (timing.py:187-211); no emit before the source's first value
+    (reference guards on NO_VALUE, timing.py:201-203).
+
+    This is an as-of join, built shuffle-once: union the tagged streams,
+    one running ``last(ignorenulls)`` window, keep timer rows. Source rows
+    at the same ts as a tick are visible to it (the reference's listener
+    ordering delivers source-then-timer).
+    """
+    if not ef.ts_col or not timer.ts_col:
+        raise ValueError("sample() needs event-time on both streams")
+    if list(timer.key_cols) != list(ef.key_cols):
+        raise ValueError("sample() streams must share key columns")
+    v = F.col(ef.value_cols[0])
+    src = ef.df.select(
+        F.lit(0).alias("__ek_tag"),
+        F.col(ef.seq_col).alias("seq"),
+        F.col(ef.ts_col).alias("ts"),
+        *[F.col(k) for k in ef.key_cols],
+        v.alias("value"),
+    )
+    tick = timer.df.select(
+        F.lit(1).alias("__ek_tag"),
+        F.col(timer.seq_col).alias("seq"),
+        F.col(timer.ts_col).alias("ts"),
+        *[F.col(k) for k in timer.key_cols],
+        F.lit(None).cast(ef.df.schema[ef.value_cols[0]].dataType).alias("value"),
+    )
+    u = src.unionByName(tick)
+    w = (
+        (W.partitionBy(*ef.key_cols) if ef.key_cols else W.partitionBy(F.lit(0)))
+        .orderBy(F.col("ts"), F.col("__ek_tag"), F.col("seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.withColumn("__ek_latest", F.last(F.when(F.col("__ek_tag") == 0, F.col("value")), ignorenulls=True).over(w))
+    out = u.filter((F.col("__ek_tag") == 1) & F.col("__ek_latest").isNotNull())
+    cols = [F.col("seq"), F.col("ts"), *[F.col(k) for k in ef.key_cols], F.col("__ek_latest").alias("value")]
+    return ef._with(
+        df=out.select(*cols), value_cols=["value"], seq_col="seq", ts_col="ts",
+        key_cols=list(ef.key_cols),
+    )
+
+
+def chunkwith(ef, timer, emit_empty: bool = True):
+    """Buffer rows and flush the list at each tick of ``timer``
+    (eventkit/ops/transform.py:179-211). Each source row is assigned to
+    the first tick at-or-after it (as-of bucketing), then one hash
+    aggregate per (key, tick).
+    """
+    if not ef.ts_col or not timer.ts_col:
+        raise ValueError("chunkwith() needs event-time on both streams")
+    v = F.col(ef.value_cols[0])
+    src = ef.df.select(
+        F.lit(0).alias("__ek_tag"),
+        F.col(ef.seq_col).alias("seq"),
+        F.col(ef.ts_col).alias("ts"),
+        *[F.col(k) for k in ef.key_cols],
+        v.alias("value"),
+        F.lit(None).cast("long").alias("__ek_tick"),
+    )
+    tick = timer.df.select(
+        F.lit(1).alias("__ek_tag"),
+        F.col(timer.seq_col).alias("seq"),
+        F.col(timer.ts_col).alias("ts"),
+        *[F.col(k) for k in timer.key_cols],
+        F.lit(None).cast(ef.df.schema[ef.value_cols[0]].dataType).alias("value"),
+        F.col(timer.seq_col).cast("long").alias("__ek_tick"),
+    )
+    u = src.unionByName(tick)
+    # first tick at-or-after each row: look *forward* — reverse running first
+    w = (
+        (W.partitionBy(*ef.key_cols) if ef.key_cols else W.partitionBy(F.lit(0)))
+        .orderBy(F.col("ts").desc(), F.col("__ek_tag").desc(), F.col("seq").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.withColumn("__ek_bucket", F.last(F.col("__ek_tick"), ignorenulls=True).over(w))
+    rows = u.filter((F.col("__ek_tag") == 0) & F.col("__ek_bucket").isNotNull())
+    agg = rows.groupBy(*ef.key_cols, "__ek_bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("seq").alias("s"), F.col("value").alias("v")))),
+            lambda p: p.getField("v"),
+        ).alias("value")
+    )
+    ticks = timer.df.select(
+        F.col(timer.seq_col).cast("long").alias("__ek_bucket"),
+        F.col(timer.ts_col).alias("ts"),
+        *[F.col(k) for k in timer.key_cols],
+    )
+    joined = ticks.join(agg, on=[*ef.key_cols, "__ek_bucket"], how="left" if emit_empty else "inner")
+    if emit_empty:
+        joined = joined.withColumn(
+            "value",
+            F.coalesce(
+                F.col("value"),
+                F.array().cast(f"array<{ef.df.schema[ef.value_cols[0]].dataType.simpleString()}>"),
+            ),
+        )
+    out = joined.select(
+        F.col("__ek_bucket").alias("seq"), F.col("ts"),
+        *[F.col(k) for k in ef.key_cols], F.col("value"),
+    )
+    return ef._with(df=out, value_cols=["value"], seq_col="seq", ts_col="ts", key_cols=list(ef.key_cols))

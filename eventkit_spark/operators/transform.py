@@ -1,0 +1,220 @@
+"""Row transformations: constant / iterate / enumerate / count / timestamp /
+partial(_right) / star / pack / pluck / previous / chunk / map.
+
+Reference semantics: eventkit/ops/transform.py (SURVEY.md §2.3).
+Everything here is a Column expression except ``map_pandas`` (the
+arbitrary-Python escape hatch, Arrow-batched — never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from .common import RN, meta_cols, value_col, worder
+
+
+def _project(ef, new_values: list, names: list[str]):
+    """Replace payload columns, keeping seq/ts/keys."""
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols += [v.alias(n) for v, n in zip(new_values, names)]
+    return ef._with(df=ef.df.select(*cols), value_cols=list(names))
+
+
+def constant(ef, value):
+    """Replace every payload with a constant (transform.py:11-19)."""
+    return _project(ef, [F.lit(value)], ["value"])
+
+
+def enumerate_(ef, start: int = 0, step: int = 1):
+    """Prepend a running index (transform.py:38-50)."""
+    idx = (F.row_number().over(worder(ef)) - 1) * step + start
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols.append(idx.alias("i"))
+    cols += [F.col(c) for c in ef.value_cols]
+    return ef._with(df=ef.df.select(*cols), value_cols=["i", *ef.value_cols])
+
+
+def count(ef, start: int = 0, step: int = 1):
+    """Replace payload with a running count (eventkit/ops/aggregate.py:10-15)."""
+    idx = (F.row_number().over(worder(ef)) - 1) * step + start
+    return _project(ef, [idx.cast("long")], ["value"])
+
+
+def timestamp(ef):
+    """Prepend event time as epoch seconds (transform.py:53-59).
+
+    The reference stamps wall-clock ``time.time()``; our streams carry
+    event time already, so this surfaces ``ts`` as a double payload.
+    """
+    if not ef.ts_col:
+        raise ValueError("timestamp() needs an event-time column")
+    t = F.col(ef.ts_col).cast("double")
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols.append(t.alias("t"))
+    cols += [F.col(c) for c in ef.value_cols]
+    return ef._with(df=ef.df.select(*cols), value_cols=["t", *ef.value_cols])
+
+
+def partial(ef, *left):
+    """Prepend constant payload args (transform.py:62-70)."""
+    names = [f"p{i}" for i in range(len(left))]
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols += [F.lit(v).alias(n) for v, n in zip(left, names)]
+    cols += [F.col(c) for c in ef.value_cols]
+    return ef._with(df=ef.df.select(*cols), value_cols=[*names, *ef.value_cols])
+
+
+def partial_right(ef, *right):
+    """Append constant payload args (transform.py:73-81)."""
+    names = [f"p{i}" for i in range(len(right))]
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols += [F.col(c) for c in ef.value_cols]
+    cols += [F.lit(v).alias(n) for v, n in zip(right, names)]
+    return ef._with(df=ef.df.select(*cols), value_cols=[*ef.value_cols, *names])
+
+
+def star(ef):
+    """Unpack a struct payload into positional columns (transform.py:84-88)."""
+    v = value_col(ef)
+    dtype = ef.df.schema[ef.value_cols[0]].dataType
+    if not isinstance(dtype, T.StructType):
+        raise ValueError("star() needs a struct payload; use pack() to build one")
+    fields = [f.name for f in dtype.fields]
+    vals = [v.getField(f) for f in fields]
+    return _project(ef, vals, fields)
+
+
+def pack(ef):
+    """Pack the payload columns into one struct (transform.py:91-95)."""
+    v = F.struct(*[F.col(c) for c in ef.value_cols])
+    return _project(ef, [v], ["value"])
+
+
+def pluck(ef, *selectors: str):
+    """Project positional/nested paths like ``'0.address.street'``
+    (transform.py:98-127). Missing fields become NULL (the engine's
+    NO_VALUE, SURVEY.md §1.2). Catalyst resolves nested access as
+    GetStructField — pruned at the parquet scan.
+    """
+    vals, names = [], []
+    for sel in selectors:
+        parts = sel.split(".") if sel else ["0"]
+        if parts[0].isdigit():
+            base = ef.value_cols[int(parts[0])]
+            rest = parts[1:]
+        elif parts[0] == "":
+            base = ef.value_cols[0]
+            rest = parts[1:]
+        else:
+            base = ef.value_cols[0]
+            rest = parts if parts[0] else parts[1:]
+        c = F.col(base)
+        for p in rest:
+            c = c.getField(p)
+        vals.append(c)
+        names.append(rest[-1] if rest else base)
+    # de-duplicate output names positionally
+    seen: dict[str, int] = {}
+    uniq = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            uniq.append(f"{n}_{seen[n]}")
+        else:
+            seen[n] = 0
+            uniq.append(n)
+    return _project(ef, vals, uniq)
+
+
+def previous(ef, count: int = 1):
+    """Emit the value from ``count`` rows back, starting once available
+    (transform.py:130-141)."""
+    w = worder(ef)
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols += [F.lag(F.col(c), count).over(w).alias(c) for c in ef.value_cols]
+    df = ef.df.select(*cols, F.row_number().over(w).alias(RN))
+    return ef._with(df=df.filter(F.col(RN) > count).drop(RN))
+
+
+def iterate(ef, values):
+    """Zip a side iterable against the stream: time from the source,
+    values from the iterable; ends at the shorter side (transform.py:22-35).
+
+    Implemented as an equi-join between the stream's row index and an
+    indexed literal table; the literal side is broadcast.
+    """
+    spark = ef.df.sparkSession
+    side = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], schema=f"{RN} long, __ek_v2 {_lit_type(values)}"
+    )
+    df = ef.df.withColumn(RN, F.row_number().over(worder(ef)) - 1)
+    joined = df.join(F.broadcast(side), on=RN, how="inner")
+    cols = [F.col(c) for c in meta_cols(ef)] + [F.col("__ek_v2").alias("value")]
+    return ef._with(df=joined.select(*cols), value_cols=["value"])
+
+
+def _lit_type(values) -> str:
+    v = next(iter(values), None)
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+def chunk(ef, size: int):
+    """Group every ``size`` rows into an array; remainder flushes at end
+    (transform.py:158-176). One hash aggregate on (keys, chunk_no)."""
+    v = value_col(ef)
+    chunk_no = F.floor((F.row_number().over(worder(ef)) - 1) / size)
+    df = ef.df.withColumn(RN, chunk_no)
+    aggs = [
+        F.min(ef.seq_col).alias(ef.seq_col),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ef.seq_col).alias("s"), v.alias("v")))
+        ).alias("__ek_pairs"),
+    ]
+    if ef.ts_col:
+        aggs.insert(1, F.max(ef.ts_col).alias(ef.ts_col))
+    grouped = df.groupBy(*ef.key_cols, RN).agg(*aggs)
+    value = F.transform(F.col("__ek_pairs"), lambda p: p.getField("v")).alias("value")
+    cols = [F.col(c) for c in meta_cols(ef)] + [value]
+    return ef._with(df=grouped.select(*cols), value_cols=["value"])
+
+
+def map_cols(ef, fn: Callable, names: list[str] | None = None):
+    """Column-expression map: ``fn`` receives the payload Columns and
+    returns one Column or a list (transform.py:214-288, sync case).
+    Stays inside whole-stage codegen."""
+    out = fn(*[F.col(c) for c in ef.value_cols])
+    if isinstance(out, Column):
+        out = [out]
+    names = names or [f"v{i}" for i in range(len(out))] if len(out) > 1 else (names or ["value"])
+    return _project(ef, list(out), list(names))
+
+
+def map_pandas(ef, fn: Callable, return_type, name: str = "value"):
+    """Arbitrary-Python map as an Arrow-batched pandas UDF
+    (transform.py:214-288). ~10-100x faster than row-at-a-time udf;
+    still the slow path — prefer ``map_cols``. Failures become NULL
+    (the reference maps failures to NO_VALUE, event.py:849)."""
+    import pandas as pd
+
+    def _kernel(*cols):
+        def safe(*xs):
+            try:
+                return fn(*xs)
+            except Exception:
+                return None
+
+        return pd.Series([safe(*xs) for xs in zip(*cols)])
+
+    _udf = F.pandas_udf(_kernel, return_type)
+
+    out = _udf(*[F.col(c) for c in ef.value_cols])
+    return _project(ef, [out], [name])

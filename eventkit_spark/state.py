@@ -1,0 +1,97 @@
+"""Sequential stateful kernels that have no window-function form.
+
+Two operators in the reference are true sequential recurrences
+(SURVEY.md §4.2): Throttle's re-timestamping (eventkit/ops/timing.py:104-184)
+and exact EMA for streams too long for the closed-form window scan
+(eventkit/ops/aggregate.py:95-111). Both run as Arrow-batched
+``applyInPandas`` kernels: one linear scan per key partition — fully
+parallel across keys, O(n) per key, no driver collection. For unkeyed
+(globally ordered) streams they degrade to a single task, same as the
+reference's single process.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def ema_exact(ef, n: int | None = None, weight: float | None = None):
+    """Linear-scan EMA recurrence per key — use when per-key streams are
+    too long for the closed-form window formulation (> ~6000 rows)."""
+    w = weight if weight is not None else 2.0 / (n + 1)
+    value_col = ef.value_cols[0]
+    seq_col = ef.seq_col
+    schema = ef.df.schema
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        out = x.copy()
+        for i in range(1, len(out)):
+            out[i] = (1.0 - w) * out[i - 1] + w * x[i]
+        pdf[value_col] = out
+        return pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {'double' if f.name == value_col else f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+    grouped = (
+        ef.df.groupBy(*ef.key_cols) if ef.key_cols else ef.df.groupBy(F.lit(0).alias("__g"))
+    )
+    df = grouped.applyInPandas(kernel, schema=out_schema)
+    if not ef.key_cols:
+        df = df.drop("__g") if "__g" in df.columns else df
+    return ef._with(df=df.select(*[f.name for f in schema.fields]))
+
+
+def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
+    """Rate-limit without dropping: at most ``maximum`` total cost per
+    sliding ``interval`` seconds; excess rows are re-timestamped to the
+    earliest time the budget allows (timing.py:104-184 queues and
+    re-schedules; over a recorded stream that is exactly a deterministic
+    re-timestamping).
+
+    Sequential by nature (each row's emit time depends on all prior emit
+    times) — pandas kernel per key.
+    """
+    value_cols = list(ef.df.columns)
+    ts_col, seq_col = ef.ts_col, ef.seq_col
+    if not ts_col:
+        raise ValueError("throttle() needs an event-time column")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        pdf = pdf.sort_values(seq_col)
+        times = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch seconds
+        out = times.copy()
+        window: deque[tuple[float, float]] = deque()  # (emit_time, cost)
+        used = 0.0
+        last_emit = -float("inf")
+        for i in range(len(out)):
+            # FIFO: a queued row cannot emit before its predecessor
+            t = max(times[i], last_emit)
+            # earliest admissible time given the sliding budget
+            while True:
+                while window and window[0][0] <= t - interval:
+                    used -= window.popleft()[1]
+                if used + cost <= maximum or not window:
+                    break
+                # wait until the oldest in-window emission expires
+                t = window[0][0] + interval
+            out[i] = t
+            last_emit = t
+            window.append((t, cost))
+            used += cost
+        pdf[ts_col] = pd.to_datetime((out * 1e9).astype("int64"), utc=True).tz_localize(None)
+        return pdf
+
+    schema = ef.df.schema
+    grouped = (
+        ef.df.groupBy(*ef.key_cols) if ef.key_cols else ef.df.groupBy(F.lit(0).alias("__g"))
+    )
+    df = grouped.applyInPandas(kernel, schema=schema)
+    return ef._with(df=df.select(*value_cols))

@@ -1,0 +1,94 @@
+"""Golden-list aggregate tests, mirroring /root/reference/tests/aggregate_test.py."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_running_min_max(ints):
+    ef = ints.map(lambda v: (v - 5) * (v - 5), names=["value"])
+    assert ef.min().to_list() == [25, 16, 9, 4, 1, 0, 0, 0, 0, 0]
+    assert ints.max().to_list() == list(range(10))
+
+
+def test_running_sum_mean(ints):
+    assert ints.sum().to_list() == [0, 1, 3, 6, 10, 15, 21, 28, 36, 45]
+    assert ints.sum(start=100).to_list() == [100, 101, 103, 106, 110, 115, 121, 128, 136, 145]
+    means = ints.mean().to_list()
+    assert means == [sum(range(i + 1)) / (i + 1) for i in range(10)]
+
+
+def test_running_product(spark):
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, [1.0, 2.0, -3.0, 4.0, 0.0, 5.0])
+    got = ef.product().to_list()
+    exp = [1.0, 2.0, -6.0, -24.0, 0.0, 0.0]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got, exp))
+
+
+def test_any_all(spark):
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, [True] * 3 + [False] * 3)
+    assert ef.any().to_list() == [True] * 6
+    assert ef.all().to_list() == [True, True, True, False, False, False]
+
+
+def test_ema(spark):
+    from eventkit_spark.sources.create import sequence
+
+    xs = [float(x) for x in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]
+    ef = sequence(spark, xs)
+    w = 2.0 / (5 + 1)
+    exp = [xs[0]]
+    for x in xs[1:]:
+        exp.append((1 - w) * exp[-1] + w * x)
+    got = ef.ema(n=5).to_list()
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got, exp))
+    got2 = ef.ema_exact(n=5).to_list()
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got2, exp))
+
+
+def test_pairwise(ints):
+    assert ints.take(4).pairwise().to_list() == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_reduce(ints):
+    # running max via generic fold
+    got = ints.map(lambda v: v % 4).reduce(lambda a, x: F.greatest(a, x), result_type="bigint").to_list()
+    assert got == [0, 1, 2, 3, 3, 3, 3, 3, 3, 3]
+
+
+def test_list(ints):
+    assert ints.list().to_list() == [list(range(10))]
+
+
+def test_deque(ints):
+    got = ints.deque(3).to_list()
+    assert got[:4] == [[0], [0, 1], [0, 1, 2], [1, 2, 3]]
+    assert got[-1] == [7, 8, 9]
+
+
+def test_array_reductions(spark):
+    from eventkit_spark.sources.create import sequence
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0]
+    ef = sequence(spark, xs)
+    assert ef.array_min(3).to_list() == [1.0, 1.0, 1.0, 2.0, 2.0]
+    assert ef.array_max(3).to_list() == [1.0, 3.0, 3.0, 5.0, 5.0]
+    assert ef.array_sum(3).to_list() == [1.0, 4.0, 6.0, 10.0, 11.0]
+    assert ef.array_mean(3).to_list() == [1.0, 2.0, 2.0, 10 / 3, 11 / 3]
+    stds = ef.array_std(3).to_list()
+    assert stds[0] is None  # n<2 -> NULL (numpy NaN analog)
+    assert abs(stds[2] - 1.0) < 1e-9
+    prods = ef.array_prod(3).to_list()
+    assert all(abs(g - e) < 1e-9 for g, e in zip(prods, [1.0, 3.0, 6.0, 30.0, 40.0]))
+
+
+def test_fork_zip(ints):
+    ef = ints.fork_zip(lambda e: e.min(), lambda e: e.max(), lambda e: e.sum())
+    got = ef.to_list()
+    assert got[0] == (0, 0, 0)
+    assert got[-1] == (0, 9, 45)

@@ -1,0 +1,97 @@
+"""Combinator golden tests, mirroring /root/reference/tests/combine_test.py
+(streams offset in value and slightly in time: combine_test.py:12-14)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def abc(spark):
+    """Three 5-value streams: values 0-4 / 100-104 / 200-204; stream i
+    shifted +i ms (reference uses +1ms delays to fix interleave order)."""
+    from eventkit_spark.sources.create import sequence
+
+    def mk(offset, shift):
+        return sequence(
+            spark,
+            [offset + i for i in range(5)],
+            times=[i * 0.01 + shift for i in range(5)],
+        )
+
+    return mk(0, 0.0), mk(100, 0.001), mk(200, 0.002)
+
+
+def test_merge(abc):
+    a, b, c = abc
+    got = a.merge(b, c).to_list()
+    exp = []
+    for i in range(5):
+        exp += [i, 100 + i, 200 + i]
+    assert got == exp
+
+
+def test_chain(abc):
+    a, b, c = abc
+    got = a.chain(b, c).to_list()
+    assert got == list(range(5)) + [100 + i for i in range(5)] + [200 + i for i in range(5)]
+
+
+def test_zip(spark, abc):
+    from eventkit_spark.sources.create import sequence
+
+    a, b, _ = abc
+    short = sequence(spark, ["x", "y", "z"])
+    got = a.zip(b, short).to_list()
+    assert got == [(0, 100, "x"), (1, 101, "y"), (2, 102, "z")]
+
+
+def test_ziplatest(spark):
+    from eventkit_spark.sources.create import sequence
+
+    # source 1: a at t=0, b at t=2; source 2: 1 at t=1
+    s1 = sequence(spark, ["a", "b"], times=[0.0, 2.0])
+    s2 = sequence(spark, [1], times=[1.0])
+    got = s1.ziplatest(s2).to_list()
+    assert got == [("a", None), ("a", 1), ("b", 1)]
+    got2 = s1.ziplatest(s2, partial=False).to_list()
+    assert got2 == [("a", 1), ("b", 1)]
+
+
+def test_concat_docstring_marble(spark):
+    """event.py:1147-1160 marble:
+    s1: -a----b-----|   s2: --1-----2-----3----4--|   s3: ...-x--y--|
+    output: -a----b---------3----4----x--y--|
+    """
+    from eventkit_spark.sources.create import marble
+
+    s1 = marble(spark, "-a----b-----|")
+    s2 = marble(spark, "--1-----2-----3----4--|")
+    s3 = marble(spark, "------------------------x--y--|")
+    got = s1.concat(s2, s3).to_list()
+    # s1 live until t=12: s2's 1@2, 2@8 dropped; 3@14, 4@19 pass.
+    # s2 ends @22: s3's x@24, y@27 pass.
+    assert got == ["a", "b", "3", "4", "x", "y"]
+
+
+def test_switch_docstring_marble(spark):
+    """event.py:1162-1175 marble:
+    s1: -a----b---c-----d---|  s2: -----------x---y-|  s3: ---------1----2----3-----|
+    output: -a----b--1----2--x---y---|
+    """
+    from eventkit_spark.sources.create import marble
+
+    s1 = marble(spark, "-a----b---c-----d---|")
+    s2 = marble(spark, "-----------------x---y-|")
+    s3 = marble(spark, "---------1----2----3-----|")
+    # first emits: s1@1, s3@9, s2@17. s1 active [1,9): a,b (c@10 dropped);
+    # s3 active [9,17): 1@9, 2@14 (3@19 dropped); s2 active from 17: x,y.
+    got = s1.switch(s2, s3).to_list()
+    assert got == ["a", "b", "1", "2", "x", "y"]
+
+
+def test_merge_keeps_ts_order(abc):
+    a, b, c = abc
+    m = a.merge(b, c)
+    rows = m.df.orderBy("seq").collect()
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts)

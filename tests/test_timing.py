@@ -1,0 +1,84 @@
+"""Event-time timing tests, mirroring /root/reference/tests/timing_test.py
+re-based on deterministic ts columns (FIXTURES.md: no wall-clock sleeps)."""
+
+import pytest
+
+
+def test_delay(spark):
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, [1, 2, 3], interval=1.0)
+    d = ef.delay(0.5)
+    ts0 = [r["ts"] for r in ef.df.orderBy("seq").collect()]
+    ts1 = [r["ts"] for r in d.df.orderBy("seq").collect()]
+    assert all((b - a).total_seconds() == pytest.approx(0.5) for a, b in zip(ts0, ts1))
+    assert d.to_list() == [1, 2, 3]
+
+
+def test_timeout(spark):
+    from eventkit_spark.sources.create import sequence
+
+    # gaps: 1,1,5,1 -> cut before the 5s gap
+    ef = sequence(spark, [10, 11, 12, 13, 14], times=[0, 1, 2, 7, 8])
+    assert ef.timeout(2.0).to_list() == [10, 11, 12]
+
+
+def test_debounce_on_first(spark):
+    from eventkit_spark.sources.create import sequence
+
+    # bursts: [0,.1,.2], [5,5.1], [9]
+    ef = sequence(spark, [1, 2, 3, 4, 5, 6], times=[0, 0.1, 0.2, 5.0, 5.1, 9.0])
+    assert ef.debounce(1.0, on_first=True).to_list() == [1, 4, 6]
+
+
+def test_debounce_on_last(spark):
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, [1, 2, 3, 4, 5, 6], times=[0, 0.1, 0.2, 5.0, 5.1, 9.0])
+    out = ef.debounce(1.0)
+    assert out.to_list() == [3, 5, 6]
+    # re-stamped one interval later (reference emits at time+interval)
+    ts = [r["ts"] for r in out.df.orderBy("seq").collect()]
+    rel = [(t - ts[0]).total_seconds() for t in ts]
+    assert rel == pytest.approx([0.0, 4.9, 8.8])
+
+
+def test_sample(spark):
+    from eventkit_spark.sources.create import sequence
+
+    src = sequence(spark, [10, 20, 30], times=[0.0, 1.0, 2.5])
+    tick = sequence(spark, ["t"] * 4, times=[0.5, 1.5, 2.0, 3.0])
+    got = src.sample(tick).to_list()
+    assert got == [10, 20, 20, 30]
+
+
+def test_sample_before_first_value(spark):
+    from eventkit_spark.sources.create import sequence
+
+    src = sequence(spark, [10], times=[1.0])
+    tick = sequence(spark, ["t"] * 3, times=[0.5, 1.5, 2.0])
+    # no emit before the source's first value (timing.py:201-203 guard)
+    assert src.sample(tick).to_list() == [10, 10]
+
+
+def test_chunkwith(spark):
+    from eventkit_spark.sources.create import sequence
+
+    src = sequence(spark, [1, 2, 3, 4, 5], times=[0.1, 0.2, 1.1, 2.5, 2.6])
+    tick = sequence(spark, ["t"] * 3, times=[1.0, 2.0, 3.0])
+    got = src.chunkwith(tick).to_list()
+    assert got == [[1, 2], [3], [4, 5]]
+    got2 = sequence(spark, [1], times=[0.1]).chunkwith(tick).to_list()
+    assert got2 == [[1], [], []]
+
+
+def test_throttle(spark):
+    from eventkit_spark.sources.create import sequence
+
+    # 6 rows at t=0, budget 2 per 1s -> pairs emitted at 0,1,2
+    ef = sequence(spark, [1, 2, 3, 4, 5, 6], times=[0.0] * 6)
+    out = ef.throttle(maximum=2, interval=1.0)
+    ts = [r["ts"] for r in out.df.orderBy("seq").collect()]
+    rel = [(t - ts[0]).total_seconds() for t in ts]
+    assert rel == pytest.approx([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+    assert out.to_list() == [1, 2, 3, 4, 5, 6]
