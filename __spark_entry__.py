@@ -1,38 +1,772 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers one entry per implemented operator from
+SURVEY.md §2 (+ the LLM-extension ops); ``oracle_sql()`` carries the
+DuckDB twin for every SQL-expressible one. The canonical keyed stream is
+the ``events`` table: key=user_id, seq=event_id, ts=ts
+(FIXTURES.md F8) — all stream-operator semantics are checked per key,
+which is also the engine's scale dimension.
+
+Float columns are rounded in BOTH engines (same decimals) so the
+order-insensitive value hash is stable across Spark/DuckDB accumulation
+order differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from eventkit_spark.frame import EventFrame
+from eventkit_spark.sources.tables import load_events, load_table
+
+# DuckDB window shorthand used throughout the oracles
+_WIN = "PARTITION BY user_id ORDER BY event_id"
+_CUM = f"{_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> EventFrame:
+    return load_events(spark, sf_dir)
+
+
+def _typed(spark: SparkSession, sf_dir: str, etype: str) -> EventFrame:
+    ef = _ev(spark, sf_dir)
+    return ef._with(df=ef.df.filter(F.col("event_type") == etype))
+
+
+def _out(ef: EventFrame, *cols: str) -> DataFrame:
+    return ef.df.select(*cols)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-user running sum + mean of value over event time
+    (SURVEY.md §7.1) at sf0.001."""
+    ef = _ev(spark, "/root/testdata/sf0.001")
+    out = ef.fork_zip(lambda e: e.sum(), lambda e: e.mean())
+    return out.df.select(
+        "user_id",
+        F.col("event_id"),
+        F.round("v0", 6).alias("running_sum"),
+        F.round("v1", 6).alias("running_mean"),
+    )
+
+
+# ---------------------------------------------------------------------
+# stream operators on events (SURVEY.md §2.2-2.4, §2.6-2.7)
+# ---------------------------------------------------------------------
+
+def q_filter(spark, sf):
+    return _out(_ev(spark, sf).filter("value > 250"), "event_id", "user_id", "value")
+
+
+def q_skip(spark, sf):
+    return _out(_ev(spark, sf).skip(5), "event_id", "user_id")
+
+
+def q_take(spark, sf):
+    return _out(_ev(spark, sf).take(10), "event_id", "user_id")
+
+
+def q_takewhile(spark, sf):
+    return _out(_ev(spark, sf).takewhile("value < 450"), "event_id", "user_id", "value")
+
+
+def q_dropwhile(spark, sf):
+    return _out(_ev(spark, sf).dropwhile("value < 450"), "event_id", "user_id", "value")
+
+
+def q_changes(spark, sf):
+    ef = _ev(spark, sf)
+    ef = ef._with(value_cols=["event_type"])
+    return _out(ef.changes(), "event_id", "user_id", "event_type")
+
+
+def q_unique(spark, sf):
+    ef = _ev(spark, sf)._with(value_cols=["event_type"])
+    return _out(ef.unique(), "event_id", "user_id", "event_type")
+
+
+def q_last(spark, sf):
+    return _out(_ev(spark, sf).last(), "event_id", "user_id", "value")
+
+
+def q_enumerate(spark, sf):
+    ef = _ev(spark, sf).enumerate(start=0, step=1)
+    return ef.df.select("event_id", "user_id", F.col("i").alias("idx"), "value")
+
+
+def q_count(spark, sf):
+    ef = _ev(spark, sf).count(start=1)
+    return ef.df.select("event_id", "user_id", F.col("value").alias("cnt"))
+
+
+def q_previous(spark, sf):
+    ef = _ev(spark, sf).previous(3)
+    return ef.df.select("event_id", "user_id", F.col("value").alias("prev3"))
+
+
+def q_pairwise(spark, sf):
+    ef = _ev(spark, sf).pairwise()
+    return ef.df.select("event_id", "user_id", "prev", "cur")
+
+
+def q_running_sum(spark, sf):
+    ef = _ev(spark, sf).sum()
+    return ef.df.select("event_id", "user_id", F.round("value", 6).alias("rsum"))
+
+
+def q_running_mean(spark, sf):
+    # exact-integer formulation: values are 2-decimal doubles, so the
+    # running mean in micro-units is (sum of cents * 10^4) div count —
+    # bit-identical across engines (no float rounding boundary).
+    ef = _ev(spark, sf).map(
+        lambda v: F.round(v * 100, 0).cast("long"), names=["value"]
+    ).fork_zip(lambda e: e.sum(), lambda e: e.count(start=1))
+    return ef.df.select(
+        "event_id",
+        "user_id",
+        F.expr("(v0 * 10000) div v1").alias("rmean_micros"),
+    )
+
+
+def q_fork_minmax(spark, sf):
+    ef = _ev(spark, sf).fork_zip(lambda e: e.min(), lambda e: e.max())
+    return ef.df.select(
+        "event_id", "user_id", F.col("v0").alias("rmin"), F.col("v1").alias("rmax")
+    )
+
+
+def q_any_all(spark, sf):
+    ef = _ev(spark, sf).map(lambda v: v > 400, names=["value"])
+    out = ef.fork_zip(lambda e: e.any(), lambda e: e.all())
+    return out.df.select(
+        "event_id", "user_id", F.col("v0").alias("rany"), F.col("v1").alias("rall")
+    )
+
+
+def q_product_trailing(spark, sf):
+    # integer-valued payload keeps the product exact in both engines
+    ef = _ev(spark, sf).map(lambda v: F.round(v, 0), names=["value"]).array_prod(4)
+    return ef.df.select("event_id", "user_id", F.round("value", 0).alias("tprod"))
+
+
+def q_ema(spark, sf):
+    ef = _ev(spark, sf).ema(n=10)
+    return ef.df.select("event_id", "user_id", F.round("value", 6).alias("ema"))
+
+
+def q_deque(spark, sf):
+    ef = _ev(spark, sf).deque(3)
+    return ef.df.select("event_id", "user_id", F.col("value").alias("trail3"))
+
+
+def q_array_std(spark, sf):
+    ef = _ev(spark, sf).array_std(5)
+    return ef.df.select("event_id", "user_id", F.round("value", 6).alias("tstd"))
+
+
+def q_array_mean(spark, sf):
+    ef = _ev(spark, sf).array_mean(5)
+    return ef.df.select("event_id", "user_id", F.round("value", 6).alias("tmean"))
+
+
+def q_chunk(spark, sf):
+    ef = _ev(spark, sf).chunk(10)
+    return ef.df.select(F.col("event_id").alias("first_event"), "user_id", F.col("value").alias("vals"))
+
+
+def q_list(spark, sf):
+    ef = _ev(spark, sf).list()
+    return ef.df.select("user_id", F.col("value").alias("vals"))
+
+
+def q_json_pluck(spark, sf):
+    # Pluck analog over the JSON props payload (nested projection)
+    ef = _ev(spark, sf)
+    df = ef.df.select(
+        "event_id", "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return df
+
+
+# -- combinators ------------------------------------------------------
+
+def q_merge(spark, sf):
+    a = _typed(spark, sf, "purchase")
+    b = _typed(spark, sf, "click")
+    m = a.merge(b)
+    return m.df.select("seq", "user_id", "value")
+
+
+def q_chain(spark, sf):
+    a = _typed(spark, sf, "purchase")
+    b = _typed(spark, sf, "click")
+    return a.chain(b).df.select("seq", "user_id", "value")
+
+
+def q_zip(spark, sf):
+    a = _typed(spark, sf, "purchase")
+    b = _typed(spark, sf, "click")
+    return a.zip(b).df.select(
+        "seq", "user_id", F.col("v0").alias("pv"), F.col("v1").alias("cv")
+    )
+
+
+def q_ziplatest(spark, sf):
+    a = _typed(spark, sf, "purchase")
+    b = _typed(spark, sf, "click")
+    return a.ziplatest(b).df.select(
+        "seq", "user_id", F.col("v0").alias("pv"), F.col("v1").alias("cv")
+    )
+
+
+def q_concat(spark, sf):
+    a = _typed(spark, sf, "purchase")
+    b = _typed(spark, sf, "click")
+    return a.concat(b).df.select("seq", "user_id", "value")
+
+
+def q_switch(spark, sf):
+    a = _typed(spark, sf, "purchase")
+    b = _typed(spark, sf, "click")
+    return a.switch(b).df.select("seq", "user_id", "value")
+
+
+def q_takeuntil(spark, sf):
+    src = _typed(spark, sf, "purchase")
+    notifier = _typed(spark, sf, "error")
+    return src.takeuntil(notifier).df.select("event_id", "user_id", "value")
+
+
+# -- timing -----------------------------------------------------------
+
+def q_delay(spark, sf):
+    ef = _ev(spark, sf).delay(3600.0)
+    return ef.df.select("event_id", "user_id", F.col("ts").alias("delayed_ts"))
+
+
+def q_timeout(spark, sf):
+    ef = _ev(spark, sf).timeout(6 * 3600.0)
+    return ef.df.select("event_id", "user_id", "value")
+
+
+def q_debounce_first(spark, sf):
+    ef = _ev(spark, sf).debounce(3600.0, on_first=True)
+    return ef.df.select("event_id", "user_id", "value")
+
+
+def q_debounce_last(spark, sf):
+    ef = _ev(spark, sf).debounce(3600.0)
+    return ef.df.select("event_id", "user_id", "value", F.col("ts").alias("emit_ts"))
+
+
+def q_sample(spark, sf):
+    src = _typed(spark, sf, "purchase")
+    ticks = _typed(spark, sf, "error")
+    out = src.sample(ticks)
+    return out.df.select(F.col("seq").alias("tick_event"), "user_id", F.col("value").alias("sampled"))
+
+
+def q_timestamp(spark, sf):
+    ef = _ev(spark, sf).timestamp()
+    return ef.df.select("event_id", "user_id", F.round(F.col("t"), 6).alias("epoch_s"))
+
+
+def q_end_on_error(spark, sf):
+    # error-channel convention: rows of event_type 'error' carry an error
+    ef = _ev(spark, sf)
+    df = ef.df.withColumn(
+        "error", F.when(F.col("event_type") == "error", F.lit("stream error"))
+    )
+    ef2 = ef._with(df=df)
+    return ef2.end_on_error().df.select("event_id", "user_id", "value")
+
+
+def q_errors(spark, sf):
+    ef = _ev(spark, sf)
+    df = ef.df.withColumn(
+        "error", F.when(F.col("event_type") == "error", F.lit("stream error"))
+    )
+    ef2 = ef._with(df=df)
+    return ef2.errors().df.select("event_id", "user_id", F.col("value").alias("err"))
+
+
+# ---------------------------------------------------------------------
+# sources (SURVEY.md §2.1) — generated streams
+# ---------------------------------------------------------------------
+
+def q_source_range(spark, sf):
+    from eventkit_spark.sources.create import range_
+
+    ef = range_(spark, 0, 1000).sum()
+    return ef.df.select("seq", F.col("value").alias("rsum"))
+
+
+def q_source_repeat(spark, sf):
+    from eventkit_spark.sources.create import repeat
+
+    ef = repeat(spark, 7, 100).enumerate()
+    return ef.df.select("seq", F.col("i").alias("idx"), "value")
+
+
+def q_source_timerange(spark, sf):
+    import datetime as dt
+    from eventkit_spark.sources.create import timerange
+
+    ef = timerange(spark, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), 3600.0)
+    return ef.df.select("seq", F.col("value").alias("t"))
+
+
+# ---------------------------------------------------------------------
+# relational surface (SURVEY.md §2.9 — Spark built-ins the reference lacks)
+# ---------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf):
+    cu = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf):
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    cu = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_topk_orders(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_rollup(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def q_semi_join(spark, sf):
+    cu = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_anti_join(spark, sf):
+    p = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+def q_distinct_agg(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # stream: selection
+        "filter": q_filter,
+        "skip": q_skip,
+        "take": q_take,
+        "takewhile": q_takewhile,
+        "dropwhile": q_dropwhile,
+        "changes": q_changes,
+        "unique": q_unique,
+        "last": q_last,
+        "takeuntil": q_takeuntil,
+        # stream: transforms
+        "enumerate": q_enumerate,
+        "count": q_count,
+        "previous": q_previous,
+        "pairwise": q_pairwise,
+        "chunk": q_chunk,
+        "list": q_list,
+        "json_pluck": q_json_pluck,
+        "timestamp": q_timestamp,
+        # stream: running aggregates
+        "running_sum": q_running_sum,
+        "running_mean": q_running_mean,
+        "fork_minmax": q_fork_minmax,
+        "any_all": q_any_all,
+        "product_trailing": q_product_trailing,
+        "ema": q_ema,
+        "deque": q_deque,
+        "array_std": q_array_std,
+        "array_mean": q_array_mean,
+        # stream: combinators
+        "merge": q_merge,
+        "chain": q_chain,
+        "zip": q_zip,
+        "ziplatest": q_ziplatest,
+        "concat": q_concat,
+        "switch": q_switch,
+        # stream: timing
+        "delay": q_delay,
+        "timeout": q_timeout,
+        "debounce_first": q_debounce_first,
+        "debounce_last": q_debounce_last,
+        "sample": q_sample,
+        # stream: error channel
+        "end_on_error": q_end_on_error,
+        "errors": q_errors,
+        # sources
+        "source_range": q_source_range,
+        "source_repeat": q_source_repeat,
+        "source_timerange": q_source_timerange,
+        # relational
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "region_revenue": q_region_revenue,
+        "topk_orders": q_topk_orders,
+        "rollup": q_rollup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "distinct_agg": q_distinct_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter": "SELECT event_id, user_id, value FROM events WHERE value > 250",
+        "skip": f"""
+            SELECT event_id, user_id FROM (
+              SELECT event_id, user_id, row_number() OVER ({_WIN}) rn FROM events
+            ) WHERE rn > 5""",
+        "take": f"""
+            SELECT event_id, user_id FROM (
+              SELECT event_id, user_id, row_number() OVER ({_WIN}) rn FROM events
+            ) WHERE rn <= 10""",
+        "takewhile": f"""
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     min(CASE WHEN value < 450 THEN 1 ELSE 0 END) OVER ({_CUM}) ok
+              FROM events
+            ) WHERE ok = 1""",
+        "dropwhile": f"""
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     max(CASE WHEN value < 450 THEN 0 ELSE 1 END) OVER ({_CUM}) started
+              FROM events
+            ) WHERE started = 1""",
+        "changes": f"""
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     lag(event_type) OVER ({_WIN}) prev
+              FROM events
+            ) WHERE prev IS NULL OR prev <> event_type""",
+        "unique": f"""
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) rn
+              FROM events
+            ) WHERE rn = 1""",
+        "last": f"""
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1""",
+        "takeuntil": """
+            WITH cut AS (
+              SELECT user_id, min(ts) cut_ts FROM events WHERE event_type = 'error' GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, e.value
+            FROM events e LEFT JOIN cut c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND (c.cut_ts IS NULL OR e.ts < c.cut_ts)""",
+        "enumerate": f"""
+            SELECT event_id, user_id, row_number() OVER ({_WIN}) - 1 AS idx, value FROM events""",
+        "count": f"""
+            SELECT event_id, user_id, row_number() OVER ({_WIN}) AS cnt FROM events""",
+        "previous": f"""
+            SELECT event_id, user_id, prev3 FROM (
+              SELECT event_id, user_id, lag(value, 3) OVER ({_WIN}) prev3,
+                     row_number() OVER ({_WIN}) rn
+              FROM events
+            ) WHERE rn > 3""",
+        "pairwise": f"""
+            SELECT event_id, user_id, prev, cur FROM (
+              SELECT event_id, user_id, lag(value) OVER ({_WIN}) prev, value AS cur,
+                     row_number() OVER ({_WIN}) rn
+              FROM events
+            ) WHERE rn > 1""",
+        "chunk": f"""
+            SELECT min(event_id) AS first_event, user_id,
+                   list(value ORDER BY event_id) AS vals
+            FROM (
+              SELECT *, CAST(floor((row_number() OVER ({_WIN}) - 1) / 10) AS BIGINT) chunk_no
+              FROM events
+            )
+            GROUP BY user_id, chunk_no""",
+        "list": """
+            SELECT user_id, list(value ORDER BY event_id) AS vals
+            FROM events GROUP BY user_id""",
+        "json_pluck": """
+            SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events""",
+        "timestamp": """
+            SELECT event_id, user_id, round(epoch(ts), 6) AS epoch_s FROM events""",
+        "running_sum": f"""
+            SELECT event_id, user_id, round(sum(value) OVER ({_CUM}), 6) AS rsum FROM events""",
+        "running_mean": f"""
+            SELECT event_id, user_id,
+                   CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER ({_CUM}) * 10000)
+                     // (count(*) OVER ({_CUM})) AS BIGINT) AS rmean_micros
+            FROM events""",
+        "fork_minmax": f"""
+            SELECT event_id, user_id,
+                   min(value) OVER ({_CUM}) AS rmin,
+                   max(value) OVER ({_CUM}) AS rmax
+            FROM events""",
+        "any_all": f"""
+            SELECT event_id, user_id,
+                   max(CASE WHEN value > 400 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rany,
+                   min(CASE WHEN value > 400 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rall
+            FROM events""",
+        "product_trailing": f"""
+            SELECT event_id, user_id,
+                   round(product(round(value, 0)) OVER ({_WIN} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 0) AS tprod
+            FROM events""",
+        "ema": f"""
+            WITH t AS (
+              SELECT event_id, user_id, value, row_number() OVER ({_WIN}) - 1 AS i FROM events
+            )
+            SELECT event_id, user_id,
+                   round(pow(9.0/11.0, i) * sum(CASE WHEN i = 0 THEN value
+                        ELSE (2.0/11.0) * value * pow(9.0/11.0, -i) END)
+                        OVER ({_WIN.replace('event_id', 'i')} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema
+            FROM t""",
+        "deque": f"""
+            SELECT event_id, user_id,
+                   list(value) OVER ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3
+            FROM events""",
+        "array_std": f"""
+            SELECT event_id, user_id,
+                   round(stddev_samp(value) OVER ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS tstd
+            FROM events""",
+        "array_mean": f"""
+            SELECT event_id, user_id,
+                   round(avg(value) OVER ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS tmean
+            FROM events""",
+        "merge": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag
+              FROM events WHERE event_type IN ('purchase', 'click')
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts, tag, event_id) - 1 AS seq,
+                   user_id, value
+            FROM u""",
+        "chain": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag
+              FROM events WHERE event_type IN ('purchase', 'click')
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY tag, event_id, ts) - 1 AS seq,
+                   user_id, value
+            FROM u""",
+        "zip": """
+            WITH a AS (
+              SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+              FROM events WHERE event_type = 'purchase'
+            ), b AS (
+              SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT a.rn AS seq, a.user_id, a.value AS pv, b.value AS cv
+            FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn""",
+        "ziplatest": """
+            WITH u AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag,
+                     CASE WHEN event_type = 'purchase' THEN value END v0,
+                     CASE WHEN event_type = 'click' THEN value END v1
+              FROM events WHERE event_type IN ('purchase', 'click')
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts, tag, event_id) - 1 AS seq,
+                   user_id,
+                   last_value(v0 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(v1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+            FROM u""",
+        "concat": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), ends AS (
+              SELECT user_id, tag, max(ts) end_ts FROM u GROUP BY user_id, tag
+            ), cuts AS (
+              SELECT user_id, tag,
+                     max(end_ts) OVER (PARTITION BY user_id ORDER BY tag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) cut_ts
+              FROM ends
+            ), kept AS (
+              SELECT u.* FROM u JOIN cuts c ON u.user_id = c.user_id AND u.tag = c.tag
+              WHERE c.cut_ts IS NULL OR u.ts > c.cut_ts
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts, tag, event_id) - 1 AS seq,
+                   user_id, value
+            FROM kept""",
+        "switch": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ), firsts AS (
+              SELECT user_id, tag, min(ROW(ts, tag, event_id)) first_key
+              FROM u GROUP BY user_id, tag
+            ), cuts AS (
+              SELECT user_id, tag,
+                     lead(first_key) OVER (PARTITION BY user_id ORDER BY first_key) next_key
+              FROM firsts
+            ), kept AS (
+              SELECT u.* FROM u JOIN cuts c ON u.user_id = c.user_id AND u.tag = c.tag
+              WHERE c.next_key IS NULL OR ROW(u.ts, u.tag, u.event_id) < c.next_key
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts, tag, event_id) - 1 AS seq,
+                   user_id, value
+            FROM kept""",
+        "delay": """
+            SELECT event_id, user_id, ts + INTERVAL 3600 SECOND AS delayed_ts FROM events""",
+        "timeout": f"""
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     min(CASE WHEN gap IS NULL OR gap <= 21600 THEN 1 ELSE 0 END) OVER ({_CUM}) ok
+              FROM (
+                SELECT *, epoch(ts) - epoch(lag(ts) OVER ({_WIN})) gap FROM events
+              )
+            ) WHERE ok = 1""",
+        "debounce_first": f"""
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     epoch(ts) - epoch(lag(ts) OVER ({_WIN})) gap
+              FROM events
+            ) WHERE gap IS NULL OR gap >= 3600""",
+        "debounce_last": f"""
+            SELECT event_id, user_id, value, ts + INTERVAL 3600 SECOND AS emit_ts FROM (
+              SELECT event_id, user_id, value, ts,
+                     epoch(lead(ts) OVER ({_WIN})) - epoch(ts) gap_next
+              FROM events
+            ) WHERE gap_next IS NULL OR gap_next >= 3600""",
+        "sample": """
+            WITH u AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag,
+                     CASE WHEN event_type = 'purchase' THEN value END pv
+              FROM events WHERE event_type IN ('purchase', 'error')
+            ), lv AS (
+              SELECT *, last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) latest
+              FROM u
+            )
+            SELECT event_id AS tick_event, user_id, latest AS sampled
+            FROM lv WHERE tag = 1 AND latest IS NOT NULL""",
+        "end_on_error": f"""
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     min(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) OVER ({_CUM}) ok
+              FROM events
+            ) WHERE ok = 1""",
+        "errors": """
+            SELECT event_id, user_id, 'stream error' AS err FROM events WHERE event_type = 'error'""",
+        "source_range": """
+            SELECT i AS seq, (i * (i + 1)) // 2 AS rsum FROM range(0, 1000) t(i)""",
+        "source_repeat": """
+            SELECT i AS seq, i AS idx, 7 AS value FROM range(0, 100) t(i)""",
+        "source_timerange": """
+            SELECT i AS seq,
+                   TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 3600) AS t
+            FROM range(0, 24) t(i)""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "region_revenue": """
+            SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "topk_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rk
+              FROM orders
+            ) WHERE rk <= 3""",
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "anti_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+        "distinct_agg": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+            FROM orders GROUP BY o_orderpriority""",
+    }

@@ -1,0 +1,234 @@
+"""Deduplication operators over document tables.
+
+Scale design notes (the whole point of these):
+- exact_dedup: one hash aggregate on the text hash — the canonical
+  100 TB dedup first pass. Never groups on raw text at scale; a 128-bit
+  hash collides ~never and shuffles 16 bytes instead of documents.
+- ngram_jaccard_pairs: exact pairwise Jaccard via shingle inverted index
+  (explode -> self-join on shingle -> count). Quadratic in the worst
+  case; use it as the verify stage AFTER candidate generation, or on
+  bounded corpora. The driver's correctness oracle runs it exactly.
+- minhash_lsh_candidates: the scale path. P minhash values per doc
+  (JVM-side xxhash64 over the shingle array), grouped into bands;
+  candidate pairs share any band bucket. Shuffle cost is O(docs * bands),
+  each row a few longs; skew-safe because bucket ids are hashes.
+- simhash64: 64-bit fingerprint via vectorized pandas UDF (numpy
+  bit-count matrix); near-dup = hamming distance <= k, found by pivoting
+  on 4 16-bit chunks (any exact-match chunk => candidate, k<=3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _shingles(text_col, k: int = 3):
+    """Word k-grams as an array column (JVM-side)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group.
+
+    Returns (doc_id, n_dups): one row per distinct text, doc_id = min id,
+    n_dups = group size. Groups on xxhash64+md5 of the text, not the text
+    itself, so the shuffle carries hashes (constant width) at 100 TB.
+    """
+    h = F.xxhash64(F.col(text_col))
+    h2 = F.md5(F.col(text_col))  # belt & braces vs 64-bit collisions
+    return (
+        docs.groupBy(h.alias("__h"), h2.alias("__h2"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_dups"),
+        )
+        .drop("__h", "__h2")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    |A∩B| = joined count, |A∪B| = |A|+|B|-|A∩B|. Emits (id_a, id_b,
+    jaccard) with id_a < id_b. This is the exact verify stage; generate
+    candidates with minhash_lsh_candidates first at scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, array<long> minhash signature). Hash family: xxhash64(shingle,
+    seed_i) — JVM-side, no UDF; min over the shingle array per seed."""
+    sh = _shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    rows-per-band r = num_hashes/bands; candidate iff some band's r
+    minhashes all agree. Returns distinct (id_a, id_b), id_a < id_b.
+    Verify candidates with ngram_jaccard_pairs or cosine.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("signature", b * r + j + 1) for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document (vectorized numpy kernel:
+    token hash bits weighted +-1, sign of the column sums)."""
+    import numpy as np
+    import pandas as pd
+
+    def _kernel(texts):
+        out = []
+        for t in texts:
+            tokens = (t or "").lower().split()
+            if not tokens:
+                out.append(0)
+                continue
+            hs = np.array(
+                [np.int64(np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF)) for tok in tokens],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            v = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    fp |= np.uint64(1) << np.uint64(i)
+            out.append(np.int64(fp.astype(np.int64)))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(_kernel, "long")
+    return docs.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit
+    chunks; distance<=3 implies at least one chunk matches exactly, so
+    candidates = equi-join per chunk (shuffle on 16-bit chunk values),
+    then exact popcount filter. No quadratic pass.
+    """
+    sh = simhash64(docs, text_col, id_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", dist).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

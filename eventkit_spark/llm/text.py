@@ -1,0 +1,116 @@
+"""Text analysis operators over document tables: token counting,
+quality scoring, language ID, fingerprinting.
+
+Everything is a JVM-side Column expression (regex + higher-order
+functions) — no Python UDFs — so the full pipeline stays inside
+whole-stage codegen and scales linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny public stopword marker sets per language (heuristic language ID).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von"],
+    "fr": ["le", "la", "les", "de", "et", "est", "pour", "que", "dans"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "it", "on", "as", "at", "by", "be"]
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# a public approximation of byte-pair pretokenization.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens via regexp_count (JVM regex engine)."""
+    return F.regexp_count(text, F.lit(BPE_REGEX))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(sw / n)
+
+
+def mean_word_length(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(total / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + word-length band +
+    low punctuation + some stopwords (public C4/Gopher-style rules)."""
+    n_words = whitespace_token_count(text)
+    mwl = mean_word_length(text)
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mwl >= 3) & (mwl <= 10), 0.25).otherwise(0.0)
+        + F.when(punct_ratio(text) <= 0.1, 0.25).otherwise(0.0)
+        + F.when(stopword_ratio(text) >= 0.05, 0.25).otherwise(0.0)
+    )
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hits
+    (deterministic tie-break by language code order en<es<de<fr ...
+    lexicographic on (count desc, code asc))."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(words, lambda w: w.isin(*markers)))).alias("neg"),
+                F.lit(code).alias("code"),
+            )
+            for code, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return F.when(best.getField("neg") == 0, F.lit("und")).otherwise(best.getField("code"))
+
+
+def fingerprint(text: Column, mod: int = (1 << 61) - 1, base: int = 31) -> Column:
+    """Deterministic rolling polynomial hash over characters:
+    h = fold(h*base + code) mod 2^61-1 — an engine-portable document
+    fingerprint (same fold is expressible in ANSI SQL / DuckDB)."""
+    chars = F.split(text, "(?!^)")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with the full stats battery."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        whitespace_token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(quality_score(t), 2).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

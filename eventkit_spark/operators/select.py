@@ -71,12 +71,14 @@ def takeuntil(ef, notifier):
     if not ef.ts_col or not notifier.ts_col:
         raise ValueError("takeuntil needs event-time (ts) on both streams")
     if ef.key_cols:
-        cut = notifier.df.groupBy(*notifier.key_cols).agg(
-            F.min(notifier.ts_col).alias("__ek_cut")
-        )
+        cut = notifier.df.groupBy(
+            *[F.col(k2).alias(f"__ek_k{i}") for i, k2 in enumerate(notifier.key_cols)]
+        ).agg(F.min(notifier.ts_col).alias("__ek_cut"))
         joined = ef.df.join(
             F.broadcast(cut),
-            on=[ef.df[k] == cut[k2] for k, k2 in zip(ef.key_cols, notifier.key_cols)],
+            on=[
+                F.col(k) == F.col(f"__ek_k{i}") for i, k in enumerate(ef.key_cols)
+            ],
             how="left",
         )
         df = joined.filter(
@@ -129,14 +131,11 @@ def unique(ef, by=None):
 
 def last(ef):
     """Only the final row per key (select.py:133-145)."""
-    w = wcum(ef)
     if ef.key_cols:
         # max_by avoids a sort: one hash aggregate per key.
-        aggs = [F.max(ef.seq_col).alias(ef.seq_col)]
-        if ef.ts_col:
-            aggs.append(F.max_by(F.col(ef.ts_col), F.col(ef.seq_col)).alias(ef.ts_col))
-        aggs += [
-            F.max_by(F.col(c), F.col(ef.seq_col)).alias(c) for c in ef.value_cols
+        other = [c for c in ef.df.columns if c not in ef.key_cols and c != ef.seq_col]
+        aggs = [F.max(ef.seq_col).alias(ef.seq_col)] + [
+            F.max_by(F.col(c), F.col(ef.seq_col)).alias(c) for c in other
         ]
         df = ef.df.groupBy(*ef.key_cols).agg(*aggs)
         return ef._with(df=df.select(*ef.df.columns))
