@@ -409,6 +409,108 @@ def q_distinct_agg(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------
+# LLM-data extensions (BASELINE.json north star; eventkit_spark.llm)
+# ---------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from eventkit_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf, "documents")).select("doc_id", "n_dups")
+
+
+def q_dedup_jaccard(spark, sf):
+    from eventkit_spark.llm.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(load_table(spark, sf, "documents"), k=3, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash(spark, sf):
+    from eventkit_spark.llm.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        load_table(spark, sf, "documents"), num_hashes=32, bands=8, k=3
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    from eventkit_spark.llm.dedup import simhash_near_dups
+
+    return simhash_near_dups(load_table(spark, sf, "documents"), max_hamming=3)
+
+
+def q_text_stats(spark, sf):
+    from eventkit_spark.llm.text import text_stats
+
+    return text_stats(load_table(spark, sf, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "punct_ratio",
+        "stopword_ratio", "mean_word_len",
+    )
+
+
+def q_text_quality(spark, sf):
+    from eventkit_spark.llm.text import fingerprint, lang_id, quality_score
+
+    t = F.col("text")
+    return load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.round(quality_score(t), 2).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+def q_embed_topk(spark, sf):
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def q_embed_neardup(spark, sf):
+    from eventkit_spark.llm.similarity import embedding_near_dups
+
+    out = embedding_near_dups(load_table(spark, sf, "embeddings"), threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_embed_rp_lsh(spark, sf):
+    from eventkit_spark.llm.similarity import rp_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, bits=6, tables=3)
+
+
+def q_embed_ivf(spark, sf):
+    from eventkit_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=3)
+
+
+def q_mm_frame_sample(spark, sf):
+    from eventkit_spark.llm.multimodal import frame_sample, synth_media_table
+
+    media = synth_media_table(load_table(spark, sf, "documents"))
+    return frame_sample(media, every_n=10, max_frames=5)
+
+
+def q_mm_resize_plan(spark, sf):
+    from eventkit_spark.llm.multimodal import resize_plan, synth_media_table
+
+    media = synth_media_table(load_table(spark, sf, "documents"))
+    return resize_plan(media)
+
+
+def q_mm_image_features(spark, sf):
+    from eventkit_spark.llm.multimodal import image_features, synth_media_table
+
+    media = synth_media_table(load_table(spark, sf, "documents"))
+    return image_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # stream: selection
@@ -469,6 +571,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct_agg": q_distinct_agg,
+        # llm extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "embed_topk": q_embed_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_rp_lsh": q_embed_rp_lsh,
+        "embed_ivf": q_embed_ivf,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize_plan": q_mm_resize_plan,
+        "mm_image_features": q_mm_image_features,
     }
 
 
@@ -769,4 +885,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
                    round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
             FROM orders GROUP BY o_orderpriority""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text""",
+        "dedup_jaccard": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            WHERE common / (sa.n + sb.n - common) >= 0.3""",
+        "text_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0 / length(text), 6) END AS punct_ratio,
+                   round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> list_contains(['the','and','of','to','in','is','that','for','with','a','an','it','on','as','at','by','be'], x))) * 1.0
+                        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS stopword_ratio,
+                   round(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'), w -> length(w))) * 1.0
+                        / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS mean_word_len
+            FROM documents""",
+        "text_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\s+') w,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END n_words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, n_words,
+                     CASE WHEN n_words <= 0 THEN 0.0
+                          ELSE list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) END mwl,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0 / length(text) END pr,
+                     CASE WHEN len(w) <= 0 THEN 0.0
+                          ELSE len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','for','with','a','an','it','on','as','at','by','be'], x))) * 1.0 / len(w) END sr,
+                     len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','von'], x))) c_de,
+                     len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','for','with'], x))) c_en,
+                     len(list_filter(w, x -> list_contains(['el','la','de','que','y','los','las','por','con'], x))) c_es,
+                     len(list_filter(w, x -> list_contains(['le','la','les','de','et','est','pour','que','dans'], x))) c_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   round(
+                     (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN sr >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+                   CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+            FROM m""",
+        "embed_topk": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10
+            ), s AS (
+              SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_transform(range(1, 65), i -> qv[i] * ve[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(range(1, 65), i -> ve[i] * ve[i]), (a, b) -> a + b))) AS cos
+              FROM v c, q WHERE c.vec_id <> q.qid
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 5""",
+        "embed_neardup": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))), 6) AS cos
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_reduce(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) >= 0.35""",
+        "mm_frame_sample": """
+            WITH media AS (
+              SELECT doc_id AS asset_id,
+                     CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                     CAST(length(text) % 640 + 16 AS INT) AS width,
+                     CAST(length(text) % 480 + 16 AS INT) AS height
+              FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT asset_id, CAST(unnest(frames) AS INT) AS frame_no, width, height
+            FROM (
+              SELECT asset_id, width, height,
+                     (range(0, CAST(floor(n_bytes / 100 + 1) AS BIGINT), 10))[1:5] AS frames
+              FROM media
+            )""",
+        "mm_resize_plan": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(length(text) % 640 + 16 AS INT) AS src_w,
+                   CAST(length(text) % 480 + 16 AS INT) AS src_h,
+                   224 AS dst_w, 224 AS dst_h,
+                   round(224.0 / (length(text) % 640 + 16), 6) AS scale_x,
+                   round(224.0 / (length(text) % 480 + 16), 6) AS scale_y
+            FROM documents""",
     }

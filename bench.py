@@ -1,0 +1,82 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
+the noop sink (full computation, no driver materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative spread: window streams, combinators, stateful kernel,
+# relational joins/aggs, dedup, similarity, text. Names match queries().
+HEADLINE = [
+    "filter",
+    "running_sum",
+    "ema",
+    "deque",
+    "changes",
+    "unique",
+    "chunk",
+    "merge",
+    "ziplatest",
+    "zip",
+    "sample",
+    "debounce_last",
+    "tpch_q1",
+    "tpch_q3",
+    "region_revenue",
+    "topk_orders",
+    "rollup",
+    "distinct_agg",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality",
+    "embed_topk",
+    "embed_rp_lsh",
+    "mm_frame_sample",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from eventkit_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    # JVM/codegen warmup outside timing
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,13 +23,20 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _shingles(text_col, k: int = 3):
-    """Word k-grams as an array column (JVM-side)."""
-    words = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )).otherwise(F.array(F.concat_ws(" ", words)))
+    """Word k-grams as an array column, via ONE regex pass.
+
+    A lookahead capture at every word start extracts overlapping k-grams
+    in a single codegen'd regexp_extract_all — the equivalent
+    sequence+slice+concat_ws higher-order chain runs interpreted
+    (HOFs have no whole-stage codegen) and measured ~10x slower.
+    Whitespace is canonicalized first so shingles are single-spaced.
+    May contain duplicates; consumers that need set semantics
+    de-duplicate downstream (min-aggregates don't care).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    pattern = "(?=(" + r"\S+" + (r" \S+" * (k - 1)) + r"))\S+"
+    grams = F.regexp_extract_all(norm, F.lit(pattern), 1)
+    return F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -96,15 +103,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, array<long> minhash signature). Hash family: xxhash64(shingle,
-    seed_i) — JVM-side, no UDF; min over the shingle array per seed."""
-    sh = _shingles(F.col(text_col), k)
-    sig = F.array(
+    seed_i) — JVM-side, no UDF.
+
+    Formulated as explode + num_hashes min-aggregates rather than
+    higher-order array functions: HOFs run interpreted (no whole-stage
+    codegen) and were ~10x slower; hash-aggregate gets codegen and
+    map-side partial aggregation, so the shuffle carries one row per doc.
+    """
+    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col)
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return mh.select("id", sig.alias("signature"))
+
+
+def _minhash_cols(docs, num_hashes, k, text_col, id_col):
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("__sh"),
+    ).select("id", F.xxhash64("__sh").alias("__sh64"))
+    return exploded.groupBy("id").agg(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.min(F.xxhash64("__sh64", F.lit(i))).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -122,8 +143,8 @@ def minhash_lsh_candidates(
     Verify candidates with ngram_jaccard_pairs or cosine.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, k, text_col, id_col)
-    banded = sig.select(
+    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col)
+    banded = mh.select(
         "id",
         F.explode(
             F.array(
@@ -131,7 +152,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("signature", b * r + j + 1) for j in range(r)])
+                            F.concat_ws(",", *[F.col(f"__m{b * r + j}") for j in range(r)])
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -154,33 +175,32 @@ def minhash_lsh_candidates(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash fingerprint per document (vectorized numpy kernel:
-    token hash bits weighted +-1, sign of the column sums)."""
-    import numpy as np
-    import pandas as pd
+    """64-bit SimHash fingerprint per document.
 
-    def _kernel(texts):
-        out = []
-        for t in texts:
-            tokens = (t or "").lower().split()
-            if not tokens:
-                out.append(0)
-                continue
-            hs = np.array(
-                [np.int64(np.uint64(hash(tok) & 0xFFFFFFFFFFFFFFFF)) for tok in tokens],
-                dtype=np.uint64,
+    Pure JVM formulation: explode tokens, xxhash64 each, then 64
+    codegen'd sign-sum aggregates (one per bit) with map-side partial
+    aggregation — the shuffle carries one row per doc. (A pandas-UDF
+    version measured ~2x slower and kept Python in the hot path.)
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    v = tokens.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-            v = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for i in range(64):
-                if v[i] > 0:
-                    fp |= np.uint64(1) << np.uint64(i)
-            out.append(np.int64(fp.astype(np.int64)))
-        return pd.Series(out)
-
-    udf = F.pandas_udf(_kernel, "long")
-    return docs.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("simhash"))
+        )
+    return v.select("id", fp.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -87,11 +87,13 @@ def lang_id(text: Column) -> Column:
     return F.when(best.getField("neg") == 0, F.lit("und")).otherwise(best.getField("code"))
 
 
-def fingerprint(text: Column, mod: int = (1 << 61) - 1, base: int = 31) -> Column:
+def fingerprint(text: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Column:
     """Deterministic rolling polynomial hash over characters:
-    h = fold(h*base + code) mod 2^61-1 — an engine-portable document
-    fingerprint (same fold is expressible in ANSI SQL / DuckDB)."""
-    chars = F.split(text, "(?!^)")
+    h = fold(h*base + code) mod 2^31-1 — an engine-portable document
+    fingerprint (same fold is expressible in ANSI SQL / DuckDB; modulus
+    kept under 2^31 so acc*31+code never overflows int64)."""
+    # split leaves a trailing '' element — drop empties before folding
+    chars = F.filter(F.split(text, "(?!^)"), lambda c: c != "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
