@@ -758,16 +758,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, ts, event_id, value,
                      CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag
               FROM events WHERE event_type IN ('purchase', 'click')
-            ), ends AS (
-              SELECT user_id, tag, max(ts) end_ts FROM u GROUP BY user_id, tag
+            ), firsts AS (
+              SELECT user_id, tag, min(ROW(ts, tag, event_id)) first_key
+              FROM u GROUP BY user_id, tag
             ), cuts AS (
               SELECT user_id, tag,
-                     max(end_ts) OVER (PARTITION BY user_id ORDER BY tag
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) cut_ts
-              FROM ends
+                     min(first_key) OVER (PARTITION BY user_id ORDER BY tag
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) kill_key
+              FROM firsts
             ), kept AS (
               SELECT u.* FROM u JOIN cuts c ON u.user_id = c.user_id AND u.tag = c.tag
-              WHERE c.cut_ts IS NULL OR u.ts > c.cut_ts
+              WHERE c.kill_key IS NULL OR ROW(u.ts, u.tag, u.event_id) < c.kill_key
             )
             SELECT row_number() OVER (PARTITION BY user_id ORDER BY ts, tag, event_id) - 1 AS seq,
                    user_id, value

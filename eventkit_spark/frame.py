@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 
 from .operators import aggregate as _agg
 from .operators import combine as _combine
+from .operators import higher_order as _ho
 from .operators import misc as _misc
 from .operators import select as _select
 from .operators import timing as _timing
@@ -265,6 +266,19 @@ class EventFrame:
 
     def fork_zip(self, *branch_fns):
         return _combine.fork_zip(self, *branch_fns)
+
+    # -- higher-order (SURVEY.md §2.3 emap family) --------------------
+    def mergemap(self, child_gen):
+        return _ho.mergemap(self, child_gen)
+
+    def chainmap(self, child_gen):
+        return _ho.chainmap(self, child_gen)
+
+    def concatmap(self, child_gen):
+        return _ho.concatmap(self, child_gen)
+
+    def switchmap(self, child_gen):
+        return _ho.switchmap(self, child_gen)
 
     # -- timing (SURVEY.md §2.6) --------------------------------------
     def delay(self, seconds: float):

@@ -73,33 +73,32 @@ def chain(*efs):
 
 
 def concat(*efs):
-    """Emit from source i only after sources j<i have ended
-    (docstring semantics, event.py:1147-1160 — emits of a later source
-    that arrive while an earlier source is still live are dropped).
+    """Source i's rows pass until the first emit of any later-listed
+    source, which disconnects all sources before it
+    (combine.py:142-174 ``_on_source_s`` popleft loop; golden:
+    tests/combine_test.py:26-31 — concat(e1, e2) drops e1's remaining
+    rows the moment e2 starts. The event.py:1147-1160 docstring marble
+    contradicts the code and the tests; the tests win).
 
-    Cutoff for source i = max end-ts of sources j<i: an O(#sources)
-    broadcast of scalar aggregates, then a per-row filter.
+    kill-time(i) = min first-emit key over sources j>i — per-source
+    scalar aggregates, broadcast. A row at exactly the kill time is kept
+    (the earlier-listed source's emit is delivered first in the
+    reference's synchronous loop); the (ts, tag, seq) struct compare
+    encodes that tie-break.
     """
     df, keys, _, _ = _aligned_union(efs)
     group = [TAG, *keys]
-    ends = df.groupBy(*group).agg(F.max("ts").alias("__ek_agg_end"))
-    # A source's end can be later than its last emit (explicit done, e.g. a
-    # marble '|'): honor EventFrame.end_ts when set.
-    spark = efs[0].df.sparkSession
-    explicit = spark.createDataFrame(
-        [(i, ef.end_ts) for i, ef in enumerate(efs)],
-        schema=f"{TAG} int, __ek_exp_end timestamp",
+    firsts = df.groupBy(*group).agg(
+        F.min(F.struct(F.col("ts"), F.col(TAG), F.col("seq"))).alias("__ek_first")
     )
-    ends = ends.join(F.broadcast(explicit), on=TAG, how="left").withColumn(
-        "__ek_end", F.coalesce("__ek_exp_end", "__ek_agg_end")
-    ).drop("__ek_exp_end", "__ek_agg_end")
-    wprev = (
+    wlater = (
         W.partitionBy(*keys) if keys else W.partitionBy(F.lit(0))
-    ).orderBy(TAG).rowsBetween(W.unboundedPreceding, -1)
-    cuts = ends.withColumn("__ek_cut", F.max("__ek_end").over(wprev)).drop("__ek_end")
+    ).orderBy(TAG).rowsBetween(1, W.unboundedFollowing)
+    cuts = firsts.withColumn("__ek_kill", F.min("__ek_first").over(wlater)).drop("__ek_first")
     joined = df.join(F.broadcast(cuts), on=group, how="left")
-    kept = joined.filter(F.col("__ek_cut").isNull() | (F.col("ts") > F.col("__ek_cut")))
-    return _finish(efs[0], kept.drop("__ek_cut"), [F.col("ts"), F.col(TAG), F.col("seq")], keys)
+    row_key = F.struct(F.col("ts"), F.col(TAG), F.col("seq"))
+    kept = joined.filter(F.col("__ek_kill").isNull() | (row_key < F.col("__ek_kill")))
+    return _finish(efs[0], kept.drop("__ek_kill"), [F.col("ts"), F.col(TAG), F.col("seq")], keys)
 
 
 def switch(*efs):

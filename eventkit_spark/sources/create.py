@@ -135,7 +135,9 @@ def marble(
     spark: SparkSession, s: str, interval: float = 1.0, start: dt.datetime = EPOCH
 ) -> EventFrame:
     """Rx marble-string source (create.py:115-123): char position = time,
-    '-'/' ' skipped, '|' ends the stream."""
+    '-'/' ' skipped, '_' stripped entirely (create.py:119 — it does NOT
+    advance time), '|' ends the stream."""
+    s = s.replace("_", "")
     rows = []
     seq = 0
     end_ts = None

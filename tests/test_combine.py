@@ -57,20 +57,17 @@ def test_ziplatest(spark):
     assert got2 == [("a", 1), ("b", 1)]
 
 
-def test_concat_docstring_marble(spark):
-    """event.py:1147-1160 marble:
-    s1: -a----b-----|   s2: --1-----2-----3----4--|   s3: ...-x--y--|
-    output: -a----b---------3----4----x--y--|
+def test_concat_reference_golden(spark):
+    """tests/combine_test.py:26-31: concat(e1, e2) — e2's first emit at
+    t=0.07 disconnects e1 (the code's popleft discipline; the event.py
+    docstring marble contradicts the code and the test — the test wins).
     """
-    from eventkit_spark.sources.create import marble
+    from eventkit_spark.sources.create import sequence
 
-    s1 = marble(spark, "-a----b-----|")
-    s2 = marble(spark, "--1-----2-----3----4--|")
-    s3 = marble(spark, "------------------------x--y--|")
-    got = s1.concat(s2, s3).to_list()
-    # s1 live until t=12: s2's 1@2, 2@8 dropped; 3@14, 4@19 pass.
-    # s2 ends @22: s3's x@24, y@27 pass.
-    assert got == ["a", "b", "3", "4", "x", "y"]
+    e1 = sequence(spark, list(range(10)), interval=0.02)
+    e2 = sequence(spark, list(range(100, 110)), times=[0.07 + 0.02 * i for i in range(10)])
+    got = e1.concat(e2).to_list()
+    assert got == [0, 1, 2, 3] + list(range(100, 110))
 
 
 def test_switch_docstring_marble(spark):
