@@ -1,0 +1,230 @@
+"""Structured Streaming twins of the EventFrame operators.
+
+The reference is push-based over a live asyncio loop; unbounded mode here
+is Spark Structured Streaming (BASELINE.json: "Structured Streaming event
+handlers"). StreamFrame mirrors the EventFrame surface where streaming
+semantics exist:
+
+| batch op (frame.py)        | streaming twin                              |
+|----------------------------|---------------------------------------------|
+| filter / map / pluck       | same Column ops (stateless)                 |
+| running sum/count/mean/ema | applyInPandasWithState per key (emit-per-row)|
+| chunk / chunkwith(timer)   | tumbling window + ordered collect_list      |
+| debounce (on_last)         | session window, last value per burst        |
+| unique                     | dropDuplicatesWithinWatermark               |
+| merge                      | unionByName (arrival order)                 |
+| sample / throttle / zip    | batch-only for now (documented, SURVEY §7.2)|
+
+Late data is governed by ``with_watermark``; every windowed/stateful op
+requires it in append mode. Tests drive these with file sources +
+``trigger(availableNow=True)`` + memory sink, so results are
+deterministic (same rows as batch).
+
+Scale: state lives in the state store keyed by the stream key —
+partition-parallel across keys like the batch engine's windows; no
+global state.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> "StreamFrame":
+    """The reference's Timer/Sequence analog: monotonically timestamped
+    generated rows (eventkit/ops/create.py:100-112)."""
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("seq"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    return StreamFrame(sdf, value_cols=["value"], ts_col="ts", key_cols=[])
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    fmt: str = "parquet",
+    value_cols: Sequence[str] = ("value",),
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> "StreamFrame":
+    """File-arrival source (the Aiterate analog: drain whatever appears)."""
+    sdf = spark.readStream.format(fmt).schema(schema).load(path)
+    return StreamFrame(sdf, value_cols=value_cols, ts_col=ts_col, key_cols=key_cols)
+
+
+class StreamFrame:
+    def __init__(self, sdf: DataFrame, value_cols=("value",), ts_col="ts", key_cols=()):
+        self.df = sdf
+        self.value_cols = list(value_cols)
+        self.ts_col = ts_col
+        self.key_cols = list(key_cols)
+
+    def _with(self, df=None, value_cols=None):
+        return StreamFrame(
+            df if df is not None else self.df,
+            value_cols if value_cols is not None else self.value_cols,
+            self.ts_col,
+            self.key_cols,
+        )
+
+    # -- stateless ----------------------------------------------------
+    def with_watermark(self, delay: str = "10 seconds") -> "StreamFrame":
+        return self._with(df=self.df.withWatermark(self.ts_col, delay))
+
+    def filter(self, predicate) -> "StreamFrame":
+        pred = predicate if not callable(predicate) else predicate(
+            *[F.col(c) for c in self.value_cols]
+        )
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        return self._with(df=self.df.filter(pred))
+
+    def map(self, fn: Callable, name: str = "value") -> "StreamFrame":
+        out = fn(*[F.col(c) for c in self.value_cols])
+        keep = [c for c in self.df.columns if c not in self.value_cols]
+        return self._with(
+            df=self.df.select(*keep, out.alias(name)), value_cols=[name]
+        )
+
+    def merge(self, *others: "StreamFrame") -> "StreamFrame":
+        """Arrival-order interleave (streaming Merge, combine.py:97-102)."""
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df, allowMissingColumns=True)
+        return self._with(df=df)
+
+    # -- stateful running aggregates (emit one row per input row) -----
+    def running_agg(self, kinds: Sequence[str] = ("sum",), ema_n: int = 10) -> DataFrame:
+        """Per-key running aggregates as an applyInPandasWithState
+        handler — the streaming twin of SURVEY §2.4's cumulative
+        windows. Emits one output row per input row; state is
+        (count, sum, min, max, ema) per key, O(1) memory.
+
+        Rows are processed in ts order within each micro-batch; state
+        carries across batches (exactly the reference's per-stream
+        running state, keyed).
+        """
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        w = 2.0 / (ema_n + 1)
+
+        out_schema = (
+            ", ".join(f"{k} long" for k in keys)
+            + (", " if keys else "")
+            + f"{ts_col} timestamp, value double, "
+            + "rcount long, rsum double, rmin double, rmax double, ema double"
+        )
+        state_schema = "rcount long, rsum double, rmin double, rmax double, ema double"
+
+        def handler(
+            key, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                cnt, s, mn, mx, ema = state.get
+            else:
+                cnt, s, mn, mx, ema = 0, 0.0, None, None, None
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    x = float(row[value_col])
+                    cnt += 1
+                    s += x
+                    mn = x if mn is None else min(mn, x)
+                    mx = x if mx is None else max(mx, x)
+                    ema = x if ema is None else (1 - w) * ema + w * x
+                    outs.append(
+                        {
+                            **{k: row[k] for k in keys},
+                            ts_col: row[ts_col],
+                            "value": x,
+                            "rcount": cnt,
+                            "rsum": s,
+                            "rmin": mn,
+                            "rmax": mx,
+                            "ema": ema,
+                        }
+                    )
+            state.update((cnt, s, mn, mx, ema))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    # -- windowed -----------------------------------------------------
+    def tumbling_chunk(self, duration: str = "1 hour") -> DataFrame:
+        """ChunkWith on a periodic timer == tumbling-window collect
+        (eventkit/ops/transform.py:179-211; F.window). Ordered within
+        the window by ts."""
+        v = F.col(self.value_cols[0])
+        agg = (
+            self.df.groupBy(*self.key_cols, F.window(self.ts_col, duration).alias("win"))
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(self.ts_col).alias("t"), v.alias("v")))
+                    ),
+                    lambda p: p.getField("v"),
+                ).alias("value"),
+                F.count("*").alias("n"),
+            )
+        )
+        return agg.select(
+            *self.key_cols, F.col("win.start").alias("win_start"), "value", "n"
+        )
+
+    def debounce_last(self, gap: str = "10 minutes") -> DataFrame:
+        """Debounce(on_first=False): last value of each rapid burst ==
+        session window with the burst gap (timing.py:67-101;
+        F.session_window)."""
+        v = F.col(self.value_cols[0])
+        agg = (
+            self.df.groupBy(
+                *self.key_cols, F.session_window(self.ts_col, gap).alias("win")
+            )
+            .agg(F.max_by(v, F.col(self.ts_col)).alias("value"), F.max(self.ts_col).alias("last_ts"))
+        )
+        return agg.select(*self.key_cols, "last_ts", "value")
+
+    def unique_within_watermark(self, by: Sequence[str] | None = None) -> "StreamFrame":
+        """Unique (select.py:115-130) under a watermark bound."""
+        cols = list(by) if by else [*self.key_cols, *self.value_cols]
+        return self._with(df=self.df.dropDuplicatesWithinWatermark(cols))
+
+    # -- sinks --------------------------------------------------------
+    def run_available_now(self, sink_df: DataFrame | None = None, name: str = "ek_out"):
+        """Drain everything currently available into a memory sink and
+        return the collected result (the test/driver terminal path —
+        streaming's ``run()``, event.py:235-257)."""
+        df = sink_df if sink_df is not None else self.df
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return df.sparkSession.sql(f"SELECT * FROM {name}")

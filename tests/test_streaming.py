@@ -1,0 +1,108 @@
+"""Structured Streaming twins, driven deterministically: a static
+parquet dir read as a file stream with trigger(availableNow=True) into a
+memory sink, compared against the batch engine on the same data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # nanos ts: route through the engine loader for the converted form
+    from eventkit_spark.sources.tables import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream(spark, stream_dir):
+    from eventkit_spark.streaming import file_stream
+
+    return file_stream(
+        spark,
+        stream_dir,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        value_cols=["value"],
+        ts_col="ts",
+        key_cols=["user_id"],
+    )
+
+
+def test_stateless_filter_map(spark, stream_dir):
+    sf = _stream(spark, stream_dir).filter("value > 250").map(lambda v: v * 2)
+    out = sf.run_available_now(name="ek_t1")
+    batch = spark.read.parquet(stream_dir).filter("value > 250")
+    assert out.count() == batch.count()
+    assert abs(
+        out.agg(F.sum("value")).first()[0] - 2 * batch.agg(F.sum("value")).first()[0]
+    ) < 1e-6
+
+
+def test_running_agg_matches_batch(spark, stream_dir):
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(sink_df=sf.running_agg(ema_n=10), name="ek_t2")
+    got = {
+        (r["user_id"], r["rcount"]): (r["rsum"], r["ema"])
+        for r in out.collect()
+    }
+    # batch twin: cumulative window + closed-form ema on the same data
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    batch = ef.fork_zip(lambda e: e.sum(), lambda e: e.ema(n=10), lambda e: e.count(start=1))
+    for r in batch.df.collect():
+        key = (r["user_id"], r["v2"])
+        assert key in got
+        rsum, ema = got[key]
+        assert abs(rsum - r["v0"]) < 1e-6
+        assert abs(ema - r["v1"]) < 1e-6
+
+
+def test_tumbling_chunk(spark, stream_dir):
+    sf = _stream(spark, stream_dir).with_watermark("0 seconds")
+    out = sf.run_available_now(sink_df=sf.tumbling_chunk("6 hours"), name="ek_t3")
+    rows = out.collect()
+    for r in rows:
+        assert len(r["value"]) == r["n"]
+    # append mode withholds windows not yet passed by the watermark
+    # (end > max event time) — everything earlier must have emitted
+    src = spark.read.parquet(stream_dir)
+    max_ts = src.agg(F.max("ts")).first()[0]
+    expected = (
+        src.groupBy("user_id", F.window("ts", "6 hours").alias("win"))
+        .count()
+        .filter(F.col("win.end") <= F.lit(max_ts))
+        .count()
+    )
+    assert len(rows) == expected
+
+
+def test_debounce_last_session(spark, stream_dir):
+    sf = _stream(spark, stream_dir).with_watermark("0 seconds")
+    out = sf.run_available_now(sink_df=sf.debounce_last("1 hour"), name="ek_t4")
+    # batch twin restamps each burst's last row to ts+gap (= session
+    # end); append mode only emits sessions closed by the watermark
+    from eventkit_spark.sources.tables import from_dataframe
+
+    src = spark.read.parquet(stream_dir)
+    max_ts = src.agg(F.max("ts")).first()[0]
+    ef = from_dataframe(
+        src, value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    expected = ef.debounce(3600.0).df.filter(F.col("ts") <= F.lit(max_ts)).count()
+    assert out.count() == expected
+
+
+def test_merge_union(spark, stream_dir):
+    a = _stream(spark, stream_dir).filter("event_type = 'purchase'")
+    b = _stream(spark, stream_dir).filter("event_type = 'click'")
+    out = a.merge(b).run_available_now(name="ek_t5")
+    batch = spark.read.parquet(stream_dir).filter("event_type IN ('purchase','click')")
+    assert out.count() == batch.count()
