@@ -77,9 +77,34 @@ class EventFrame:
             ef = fn(ef)
         return ef
 
+    @classmethod
+    def create(cls, obj, spark=None, **kwargs) -> "EventFrame":
+        """Coerce a DataFrame / EventFrame / iterable into a stream
+        (Event.create, event.py:484-506)."""
+        if isinstance(obj, EventFrame):
+            return obj
+        if isinstance(obj, DataFrame):
+            return cls(obj, **kwargs)
+        from .sources.create import sequence
+
+        if spark is None:
+            raise ValueError("spark session required to create from an iterable")
+        return sequence(spark, list(obj), **kwargs)
+
     # -- terminals (event.py:235-257 run/list; event.py:339-389 aiter) -
     def collect(self):
         return self.df.collect()
+
+    def value(self):
+        """Most recent value of the stream (event.py:79-85)."""
+        vals = self.last().to_list()
+        return vals[0] if vals else None
+
+    def first(self):
+        """Next/first value — the ``await event`` analog
+        (event.py:410-440)."""
+        vals = self.take(1).to_list()
+        return vals[0] if vals else None
 
     def to_list(self):
         """Ordered payload list — the reference's ``run()`` golden-list
@@ -174,6 +199,20 @@ class EventFrame:
     def map_pandas(self, fn, return_type, name: str = "value"):
         """Arbitrary-Python map (Arrow-batched pandas UDF)."""
         return _transform.map_pandas(self, fn, return_type, name)
+
+    def map_async(
+        self,
+        coro_fn,
+        return_type: str,
+        timeout: float | None = None,
+        ordered: bool = True,
+        task_limit: int | None = None,
+        name: str = "value",
+    ):
+        """Async map with bounded concurrency (transform.py:214-288)."""
+        from .operators.async_map import map_async as _ma
+
+        return _ma(self, coro_fn, return_type, timeout, ordered, task_limit, name)
 
     def try_map_pandas(self, fn, return_type, name: str = "value"):
         """map_pandas that routes exceptions to the error column."""

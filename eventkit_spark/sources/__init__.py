@@ -1,7 +1,8 @@
-from .create import marble, range_, repeat, sequence, timerange, timer
+from .create import aiterate, marble, range_, repeat, sequence, timerange, timer, wait
 from .tables import from_dataframe, load_events, load_table
 
 __all__ = [
+    "aiterate",
     "from_dataframe",
     "load_events",
     "load_table",
@@ -11,4 +12,5 @@ __all__ = [
     "sequence",
     "timer",
     "timerange",
+    "wait",
 ]

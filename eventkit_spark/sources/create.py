@@ -29,6 +29,29 @@ def _ts_expr(start: dt.datetime, seconds):
     )
 
 
+def wait(spark: SparkSession, value, start: dt.datetime = EPOCH) -> EventFrame:
+    """Single-value source: emit one value then end (create.py:10-35 —
+    the await-a-future source; in batch the value is already resolved)."""
+    return sequence(spark, [value], start=start)
+
+
+def aiterate(spark: SparkSession, it, start: dt.datetime = EPOCH) -> EventFrame:
+    """Drain an (a)sync iterator into a stream (create.py:38-57). In
+    batch mode the iterator is materialized once at plan time; for live
+    unbounded feeds use eventkit_spark.streaming.file_stream/rate_stream."""
+    import asyncio
+    import inspect
+
+    if inspect.isasyncgen(it) or hasattr(it, "__anext__"):
+        async def drain():
+            return [v async for v in it]
+
+        values = asyncio.run(drain())
+    else:
+        values = list(it)
+    return sequence(spark, values, start=start)
+
+
 def sequence(
     spark: SparkSession,
     values: Sequence,
