@@ -409,6 +409,57 @@ def q_distinct_agg(spark, sf):
     )
 
 
+def q_iterate(spark, sf):
+    ef = _ev(spark, sf).iterate([f"v{i}" for i in range(50)])
+    return ef.df.select("event_id", "user_id", "value")
+
+
+def q_reduce_max(spark, sf):
+    # generic running fold (aggregate.py:18-36) with a greatest-merge
+    ef = _ev(spark, sf).take(40).reduce(lambda a, x: F.greatest(a, x))
+    return ef.df.select("event_id", "user_id", F.round("value", 2).alias("rmax"))
+
+
+def q_product_running(spark, sf):
+    # log-safe payload (1 or 2): running product stays exactly a power of 2
+    ef = (
+        _ev(spark, sf)
+        .take(20)
+        .map(lambda v: (F.round(v, 0).cast("long") % 2 + 1).cast("double"), names=["value"])
+        .product()
+    )
+    return ef.df.select("event_id", "user_id", F.round("value", 0).alias("rprod"))
+
+
+def _two_children(v):
+    return F.array(
+        F.struct(F.lit(0.0).alias("dt"), v.alias("value")),
+        F.struct(F.lit(30.0).alias("dt"), (-v).alias("value")),
+    )
+
+
+def q_mergemap(spark, sf):
+    out = _ev(spark, sf).mergemap(_two_children)
+    return out.df.select("seq", "user_id", "value")
+
+
+def q_chainmap(spark, sf):
+    out = _ev(spark, sf).chainmap(_two_children)
+    return out.df.select("seq", "user_id", "value")
+
+
+def q_switchmap(spark, sf):
+    out = _ev(spark, sf).switchmap(_two_children)
+    return out.df.select("seq", "user_id", "value")
+
+
+def q_throttle(spark, sf):
+    # sequential re-timestamping kernel (state.py): rows-only check —
+    # the sliding-budget recurrence has no SQL form
+    ef = _ev(spark, sf).throttle(maximum=5, interval=3600.0)
+    return ef.df.select("event_id", "user_id", F.col("ts").alias("emit_ts"))
+
+
 # ---------------------------------------------------------------------
 # LLM-data extensions (BASELINE.json north star; eventkit_spark.llm)
 # ---------------------------------------------------------------------
@@ -558,6 +609,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream: error channel
         "end_on_error": q_end_on_error,
         "errors": q_errors,
+        # stream: more transforms / folds / higher-order
+        "iterate": q_iterate,
+        "reduce_max": q_reduce_max,
+        "product_running": q_product_running,
+        "mergemap": q_mergemap,
+        "chainmap": q_chainmap,
+        "switchmap": q_switchmap,
+        "throttle": q_throttle,
         # sources
         "source_range": q_source_range,
         "source_repeat": q_source_repeat,
@@ -835,6 +894,61 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE ok = 1""",
         "errors": """
             SELECT event_id, user_id, 'stream error' AS err FROM events WHERE event_type = 'error'""",
+        "iterate": f"""
+            SELECT event_id, user_id,
+                   (['{"','".join(f"v{i}" for i in range(50))}'])[rn + 1] AS value
+            FROM (
+              SELECT event_id, user_id, row_number() OVER ({_WIN}) - 1 AS rn FROM events
+            ) WHERE rn < 50""",
+        "reduce_max": f"""
+            SELECT event_id, user_id, round(max(value) OVER ({_CUM}), 2) AS rmax FROM (
+              SELECT * FROM (
+                SELECT event_id, user_id, value, row_number() OVER ({_WIN}) rn FROM events
+              ) WHERE rn <= 40
+            )""",
+        "product_running": f"""
+            SELECT event_id, user_id,
+                   round(product(CAST(CAST(round(value, 0) AS BIGINT) % 2 + 1 AS DOUBLE)) OVER ({_CUM}), 0) AS rprod
+            FROM (
+              SELECT * FROM (
+                SELECT event_id, user_id, value, row_number() OVER ({_WIN}) rn FROM events
+              ) WHERE rn <= 20
+            )""",
+        "mergemap": """
+            WITH c AS (
+              SELECT user_id, event_id, 0 AS cidx, ts AS cts, value FROM events
+              UNION ALL
+              SELECT user_id, event_id, 1, ts + INTERVAL 30 SECOND, -value FROM events
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY cts, event_id, cidx) - 1 AS seq,
+                   user_id, value
+            FROM c""",
+        "chainmap": """
+            WITH c AS (
+              SELECT user_id, event_id, 0 AS cidx, ts AS cts, value FROM events
+              UNION ALL
+              SELECT user_id, event_id, 1, ts + INTERVAL 30 SECOND, -value FROM events
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY event_id, cidx) - 1 AS seq,
+                   user_id, value
+            FROM c""",
+        "switchmap": """
+            WITH p AS (
+              SELECT user_id, event_id, ts, value,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) nts,
+                     lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) nid
+              FROM events
+            ), c AS (
+              SELECT user_id, event_id, 0 AS cidx, ts AS cts, value, nts, nid FROM p
+              UNION ALL
+              SELECT user_id, event_id, 1, ts + INTERVAL 30 SECOND, -value, nts, nid FROM p
+            ), kept AS (
+              SELECT * FROM c
+              WHERE nts IS NULL OR ROW(cts, event_id, cidx) < ROW(nts, nid, 0)
+            )
+            SELECT row_number() OVER (PARTITION BY user_id ORDER BY cts, event_id, cidx) - 1 AS seq,
+                   user_id, value
+            FROM kept""",
         "source_range": """
             SELECT i AS seq, (i * (i + 1)) // 2 AS rsum FROM range(0, 1000) t(i)""",
         "source_repeat": """

@@ -86,7 +86,16 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
             last_emit = t
             window.append((t, cost))
             used += cost
-        pdf[ts_col] = pd.to_datetime((out * 1e9).astype("int64"), utc=True).tz_localize(None)
+        # round to whole microseconds: float-derived ns residue makes the
+        # Arrow ns->us cast "unsafe"; keep the input's tz-awareness
+        import numpy as np
+
+        micros = np.round(out * 1e6).astype("int64")
+        stamped = pd.to_datetime(micros * 1000)
+        tz = getattr(pdf[ts_col].dtype, "tz", None)
+        if tz is not None:
+            stamped = stamped.tz_localize(tz)
+        pdf[ts_col] = pd.Series(stamped, index=pdf.index)
         return pdf
 
     schema = ef.df.schema
