@@ -43,12 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user running sum + mean of value over event time
     (SURVEY.md §7.1) at sf0.001."""
     ef = _ev(spark, "/root/testdata/sf0.001")
-    out = ef.fork_zip(lambda e: e.sum(), lambda e: e.mean())
+    out = ef.running_multi("sum", "mean")
     return out.df.select(
         "user_id",
         F.col("event_id"),
-        F.round("v0", 6).alias("running_sum"),
-        F.round("v1", 6).alias("running_mean"),
+        F.round("sum", 6).alias("running_sum"),
+        F.round("mean", 6).alias("running_mean"),
     )
 
 
@@ -122,11 +122,11 @@ def q_running_mean(spark, sf):
     # bit-identical across engines (no float rounding boundary).
     ef = _ev(spark, sf).map(
         lambda v: F.round(v * 100, 0).cast("long"), names=["value"]
-    ).fork_zip(lambda e: e.sum(), lambda e: e.count(start=1))
+    ).running_multi("sum", "count")
     return ef.df.select(
         "event_id",
         "user_id",
-        F.expr("(v0 * 10000) div v1").alias("rmean_micros"),
+        F.expr("(sum * 10000) div count").alias("rmean_micros"),
     )
 
 
@@ -139,9 +139,9 @@ def q_fork_minmax(spark, sf):
 
 def q_any_all(spark, sf):
     ef = _ev(spark, sf).map(lambda v: v > 400, names=["value"])
-    out = ef.fork_zip(lambda e: e.any(), lambda e: e.all())
+    out = ef.running_multi("any", "all")
     return out.df.select(
-        "event_id", "user_id", F.col("v0").alias("rany"), F.col("v1").alias("rall")
+        "event_id", "user_id", F.col("any").alias("rany"), F.col("all").alias("rall")
     )
 
 

@@ -246,6 +246,10 @@ class EventFrame:
     def ema(self, n: int | None = None, weight: float | None = None):
         return _agg.ema(self, n, weight)
 
+    def running_multi(self, *kinds: str, ema_n: int | None = None):
+        """N running aggregates in one window pass (single shuffle)."""
+        return _agg.running_multi(self, *kinds, ema_n=ema_n)
+
     def ema_exact(self, n: int | None = None, weight: float | None = None):
         return _state.ema_exact(self, n, weight)
 

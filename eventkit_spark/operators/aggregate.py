@@ -106,6 +106,43 @@ def ema(ef, n: int | None = None, weight: float | None = None):
     return _running(ef, expr)
 
 
+_MULTI_KINDS = {
+    "min": lambda v, w, ef: F.min(v).over(w),
+    "max": lambda v, w, ef: F.max(v).over(w),
+    "sum": lambda v, w, ef: F.sum(v).over(w),
+    "mean": lambda v, w, ef: F.avg(v).over(w),
+    "count": lambda v, w, ef: F.count(v).over(w),
+    "product": lambda v, w, ef: _product_expr(v, w, 1),
+    "any": lambda v, w, ef: F.max(v.cast("boolean").cast("int")).over(w) == 1,
+    "all": lambda v, w, ef: F.min(v.cast("boolean").cast("int")).over(w) == 1,
+}
+
+
+def running_multi(ef, *kinds: str, ema_n: int | None = None):
+    """N running aggregates side by side in ONE window pass — the
+    optimized form of ``fork(...).zip()`` over aggregate branches
+    (tests/event_test.py:148-152). All expressions share one window
+    spec, so Catalyst plans a single exchange + a single Window node
+    (asserted in tests/test_plans.py), where the general fork_zip pays a
+    join per branch."""
+    v = value_col(ef)
+    w = wcum(ef)
+    cols = [F.col(c) for c in meta_cols(ef)]
+    names = []
+    for kind in kinds:
+        if kind == "ema":
+            i = F.row_number().over(worder(ef)) - 1
+            w_ = 2.0 / ((ema_n or 10) + 1)
+            q = 1.0 - w_
+            coeff = F.when(i == 0, F.lit(1.0)).otherwise(F.lit(w_))
+            out = F.pow(F.lit(q), i) * F.sum(coeff * v * F.pow(F.lit(q), -i)).over(w)
+        else:
+            out = _MULTI_KINDS[kind](v, w, ef)
+        cols.append(out.alias(kind))
+        names.append(kind)
+    return ef._with(df=ef.df.select(*cols), value_cols=names)
+
+
 def pairwise(ef):
     """Emit (previous, current) pairs from the 2nd row on
     (aggregate.py:114-127)."""

@@ -55,6 +55,14 @@ def test_running_aggs_single_shuffle(spark):
     assert count_shuffles(out) <= 1
 
 
+def test_running_multi_single_shuffle(spark):
+    """running_multi must plan ONE exchange for N aggregates."""
+    from eventkit_spark.sources.tables import load_events
+
+    ef = load_events(spark, SF).running_multi("min", "max", "sum", "mean", "ema")
+    assert count_shuffles(ef.df) <= 1
+
+
 def test_takeuntil_no_fact_reshuffle(spark):
     """takeuntil's notifier aggregate is broadcast: the events fact table
     must not shuffle."""
