@@ -541,6 +541,26 @@ def q_embed_ivf(spark, sf):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=3)
 
 
+def q_split_by_hash(spark, sf):
+    from eventkit_spark.llm.sampling import split_by_hash
+
+    out = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    return out.select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf):
+    from eventkit_spark.llm.sampling import stratified_sample
+
+    out = stratified_sample(load_table(spark, sf, "documents"), "lang", 0.25, "doc_id")
+    return out.select("doc_id", "lang")
+
+
+def q_tfidf(spark, sf):
+    from eventkit_spark.llm.sampling import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf, "documents"), k=3)
+
+
 def q_mm_frame_sample(spark, sf):
     from eventkit_spark.llm.multimodal import frame_sample, synth_media_table
 
@@ -637,6 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "split_by_hash": q_split_by_hash,
+        "stratified_sample": q_stratified_sample,
+        "tfidf": q_tfidf,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "embed_rp_lsh": q_embed_rp_lsh,
@@ -1073,6 +1096,41 @@ def oracle_sql() -> dict[str, str]:
                                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
                      (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
             FROM m""",
+        "split_by_hash": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 800 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                        ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id) rn,
+                     count(*) OVER (PARTITION BY lang) n
+              FROM documents
+            ) WHERE rn <= ceil(n * 0.25)""",
+        "tfidf": r"""
+            WITH tokens AS (
+              SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), tok AS (
+              SELECT * FROM tokens WHERE term <> ''
+            ), tf AS (
+              SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM (SELECT DISTINCT id, term FROM tok) GROUP BY term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT tf.id, tf.term,
+                     tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT id, term, round(tfidf, 6) AS tfidf, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rank
+              FROM scored
+            ) WHERE rank <= 3""",
         "embed_topk": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings

@@ -1,0 +1,108 @@
+"""Dataset sampling / splitting operators for training-data pipelines.
+
+All deterministic and engine-portable: splits and samples are functions
+of a multiplicative integer hash of the row key (Knuth's 2654435761),
+expressible in ANSI SQL — so the driver's DuckDB oracle can verify them
+exactly. At 100 TB the same shapes hold: hashing is stateless per row
+(no shuffle for split), and exact stratified sampling is one window per
+group (single shuffle on the group key).
+
+For production-grade randomness swap the portable hash for xxhash64 —
+the plumbing is identical; the portable hash exists so correctness is
+cross-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+KNUTH = 2654435761
+
+
+def portable_hash(key, buckets: int = 1_000_000):
+    """Deterministic per-key bucket in [0, buckets): (key*2654435761)
+    mod 2^31 mod buckets — same arithmetic in Spark and ANSI SQL."""
+    return ((key.cast("long") * F.lit(KNUTH)) % F.lit(2**31)) % F.lit(buckets)
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign each row a stable train/val/test split label by key hash.
+
+    Rows with equal keys always land in the same split (leak-safe for
+    grouped data); no shuffle — a pure projection.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = portable_hash(F.col(key_col), 1000)
+    expr = None
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt
+        cond = b < int(round(acc * 1000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(list(weights)[-1]))
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, fraction: float, key_col: str
+) -> DataFrame:
+    """EXACT stratified sample: ceil(fraction * |group|) rows per group,
+    chosen by hash order (deterministic, unbiased for hash-uniform keys).
+    One window over the group key."""
+    w = W.partitionBy(group_col).orderBy(
+        portable_hash(F.col(key_col)), F.col(key_col)
+    )
+    n = F.count("*").over(W.partitionBy(group_col))
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("__rn", rn)
+        .withColumn("__n", n)
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .drop("__rn", "__n")
+    )
+
+
+def reservoir_per_key(df: DataFrame, group_col: str, n: int, key_col: str) -> DataFrame:
+    """Fixed-size deterministic 'reservoir' per group: the n rows with
+    the smallest key hashes (equivalent in distribution to reservoir
+    sampling for uniform hashes, but stable across runs)."""
+    w = W.partitionBy(group_col).orderBy(portable_hash(F.col(key_col)), F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    scikit-learn convention). Shuffles: one on (doc, term) for tf, one
+    on term for df (broadcast back), one window for top-k.
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    df_ = tokens.select("id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(F.broadcast(df_), "term").withColumn("tfidf", F.col("tf") * idf)
+    w = W.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
