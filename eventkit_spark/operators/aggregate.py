@@ -95,6 +95,9 @@ def ema(ef, n: int | None = None, weight: float | None = None):
     """
     w_ = weight if weight is not None else 2.0 / (n + 1)
     q = 1.0 - w_
+    if q == 0.0:
+        # w=1 (n=1): ema_t = x_t — the closed form would divide by q^i
+        return _running(ef, lambda v, win: v * 1.0)
 
     def expr(v, win):
         i = F.row_number().over(worder(ef)) - 1
@@ -134,8 +137,11 @@ def running_multi(ef, *kinds: str, ema_n: int | None = None):
             i = F.row_number().over(worder(ef)) - 1
             w_ = 2.0 / ((ema_n or 10) + 1)
             q = 1.0 - w_
-            coeff = F.when(i == 0, F.lit(1.0)).otherwise(F.lit(w_))
-            out = F.pow(F.lit(q), i) * F.sum(coeff * v * F.pow(F.lit(q), -i)).over(w)
+            if q == 0.0:
+                out = v * 1.0
+            else:
+                coeff = F.when(i == 0, F.lit(1.0)).otherwise(F.lit(w_))
+                out = F.pow(F.lit(q), i) * F.sum(coeff * v * F.pow(F.lit(q), -i)).over(w)
         else:
             out = _MULTI_KINDS[kind](v, w, ef)
         cols.append(out.alias(kind))

@@ -1,0 +1,108 @@
+"""Property-based tests: EventFrame operators vs pure-Python semantic
+models on random streams (the reference has no property tests —
+SURVEY.md §5; these harden the engine beyond the golden lists)."""
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+streams = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=25)
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _seq(spark, xs):
+    from eventkit_spark.sources.create import sequence
+
+    return sequence(spark, xs, interval=0.01)
+
+
+@given(xs=streams, n=st.integers(0, 30))
+@SET
+def test_skip_take_model(spark, xs, n):
+    assert _seq(spark, xs).skip(n).to_list() == xs[n:]
+    assert _seq(spark, xs).take(n).to_list() == xs[:n]
+
+
+@given(xs=streams, pivot=st.integers(-50, 50))
+@SET
+def test_takewhile_dropwhile_model(spark, xs, pivot):
+    got_tw = _seq(spark, xs).takewhile(lambda v: v < pivot).to_list()
+    assert got_tw == list(itertools.takewhile(lambda x: x < pivot, xs))
+    got_dw = _seq(spark, xs).dropwhile(lambda v: v < pivot).to_list()
+    assert got_dw == list(itertools.dropwhile(lambda x: x < pivot, xs))
+
+
+@given(xs=streams)
+@SET
+def test_changes_unique_model(spark, xs):
+    exp_changes = [x for i, x in enumerate(xs) if i == 0 or x != xs[i - 1]]
+    assert _seq(spark, xs).changes().to_list() == exp_changes
+    exp_unique = list(dict.fromkeys(xs))
+    assert _seq(spark, xs).unique().to_list() == exp_unique
+
+
+@given(xs=streams)
+@SET
+def test_running_aggs_model(spark, xs):
+    if not xs:
+        return
+    ef = _seq(spark, xs).running_multi("min", "max", "sum")
+    rows = ef.to_list()
+    accs_min = list(itertools.accumulate(xs, min))
+    accs_max = list(itertools.accumulate(xs, max))
+    accs_sum = list(itertools.accumulate(xs))
+    assert rows == list(zip(accs_min, accs_max, accs_sum))
+
+
+@given(xs=streams, size=st.integers(1, 7))
+@SET
+def test_chunk_model(spark, xs, size):
+    exp = [list(xs[i : i + size]) for i in range(0, len(xs), size)]
+    assert _seq(spark, xs).chunk(size).to_list() == exp
+
+
+@given(xs=streams, n=st.integers(1, 6))
+@SET
+def test_deque_model(spark, xs, n):
+    exp = [list(xs[max(0, i - n + 1) : i + 1]) for i in range(len(xs))]
+    assert _seq(spark, xs).deque(n).to_list() == exp
+
+
+@given(a=streams, b=streams)
+@SET
+def test_zip_chain_model(spark, a, b):
+    ea, eb = _seq(spark, a), _seq(spark, b)
+    assert ea.zip(eb).to_list() == list(zip(a, b))
+    assert ea.chain(eb).to_list() == a + b
+
+
+@given(xs=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=20), n=st.integers(1, 10))
+@SET
+def test_ema_recurrence_model(spark, xs, n):
+    w = 2.0 / (n + 1)
+    exp = [xs[0]]
+    for x in xs[1:]:
+        exp.append((1 - w) * exp[-1] + w * x)
+    got = _seq(spark, xs).ema(n=n).to_list()
+    assert got == pytest.approx(exp, rel=1e-9, abs=1e-9)
+
+
+@given(xs=streams)
+@SET
+def test_ziplatest_model(spark, xs):
+    if not xs:
+        return
+    got = _seq(spark, xs).ziplatest(_seq(spark, xs).map(lambda v: v * 2)).to_list()
+    # both streams share the ts grid; at equal ts the first-listed source
+    # sorts first, so its row sees the second source's OLD value
+    exp = []
+    for i, x in enumerate(xs):
+        prev_b = 2 * xs[i - 1] if i > 0 else None
+        exp.append((x, prev_b))
+        exp.append((x, 2 * x))
+    assert got == exp
