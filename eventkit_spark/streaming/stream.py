@@ -173,6 +173,132 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def changes(self) -> DataFrame:
+        """Streaming Changes (select.py:102-112): drop consecutive
+        duplicates per key. State = last seen value; emits survivors."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            ", ".join(f"{k} long" for k in keys)
+            + (", " if keys else "")
+            + f"{ts_col} timestamp, value double"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            prev = state.get[0] if state.exists else None
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    x = float(row[value_col])
+                    if prev is None or x != prev:
+                        outs.append(
+                            {**{k: row[k] for k in keys}, ts_col: row[ts_col], "value": x}
+                        )
+                    prev = x
+            state.update((prev,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="prev double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def pairwise(self) -> DataFrame:
+        """Streaming Pairwise (aggregate.py:114-127): (prev, cur) per
+        key from the 2nd row on. State = last value."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            ", ".join(f"{k} long" for k in keys)
+            + (", " if keys else "")
+            + f"{ts_col} timestamp, prev double, cur double"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            prev = state.get[0] if state.exists else None
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    x = float(row[value_col])
+                    if prev is not None:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "prev": prev,
+                                "cur": x,
+                            }
+                        )
+                    prev = x
+            state.update((prev,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="prev double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def ziplatest(self, other: "StreamFrame") -> DataFrame:
+        """Streaming Ziplatest (combine.py:264-302): union both streams,
+        keep per-key state of each side's latest value, emit the pair on
+        every arrival (partial=True semantics: NULL before first emit)."""
+        ts_col = self.ts_col
+        keys = self.key_cols
+        tagged = self.df.select(
+            *keys, F.col(ts_col), F.lit(0).alias("__tag"),
+            F.col(self.value_cols[0]).cast("double").alias("__v"),
+        ).unionByName(
+            other.df.select(
+                *keys, F.col(other.ts_col).alias(ts_col), F.lit(1).alias("__tag"),
+                F.col(other.value_cols[0]).cast("double").alias("__v"),
+            )
+        )
+        out_schema = (
+            ", ".join(f"{k} long" for k in keys)
+            + (", " if keys else "")
+            + f"{ts_col} timestamp, v0 double, v1 double"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            v0, v1 = state.get if state.exists else (None, None)
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values([ts_col, "__tag"])
+                for _, row in pdf.iterrows():
+                    if int(row["__tag"]) == 0:
+                        v0 = float(row["__v"])
+                    else:
+                        v1 = float(row["__v"])
+                    outs.append(
+                        {**{k: row[k] for k in keys}, ts_col: row[ts_col], "v0": v0, "v1": v1}
+                    )
+            state.update((v0, v1))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="v0 double, v1 double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     # -- windowed -----------------------------------------------------
     def tumbling_chunk(self, duration: str = "1 hour") -> DataFrame:
         """ChunkWith on a periodic timer == tumbling-window collect

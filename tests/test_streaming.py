@@ -100,6 +100,52 @@ def test_debounce_last_session(spark, stream_dir):
     assert out.count() == expected
 
 
+def test_streaming_changes_pairwise(spark, stream_dir):
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(sink_df=sf.changes(), name="ek_t6")
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    assert out.count() == ef.changes().df.count()
+    outp = sf.run_available_now(sink_df=sf.pairwise(), name="ek_t7")
+    assert outp.count() == ef.pairwise().df.count()
+
+
+def test_streaming_ziplatest(spark, stream_dir):
+    a = _stream(spark, stream_dir).filter("event_type = 'purchase'")
+    b = _stream(spark, stream_dir).filter("event_type = 'click'")
+    out = a.run_available_now(sink_df=a.ziplatest(b), name="ek_t8")
+    from eventkit_spark.sources.tables import from_dataframe
+    from eventkit_spark.frame import EventFrame
+
+    src = spark.read.parquet(stream_dir)
+
+    def typed(t):
+        return from_dataframe(
+            src.filter(F.col("event_type") == t),
+            value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+        )
+
+    batch = typed("purchase").ziplatest(typed("click"))
+    assert out.count() == batch.df.count()
+    # spot-check per-user final pair equality
+    bl = {
+        r["user_id"]: (r["v0"], r["v1"])
+        for r in batch.last().df.select("user_id", "v0", "v1").collect()
+    }
+    from pyspark.sql import Window as W
+
+    wlast = W.partitionBy("user_id").orderBy(F.col("ts").desc())
+    sl = {
+        r["user_id"]: (r["v0"], r["v1"])
+        for r in out.withColumn("rn", F.row_number().over(wlast)).filter("rn = 1").collect()
+    }
+    assert sl == bl
+
+
 def test_merge_union(spark, stream_dir):
     a = _stream(spark, stream_dir).filter("event_type = 'purchase'")
     b = _stream(spark, stream_dir).filter("event_type = 'click'")
