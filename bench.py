@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "filter",
     "running_sum",
+    "running_mean",
     "ema",
     "deque",
     "changes",
@@ -28,7 +29,12 @@ HEADLINE = [
     "ziplatest",
     "zip",
     "sample",
+    "takeuntil",
+    "timeout",
     "debounce_last",
+    "throttle",
+    "mergemap",
+    "switchmap",
     "tpch_q1",
     "tpch_q3",
     "region_revenue",
@@ -41,9 +47,15 @@ HEADLINE = [
     "dedup_simhash",
     "text_stats",
     "text_quality",
+    "tfidf",
+    "split_by_hash",
+    "stratified_sample",
     "embed_topk",
     "embed_rp_lsh",
+    "embed_ivf",
+    "embed_neardup",
     "mm_frame_sample",
+    "mm_resize_plan",
 ]
 
 

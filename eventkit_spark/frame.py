@@ -121,6 +121,15 @@ class EventFrame:
     def to_local_iterator(self):
         return self.df.toLocalIterator()
 
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None):
+        """Materialize the stream as parquet (batch sink). Partitioning
+        by the stream key keeps downstream scans partition-pruned."""
+        writer = self.df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return path
+
     # -- selection (SURVEY.md §2.2) -----------------------------------
     def filter(self, predicate=None):
         return _select.filter_(self, predicate)

@@ -340,6 +340,27 @@ class StreamFrame:
         return self._with(df=self.df.dropDuplicatesWithinWatermark(cols))
 
     # -- sinks --------------------------------------------------------
+    def foreach_batch(self, fn: Callable, sink_df: DataFrame | None = None, checkpoint: str | None = None):
+        """Listener-callback sink (the reference's connect/emit path,
+        event.py:87-140): ``fn(batch_df, batch_id)`` per micro-batch.
+        Returns the started StreamingQuery."""
+        df = sink_df if sink_df is not None else self.df
+        writer = df.writeStream.foreachBatch(fn)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
+    def to_parquet_stream(self, path: str, checkpoint: str, sink_df: DataFrame | None = None):
+        """Durable streaming sink: append parquet with checkpointing."""
+        df = sink_df if sink_df is not None else self.df
+        return (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .start()
+        )
+
     def run_available_now(self, sink_df: DataFrame | None = None, name: str = "ek_out"):
         """Drain everything currently available into a memory sink and
         return the collected result (the test/driver terminal path —
