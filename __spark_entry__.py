@@ -243,8 +243,12 @@ def q_takeuntil(spark, sf):
 # -- timing -----------------------------------------------------------
 
 def q_delay(spark, sf):
+    # timestamp output surfaced as epoch micros: integer-exact across
+    # engines regardless of timestamp dtype canonicalization
     ef = _ev(spark, sf).delay(3600.0)
-    return ef.df.select("event_id", "user_id", F.col("ts").alias("delayed_ts"))
+    return ef.df.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("delayed_us")
+    )
 
 
 def q_timeout(spark, sf):
@@ -259,7 +263,9 @@ def q_debounce_first(spark, sf):
 
 def q_debounce_last(spark, sf):
     ef = _ev(spark, sf).debounce(3600.0)
-    return ef.df.select("event_id", "user_id", "value", F.col("ts").alias("emit_ts"))
+    return ef.df.select(
+        "event_id", "user_id", "value", F.unix_micros(F.col("ts")).alias("emit_us")
+    )
 
 
 def q_sample(spark, sf):
@@ -316,7 +322,7 @@ def q_source_timerange(spark, sf):
     from eventkit_spark.sources.create import timerange
 
     ef = timerange(spark, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), 3600.0)
-    return ef.df.select("seq", F.col("value").alias("t"))
+    return ef.df.select("seq", F.unix_micros(F.col("value")).alias("t_us"))
 
 
 # ---------------------------------------------------------------------
@@ -875,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
                    user_id, value
             FROM kept""",
         "delay": """
-            SELECT event_id, user_id, ts + INTERVAL 3600 SECOND AS delayed_ts FROM events""",
+            SELECT event_id, user_id, epoch_us(ts + INTERVAL 3600 SECOND) AS delayed_us FROM events""",
         "timeout": f"""
             SELECT event_id, user_id, value FROM (
               SELECT event_id, user_id, value,
@@ -891,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE gap IS NULL OR gap >= 3600""",
         "debounce_last": f"""
-            SELECT event_id, user_id, value, ts + INTERVAL 3600 SECOND AS emit_ts FROM (
+            SELECT event_id, user_id, value, epoch_us(ts + INTERVAL 3600 SECOND) AS emit_us FROM (
               SELECT event_id, user_id, value, ts,
                      epoch(lead(ts) OVER ({_WIN})) - epoch(ts) gap_next
               FROM events
@@ -978,7 +984,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT i AS seq, i AS idx, 7 AS value FROM range(0, 100) t(i)""",
         "source_timerange": """
             SELECT i AS seq,
-                   TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 3600) AS t
+                   epoch_us(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 3600)) AS t_us
             FROM range(0, 24) t(i)""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -72,10 +72,13 @@ def ngram_jaccard_pairs(
     jaccard) with id_a < id_b. This is the exact verify stage; generate
     candidates with minhash_lsh_candidates first at scale.
     """
+    # join on the 64-bit shingle hash, not the string: the shuffle
+    # carries 8 bytes per shingle and the equi-join compares longs
+    # (collision odds over n shingles ~ n^2/2^64 — negligible)
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
+        F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+    ).select("id", F.xxhash64("__s").alias("shingle")).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -62,15 +62,21 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
     if not ts_col:
         raise ValueError("throttle() needs an event-time column")
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        from collections import deque
+    key_cols = list(ef.key_cols)
 
-        pdf = pdf.sort_values(seq_col)
-        times = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch seconds
+    class _KeyState:
+        __slots__ = ("window", "used", "last_emit")
+
+        def __init__(self):
+            from collections import deque
+
+            self.window = deque()  # (emit_time, cost)
+            self.used = 0.0
+            self.last_emit = -float("inf")
+
+    def _run(times, st: _KeyState):
         out = times.copy()
-        window: deque[tuple[float, float]] = deque()  # (emit_time, cost)
-        used = 0.0
-        last_emit = -float("inf")
+        window, used, last_emit = st.window, st.used, st.last_emit
         for i in range(len(out)):
             # FIFO: a queued row cannot emit before its predecessor
             t = max(times[i], last_emit)
@@ -86,21 +92,55 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
             last_emit = t
             window.append((t, cost))
             used += cost
-        # round to whole microseconds: float-derived ns residue makes the
-        # Arrow ns->us cast "unsafe"; keep the input's tz-awareness
+        st.used, st.last_emit = used, last_emit
+        return out
+
+    def kernel(batches):
+        # per-PARTITION kernel handling many keys per Arrow batch: with
+        # thousands of small keys, per-group applyInPandas pays one
+        # Python/Arrow round trip per key; mapInPandas over
+        # repartition+sortWithinPartitions pays one per batch. Keys are
+        # contiguous (sorted), but Arrow may split one key across
+        # batches — state carries over via (cur_key, cur_state).
         import numpy as np
 
-        micros = np.round(out * 1e6).astype("int64")
-        stamped = pd.to_datetime(micros * 1000)
-        tz = getattr(pdf[ts_col].dtype, "tz", None)
-        if tz is not None:
-            stamped = stamped.tz_localize(tz)
-        pdf[ts_col] = pd.Series(stamped, index=pdf.index)
-        return pdf
+        cur_key = object()  # sentinel unequal to any real key
+        cur_state = _KeyState()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            times = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch s
+            out = np.empty_like(times)
+            if key_cols:
+                keys = pdf[key_cols[0]].to_numpy() if len(key_cols) == 1 else list(
+                    zip(*[pdf[k].to_numpy() for k in key_cols])
+                )
+                start = 0
+                for i in range(1, len(times) + 1):
+                    if i == len(times) or keys[i] != keys[start]:
+                        if keys[start] != cur_key:
+                            cur_key = keys[start]
+                            cur_state = _KeyState()
+                        out[start:i] = _run(times[start:i], cur_state)
+                        start = i
+            else:
+                out[:] = _run(times, cur_state)
+            # whole microseconds: float-derived ns residue makes the
+            # Arrow ns->us cast "unsafe"; keep the input's tz-awareness
+            micros = np.round(out * 1e6).astype("int64")
+            stamped = pd.to_datetime(micros * 1000)
+            tz = getattr(pdf[ts_col].dtype, "tz", None)
+            if tz is not None:
+                stamped = stamped.tz_localize(tz)
+            pdf[ts_col] = pd.Series(stamped, index=pdf.index)
+            yield pdf
 
     schema = ef.df.schema
-    grouped = (
-        ef.df.groupBy(*ef.key_cols) if ef.key_cols else ef.df.groupBy(F.lit(0).alias("__g"))
-    )
-    df = grouped.applyInPandas(kernel, schema=schema)
+    if key_cols:
+        arranged = ef.df.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+            *key_cols, seq_col
+        )
+    else:
+        arranged = ef.df.coalesce(1).sortWithinPartitions(seq_col)
+    df = arranged.mapInPandas(kernel, schema=schema)
     return ef._with(df=df.select(*value_cols))
