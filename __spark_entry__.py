@@ -404,6 +404,36 @@ def q_anti_join(spark, sf):
     return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
 
 
+def q_cube(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_pivot(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def q_approx_agg(spark, sf):
+    # approximate aggregates (SURVEY §2.9): sketch values are
+    # engine-specific -> rows-only check; exactness bounds are tested
+    # against exact counts in the unit suite
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
+    )
+
+
 def q_distinct_agg(spark, sf):
     o = load_table(spark, sf, "orders")
     return (
@@ -656,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct_agg": q_distinct_agg,
+        "cube": q_cube,
+        "pivot": q_pivot,
+        "approx_agg": q_approx_agg,
         # llm extensions
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1029,6 +1062,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
                    round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
             FROM orders GROUP BY o_orderpriority""",
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",

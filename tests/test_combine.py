@@ -86,6 +86,20 @@ def test_switch_docstring_marble(spark):
     assert got == ["a", "b", "1", "2", "x", "y"]
 
 
+def test_switch_reference_golden(spark):
+    """tests/combine_test.py:19-24: switch(e1, e2, e3) with staggered
+    first emits -> [0, 100] + array3."""
+    from eventkit_spark.sources.create import sequence
+
+    a1 = list(range(10))
+    a2 = list(range(100, 110))
+    a3 = list(range(200, 210))
+    e1 = sequence(spark, a1, interval=0.01)
+    e2 = sequence(spark, a2, times=[0.001 + 0.01 * i for i in range(10)])
+    e3 = sequence(spark, a3, times=[0.002 + 0.01 * i for i in range(10)])
+    assert e1.switch(e2, e3).to_list() == [0, 100] + a3
+
+
 def test_merge_keeps_ts_order(abc):
     a, b, c = abc
     m = a.merge(b, c)

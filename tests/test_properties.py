@@ -92,6 +92,37 @@ def test_ema_recurrence_model(spark, xs, n):
     assert got == pytest.approx(exp, rel=1e-9, abs=1e-9)
 
 
+@given(a=streams, b=streams, off=st.floats(0.001, 0.009))
+@SET
+def test_merge_concat_switch_models(spark, a, b, off):
+    """Python simulators of the reference disciplines over two streams:
+    stream A at t=i*10ms, stream B at t=off+i*10ms (off < 10ms)."""
+    ta = [i * 0.01 for i in range(len(a))]
+    tb = [off + i * 0.01 for i in range(len(b))]
+    ea, eb = _seq(spark, a), _seq(spark, b)
+    from eventkit_spark.sources.create import sequence
+
+    eb = sequence(spark, b, times=tb)
+    # merge: interleave by time (A wins ties: earlier-listed tag)
+    tagged = [(t, 0, v) for t, v in zip(ta, a)] + [(t, 1, v) for t, v in zip(tb, b)]
+    exp_merge = [v for _, _, v in sorted(tagged)]
+    assert ea.merge(eb).to_list() == exp_merge
+    # concat: B's first emit kills A (code semantics)
+    if b:
+        exp_concat = [v for t, v in zip(ta, a) if t <= tb[0]] + b
+    else:
+        exp_concat = a
+    assert ea.concat(eb).to_list() == exp_concat
+    # switch: A live until B's first emit, then B forever
+    if b and a:
+        exp_switch = [v for t, v in zip(ta, a) if t < tb[0]] + b
+    elif a:
+        exp_switch = a
+    else:
+        exp_switch = b
+    assert ea.switch(eb).to_list() == exp_switch
+
+
 @given(xs=streams)
 @SET
 def test_ziplatest_model(spark, xs):
