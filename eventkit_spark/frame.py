@@ -336,8 +336,8 @@ class EventFrame:
     def delay(self, seconds: float):
         return _timing.delay(self, seconds)
 
-    def timeout(self, seconds: float):
-        return _timing.timeout(self, seconds)
+    def timeout(self, seconds: float, emit_sentinel: bool = False):
+        return _timing.timeout(self, seconds, emit_sentinel)
 
     def debounce(self, seconds: float, on_first: bool = False):
         return _timing.debounce(self, seconds, on_first)
@@ -348,8 +348,9 @@ class EventFrame:
     def chunkwith(self, timer: "EventFrame", emit_empty: bool = True):
         return _timing.chunkwith(self, timer, emit_empty)
 
-    def throttle(self, maximum: float, interval: float, cost: float = 1.0):
-        return _state.throttle(self, maximum, interval, cost)
+    def throttle(self, maximum: float, interval: float, cost: float = 1.0,
+                 cost_expr=None, status: bool = False):
+        return _state.throttle(self, maximum, interval, cost, cost_expr, status)
 
     # -- error channel (SURVEY.md §2.7) -------------------------------
     def errors(self):

@@ -31,12 +31,11 @@ def delay(ef, seconds: float):
     return ef._with(df=df)
 
 
-def timeout(ef, seconds: float):
+def timeout(ef, seconds: float, emit_sentinel: bool = False):
     """Cut the stream at the first inter-event gap > ``seconds``
-    (timing.py:31-64). The reference then emits one empty value and ends;
-    we keep the pre-gap prefix (the empty sentinel has no tabular payload
-    — callers that need it can append a NULL row with ts = last+timeout).
-    """
+    (timing.py:31-64). The reference then emits one empty value and
+    ends; with ``emit_sentinel=True`` the engine appends that empty
+    emit as a NULL-payload row at last_ts + timeout per key."""
     if not ef.ts_col:
         raise ValueError("timeout() needs an event-time column")
     w = worder(ef)
@@ -44,7 +43,34 @@ def timeout(ef, seconds: float):
     ok = F.when(gap.isNull() | (gap <= seconds), 1).otherwise(0)
     flag = F.min(ok).over(wcum(ef))
     df = ef.df.withColumn(RN, flag)
-    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+    kept = ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+    if not emit_sentinel:
+        return kept
+    # sentinel: one NULL row per key at last-kept-ts + timeout, only if
+    # the stream was actually cut (a gap exceeded the budget)
+    cut_happened = df.groupBy(*[F.col(k) for k in ef.key_cols]).agg(
+        F.min(RN).alias("__ek_anycut")
+    )
+    last_rows = (
+        kept.df.groupBy(*[F.col(k) for k in ef.key_cols])
+        .agg(F.max(ef.ts_col).alias("__ek_last"), F.max(ef.seq_col).alias("__ek_seq"))
+    )
+    cols = []
+    for c in kept.df.columns:
+        if c in ef.key_cols:
+            cols.append(F.col(c))
+        elif c == ef.seq_col:
+            cols.append((F.col("__ek_seq") + 1).alias(c))
+        elif c == ef.ts_col:
+            cols.append(_shift("__ek_last", seconds).alias(c))
+        else:
+            cols.append(F.lit(None).cast(ef.df.schema[c].dataType).alias(c))
+    if ef.key_cols:
+        joined = last_rows.join(cut_happened, on=list(ef.key_cols), how="inner")
+    else:
+        joined = last_rows.crossJoin(cut_happened)
+    sent = joined.filter(F.col("__ek_anycut") == 0).select(*cols)
+    return ef._with(df=kept.df.unionByName(sent))
 
 
 def debounce(ef, seconds: float, on_first: bool = False):

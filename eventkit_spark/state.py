@@ -47,22 +47,34 @@ def ema_exact(ef, n: int | None = None, weight: float | None = None):
     return ef._with(df=df.select(*[f.name for f in schema.fields]))
 
 
-def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
+def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=None, status: bool = False):
     """Rate-limit without dropping: at most ``maximum`` total cost per
     sliding ``interval`` seconds; excess rows are re-timestamped to the
     earliest time the budget allows (timing.py:104-184 queues and
     re-schedules; over a recorded stream that is exactly a deterministic
     re-timestamping).
 
+    ``cost_expr`` (a Column) gives per-row cost (the reference's
+    cost_func); ``status=True`` appends a ``throttled`` boolean column —
+    the reference's status_event is this column's change stream
+    (``.changes()`` over it).
+
     Sequential by nature (each row's emit time depends on all prior emit
     times) — pandas kernel per key.
     """
-    value_cols = list(ef.df.columns)
     ts_col, seq_col = ef.ts_col, ef.seq_col
     if not ts_col:
         raise ValueError("throttle() needs an event-time column")
 
+    src = ef.df
+    if cost_expr is not None:
+        src = src.withColumn("__ek_cost", cost_expr.cast("double"))
+    value_cols = list(src.columns)
+    out_cols = [c for c in value_cols if c != "__ek_cost"] + (
+        ["throttled"] if status else []
+    )
     key_cols = list(ef.key_cols)
+    has_cost_col = cost_expr is not None
 
     class _KeyState:
         __slots__ = ("window", "used", "last_emit")
@@ -74,24 +86,25 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
             self.used = 0.0
             self.last_emit = -float("inf")
 
-    def _run(times, st: _KeyState):
+    def _run(times, costs, st: _KeyState):
         out = times.copy()
         window, used, last_emit = st.window, st.used, st.last_emit
         for i in range(len(out)):
+            c = costs[i] if costs is not None else cost
             # FIFO: a queued row cannot emit before its predecessor
             t = max(times[i], last_emit)
             # earliest admissible time given the sliding budget
             while True:
                 while window and window[0][0] <= t - interval:
                     used -= window.popleft()[1]
-                if used + cost <= maximum or not window:
+                if used + c <= maximum or not window:
                     break
                 # wait until the oldest in-window emission expires
                 t = window[0][0] + interval
             out[i] = t
             last_emit = t
-            window.append((t, cost))
-            used += cost
+            window.append((t, c))
+            used += c
         st.used, st.last_emit = used, last_emit
         return out
 
@@ -110,6 +123,7 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
             if len(pdf) == 0:
                 continue
             times = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch s
+            costs = pdf["__ek_cost"].to_numpy() if has_cost_col else None
             out = np.empty_like(times)
             if key_cols:
                 keys = pdf[key_cols[0]].to_numpy() if len(key_cols) == 1 else list(
@@ -121,10 +135,14 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
                         if keys[start] != cur_key:
                             cur_key = keys[start]
                             cur_state = _KeyState()
-                        out[start:i] = _run(times[start:i], cur_state)
+                        out[start:i] = _run(
+                            times[start:i],
+                            costs[start:i] if costs is not None else None,
+                            cur_state,
+                        )
                         start = i
             else:
-                out[:] = _run(times, cur_state)
+                out[:] = _run(times, costs, cur_state)
             # whole microseconds: float-derived ns residue makes the
             # Arrow ns->us cast "unsafe"; keep the input's tz-awareness
             micros = np.round(out * 1e6).astype("int64")
@@ -132,15 +150,25 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0):
             tz = getattr(pdf[ts_col].dtype, "tz", None)
             if tz is not None:
                 stamped = stamped.tz_localize(tz)
+            if status:
+                pdf["throttled"] = out > times + 1e-9
             pdf[ts_col] = pd.Series(stamped, index=pdf.index)
+            if has_cost_col:
+                pdf = pdf.drop(columns=["__ek_cost"])
             yield pdf
 
-    schema = ef.df.schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__ek_cost"
+    )
+    if status:
+        out_schema += ", throttled boolean"
     if key_cols:
-        arranged = ef.df.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+        arranged = src.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
             *key_cols, seq_col
         )
     else:
-        arranged = ef.df.coalesce(1).sortWithinPartitions(seq_col)
-    df = arranged.mapInPandas(kernel, schema=schema)
-    return ef._with(df=df.select(*value_cols))
+        arranged = src.coalesce(1).sortWithinPartitions(seq_col)
+    df = arranged.mapInPandas(kernel, schema=out_schema)
+    return ef._with(df=df.select(*out_cols))

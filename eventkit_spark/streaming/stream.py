@@ -299,6 +299,65 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def zip(self, other: "StreamFrame") -> DataFrame:
+        """Streaming Zip (combine.py:219-261): pair the i-th value of
+        each stream per key. The reference queues the faster side; state
+        here is the two pending queues (array<double> each) — emits as
+        soon as both sides have an i-th element. This is the custom
+        stateful pairing operator SURVEY §7.2 notes Spark lacks natively
+        (stream-stream row-number equi-joins are unsupported)."""
+        ts_col = self.ts_col
+        keys = self.key_cols
+        tagged = self.df.select(
+            *keys, F.col(ts_col), F.lit(0).alias("__tag"),
+            F.col(self.value_cols[0]).cast("double").alias("__v"),
+        ).unionByName(
+            other.df.select(
+                *keys, F.col(other.ts_col).alias(ts_col), F.lit(1).alias("__tag"),
+                F.col(other.value_cols[0]).cast("double").alias("__v"),
+            )
+        )
+        out_schema = (
+            ", ".join(f"{k} long" for k in keys)
+            + (", " if keys else "")
+            + f"{ts_col} timestamp, pair_no long, v0 double, v1 double"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            if state.exists:
+                q0, q1, emitted = state.get
+                q0, q1 = list(q0), list(q1)
+            else:
+                q0, q1, emitted = [], [], 0
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values([ts_col, "__tag"])
+                for _, row in pdf.iterrows():
+                    (q0 if int(row["__tag"]) == 0 else q1).append(float(row["__v"]))
+                    if q0 and q1:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "pair_no": emitted,
+                                "v0": q0.pop(0),
+                                "v1": q1.pop(0),
+                            }
+                        )
+                        emitted += 1
+            state.update((q0, q1, emitted))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="q0 array<double>, q1 array<double>, emitted long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     # -- windowed -----------------------------------------------------
     def tumbling_chunk(self, duration: str = "1 hour") -> DataFrame:
         """ChunkWith on a periodic timer == tumbling-window collect

@@ -146,6 +146,28 @@ def test_streaming_ziplatest(spark, stream_dir):
     assert sl == bl
 
 
+def test_streaming_zip(spark, stream_dir):
+    a = _stream(spark, stream_dir).filter("event_type = 'purchase'")
+    b = _stream(spark, stream_dir).filter("event_type = 'click'")
+    out = a.run_available_now(sink_df=a.zip(b), name="ek_t9")
+    from eventkit_spark.sources.tables import from_dataframe
+
+    src = spark.read.parquet(stream_dir)
+
+    def typed(t):
+        return from_dataframe(
+            src.filter(F.col("event_type") == t),
+            value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+        )
+
+    batch = typed("purchase").zip(typed("click"))
+    assert out.count() == batch.df.count()
+    # exact pair equality by (user, pair index)
+    sp = {(r["user_id"], r["pair_no"]): (r["v0"], r["v1"]) for r in out.collect()}
+    bp = {(r["user_id"], r["seq"]): (r["v0"], r["v1"]) for r in batch.df.collect()}
+    assert sp == bp
+
+
 def test_merge_union(spark, stream_dir):
     a = _stream(spark, stream_dir).filter("event_type = 'purchase'")
     b = _stream(spark, stream_dir).filter("event_type = 'click'")

@@ -72,6 +72,36 @@ def test_chunkwith(spark):
     assert got2 == [[1], [], []]
 
 
+def test_timeout_sentinel(spark):
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, [10, 11, 12, 13], times=[0, 1, 7, 8])
+    out = ef.timeout(2.0, emit_sentinel=True)
+    rows = out.df.orderBy("seq").collect()
+    # prefix [10, 11] + one NULL sentinel at last_ts + timeout
+    assert [r["value"] for r in rows] == [10, 11, None]
+    assert (rows[2]["ts"] - rows[1]["ts"]).total_seconds() == pytest.approx(2.0)
+    # no sentinel when no gap exceeds the budget
+    ok = sequence(spark, [1, 2], times=[0, 1]).timeout(2.0, emit_sentinel=True)
+    assert ok.to_list() == [1, 2]
+
+
+def test_throttle_cost_expr_and_status(spark):
+    from pyspark.sql import functions as F
+    from eventkit_spark.sources.create import sequence
+
+    # costs 1,3,1,1 with budget 3/sec: row1(c1)@0; row2(c3) must wait
+    # for row1 to expire -> t=1; rows 3,4 queue behind
+    ef = sequence(spark, [1, 2, 3, 4], times=[0.0] * 4)
+    out = ef.throttle(maximum=3, interval=1.0,
+                      cost_expr=F.when(F.col("value") == 2, 3.0).otherwise(1.0),
+                      status=True)
+    rows = out.df.orderBy("seq").collect()
+    rel = [(r["ts"] - rows[0]["ts"]).total_seconds() for r in rows]
+    assert rel == pytest.approx([0.0, 1.0, 2.0, 2.0])
+    assert [r["throttled"] for r in rows] == [False, True, True, True]
+
+
 def test_throttle(spark):
     from eventkit_spark.sources.create import sequence
 
