@@ -1,8 +1,10 @@
 """Similarity search over embedding columns (array<float>).
 
 Scale design:
-- cosine / dot products are JVM-side higher-order functions
-  (zip_with + aggregate) — no Python in the hot path.
+- two cosine kernels: the HOF expression `cosine` (sequential fold —
+  bit-matches SQL oracles) and `cosine_pandas` / blocked matmuls
+  (Arrow-batched BLAS — the throughput path; Spark HOFs run interpreted
+  and measured ~10x slower on large candidate sets).
 - brute_force_topk is the exactness baseline: broadcast the (small)
   query set against the corpus, one window per query for top-k. Cost is
   O(|queries| * |corpus|) — fine for reranking / eval, not for
@@ -206,26 +208,34 @@ def ivf_topk(
     )
     cent_rows = [(r["cell"], r["cv"]) for r in cents.collect()]  # tiny: n_cells rows
 
-    def nearest_cells(vec, m):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias("d"),
-                    F.lit(cell).alias("cell"),
-                )
-                for cell, cv in cent_rows
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, m)
+    import numpy as np
+    import pandas as pd
+
+    cent_mat = np.stack([np.array(cv) for _, cv in cent_rows])
+    cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cell_ids = np.array([cell for cell, _ in cent_rows])
+
+    def _nearest_kernel(m):
+        # one BLAS product against the (broadcast-closure) centroid
+        # matrix per Arrow batch — the per-centroid HOF cosine chain ran
+        # interpreted
+        def k(vs):
+            A = np.stack(vs.to_numpy())
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = A @ cent_mat.T
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :m]
+            return pd.Series(list(cell_ids[idx].astype(np.int32)))
+
+        return F.pandas_udf(k, "array<int>")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", F.element_at(nearest_cells(F.col("cv"), 1), 1).getField("cell"))
+    ).withColumn("cell", F.element_at(_nearest_kernel(1)(F.col("cv")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).select(
         "query_id", "qv",
-        F.explode(F.transform(nearest_cells(F.col("qv"), nprobe), lambda s: s.getField("cell"))).alias("cell"),
+        F.explode(_nearest_kernel(nprobe)(F.col("qv"))).alias("cell"),
     )
     cand = c.join(F.broadcast(q), on="cell").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.withColumn("cos", cosine_pandas(F.col("qv"), F.col("cv")))
