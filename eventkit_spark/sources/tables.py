@@ -37,6 +37,10 @@ def _nano_ts_cols(path: str) -> tuple[str, ...]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    # self-sufficient vs caller-created sessions (the driver builds its
+    # own SparkSession without our session.py defaults): nanos timestamps
+    # are unreadable without this runtime-settable SQL conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nano_ts_cols(path):
         # integer div: truncate ns->us exactly like DuckDB/pandas (float
