@@ -64,6 +64,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
@@ -71,6 +72,16 @@ def ngram_jaccard_pairs(
     |A∩B| = joined count, |A∪B| = |A|+|B|-|A∩B|. Emits (id_a, id_b,
     jaccard) with id_a < id_b. This is the exact verify stage; generate
     candidates with minhash_lsh_candidates first at scale.
+
+    ``max_df`` caps posting-list fan-out: shingles appearing in more than
+    ``max_df`` documents (boilerplate) are dropped BEFORE the self-join,
+    so one hot shingle can't make the join quadratic in corpus size —
+    standard df-pruning. Note document shingle-set sizes are computed
+    before pruning, so a surviving pair's jaccard is computed over
+    slightly understated intersections (pruned shingles count toward the
+    union, not the intersection) — i.e. pruning can only lower a pair's
+    score, never promote a non-pair. Pick max_df >> expected duplicate
+    group size so true near-dup pairs keep their discriminative shingles.
     """
     # join on the 64-bit shingle hash, not the string: the shuffle
     # carries 8 bytes per shingle and the equi-join compares longs
@@ -80,6 +91,16 @@ def ngram_jaccard_pairs(
         F.explode(_shingles(F.col(text_col), k)).alias("__s"),
     ).select("id", F.xxhash64("__s").alias("shingle")).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        # only the (small) hot-shingle set is materialized; anti-join it
+        # broadcast so the posting lists shrink without another shuffle
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
