@@ -16,7 +16,7 @@ fold.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from .common import RN, meta_cols, value_col, wcum, worder, wtrail
 
@@ -82,31 +82,85 @@ def product(ef, start=1):
     return _running(ef, lambda v, w: _product_expr(v, w, start))
 
 
+def _ema_staged(ef, w_: float, q: float):
+    """Stage the segmented-scan EMA columns; returns (staged_df, ema_col).
+
+    Reference recurrence: ema_0 = x_0; ema_t = q*ema_{t-1} + w*x_t. The
+    plain closed form ema_i = q^i * sum_{j<=i}(c_j x_j q^{-j}) overflows
+    double once q^{-j} ~ 1e300 (~6k rows/key at w=0.1). Segmented scan:
+    split each key's stream into segments of L = 500/|ln q| rows, so
+    within a segment q^{-j} <= e^500 (safe) and across segments the
+    carry-in decays by q^L = e^-500 per hop — numerically ZERO beyond one
+    segment back. Hence for a row at local offset j in segment s:
+
+        ema = q^j * S_j  +  b_{s-1} * q^{j+1}
+        S_j = cumulative sum over the segment of c_m x_m q^{-m}
+        b_{s-1} = the previous segment's last in-segment value (its own
+                  carry-in term is < e^-500 relative — truncated)
+
+    All windows share the key partitioning (partitionBy(key, seg) is
+    satisfied by the key exchange — Catalyst plans ONE shuffle, extra
+    local sorts only; asserted in tests/test_plans.py). For streams short
+    of L rows this reduces exactly to the old single-window closed form.
+    """
+    v = value_col(ef)
+    I, SEG, J, LOC, PM = "__ek_i", "__ek_seg", "__ek_j", "__ek_loc", "__ek_pm"
+    df = ef.df.withColumn(I, F.row_number().over(worder(ef)) - 1)
+    if q == 1.0:
+        # w=0: ema is constant x_0; q^{±j} == 1, one segment suffices
+        df = df.withColumn(J, F.col(I)).withColumn(SEG, F.lit(0).cast("long"))
+        L = None
+    else:
+        import math
+
+        L = max(2, int(500.0 / abs(math.log(q))))
+        df = df.withColumn(J, F.col(I) % L).withColumn(
+            SEG, F.floor(F.col(I) / F.lit(L))
+        )
+    keyparts = [F.col(k) for k in ef.key_cols] if ef.key_cols else [F.lit(0)]
+    wseg = (
+        W.partitionBy(*keyparts, F.col(SEG))
+        .orderBy(F.col(ef.seq_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    coeff = F.when(F.col(I) == 0, F.lit(1.0)).otherwise(F.lit(w_))
+    term = coeff * v * F.pow(F.lit(q), -F.col(J))
+    df = df.withColumn(LOC, F.pow(F.lit(q), F.col(J)) * F.sum(term).over(wseg))
+    if L is None:
+        return df, F.col(LOC)
+    # boundary hand-off: mark each segment's last row, shift by one row so
+    # a segment only ever sees the PREVIOUS segment's boundary, then
+    # forward-fill with a running last_value (growing frame, O(n)).
+    mark = F.when(F.col(J) == L - 1, F.col(LOC))
+    df = df.withColumn(PM, F.lag(mark, 1).over(worder(ef)))
+    boundary = F.last(F.col(PM), ignorenulls=True).over(wcum(ef))
+    ema_col = F.col(LOC) + F.coalesce(boundary, F.lit(0.0)) * F.pow(
+        F.lit(q), F.col(J) + 1
+    )
+    return df, ema_col
+
+
 def ema(ef, n: int | None = None, weight: float | None = None):
     """Exponential moving average (aggregate.py:95-111).
 
-    Reference recurrence: ema_0 = x_0; ema_t = (1-w)*ema_{t-1} + w*x_t,
-    w = weight or 2/(n+1). Rewritten as a closed-form geometric scan —
-    ema_i = q^i * sum_{j<=i}(c_j x_j q^{-j}), c_0 = 1, c_j = w — which is
-    a single window sum (JVM-side, partition-parallel), not a sequential
-    Python loop. Numerics: q^{-j} grows ~ e^{|ln q| j}; safe for streams
-    up to ~6000 rows per key at w=0.1 (double overflows past q^-j ~ 1e300).
-    For longer per-key streams use a segmented-scan/applyInPandas variant.
+    Segmented-scan window formulation (see ``_ema_staged``): JVM-side,
+    partition-parallel, one shuffle, numerically safe at any per-key
+    stream length (no q^{-i} overflow). ``weight > 1`` (q < 0, where the
+    log-magnitude segmentation doesn't apply) routes to the exact pandas
+    kernel ``state.ema_exact``.
     """
     w_ = weight if weight is not None else 2.0 / (n + 1)
     q = 1.0 - w_
     if q == 0.0:
         # w=1 (n=1): ema_t = x_t — the closed form would divide by q^i
         return _running(ef, lambda v, win: v * 1.0)
+    if q < 0.0:
+        from .. import state as _state
 
-    def expr(v, win):
-        i = F.row_number().over(worder(ef)) - 1
-        coeff = F.when(i == 0, F.lit(1.0)).otherwise(F.lit(w_))
-        term = coeff * v * F.pow(F.lit(q), -i)
-        s = F.sum(term).over(win)
-        return F.pow(F.lit(q), i) * s
-
-    return _running(ef, expr)
+        return _state.ema_exact(ef, weight=w_)
+    df, ema_col = _ema_staged(ef, w_, q)
+    cols = [F.col(c) for c in meta_cols(ef)] + [ema_col.alias("value")]
+    return ef._with(df=df.select(*cols), value_cols=["value"])
 
 
 _MULTI_KINDS = {
@@ -130,23 +184,24 @@ def running_multi(ef, *kinds: str, ema_n: int | None = None):
     join per branch."""
     v = value_col(ef)
     w = wcum(ef)
+    df = ef.df
+    ema_col = None
+    if "ema" in kinds:
+        w_ = 2.0 / ((ema_n or 10) + 1)
+        q = 1.0 - w_
+        if q == 0.0:
+            ema_col = v * 1.0
+        else:
+            # segmented-scan staging rides the same key shuffle; the
+            # other aggregates read the untouched value column
+            df, ema_col = _ema_staged(ef, w_, q)
     cols = [F.col(c) for c in meta_cols(ef)]
     names = []
     for kind in kinds:
-        if kind == "ema":
-            i = F.row_number().over(worder(ef)) - 1
-            w_ = 2.0 / ((ema_n or 10) + 1)
-            q = 1.0 - w_
-            if q == 0.0:
-                out = v * 1.0
-            else:
-                coeff = F.when(i == 0, F.lit(1.0)).otherwise(F.lit(w_))
-                out = F.pow(F.lit(q), i) * F.sum(coeff * v * F.pow(F.lit(q), -i)).over(w)
-        else:
-            out = _MULTI_KINDS[kind](v, w, ef)
+        out = ema_col if kind == "ema" else _MULTI_KINDS[kind](v, w, ef)
         cols.append(out.alias(kind))
         names.append(kind)
-    return ef._with(df=ef.df.select(*cols), value_cols=names)
+    return ef._with(df=df.select(*cols), value_cols=names)
 
 
 def pairwise(ef):

@@ -51,6 +51,36 @@ def test_ema(spark):
     assert all(abs(g - e) < 1e-9 for g, e in zip(got2, exp))
 
 
+def test_ema_long_stream_no_overflow(spark):
+    """100k rows across 2 keys: the old single-window closed form
+    overflowed past ~6k rows/key (q^-i -> inf); the segmented scan must
+    match the exact pandas recurrence everywhere (ADVICE r1, medium)."""
+    from eventkit_spark.frame import EventFrame
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 2).alias("k"),
+        (F.col("id") / 2).cast("long").alias("seq"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("value"),
+    )
+    ef = EventFrame(df, value_cols=["value"], seq_col="seq", ts_col=None, key_cols=["k"])
+    got = ef.ema(n=10).df.orderBy("k", "seq").toPandas()
+    exact = ef.ema_exact(n=10).df.orderBy("k", "seq").toPandas()
+    assert not got["value"].isna().any()
+    assert math.isfinite(got["value"].abs().max())
+    diff = (got["value"] - exact["value"]).abs().max()
+    assert diff < 1e-6, f"segmented vs exact EMA diverged by {diff}"
+
+
+def test_ema_single_shuffle(spark):
+    """Segmented EMA's (key, seg) windows must reuse the key exchange —
+    one shuffle total, not one per window spec."""
+    from eventkit_spark.plans.audit import count_shuffles
+    from eventkit_spark.sources.tables import load_events
+
+    ef = load_events(spark, "/root/testdata/sf0.001")
+    assert count_shuffles(ef.ema(n=10).df) <= 1
+
+
 def test_pairwise(ints):
     assert ints.take(4).pairwise().to_list() == [(0, 1), (1, 2), (2, 3)]
 
