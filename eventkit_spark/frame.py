@@ -36,6 +36,9 @@ from .operators import timing as _timing
 from .operators import transform as _transform
 from . import state as _state
 
+# distinct "not provided" marker: _with(ts_col=None) must mean "clear"
+_UNSET = object()
+
 
 class EventFrame:
     """A (possibly keyed) ordered event stream backed by a DataFrame."""
@@ -60,12 +63,17 @@ class EventFrame:
         self.end_ts = end_ts
 
     # -- plumbing -----------------------------------------------------
-    def _with(self, df=None, value_cols=None, seq_col=None, ts_col=None, key_cols=None):
+    def _with(self, df=None, value_cols=None, seq_col=None, ts_col=_UNSET, key_cols=None):
+        """Derive a frame with some fields replaced. ``ts_col`` uses a
+        sentinel default so callers can explicitly CLEAR it with
+        ``ts_col=None`` (a frame that dropped its ts column must not keep
+        a stale reference — round-1 ADVICE, low); membership in the new
+        df is re-validated by ``__init__``."""
         return EventFrame(
             df if df is not None else self.df,
             value_cols if value_cols is not None else self.value_cols,
             seq_col or self.seq_col,
-            ts_col if ts_col is not None else self.ts_col,
+            self.ts_col if ts_col is _UNSET else ts_col,
             key_cols if key_cols is not None else self.key_cols,
             end_ts=self.end_ts,
         )
@@ -349,8 +357,9 @@ class EventFrame:
         return _timing.chunkwith(self, timer, emit_empty)
 
     def throttle(self, maximum: float, interval: float, cost: float = 1.0,
-                 cost_expr=None, status: bool = False):
-        return _state.throttle(self, maximum, interval, cost, cost_expr, status)
+                 cost_expr=None, status: bool = False, limit_changes=None):
+        return _state.throttle(self, maximum, interval, cost, cost_expr, status,
+                               limit_changes)
 
     # -- error channel (SURVEY.md §2.7) -------------------------------
     def errors(self):

@@ -94,8 +94,11 @@ def concat(*efs):
     wlater = (
         W.partitionBy(*keys) if keys else W.partitionBy(F.lit(0))
     ).orderBy(TAG).rowsBetween(1, W.unboundedFollowing)
+    # cut table is O(keys x sources): broadcast-hint only the unkeyed case
+    # (a handful of rows); keyed streams let AQE decide at runtime so a
+    # high-cardinality key can't blow the driver (round-1 ADVICE, low)
     cuts = firsts.withColumn("__ek_kill", F.min("__ek_first").over(wlater)).drop("__ek_first")
-    joined = df.join(F.broadcast(cuts), on=group, how="left")
+    joined = df.join(cuts if keys else F.broadcast(cuts), on=group, how="left")
     row_key = F.struct(F.col("ts"), F.col(TAG), F.col("seq"))
     kept = joined.filter(F.col("__ek_kill").isNull() | (row_key < F.col("__ek_kill")))
     return _finish(efs[0], kept.drop("__ek_kill"), [F.col("ts"), F.col(TAG), F.col("seq")], keys)
@@ -119,8 +122,9 @@ def switch(*efs):
     wnext = (
         W.partitionBy(*keys) if keys else W.partitionBy(F.lit(0))
     ).orderBy(F.col("__ek_first"))
+    # same broadcast policy as concat: hint only when unkeyed
     cuts = firsts.withColumn("__ek_next", F.lead("__ek_first").over(wnext))
-    joined = df.join(F.broadcast(cuts), on=group, how="left")
+    joined = df.join(cuts if keys else F.broadcast(cuts), on=group, how="left")
     row_key = F.struct(F.col("ts"), F.col(TAG), F.col("seq"))
     kept = joined.filter(
         F.col("__ek_next").isNull() | (row_key < F.col("__ek_next"))

@@ -32,8 +32,15 @@ def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
         )
 
 
-def assert_broadcast_join(df: DataFrame) -> None:
-    """Assert at least one join in the plan executes as a broadcast."""
+def assert_broadcast_join(df: DataFrame, execute: bool = False) -> None:
+    """Assert at least one join in the plan executes as a broadcast.
+
+    ``execute=True`` runs the query first so AQE's FINAL plan is
+    inspected — required for joins the engine deliberately leaves
+    unhinted (e.g. keyed takeuntil cut tables) where only runtime
+    statistics reveal the small side."""
+    if execute:
+        df.count()
     plan = physical_plan(df)
     if "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
         raise AssertionError(f"no broadcast join in plan:\n{plan}")

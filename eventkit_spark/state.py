@@ -47,7 +47,8 @@ def ema_exact(ef, n: int | None = None, weight: float | None = None):
     return ef._with(df=df.select(*[f.name for f in schema.fields]))
 
 
-def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=None, status: bool = False):
+def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=None,
+             status: bool = False, limit_changes=None):
     """Rate-limit without dropping: at most ``maximum`` total cost per
     sliding ``interval`` seconds; excess rows are re-timestamped to the
     earliest time the budget allows (timing.py:104-184 queues and
@@ -59,12 +60,28 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=N
     the reference's status_event is this column's change stream
     (``.changes()`` over it).
 
+    ``limit_changes`` is the reference's dynamic ``set_limit``
+    (timing.py:124-131) recast in event time: an iterable of
+    ``(ts, maximum, interval)`` triples (ts = datetime or epoch seconds).
+    Each key applies a change once its candidate emit time reaches the
+    change time — including jumping a waiting row forward to a change
+    that raises the budget. The schedule is a tiny driver-side config
+    (closure-captured), not a shuffled stream.
+
     Sequential by nature (each row's emit time depends on all prior emit
     times) — pandas kernel per key.
     """
     ts_col, seq_col = ef.ts_col, ef.seq_col
     if not ts_col:
         raise ValueError("throttle() needs an event-time column")
+
+    sched = []
+    if limit_changes:
+        for t, mx, iv in limit_changes:
+            if hasattr(t, "timestamp"):
+                t = pd.Timestamp(t).timestamp()
+            sched.append((float(t), float(mx), float(iv)))
+        sched.sort()
 
     src = ef.df
     if cost_expr is not None:
@@ -77,7 +94,7 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=N
     has_cost_col = cost_expr is not None
 
     class _KeyState:
-        __slots__ = ("window", "used", "last_emit")
+        __slots__ = ("window", "used", "last_emit", "si", "maximum", "interval")
 
         def __init__(self):
             from collections import deque
@@ -85,27 +102,40 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=N
             self.window = deque()  # (emit_time, cost)
             self.used = 0.0
             self.last_emit = -float("inf")
+            self.si = 0  # next pending limit_changes index
+            self.maximum = maximum
+            self.interval = interval
 
     def _run(times, costs, st: _KeyState):
         out = times.copy()
         window, used, last_emit = st.window, st.used, st.last_emit
+        mx, iv, si = st.maximum, st.interval, st.si
         for i in range(len(out)):
             c = costs[i] if costs is not None else cost
             # FIFO: a queued row cannot emit before its predecessor
             t = max(times[i], last_emit)
             # earliest admissible time given the sliding budget
             while True:
-                while window and window[0][0] <= t - interval:
+                while si < len(sched) and sched[si][0] <= t:
+                    _, mx, iv = sched[si]
+                    si += 1
+                while window and window[0][0] <= t - iv:
                     used -= window.popleft()[1]
-                if used + c <= maximum or not window:
+                if used + c <= mx or not window:
                     break
-                # wait until the oldest in-window emission expires
-                t = window[0][0] + interval
+                # wait until the oldest in-window emission expires — or
+                # until a pending limit change, which may raise the budget
+                t_next = window[0][0] + iv
+                if si < len(sched) and sched[si][0] < t_next:
+                    t = sched[si][0]
+                else:
+                    t = t_next
             out[i] = t
             last_emit = t
             window.append((t, c))
             used += c
         st.used, st.last_emit = used, last_emit
+        st.maximum, st.interval, st.si = mx, iv, si
         return out
 
     def kernel(batches):

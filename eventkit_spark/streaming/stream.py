@@ -36,6 +36,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+def _sql_type(df: DataFrame, col: str) -> str:
+    """DDL type of a column — stateful handlers derive their output and
+    state schemas from the actual frame schema instead of hardcoding
+    long keys / double payloads (round-1 ADVICE, low)."""
+    return df.schema[col].dataType.simpleString()
+
+
+def _keys_prefix(df: DataFrame, keys) -> str:
+    return "".join(f"{k} {_sql_type(df, k)}, " for k in keys)
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> "StreamFrame":
     """The reference's Timer/Sequence analog: monotonically timestamped
     generated rows (eventkit/ops/create.py:100-112)."""
@@ -124,9 +135,8 @@ class StreamFrame:
         w = 2.0 / (ema_n + 1)
 
         out_schema = (
-            ", ".join(f"{k} long" for k in keys)
-            + (", " if keys else "")
-            + f"{ts_col} timestamp, value double, "
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
             + "rcount long, rsum double, rmin double, rmax double, ema double"
         )
         state_schema = "rcount long, rsum double, rmin double, rmax double, ema double"
@@ -179,10 +189,10 @@ class StreamFrame:
         value_col = self.value_cols[0]
         ts_col = self.ts_col
         keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
         out_schema = (
-            ", ".join(f"{k} long" for k in keys)
-            + (", " if keys else "")
-            + f"{ts_col} timestamp, value double"
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
         )
 
         def handler(key, pdfs, state: GroupState):
@@ -191,7 +201,7 @@ class StreamFrame:
             for pdf in pdfs:
                 pdf = pdf.sort_values(ts_col)
                 for _, row in pdf.iterrows():
-                    x = float(row[value_col])
+                    x = row[value_col]
                     if prev is None or x != prev:
                         outs.append(
                             {**{k: row[k] for k in keys}, ts_col: row[ts_col], "value": x}
@@ -205,7 +215,7 @@ class StreamFrame:
         return grouped.applyInPandasWithState(
             handler,
             outputStructType=out_schema,
-            stateStructType="prev double",
+            stateStructType=f"prev {vt}",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -216,10 +226,10 @@ class StreamFrame:
         value_col = self.value_cols[0]
         ts_col = self.ts_col
         keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
         out_schema = (
-            ", ".join(f"{k} long" for k in keys)
-            + (", " if keys else "")
-            + f"{ts_col} timestamp, prev double, cur double"
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, prev {vt}, cur {vt}"
         )
 
         def handler(key, pdfs, state: GroupState):
@@ -228,7 +238,7 @@ class StreamFrame:
             for pdf in pdfs:
                 pdf = pdf.sort_values(ts_col)
                 for _, row in pdf.iterrows():
-                    x = float(row[value_col])
+                    x = row[value_col]
                     if prev is not None:
                         outs.append(
                             {
@@ -247,7 +257,7 @@ class StreamFrame:
         return grouped.applyInPandasWithState(
             handler,
             outputStructType=out_schema,
-            stateStructType="prev double",
+            stateStructType=f"prev {vt}",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -258,19 +268,19 @@ class StreamFrame:
         every arrival (partial=True semantics: NULL before first emit)."""
         ts_col = self.ts_col
         keys = self.key_cols
+        vt = _sql_type(self.df, self.value_cols[0])
         tagged = self.df.select(
             *keys, F.col(ts_col), F.lit(0).alias("__tag"),
-            F.col(self.value_cols[0]).cast("double").alias("__v"),
+            F.col(self.value_cols[0]).alias("__v"),
         ).unionByName(
             other.df.select(
                 *keys, F.col(other.ts_col).alias(ts_col), F.lit(1).alias("__tag"),
-                F.col(other.value_cols[0]).cast("double").alias("__v"),
+                F.col(other.value_cols[0]).cast(vt).alias("__v"),
             )
         )
         out_schema = (
-            ", ".join(f"{k} long" for k in keys)
-            + (", " if keys else "")
-            + f"{ts_col} timestamp, v0 double, v1 double"
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, v0 {vt}, v1 {vt}"
         )
 
         def handler(key, pdfs, state: GroupState):
@@ -280,9 +290,9 @@ class StreamFrame:
                 pdf = pdf.sort_values([ts_col, "__tag"])
                 for _, row in pdf.iterrows():
                     if int(row["__tag"]) == 0:
-                        v0 = float(row["__v"])
+                        v0 = row["__v"]
                     else:
-                        v1 = float(row["__v"])
+                        v1 = row["__v"]
                     outs.append(
                         {**{k: row[k] for k in keys}, ts_col: row[ts_col], "v0": v0, "v1": v1}
                     )
@@ -294,7 +304,7 @@ class StreamFrame:
         return grouped.applyInPandasWithState(
             handler,
             outputStructType=out_schema,
-            stateStructType="v0 double, v1 double",
+            stateStructType=f"v0 {vt}, v1 {vt}",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -308,19 +318,19 @@ class StreamFrame:
         (stream-stream row-number equi-joins are unsupported)."""
         ts_col = self.ts_col
         keys = self.key_cols
+        vt = _sql_type(self.df, self.value_cols[0])
         tagged = self.df.select(
             *keys, F.col(ts_col), F.lit(0).alias("__tag"),
-            F.col(self.value_cols[0]).cast("double").alias("__v"),
+            F.col(self.value_cols[0]).alias("__v"),
         ).unionByName(
             other.df.select(
                 *keys, F.col(other.ts_col).alias(ts_col), F.lit(1).alias("__tag"),
-                F.col(other.value_cols[0]).cast("double").alias("__v"),
+                F.col(other.value_cols[0]).cast(vt).alias("__v"),
             )
         )
         out_schema = (
-            ", ".join(f"{k} long" for k in keys)
-            + (", " if keys else "")
-            + f"{ts_col} timestamp, pair_no long, v0 double, v1 double"
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, pair_no long, v0 {vt}, v1 {vt}"
         )
 
         def handler(key, pdfs, state: GroupState):
@@ -333,7 +343,7 @@ class StreamFrame:
             for pdf in pdfs:
                 pdf = pdf.sort_values([ts_col, "__tag"])
                 for _, row in pdf.iterrows():
-                    (q0 if int(row["__tag"]) == 0 else q1).append(float(row["__v"]))
+                    (q0 if int(row["__tag"]) == 0 else q1).append(row["__v"])
                     if q0 and q1:
                         outs.append(
                             {
@@ -353,7 +363,7 @@ class StreamFrame:
         return grouped.applyInPandasWithState(
             handler,
             outputStructType=out_schema,
-            stateStructType="q0 array<double>, q1 array<double>, emitted long",
+            stateStructType=f"q0 array<{vt}>, q1 array<{vt}>, emitted long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

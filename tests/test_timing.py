@@ -112,3 +112,23 @@ def test_throttle(spark):
     rel = [(t - ts[0]).total_seconds() for t in ts]
     assert rel == pytest.approx([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
     assert out.to_list() == [1, 2, 3, 4, 5, 6]
+
+
+def test_throttle_set_limit(spark):
+    """Dynamic limit change (reference timing.py:124-131 set_limit): a
+    budget raise at t=25 releases the whole queued backlog immediately;
+    a waiting row jumps FORWARD to the change time instead of the old
+    window expiry."""
+    import datetime as dt
+
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, list(range(10)), times=[float(i) for i in range(10)])
+    base = ef.df.agg({"ts": "min"}).collect()[0][0]
+    change_at = base + dt.timedelta(seconds=25)
+    out = ef.throttle(maximum=1, interval=10.0,
+                      limit_changes=[(change_at, 100, 10.0)])
+    ts = [r["ts"] for r in out.df.orderBy("seq").collect()]
+    rel = [(t - base).total_seconds() for t in ts]
+    # budget 1/10s -> 0, 10, 20; then the raise at 25 drains the rest
+    assert rel == pytest.approx([0, 10, 20, 25, 25, 25, 25, 25, 25, 25])
