@@ -328,6 +328,11 @@ class EventFrame:
         return _combine.fork_zip(self, *branch_fns)
 
     # -- higher-order (SURVEY.md §2.3 emap family) --------------------
+    def emap(self, child_gen, joiner="merge"):
+        """Generic emap with a named or user-supplied joiner
+        (event.py:865-879)."""
+        return _ho.emap(self, child_gen, joiner)
+
     def mergemap(self, child_gen):
         return _ho.mergemap(self, child_gen)
 

@@ -122,6 +122,41 @@ def switchmap(ef, child_gen):
     return _reseq(ef, kept.drop("__ek_next"), [F.col("ts"), F.col(PSEQ), F.col(CIDX)])
 
 
+def emap(ef, child_gen, joiner="merge"):
+    """Generic emap (reference event.py:865-879): construct a child
+    stream per source row and flatten with ``joiner``.
+
+    ``joiner`` is one of the four named disciplines ("merge" / "chain" /
+    "concat" / "switch") or a callable — the engine analog of the
+    reference's user-supplied ``AddableJoinOp``. A callable joiner
+    receives ``(ef, rows)`` where ``rows`` is the exploded child
+    DataFrame (key columns, ``__ek_pseq`` parent seq, ``__ek_cidx``
+    child emit index, ``ts``, ``value``); it selects/filters rows and
+    returns the finished frame — use ``resequence(ef, df, order_cols)``
+    for the standard tail."""
+    if callable(joiner):
+        rows = _explode_children(ef, child_gen)
+        return joiner(ef, rows)
+    try:
+        fn = {
+            "merge": mergemap,
+            "chain": chainmap,
+            "concat": concatmap,
+            "switch": switchmap,
+        }[joiner]
+    except KeyError:
+        raise ValueError(
+            f"joiner must be merge/chain/concat/switch or a callable, got {joiner!r}"
+        ) from None
+    return fn(ef, child_gen)
+
+
+def resequence(ef, df, order_cols):
+    """Public tail for custom emap joiners: deterministic per-key
+    re-sequencing of flattened child rows."""
+    return _reseq(ef, df, order_cols)
+
+
 def marble_children(marbles: list[str], interval: float = 1.0):
     """Child-generator builder for tests: parent value v selects
     ``marbles[v]`` (reference marble grammar: '_' stripped, '-'/' '

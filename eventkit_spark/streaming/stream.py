@@ -13,7 +13,9 @@ semantics exist:
 | debounce (on_last)         | session window, last value per burst        |
 | unique                     | dropDuplicatesWithinWatermark               |
 | merge                      | unionByName (arrival order)                 |
-| sample / throttle / zip    | batch-only for now (documented, SURVEY §7.2)|
+| zip / ziplatest            | two-queue / two-slot keyed state            |
+| sample                     | union + stateful latest, emit on timer tag  |
+| throttle                   | sliding-budget deque in the state store     |
 
 Late data is governed by ``with_watermark``; every windowed/stateful op
 requires it in append mode. Tests drive these with file sources +
@@ -364,6 +366,111 @@ class StreamFrame:
             handler,
             outputStructType=out_schema,
             stateStructType=f"q0 array<{vt}>, q1 array<{vt}>, emitted long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def sample(self, timer: "StreamFrame") -> DataFrame:
+        """Streaming Sample (the batch as-of union in
+        operators/timing.py:102, reference timing.py Sample): on each
+        timer-stream arrival emit the source's latest value per key.
+        State = latest source value; ties at equal ts deliver the source
+        first (tag order), matching the batch formulation."""
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, self.value_cols[0])
+        tagged = self.df.select(
+            *keys, F.col(ts_col), F.lit(0).alias("__tag"),
+            F.col(self.value_cols[0]).alias("__v"),
+        ).unionByName(
+            timer.df.select(
+                *keys, F.col(timer.ts_col).alias(ts_col), F.lit(1).alias("__tag"),
+                F.lit(None).cast(vt).alias("__v"),
+            )
+        )
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, sampled {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            latest = state.get[0] if state.exists else None
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values([ts_col, "__tag"])
+                for _, row in pdf.iterrows():
+                    if int(row["__tag"]) == 0:
+                        latest = row["__v"]
+                    elif latest is not None:
+                        outs.append(
+                            {**{k: row[k] for k in keys}, ts_col: row[ts_col],
+                             "sampled": latest}
+                        )
+            state.update((latest,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=f"latest {vt}",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def throttle(self, maximum: float, interval: float, cost: float = 1.0) -> DataFrame:
+        """Streaming Throttle: the same sliding-budget re-timestamping
+        recurrence as the batch kernel (state.py:50), with the in-window
+        emission deque carried in the state store per key — emits
+        (ts, emit_ts, value); identical output to the batch kernel over
+        the same recorded rows (parity-tested)."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, emit_ts timestamp, value {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            if state.exists:
+                wt, wc, last_emit = state.get
+                wt, wc = list(wt), list(wc)
+            else:
+                wt, wc, last_emit = [], [], -float("inf")
+            used = sum(wc)
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    t = max(row[ts_col].value / 1e9, last_emit)  # epoch s, matches batch kernel
+                    while True:
+                        while wt and wt[0] <= t - interval:
+                            wt.pop(0)
+                            used -= wc.pop(0)
+                        if used + cost <= maximum or not wt:
+                            break
+                        t = wt[0] + interval
+                    last_emit = t
+                    wt.append(t)
+                    wc.append(cost)
+                    used += cost
+                    outs.append(
+                        {**{k: row[k] for k in keys}, ts_col: row[ts_col],
+                         "emit_ts": pd.Timestamp(round(t * 1e6) * 1000),
+                         "value": row[value_col]}
+                    )
+            state.update((wt, wc, last_emit))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="wt array<double>, wc array<double>, last_emit double",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
