@@ -129,6 +129,19 @@ class EventFrame:
     def to_local_iterator(self):
         return self.df.toLocalIterator()
 
+    def aiter(self, skip_to_last: bool = False):
+        """Iterate the stream (event.py:339-389 ``__aiter__``).
+
+        ``skip_to_last=True`` is the reference's backpressure-drop
+        consumer (event.py:339-366): every value superseded before the
+        consumer gets to it is discarded. Over a recorded batch frame the
+        consumer is infinitely slow relative to the (already complete)
+        stream, so it observes exactly the final value per key — the
+        streaming analog is ``StreamFrame.foreach_latest``."""
+        if skip_to_last:
+            return iter(self.last().to_list())
+        return self.df.toLocalIterator()
+
     def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None):
         """Materialize the stream as parquet (batch sink). Partitioning
         by the stream key keeps downstream scans partition-pruned."""
@@ -234,6 +247,12 @@ class EventFrame:
     def try_map_pandas(self, fn, return_type, name: str = "value"):
         """map_pandas that routes exceptions to the error column."""
         return _misc.try_map_pandas(self, fn, return_type, name)
+
+    def try_map(self, fn, names=None, error_msg: str = "map failed"):
+        """Column-expression map with error-channel semantics: NULL
+        results from non-null inputs populate ``error`` (fallible pluck,
+        try_cast, try_divide, ...)."""
+        return _misc.try_map_cols(self, fn, names, error_msg)
 
     # -- aggregates (SURVEY.md §2.4) ----------------------------------
     def reduce(self, merge_expr, initializer=None, result_type="double"):

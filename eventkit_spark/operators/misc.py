@@ -51,6 +51,38 @@ def try_map_pandas(ef, fn, return_type, name: str = "value"):
     return ef._with(df=df, value_cols=[name])
 
 
+def try_map_cols(ef, fn, names=None, error_msg: str = "map failed"):
+    """Fallible COLUMN-expression map with error-channel semantics.
+
+    The reference propagates exceptions from every operator on
+    ``error_event`` (eventkit/ops/op.py:29-33). Spark expressions never
+    raise row-wise — the ``try_*`` family (try_cast, try_divide,
+    try_element_at) and path extractors (get_json_object) return NULL on
+    failure instead. This wrapper turns that convention into the error
+    channel: a row whose RESULT is NULL while every input was non-null
+    gets ``error`` populated (composed with any pre-existing error via
+    coalesce), so e.g. ``try_map(lambda v: F.get_json_object(v, path))``
+    is the fallible pluck. Stays fully JVM-side."""
+    out = fn(*[F.col(c) for c in ef.value_cols])
+    if not isinstance(out, (list, tuple)):
+        out = [out]
+    if names is None:
+        names = ["value"] if len(out) == 1 else [f"v{i}" for i in range(len(out))]
+    inputs_ok = F.lit(True)
+    for c in ef.value_cols:
+        inputs_ok = inputs_ok & F.col(c).isNotNull()
+    failed = inputs_ok
+    for o in out:
+        failed = failed & o.isNull()
+    err = F.when(failed, F.lit(error_msg))
+    if ERROR_COL in ef.df.columns:
+        err = F.coalesce(F.col(ERROR_COL), err)
+    cols = [F.col(c) for c in meta_cols(ef)]
+    cols += [o.alias(n) for o, n in zip(out, names)]
+    cols.append(err.alias(ERROR_COL))
+    return ef._with(df=ef.df.select(*cols), value_cols=list(names))
+
+
 def errors(ef):
     """The error side-channel as a stream (misc.py:5-15)."""
     if ERROR_COL not in ef.df.columns:

@@ -516,15 +516,45 @@ class StreamFrame:
         return self._with(df=self.df.dropDuplicatesWithinWatermark(cols))
 
     # -- sinks --------------------------------------------------------
-    def foreach_batch(self, fn: Callable, sink_df: DataFrame | None = None, checkpoint: str | None = None):
+    def foreach_batch(self, fn: Callable, sink_df: DataFrame | None = None,
+                      checkpoint: str | None = None, available_now: bool = False):
         """Listener-callback sink (the reference's connect/emit path,
         event.py:87-140): ``fn(batch_df, batch_id)`` per micro-batch.
-        Returns the started StreamingQuery."""
+        Returns the started StreamingQuery; ``available_now=True`` drains
+        what's available and stops (deterministic test terminal)."""
         df = sink_df if sink_df is not None else self.df
         writer = df.writeStream.foreachBatch(fn)
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def foreach_latest(self, fn: Callable, checkpoint: str | None = None,
+                       available_now: bool = False):
+        """``aiter(skip_to_last=True)`` streaming analog
+        (event.py:339-366): each micro-batch is reduced to its newest row
+        per key before the callback, so a slow consumer observes only the
+        latest value — earlier rows within the batch are dropped."""
+        keys, ts = self.key_cols, self.ts_col
+
+        def _latest(batch_df, batch_id):
+            if keys:
+                latest = (
+                    batch_df.groupBy(*keys)
+                    .agg(
+                        F.max_by(
+                            F.struct(*[c for c in batch_df.columns]), F.col(ts)
+                        ).alias("__r")
+                    )
+                    .select("__r.*")
+                )
+            else:
+                latest = batch_df.orderBy(F.col(ts).desc()).limit(1)
+            fn(latest, batch_id)
+
+        return self.foreach_batch(_latest, checkpoint=checkpoint,
+                                  available_now=available_now)
 
     def to_parquet_stream(self, path: str, checkpoint: str, sink_df: DataFrame | None = None):
         """Durable streaming sink: append parquet with checkpointing."""

@@ -227,3 +227,25 @@ def test_streaming_throttle(spark, stream_dir):
             assert sp[(uid, ts0)] == bp[(uid, eid)], (uid, eid)
             n_checked += 1
     assert n_checked >= len(src_ts) * 0.95  # ts collisions per user are rare
+
+
+def test_foreach_latest(spark, stream_dir):
+    """aiter(skip_to_last=True) analog: the callback sees only the newest
+    row per key of each micro-batch."""
+    sf = _stream(spark, stream_dir)
+    seen = {}
+
+    def consume(batch_df, _bid):
+        for r in batch_df.collect():
+            seen[r["user_id"]] = r["event_id"]
+
+    q = sf.foreach_latest(consume, available_now=True)
+    q.awaitTermination()
+    batch = spark.read.parquet(stream_dir)
+    last = {
+        r["user_id"]: r["event_id"]
+        for r in batch.groupBy("user_id").agg(
+            F.max_by(F.col("event_id"), F.col("ts")).alias("event_id")
+        ).collect()
+    }
+    assert seen == last

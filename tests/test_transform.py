@@ -68,6 +68,32 @@ def test_map_pandas(ints):
     assert ef.to_list() == [0, 1, 4, 9]
 
 
+def test_try_map_cols_error_channel(spark):
+    """Fallible column-expression map (the fallible pluck): NULL results
+    from non-null inputs populate the error channel, JVM-side."""
+    from eventkit_spark.sources.create import sequence
+    from pyspark.sql import functions as F
+
+    ef = sequence(spark, ['{"k": 1}', "not json", '{"k": 3}'])
+    out = ef.try_map(
+        lambda v: F.get_json_object(v, "$.k").cast("long"),
+        error_msg="bad json path",
+    )
+    assert out.to_list() == [1, None, 3]
+    assert out.errors().to_list() == ["bad json path"]
+    # try_divide routing: x/0 -> NULL -> error
+    nums = sequence(spark, [4.0, 0.0, 8.0])
+    d = nums.try_map(lambda v: F.try_divide(F.lit(8.0), v), error_msg="div0")
+    assert d.errors().to_list() == ["div0"]
+
+
+def test_aiter_skip_to_last(ints):
+    """aiter(skip_to_last=True): the backpressure-drop consumer sees only
+    the newest value (event.py:339-366)."""
+    assert list(ints.aiter(skip_to_last=True)) == [9]
+    assert [r["value"] for r in ints.aiter()] == list(range(10))
+
+
 def test_try_map_errors(ints):
     ef = ints.try_map_pandas(lambda v: 10 // (v % 3), T.LongType())
     vals = ef.to_list()
