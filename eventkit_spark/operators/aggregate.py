@@ -131,9 +131,15 @@ def _ema_staged(ef, w_: float, q: float):
     # boundary hand-off: mark each segment's last row, shift by one row so
     # a segment only ever sees the PREVIOUS segment's boundary, then
     # forward-fill with a running last_value (growing frame, O(n)).
+    # Ordering by (seg, seq) is IDENTICAL to (seq) per key (seg is
+    # monotone in seq) but matches the segment window's sort key, so
+    # these windows reuse that sort instead of planning a third one.
+    worder2 = W.partitionBy(*keyparts).orderBy(F.col(SEG), F.col(ef.seq_col))
     mark = F.when(F.col(J) == L - 1, F.col(LOC))
-    df = df.withColumn(PM, F.lag(mark, 1).over(worder(ef)))
-    boundary = F.last(F.col(PM), ignorenulls=True).over(wcum(ef))
+    df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
+    boundary = F.last(F.col(PM), ignorenulls=True).over(
+        worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     ema_col = F.col(LOC) + F.coalesce(boundary, F.lit(0.0)) * F.pow(
         F.lit(q), F.col(J) + 1
     )
