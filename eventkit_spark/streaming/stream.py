@@ -475,6 +475,211 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    # -- higher-order (emap family) ------------------------------------
+    def _emap_rows(self, child_gen, outer: bool = False) -> DataFrame:
+        """One row per child emit (stateless explode) — the streaming
+        analog of the batch engine's ``_explode_children``
+        (operators/higher_order.py). Parents are identified by event
+        time: ``pseq = unix_micros(parent ts)`` is the streaming
+        surrogate for the batch parent seq (per key, parents arrive in
+        event-time order; distinct parents need distinct ts).
+
+        With ``outer=True`` a parent whose child array is empty emits a
+        single NULL marker row (``cidx`` NULL). The stateful joiners
+        below read it as the reference's ``set_done`` end signal
+        (event.py:207-233): no further parents will arrive on this key,
+        so every kill is already determined by the children seen so far
+        and all pending child rows can flush.
+        """
+        children = child_gen(*[F.col(c) for c in self.value_cols])
+        ex = F.posexplode_outer if outer else F.posexplode
+        base = self.df.select(
+            *self.key_cols,
+            F.unix_micros(F.col(self.ts_col)).alias("pseq"),
+            ex(children).alias("cidx", "__ek_child"),
+        )
+        child_ts = F.timestamp_micros(
+            F.col("pseq") + (F.col("__ek_child.dt") * 1e6).cast("long")
+        )
+        return base.select(
+            *self.key_cols,
+            "pseq",
+            "cidx",
+            F.coalesce(child_ts, F.timestamp_micros(F.col("pseq"))).alias("ts"),
+            F.col("__ek_child.value").alias("value"),
+        )
+
+    def mergemap(self, child_gen) -> "StreamFrame":
+        """Streaming emap+Merge (reference transform.py:321-325):
+        children interleave by child event time. Fully stateless — one
+        posexplode, no shuffle, no state store. Downstream total order
+        is the ``(ts, pseq, cidx)`` key (same as the batch reseq)."""
+        rows = self._emap_rows(child_gen)
+        return StreamFrame(rows, value_cols=["value"], ts_col="ts",
+                           key_cols=self.key_cols)
+
+    def chainmap(self, child_gen) -> DataFrame:
+        """Streaming emap+Chain (transform.py:328-332): all of child
+        0, then child 1, ... Because a parent's entire child array
+        explodes at parent arrival, per-key arrival order in
+        ``(pseq, cidx)`` IS chain order; a stateful counter stamps it
+        as ``chain_no`` so the output carries the ordering."""
+        rows = self._emap_rows(child_gen)
+        vt = _sql_type(rows, "value")
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(rows, keys)
+            + f"ts timestamp, chain_no long, value {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            n = state.get[0] if state.exists else 0
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["pseq", "cidx"])
+                for _, row in pdf.iterrows():
+                    outs.append(
+                        {**{k: row[k] for k in keys}, "ts": row["ts"],
+                         "chain_no": n, "value": row["value"]}
+                    )
+                    n += 1
+            state.update((n,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = rows.groupBy(*keys) if keys else rows.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def concatmap(self, child_gen) -> DataFrame:
+        """Streaming emap+Concat — see ``_emap_cut``."""
+        return self._emap_cut(child_gen, "concat")
+
+    def switchmap(self, child_gen) -> DataFrame:
+        """Streaming emap+Switch — see ``_emap_cut``."""
+        return self._emap_cut(child_gen, "switch")
+
+    def emap(self, child_gen, joiner: str = "merge"):
+        """Generic streaming emap (reference event.py:865-879): named
+        discipline dispatch, mirroring the batch ``EventFrame.emap``."""
+        try:
+            fn = {
+                "merge": self.mergemap,
+                "chain": self.chainmap,
+                "concat": self.concatmap,
+                "switch": self.switchmap,
+            }[joiner]
+        except KeyError:
+            raise ValueError(
+                f"joiner must be merge/chain/concat/switch, got {joiner!r}"
+            ) from None
+        return fn(child_gen)
+
+    def _emap_cut(self, child_gen, discipline: str) -> DataFrame:
+        """Streaming emap with a kill discipline (Concat
+        transform.py:335-339, Switch transform.py:342-346), as a keyed
+        state machine:
+
+        - state = pending child rows + the first-emit struct
+          ``(ts, pseq, cidx)`` of every arrived child + an event-time
+          ``clock`` (max parent ts seen).
+        - kill (concat): a row of child k dies iff some arrived child
+          j>k has first-emit <= the row's key — the batch engine's
+          min-over-later-children cut.
+        - kill (switch): child k is live from its first emit until the
+          first emit of the next child in first-emit order.
+        - emit safety: a pending row with ``row.ts <= clock`` can never
+          be killed by a FUTURE child — per key, parents arrive in
+          event-time order with child dt >= 0, so any future first-emit
+          struct has ``ts >= clock`` and a strictly larger pseq, hence
+          exceeds the row's key. Survivors emit in ``(ts, pseq, cidx)``
+          order and that order is globally monotone across
+          micro-batches.
+
+        Rows with ``ts > clock`` stay pending until a later parent
+        advances the clock past them, or the ``set_done`` marker (an
+        empty-child parent, see ``_emap_rows``) declares the parent
+        stream finished — then no future child exists, the remaining
+        kills are all known, and every surviving pending row flushes.
+        """
+        rows = self._emap_rows(child_gen, outer=True)
+        vt = _sql_type(rows, "value")
+        keys = self.key_cols
+        out_schema = _keys_prefix(rows, keys) + f"ts timestamp, value {vt}"
+        state_schema = (
+            f"pts array<long>, ppseq array<long>, pcidx array<long>, "
+            f"pval array<{vt}>, fts array<long>, fpseq array<long>, "
+            f"fcidx array<long>, clock long"
+        )
+        kcols = list(keys)
+
+        def handler(key, pdfs, state: GroupState):
+            if state.exists:
+                pts, ppseq, pcidx, pval, fts, fpseq, fcidx, clock = state.get
+                pending = [list(pts), list(ppseq), list(pcidx), list(pval)]
+                firsts = sorted(zip(fts, fpseq, fcidx))
+            else:
+                pending, firsts, clock = [[], [], [], []], [], -(2**62)
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["pseq", "cidx"])
+                for pseq, grp in pdf.groupby("pseq", sort=True):
+                    real = grp[grp["cidx"].notna()]
+                    if real.empty:
+                        clock = 2**62  # set_done marker: flush everything
+                        continue
+                    clock = max(clock, int(pseq))
+                    tss = (real["ts"].astype("int64") // 1000).tolist()
+                    cidxs = real["cidx"].astype("int64").tolist()
+                    firsts.append(min(zip(tss, [int(pseq)] * len(tss), cidxs)))
+                    pending[0].extend(tss)
+                    pending[1].extend([int(pseq)] * len(tss))
+                    pending[2].extend(cidxs)
+                    pending[3].extend(real["value"].tolist())
+            firsts.sort()
+            by_pseq = {p: (t, p, c) for t, p, c in firsts}
+
+            def killed(rk, p):
+                if discipline == "concat":
+                    return any(f <= rk for f in firsts if f[1] > p)
+                nxt = next((f for f in firsts if f > by_pseq[p]), None)
+                return nxt is not None and rk >= nxt
+
+            outs, keep = [], [[], [], [], []]
+            order = sorted(range(len(pending[0])),
+                           key=lambda i: (pending[0][i], pending[1][i], pending[2][i]))
+            for i in order:
+                t, p, c, v = (pending[0][i], pending[1][i],
+                              pending[2][i], pending[3][i])
+                if killed((t, p, c), p):
+                    continue
+                if t <= clock:
+                    outs.append({**dict(zip(kcols, key)), "ts": pd.Timestamp(t * 1000),
+                                 "value": v})
+                else:
+                    keep[0].append(t); keep[1].append(p)
+                    keep[2].append(c); keep[3].append(v)
+            state.update((
+                keep[0], keep[1], keep[2], keep[3],
+                [f[0] for f in firsts], [f[1] for f in firsts],
+                [f[2] for f in firsts], clock,
+            ))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = rows.groupBy(*keys) if keys else rows.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     # -- windowed -----------------------------------------------------
     def tumbling_chunk(self, duration: str = "1 hour") -> DataFrame:
         """ChunkWith on a periodic timer == tumbling-window collect

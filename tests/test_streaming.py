@@ -249,3 +249,82 @@ def test_foreach_latest(spark, stream_dir):
         ).collect()
     }
     assert seen == last
+
+
+def _marble_stream(spark, tmp_path_factory, n_parents):
+    """Parent stream for the emap goldens: parent k at ts = epoch + k s,
+    value k, one key; plus a trailing empty-child parent (value
+    n_parents) — the set_done clock row that flushes the stateful
+    joiners."""
+    import datetime as dt
+    import pandas as pd
+
+    path = str(tmp_path_factory.mktemp("emap_src"))
+    epoch = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [epoch + dt.timedelta(seconds=k) for k in range(n_parents + 1)],
+            "user_id": [1] * (n_parents + 1),
+            "value": [float(k) for k in range(n_parents + 1)],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    from eventkit_spark.streaming import file_stream
+
+    return file_stream(
+        spark,
+        path,
+        schema="ts timestamp, user_id long, value double",
+        value_cols=["value"],
+        ts_col="ts",
+        key_cols=["user_id"],
+    )
+
+
+def test_streaming_emap_family(spark, tmp_path_factory):
+    """Streaming emap twins match the batch engine's four disciplines
+    on the reference marble goldens (transform_test.py:117-166)."""
+    from eventkit_spark.operators.higher_order import marble_children
+    from eventkit_spark.sources.create import sequence
+
+    goldens = {
+        "merge": [
+            "A   B    C    D",
+            "_1   2  3    4",
+            "__K   L     M   N",
+        ],
+        "chain": [
+            "A    B    C    D           ",
+            "_       1    2    3    4",
+            "__                  K    L      M   N",
+        ],
+        "concat": [
+            "A    B    C    D",
+            "_       1    2    3    4",
+            "__                  K    L      M   N",
+        ],
+        "switch": [
+            "A    B    C    D           ",
+            "_                 K    L      M   N",
+            "__      1    2      3    4",
+        ],
+    }
+    for i, (joiner, marbles) in enumerate(goldens.items()):
+        # the trailing parent (value 3) selects an empty marble: the
+        # batch engine ignores it, the streaming joiners use it as the
+        # end-of-stream clock
+        gen = marble_children(marbles + [""])
+        batch = sequence(spark, [0, 1, 2, 3], interval=1.0)
+        expect = batch.emap(gen, joiner).to_list()
+
+        sf = _marble_stream(spark, tmp_path_factory, 3)
+        out = sf.emap(gen, joiner)
+        if isinstance(out, type(sf)):  # mergemap returns a StreamFrame
+            got_df = sf.run_available_now(sink_df=out.df, name=f"ek_em{i}")
+            rows = got_df.orderBy("ts", "pseq", "cidx").collect()
+        else:
+            got_df = sf.run_available_now(sink_df=out, name=f"ek_em{i}")
+            order = ["chain_no"] if "chain_no" in got_df.columns else ["ts"]
+            rows = got_df.orderBy(*order).collect()
+        got = [r["value"] for r in rows]
+        assert got == expect, f"{joiner}: {got} != {expect}"
