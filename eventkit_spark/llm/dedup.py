@@ -108,10 +108,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
+    # sizes is O(docs) — never force-broadcast it; AQE broadcasts when it
+    # measures small and shuffle-joins at 100 TB (where a forced
+    # broadcast of a corpus-sized table would kill the driver)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     out = (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -93,6 +93,107 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     return flat.mapInPandas(kernel, schema=out_schema)
 
 
+def _decode_audio_bytes(payload: bytes, n_bytes: int) -> np.ndarray:
+    """STUB decode: a real build calls soundfile/ffmpeg here. Fake mono
+    float32 waveform, one sample per 2 payload bytes (16-bit PCM shape),
+    seeded by the payload hash so the plumbing is deterministic."""
+    if n_bytes <= 0:
+        raise NotImplementedError("real decoder required for empty payloads")
+    seed = int.from_bytes(bytes(payload[:8]).ljust(8, b"\0"), "little", signed=False)
+    rng = np.random.default_rng(seed % (2**63))
+    return rng.uniform(-1.0, 1.0, size=max(1, n_bytes // 2)).astype(np.float32)
+
+
+def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Decode + extract per-clip waveform features (duration, RMS,
+    zero-crossing rate, peak) via mapInPandas — the audio sibling of
+    ``image_features``; swapping the stub for a real decoder changes
+    only the kernel."""
+    out_schema = (
+        "asset_id long, n_samples long, duration_s double, rms double, "
+        "zcr double, peak double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                wav = _decode_audio_bytes(row["payload"], int(row["n_bytes"]))
+                zc = np.count_nonzero(np.diff(np.signbit(wav))) / max(1, wav.size - 1)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "n_samples": int(wav.size),
+                        "duration_s": float(wav.size / sample_rate),
+                        "rms": float(np.sqrt((wav.astype(np.float64) ** 2).mean())),
+                        "zcr": float(zc),
+                        "peak": float(np.abs(wav).max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "duration_s", "rms", "zcr", "peak"],
+            )
+
+    flat = media.filter(F.col("meta.media_type") == "audio/wav").select(
+        "asset_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    return flat.mapInPandas(kernel, schema=out_schema)
+
+
+def _decode_video_frame(payload: bytes, frame_no: int, width: int, height: int) -> np.ndarray:
+    """STUB frame decode: a real build seeks + decodes via ffmpeg. The
+    fake varies the image seed by frame number so frames differ."""
+    if width <= 0 or height <= 0:
+        raise NotImplementedError("real decoder required for degenerate dims")
+    seed = int.from_bytes(bytes(payload[:8]).ljust(8, b"\0"), "little", signed=False)
+    rng = np.random.default_rng((seed ^ (frame_no * 0x9E3779B97F4A7C15)) % (2**63))
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def video_frame_features(
+    media: DataFrame, every_n: int = 10, max_frames: int = 5
+) -> DataFrame:
+    """Sampled-frame features: explode videos to (asset_id, frame_no)
+    rows WITH the payload (each decode task needs the bytes — the same
+    rows a cluster would shuffle to frame-decode executors), then decode
+    each sampled frame and emit per-frame luma stats via mapInPandas."""
+    vids = media.filter(F.col("meta.media_type") == "video/mp4")
+    n_frames = (F.col("meta.n_bytes") / 100 + 1).cast("int")
+    idx = F.slice(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)), 1, max_frames)
+    flat = vids.select(
+        "asset_id",
+        F.explode(idx).alias("frame_no"),
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    out_schema = "asset_id long, frame_no int, mean_luma double, std_luma double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = _decode_video_frame(
+                    row["payload"], int(row["frame_no"]),
+                    int(row["width"]), int(row["height"]),
+                )
+                luma = img.mean(axis=2)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "frame_no": int(row["frame_no"]),
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_no", "mean_luma", "std_luma"]
+            )
+
+    return flat.mapInPandas(kernel, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
     """Sample frame indices from video assets: explode to one row per
     sampled frame — pure JVM explode; the decode of each frame is the

@@ -99,6 +99,57 @@ def test_default_filter_truthiness(spark):
     assert arrs.filter().to_list() == [[1], [2, 3]]
 
 
+def test_multimodal_feature_kernels(spark):
+    """Audio / video / image feature extraction: every typed asset gets
+    exactly one (or max_frames) fixed-width feature row, values are
+    deterministic (hash-seeded stub decode), and bounds hold."""
+    from eventkit_spark.llm.multimodal import (
+        audio_features,
+        frame_sample,
+        image_features,
+        synth_media_table,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(90)
+    media = synth_media_table(docs).cache()
+    by_type = {
+        r["media_type"]: r["n"]
+        for r in media.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(by_type.values()) == 90
+
+    img = image_features(media).collect()
+    assert len(img) == by_type["image/png"]
+    assert all(abs(sum(r["hist"]) - 1.0) < 1e-9 for r in img)
+
+    aud = {r["asset_id"]: r for r in audio_features(media).collect()}
+    assert len(aud) == by_type["audio/wav"]
+    for r in aud.values():
+        assert 0.0 <= r["zcr"] <= 1.0 and 0.0 < r["rms"] <= r["peak"] <= 1.0
+        assert r["duration_s"] == r["n_samples"] / 16000
+    # determinism: the stub decode is payload-seeded, not run-seeded
+    again = {r["asset_id"]: r for r in audio_features(media).collect()}
+    assert {k: v["rms"] for k, v in aud.items()} == {k: v["rms"] for k, v in again.items()}
+
+    # every_n=2: sf0.001 texts are <=558 bytes -> ~3-6 synthetic frames,
+    # so a stride of 2 actually samples multiple frames per video
+    frames = frame_sample(media, every_n=2, max_frames=4).collect()
+    feats = video_frame_features(media, every_n=2, max_frames=4).collect()
+    assert {(r["asset_id"], r["frame_no"]) for r in feats} == {
+        (r["asset_id"], r["frame_no"]) for r in frames
+    }
+    assert all(0.0 <= r["mean_luma"] <= 255.0 for r in feats)
+    # distinct frames of one video decode to distinct fakes
+    by_asset = {}
+    for r in feats:
+        by_asset.setdefault(r["asset_id"], set()).add(round(r["mean_luma"], 9))
+    assert any(len(v) > 1 for v in by_asset.values())
+    media.unpersist()
+
+
 def test_jaccard_max_df_prunes_only_downward(spark):
     """df-pruning may drop pairs or lower scores, never invent them."""
     from eventkit_spark.llm.dedup import ngram_jaccard_pairs
