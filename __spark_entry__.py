@@ -549,6 +549,30 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_dups(load_table(spark, sf, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf):
+    from eventkit_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_df=64)
+    return dedup_clusters(docs, pairs)
+
+
+def q_decontaminate(spark, sf):
+    from eventkit_spark.llm.dedup import contamination
+    from eventkit_spark.llm.sampling import split_by_hash
+
+    docs = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return contamination(train, test, k=5, min_overlap=1)
+
+
+def q_repetition(spark, sf):
+    from eventkit_spark.llm.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf, "documents"))
+
+
 def q_text_stats(spark, sf):
     from eventkit_spark.llm.text import text_stats
 
@@ -660,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "split_by_hash": q_split_by_hash,
@@ -1148,6 +1175,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
             WHERE common / (sa.n + sb.n - common) >= 0.3""",
+        "dedup_clusters": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE common / (sa.n + sb.n - common) >= 0.3
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+        "decontaminate": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 800 THEN 'train'
+                          WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 900 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ), words AS (
+              SELECT doc_id, split, regexp_split_to_array(lower(trim(text)), '\s+') w FROM base
+            ), sh AS (
+              SELECT doc_id, split, unnest(CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), held AS (
+              SELECT DISTINCT shingle FROM sh WHERE split = 'test'
+            )
+            SELECT doc_id, count(*) AS n_shared
+            FROM (SELECT DISTINCT doc_id, shingle FROM sh WHERE split = 'train') s
+            JOIN held USING (shingle)
+            GROUP BY doc_id
+            HAVING count(*) >= 1""",
+        "repetition": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, w, count(*) c FROM words WHERE w <> '' GROUP BY doc_id, w
+            ), ws AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) n_words, count(*) n_distinct, max(c) top_c
+              FROM wc GROUP BY doc_id
+            ), warr AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') norm
+              FROM documents
+            ), big AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                  ELSE [norm] END) AS b
+              FROM warr
+            ), bc AS (
+              SELECT doc_id, b, count(*) c FROM big GROUP BY doc_id, b
+            ), bs AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams, max(c) top_bc FROM bc GROUP BY doc_id
+            )
+            SELECT ws.doc_id, ws.n_words,
+                   round(1 - n_distinct * 1.0 / greatest(n_words, 1), 6) AS dup_word_frac,
+                   round(top_c * 1.0 / greatest(n_words, 1), 6) AS top_word_frac,
+                   round(top_bc * 1.0 / greatest(n_bigrams, 1), 6) AS top_bigram_frac
+            FROM ws JOIN bs ON ws.doc_id = bs.doc_id""",
         "text_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -201,6 +201,94 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup ``pairs`` -> (id, cluster_id).
+
+    cluster_id = the smallest doc id reachable through the pair graph, so
+    transitive near-dups (a~b, b~c) land in one cluster even when a and c
+    are not directly similar — the standard "keep one per component"
+    contract of corpus dedup. Docs in no pair are singletons
+    (cluster_id = own id), so the output covers the whole corpus and
+    `filter(id == cluster_id)` IS the deduplicated keep-list.
+
+    Pregel-shaped min-label propagation: per iteration one equi-join
+    (labels ⋈ edges) + one min-aggregate, converging in O(graph diameter)
+    rounds — near-dup components are shallow (dups of dups of one
+    original), so this is 2-4 rounds in practice, each a single shuffle.
+    `localCheckpoint` truncates lineage so plan size stays constant
+    across rounds. The per-round `count()` action is one job over the
+    (tiny, O(changed labels)) delta — not a full-corpus collect.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("cluster")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("cluster").alias("cluster"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("cluster").alias("cluster_id"))
+
+
+def contamination(
+    docs: DataFrame,
+    heldout: DataFrame,
+    k: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test decontamination: (id, n_shared) for docs sharing at
+    least ``min_overlap`` distinct word ``k``-grams with ANY heldout doc.
+
+    The heldout shingle set is deduplicated to distinct 64-bit hashes
+    before the join — a benchmark/test corpus is tiny next to training
+    data, so AQE broadcasts it and the scan of the training side streams
+    map-side with no shuffle of document text (the join carries 8-byte
+    hashes). Filter training data with an anti-join on the result.
+    No reference analog — standard practice from public LLM-data
+    pipelines (e.g. GPT-3 appendix C / Dolma decontamination).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+    ).select("id", F.xxhash64("__s").alias("shingle")).distinct()
+    held = (
+        heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    return (
+        sh.join(held, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_shared")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

@@ -101,6 +101,65 @@ def fingerprint(text: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Colum
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-word fraction, most-frequent-bigram fraction.
+
+    Formulated as explode -> two hash aggregates (per (doc, gram) then
+    per doc) instead of per-row higher-order array functions: the
+    aggregates get whole-stage codegen + map-side partial aggregation,
+    so the shuffles carry one row per distinct gram per doc. Repetitious
+    machine-generated text scores high on all three; filter with e.g.
+    ``top_bigram_frac < 0.18`` (public Gopher rule thresholds).
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    wstats = (
+        words.groupBy("id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bigrams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bigrams(F.col(text_col))).alias("b"),
+    )
+    bstats = (
+        bigrams.groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc"))
+    )
+    nz = F.greatest(F.col("n_words"), F.lit(1))
+    return (
+        wstats.join(bstats, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_words"),
+            F.round(1 - F.col("n_distinct") / nz, 6).alias("dup_word_frac"),
+            F.round(F.col("top_c") / nz, 6).alias("top_word_frac"),
+            F.round(F.col("top_bc") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def _bigrams(text: Column) -> Column:
+    """Overlapping word bigrams (duplicates preserved), one regex pass —
+    same lookahead trick as dedup._shingles; single-word/empty text
+    falls back to the whole normalized string."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    grams = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+))\S+"), 1)
+    return F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stats battery."""
     t = F.col(text_col)

@@ -150,6 +150,73 @@ def test_multimodal_feature_kernels(spark):
     media.unpersist()
 
 
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c must land in one cluster even when a!~c directly;
+    untouched docs are singletons; min id labels the cluster."""
+    from eventkit_spark.llm.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    # a long chain exercises multiple propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    out2 = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, chain).collect()}
+    assert out2 == {i: 1 for i in range(1, 8)} | {7: 1}
+
+
+def test_contamination_kgram_overlap(spark):
+    """A train doc sharing a 5-gram with any heldout doc is flagged with
+    the distinct-shingle overlap count; others are not."""
+    from eventkit_spark.llm.dedup import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about sparks and engines here"),
+            (3, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps again")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in contamination(train, heldout, k=5).collect()}
+    # train doc 1 shares exactly one 5-gram: "the quick brown fox jumps"
+    assert out == {1: 1}
+
+
+def test_repetition_stats_fractions(spark):
+    """Crafted strings with known duplicate-word / top-gram fractions."""
+    from eventkit_spark.llm.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 4 words, 1 distinct
+            (2, "all words here are distinct"),  # 5 words, 5 distinct
+            (3, "one"),                          # single word
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4 and r1["dup_word_frac"] == 0.75
+    assert r1["top_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3 bigrams
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["top_word_frac"] == 0.2
+    assert r2["top_bigram_frac"] == 0.25
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["dup_word_frac"] == 0.0
+
+
 def test_jaccard_max_df_prunes_only_downward(spark):
     """df-pruning may drop pairs or lower scores, never invent them."""
     from eventkit_spark.llm.dedup import ngram_jaccard_pairs
