@@ -637,6 +637,21 @@ def q_stratified_sample(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def q_pack_sequences(spark, sf):
+    from eventkit_spark.llm.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf, "documents"), budget=256, n_shards=8)
+
+
+def q_source_quota(spark, sf):
+    from eventkit_spark.llm.sampling import source_quota
+
+    out = source_quota(
+        load_table(spark, sf, "documents"), {"src0": 10, "src1": 5, "*": 20}, "doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
 def q_tfidf(spark, sf):
     from eventkit_spark.llm.sampling import tfidf_top_terms
 
@@ -691,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "split_by_hash": q_split_by_hash,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "source_quota": q_source_quota,
         "tfidf": q_tfidf,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
@@ -1323,6 +1340,30 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY lang) n
               FROM documents
             ) WHERE rn <= ceil(n * 0.25)""",
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761) % 2147483648 % 8 AS shard,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                       AS BIGINT) AS strt
+              FROM t
+            )
+            SELECT doc_id, shard, CAST(floor(strt / 256.0) AS BIGINT) AS pack_no,
+                   n_tokens, strt AS offset
+            FROM c""",
+        "source_quota": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                        ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id) rn
+              FROM documents
+            ) WHERE rn <= (CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5 ELSE 20 END)""",
         "tfidf": r"""
             WITH tokens AS (
               SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

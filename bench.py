@@ -45,11 +45,16 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_clusters",
+    "decontaminate",
+    "repetition",
     "text_stats",
     "text_quality",
     "tfidf",
     "split_by_hash",
     "stratified_sample",
+    "pack_sequences",
+    "source_quota",
     "embed_topk",
     "embed_rp_lsh",
     "embed_ivf",

@@ -77,6 +77,87 @@ def reservoir_per_key(df: DataFrame, group_col: str, n: int, key_col: str) -> Da
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming-fill sequence packing: assign each document to a fixed
+    token-budget training pack.
+
+    Docs are sharded by key hash (each shard packs independently — the
+    same decomposition a 1000-executor packer uses, so the plan is one
+    shuffle on the shard key + one window), ordered deterministically
+    within the shard, and pack_no = the budget bucket where the doc's
+    cumulative token span STARTS (floor(start/budget)). A doc straddling
+    a boundary stays in its starting pack (a pack may overflow by less
+    than one doc) — the streaming-fill discipline, chosen over first-fit
+    bin packing because it is one window expression and, unlike
+    first-fit, engine-portable for exact oracle verification.
+
+    Returns (id, shard, pack_no, n_tokens, offset) where offset is the
+    token position within the shard's stream at which the doc begins.
+    """
+    tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    shard = portable_hash(F.col(id_col), n_shards)
+    w = W.partitionBy("shard").orderBy(F.col(id_col))
+    cum = F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            tok.alias("n_tokens"),
+        )
+        .withColumn("__start", cum - F.col("n_tokens"))
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("__start") / budget).alias("pack_no"),
+            "n_tokens",
+            F.col("__start").alias("offset"),
+        )
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    caps: int | dict[str, int],
+    key_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Quota/mixing sampler: keep at most ``caps`` docs per source
+    (domain rebalancing — cap boilerplate-heavy domains before training).
+
+    ``caps`` is a global int or {source: cap} with a ``"*"`` default.
+    Selection is by key-hash order, so the kept subset is deterministic,
+    unbiased for uniform hashes, and stable as the corpus grows. One
+    window on the source key; at 100 TB skewed sources cost one
+    partition each — pre-aggregate with a salted count + per-salt quota
+    split if a single source exceeds an executor.
+    """
+    if isinstance(caps, int):
+        cap = F.lit(caps)
+    else:
+        default = caps.get("*", 2**62)
+        cap = None
+        for src, c in caps.items():
+            if src == "*":
+                continue
+            cond = F.col(source_col) == src
+            cap = F.when(cond, c) if cap is None else cap.when(cond, c)
+        cap = F.lit(default) if cap is None else cap.otherwise(default)
+    w = W.partitionBy(source_col).orderBy(portable_hash(F.col(key_col)), F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

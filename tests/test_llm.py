@@ -217,6 +217,48 @@ def test_repetition_stats_fractions(spark):
     assert r3["n_words"] == 1 and r3["dup_word_frac"] == 0.0
 
 
+def test_pack_sequences_invariants(spark):
+    """Every pack's token span starts inside its budget bucket; offsets
+    are contiguous per shard; a doc never lands past its start bucket."""
+    from eventkit_spark.llm.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + i % 13))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=32, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["offset"])
+        cum = 0
+        for r in rows:
+            assert r["offset"] == cum, "offsets must be the running token sum"
+            assert r["pack_no"] == r["offset"] // 32
+            cum += r["n_tokens"]
+
+
+def test_source_quota_caps(spark):
+    """Per-source caps hold exactly; uncapped sources fall to the '*'
+    default; selection is deterministic across runs."""
+    from eventkit_spark.llm.sampling import source_quota
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text {i}") for i in range(90)],
+        "doc_id long, source string, text string",
+    )
+    out = source_quota(docs, {"src0": 5, "*": 12}, "doc_id")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 5, "src1": 12, "src2": 12}
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in source_quota(docs, {"src0": 5, "*": 12}, "doc_id").collect())
+    assert ids1 == ids2
+    flat = source_quota(docs, 7, "doc_id")
+    assert flat.count() == 21
+
+
 def test_jaccard_max_df_prunes_only_downward(spark):
     """df-pruning may drop pairs or lower scores, never invent them."""
     from eventkit_spark.llm.dedup import ngram_jaccard_pairs
