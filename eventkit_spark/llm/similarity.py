@@ -186,36 +186,51 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "hash",
 ) -> DataFrame:
     """IVF-flat: partition the corpus into cells by nearest centroid,
     probe the ``nprobe`` closest cells per query, exact cosine inside.
 
-    Centroid seeding is a deterministic pseudo-random sample: the
-    ``n_cells`` corpus vectors with the smallest xxhash64(id). That is a
-    distributed TakeOrderedAndProject (per-partition top-k, merged on the
-    driver) — no global window, no count(), no full-corpus single task
-    (round-1 VERDICT fix #4). At 100 TB swap in a k-means|| fit; the
-    assignment plumbing (broadcast argmin, cell equi-join) is identical.
+    ``centroids="hash"`` (default) seeds cells with a deterministic
+    pseudo-random sample: the ``n_cells`` corpus vectors with the
+    smallest xxhash64(id). That is a distributed TakeOrderedAndProject
+    (per-partition top-k, merged on the driver) — no global window, no
+    count(), no full-corpus single task (round-1 VERDICT fix #4), and
+    reproducible for oracle checks. ``centroids="kmeans"`` fits real
+    cluster centers with pyspark.ml KMeans (k-means|| init — the
+    distributed seeding of Bahmani et al.), giving balanced cells on
+    clustered corpora at the cost of a few corpus passes; only the
+    seeding differs — the assignment plumbing (broadcast argmin matmul,
+    cell equi-join) is identical.
     """
     from pyspark.sql import Window as W
-
-    cent_rows = (
-        corpus.select(
-            _as_double(F.col(vec_col)).alias("cv"),
-            F.xxhash64(F.col(id_col)).alias("__h"),
-        )
-        .orderBy("__h")
-        .limit(n_cells)
-        .select("cv")
-        .collect()  # tiny: n_cells rows
-    )
 
     import numpy as np
     import pandas as pd
 
-    cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+        model = KMeans(
+            k=n_cells, initMode="k-means||", maxIter=5, seed=7, featuresCol="features"
+        ).fit(feats)
+        cent_mat = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    else:
+        cent_rows = (
+            corpus.select(
+                _as_double(F.col(vec_col)).alias("cv"),
+                F.xxhash64(F.col(id_col)).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(n_cells)
+            .select("cv")
+            .collect()  # tiny: n_cells rows
+        )
+        cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
     cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
-    cell_ids = np.arange(len(cent_rows))
+    cell_ids = np.arange(len(cent_mat))
 
     def _nearest_kernel(m):
         # one BLAS product against the (broadcast-closure) centroid

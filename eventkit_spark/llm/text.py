@@ -112,42 +112,40 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     machine-generated text scores high on all three; filter with e.g.
     ``top_bigram_frac < 0.18`` (public Gopher rule thresholds).
     """
-    words = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    wstats = (
-        words.groupBy("id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_c"),
-        )
+    # one tagged explode carries words AND bigrams: the per-(doc, gram)
+    # count and the per-doc rollup are 2 shuffles total with conditional
+    # aggregates — the separate word/bigram pipelines + join planned 5
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
     )
-    bigrams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(_bigrams(F.col(text_col))).alias("b"),
+    tagged = F.concat(
+        F.transform(words, lambda w: F.struct(F.lit("w").alias("t"), w.alias("g"))),
+        F.transform(
+            _bigrams(F.col(text_col)),
+            lambda b: F.struct(F.lit("b").alias("t"), b.alias("g")),
+        ),
     )
-    bstats = (
-        bigrams.groupBy("id", "b")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc"))
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(tagged).alias("tg")
+    ).select("id", F.col("tg.t").alias("t"), F.col("tg.g").alias("g"))
+    counts = grams.groupBy("id", "t", "g").agg(F.count("*").alias("c"))
+    is_w = F.col("t") == "w"
+    stats = counts.groupBy("id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_c"),
+        F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(~is_w, F.col("c"))).alias("top_bc"),
     )
     nz = F.greatest(F.col("n_words"), F.lit(1))
-    return (
-        wstats.join(bstats, "id")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_words"),
-            F.round(1 - F.col("n_distinct") / nz, 6).alias("dup_word_frac"),
-            F.round(F.col("top_c") / nz, 6).alias("top_word_frac"),
-            F.round(F.col("top_bc") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6).alias(
-                "top_bigram_frac"
-            ),
-        )
+    return stats.filter(F.col("n_words").isNotNull()).select(
+        F.col("id").alias(id_col),
+        F.col("n_words"),
+        F.round(1 - F.col("n_distinct") / nz, 6).alias("dup_word_frac"),
+        F.round(F.col("top_c") / nz, 6).alias("top_word_frac"),
+        F.round(F.col("top_bc") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6).alias(
+            "top_bigram_frac"
+        ),
     )
 
 

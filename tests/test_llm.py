@@ -80,6 +80,30 @@ def test_ivf_no_global_window(spark):
     assert all(c <= 3 for c in per_q.values())
 
 
+def test_ivf_kmeans_centroids(spark):
+    """centroids='kmeans' (k-means|| fit) shares the assignment plumbing
+    and must reach at least the hash-seeded recall vs brute force."""
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+
+    def recall(mode):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, q, k=3, n_cells=8, nprobe=4, centroids=mode).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_km = recall("kmeans")
+    assert r_km >= 0.5, f"kmeans-IVF recall {r_km:.2f}"
+    assert r_km >= recall("hash") - 0.15  # balanced cells shouldn't hurt
+
+
 def test_default_filter_truthiness(spark):
     """filter() with no predicate keeps Python-truthy payloads: non-empty
     strings survive (a bare boolean cast NULLed them out — round-1

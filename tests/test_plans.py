@@ -63,6 +63,58 @@ def test_running_multi_single_shuffle(spark):
     assert count_shuffles(ef.df) <= 1
 
 
+# Golden shuffle ceilings for the headline contract queries: the number
+# of Exchange nodes each query is ALLOWED to plan at sf0.001. A failure
+# means a regression added a shuffle (or an improvement lowered one —
+# then tighten the ceiling). Stateful-kernel and iterative queries are
+# excluded (mapInPandas/driver-loop shapes, not pure Catalyst plans).
+SHUFFLE_CEILING = {
+    "filter": 0,
+    "split_by_hash": 0,
+    "text_stats": 0,
+    "text_quality": 0,
+    "running_sum": 1,
+    "ema": 1,
+    "deque": 1,
+    "chunk": 1,
+    "changes": 1,
+    "unique": 1,
+    "merge": 1,
+    "ziplatest": 1,
+    "sample": 1,
+    "timeout": 1,
+    "debounce_last": 1,
+    "mergemap": 1,
+    "tpch_q1": 1,
+    "topk_orders": 1,
+    "dedup_exact": 1,
+    "stratified_sample": 1,
+    "pack_sequences": 1,
+    "source_quota": 1,
+    "repetition": 2,
+    "embed_topk": 2,
+    "zip": 3,
+    "tpch_q3": 3,
+    "dedup_minhash": 3,
+    "dedup_simhash": 3,
+    "switchmap": 4,
+    "decontaminate": 4,
+    "tfidf": 5,
+}
+
+
+def test_headline_shuffle_ceilings(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    over = {}
+    for name, ceiling in SHUFFLE_CEILING.items():
+        n = count_shuffles(qs[name](spark, SF))
+        if n > ceiling:
+            over[name] = (n, ceiling)
+    assert not over, f"queries over their shuffle ceiling: {over}"
+
+
 def test_takeuntil_no_fact_reshuffle(spark):
     """takeuntil's notifier aggregate joins broadcast at runtime: the
     engine no longer force-hints keyed cut tables (high-cardinality keys
