@@ -115,6 +115,29 @@ def test_headline_shuffle_ceilings(spark):
     assert not over, f"queries over their shuffle ceiling: {over}"
 
 
+def test_bucketed_join_elides_shuffle(spark):
+    """Two tables bucketed on the same key join AND aggregate with no
+    shuffle exchange — the write-once pre-shuffle that makes repeated
+    fact-fact joins viable at 100 TB."""
+    from eventkit_spark.sources import assert_colocated, drop_table, save_bucketed
+    from eventkit_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF).df.select("event_id", "user_id", "value")
+    try:
+        t1 = save_bucketed(ev, "ev_bucketed_a", "user_id", buckets=4)
+        t2 = save_bucketed(
+            ev.groupBy("user_id").count(), "ev_bucketed_b", "user_id", buckets=4
+        )
+        joined = t1.join(t2, "user_id")
+        assert_colocated(joined)
+        agg = t1.groupBy("user_id").agg(F.sum("value"))
+        assert_colocated(agg)
+        assert joined.count() == ev.count()
+    finally:
+        drop_table(spark, "ev_bucketed_a")
+        drop_table(spark, "ev_bucketed_b")
+
+
 def test_takeuntil_no_fact_reshuffle(spark):
     """takeuntil's notifier aggregate joins broadcast at runtime: the
     engine no longer force-hints keyed cut tables (high-cardinality keys
