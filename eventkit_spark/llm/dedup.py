@@ -83,43 +83,64 @@ def ngram_jaccard_pairs(
     score, never promote a non-pair. Pick max_df >> expected duplicate
     group size so true near-dup pairs keep their discriminative shingles.
     """
-    # join on the 64-bit shingle hash, not the string: the shuffle
-    # carries 8 bytes per shingle and the equi-join compares longs
-    # (collision odds over n shingles ~ n^2/2^64 — negligible)
+    from pyspark.sql import Window as W
+
+    # Posting-list formulation: shingle the corpus ONCE (the regex pass
+    # over document text is the expensive part — the naive a⋈b self-join
+    # plans SIX copies of the scan+shingle subtree with no exchange
+    # reuse), carry per-doc set sizes and per-shingle document frequency
+    # as windows over the same exchanges, then expand pairs from each
+    # shingle's sorted posting list. The shuffles carry 64-bit hashes,
+    # not shingle strings (collision odds over n shingles ~ n^2/2^64).
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), k)).alias("__s"),
     ).select("id", F.xxhash64("__s").alias("shingle")).distinct()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # set sizes BEFORE df-pruning (pruning can then only lower a pair's
+    # score, never promote a non-pair): one window riding an id exchange
+    sh = sh.withColumn("n", F.count("*").over(W.partitionBy("id")))
     if max_df is not None:
-        # only the (small) hot-shingle set is materialized; anti-join it
-        # broadcast so the posting lists shrink without another shuffle
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
+        # df as a window over the shingle exchange the posting-list
+        # groupBy needs anyway — the filter BOUNDS every collect_list at
+        # max_df entries, so no hot shingle can blow an executor
+        sh = sh.withColumn("__df", F.count("*").over(W.partitionBy("shingle"))).filter(
+            F.col("__df") <= max_df
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n"))).alias("lst"))
+        .filter(F.size("lst") >= 2)
+    )
+    # expand each posting list to its (i < j) pairs — O(sum df^2), the
+    # same pair multiset the self-join produced, without the second
+    # (third, …) shingle pass
+    lst = F.col("lst")
+    pairs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.greatest(F.size(lst), F.lit(1))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    x.getField("n").alias("na"),
+                    y.getField("id").alias("id_b"),
+                    y.getField("n").alias("nb"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        posts.select(F.explode(pairs).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.na", "p.nb")
         .agg(F.count("*").alias("common"))
     )
-    # sizes is O(docs) — never force-broadcast it; AQE broadcasts when it
-    # measures small and shuffle-joins at 100 TB (where a forced
-    # broadcast of a corpus-sized table would kill the driver)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    out = (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+    return (
+        inter.withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(
