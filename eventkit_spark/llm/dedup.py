@@ -349,6 +349,13 @@ def simhash_near_dups(
     candidates = equi-join per chunk (shuffle on 16-bit chunk values),
     then exact popcount filter. No quadratic pass.
     """
+    # posting-list formulation: the 64-aggregate fingerprint pipeline is
+    # the expensive part — a chunks⋈chunks self-join planned it twice
+    # with no exchange reuse. Group each (chunk, val) bucket's members
+    # once and expand (i < j) pairs from the sorted posting list instead.
+    # Bucket sizes are ~n/2^16 for unrelated docs plus the near-dup
+    # groups themselves, whose quadratic pair expansion IS the requested
+    # output — no df cap here (it would silently drop true pairs).
     sh = simhash64(docs, text_col, id_col)
     chunks = sh.select(
         "id",
@@ -367,24 +374,33 @@ def simhash_near_dups(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
+    posts = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("lst"))
+        .filter(F.size("lst") >= 2)
     )
-    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", dist).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    lst = F.col("lst")
+    pairs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.greatest(F.size(lst), F.lit(1))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    x.getField("simhash").alias("ha"),
+                    y.getField("id").alias("id_b"),
+                    y.getField("simhash").alias("hb"),
+                ),
+            ),
+        )
+    )
+    # hamming filter BEFORE the dedup shuffle: far pairs never ride the
+    # exchange; distinct then only de-dups true near-dups that collided
+    # in several chunks
+    dist = F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb")))
+    return (
+        posts.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -283,6 +283,27 @@ def test_source_quota_caps(spark):
     assert flat.count() == 21
 
 
+def test_simhash_posting_list_pairs(spark):
+    """Exact duplicates land at hamming 0 in every chunk; the posting
+    list path must emit each pair exactly once, never (b, a) twins."""
+    from eventkit_spark.llm.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "a completely different document about engines"),
+            (5, "yet another unrelated piece of text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = simhash_near_dups(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+    assert all(a < b for a, b in got)
+
+
 def test_jaccard_max_df_prunes_only_downward(spark):
     """df-pruning may drop pairs or lower scores, never invent them."""
     from eventkit_spark.llm.dedup import ngram_jaccard_pairs

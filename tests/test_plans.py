@@ -97,6 +97,7 @@ SHUFFLE_CEILING = {
     "tpch_q3": 3,
     "dedup_minhash": 3,
     "dedup_simhash": 3,
+    "dedup_jaccard": 4,
     "switchmap": 4,
     "decontaminate": 4,
     "tfidf": 5,
@@ -113,6 +114,18 @@ def test_headline_shuffle_ceilings(spark):
         if n > ceiling:
             over[name] = (n, ceiling)
     assert not over, f"queries over their shuffle ceiling: {over}"
+
+
+def test_dedup_pair_queries_scan_once(spark):
+    """The posting-list formulations must shingle/fingerprint the corpus
+    exactly once — the a⋈b self-joins planned up to six scan+regex
+    copies with no exchange reuse."""
+    import __spark_entry__ as e
+    from eventkit_spark.plans.audit import physical_plan
+
+    for q in [e.q_dedup_jaccard, e.q_dedup_simhash]:
+        plan = physical_plan(q(spark, SF))
+        assert plan.count("FileScan") == 1, f"{q.__name__} scans corpus more than once"
 
 
 def test_bucketed_join_elides_shuffle(spark):
