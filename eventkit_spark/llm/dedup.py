@@ -208,16 +208,29 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    # posting-list pair expansion per (band, bucket): the banded a⋈b
+    # self-join planned the shingle + minhash-aggregate pipeline TWICE
+    # with no exchange reuse; grouping each bucket once halves the heavy
+    # part. Bucket membership ~ near-dup groups + rare hash collisions,
+    # and emitting their pairs is the op's contract — no cap.
+    posts = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("lst"))
+        .filter(F.size("lst") >= 2)
+    )
+    lst = F.col("lst")
+    pairs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.greatest(F.size(lst), F.lit(1))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        posts.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -123,7 +123,7 @@ def test_dedup_pair_queries_scan_once(spark):
     import __spark_entry__ as e
     from eventkit_spark.plans.audit import physical_plan
 
-    for q in [e.q_dedup_jaccard, e.q_dedup_simhash]:
+    for q in [e.q_dedup_jaccard, e.q_dedup_simhash, e.q_dedup_minhash]:
         plan = physical_plan(q(spark, SF))
         assert plan.count("FileScan") == 1, f"{q.__name__} scans corpus more than once"
 
