@@ -679,6 +679,24 @@ def q_mm_image_features(spark, sf):
     return image_features(media)
 
 
+def q_mm_audio_features(spark, sf):
+    from eventkit_spark.llm.multimodal import audio_features, synth_media_table
+
+    media = synth_media_table(load_table(spark, sf, "documents"))
+    return audio_features(media).select(
+        "asset_id", "n_samples", F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr")
+    )
+
+
+def q_mm_video_features(spark, sf):
+    from eventkit_spark.llm.multimodal import synth_media_table, video_frame_features
+
+    media = synth_media_table(load_table(spark, sf, "documents"))
+    return video_frame_features(media, every_n=2, max_frames=4).select(
+        "asset_id", "frame_no", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries (round 1 stopped at tpch_q1). The front block is
@@ -778,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mergemap": q_mergemap,
         "chainmap": q_chainmap,
         "switchmap": q_switchmap,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_features": q_mm_video_features,
     }
 
 

@@ -137,3 +137,42 @@ def test_ziplatest_model(spark, xs):
         exp.append((x, prev_b))
         exp.append((x, 2 * x))
     assert got == exp
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+@SET
+def test_dedup_clusters_union_find_model(spark, edges):
+    """Connected-component labels must match a pure-Python union-find on
+    the same random pair graph (min id labels each component)."""
+    from eventkit_spark.llm.dedup import dedup_clusters
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    docs = spark.createDataFrame([(i, "d") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    if not edges:
+        pairs = pairs.filter("id_a <> id_b")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == expected
