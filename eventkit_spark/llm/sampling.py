@@ -176,11 +176,13 @@ def tfidf_top_terms(
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
     n_docs = docs.count()
-    df_ = tokens.select("id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # tf rows ARE the distinct (doc, term) pairs — df is a count window
+    # over them, making the whole query a LINEAR chain (one scan, three
+    # exchanges); the join formulation planned the tokenize+explode pass
+    # twice with no exchange reuse
+    scored = tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
-    scored = tf.join(F.broadcast(df_), "term").withColumn("tfidf", F.col("tf") * idf)
+    scored = scored.withColumn("tfidf", F.col("tf") * idf)
     w = W.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

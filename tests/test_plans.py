@@ -100,7 +100,7 @@ SHUFFLE_CEILING = {
     "dedup_jaccard": 4,
     "switchmap": 4,
     "decontaminate": 4,
-    "tfidf": 5,
+    "tfidf": 3,
 }
 
 
