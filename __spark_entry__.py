@@ -652,6 +652,25 @@ def q_source_quota(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q_asof_join(spark, sf):
+    from eventkit_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    quotes = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("qvalue"))
+    )
+    out = asof_join(trades, quotes, "ts", by="user_id", right_cols=["qvalue"])
+    return out.select(
+        "event_id", "user_id", "value", "qvalue",
+        F.unix_micros(F.col("ts_r")).alias("quote_us"),
+    )
+
+
 def q_tfidf(spark, sf):
     from eventkit_spark.llm.sampling import tfidf_top_terms
 
@@ -726,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "source_quota": q_source_quota,
+        "asof_join": q_asof_join,
         "tfidf": q_tfidf,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
@@ -1360,6 +1380,16 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY lang) n
               FROM documents
             ) WHERE rn <= ceil(n * 0.25)""",
+        "asof_join": """
+            WITH trades AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1
+            ), quotes AS (
+              SELECT user_id, ts, max(value) AS qvalue
+              FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts
+            )
+            SELECT t.event_id, t.user_id, t.value, q.qvalue, epoch_us(q.ts) AS quote_us
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.user_id = q.user_id AND t.ts >= q.ts""",
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,

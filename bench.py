@@ -41,6 +41,7 @@ HEADLINE = [
     "topk_orders",
     "rollup",
     "distinct_agg",
+    "asof_join",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",

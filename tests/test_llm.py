@@ -316,3 +316,29 @@ def test_jaccard_max_df_prunes_only_downward(spark):
     assert set(pruned) <= set(full)
     for k, v in pruned.items():
         assert v <= full[k] + 1e-9
+
+
+def test_asof_join_semantics(spark):
+    """Left as-of: latest right <= left ts per key; equal-ts right rows
+    are visible; tolerance expires stale matches; no-match keeps NULLs."""
+    from datetime import datetime
+
+    from eventkit_spark.operators.relational import asof_join
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "k", T(5), 50.0), (2, "k", T(10), 100.0), (3, "j", T(1), 10.0)],
+        "id long, k string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [("k", T(4), 4.0), ("k", T(10), 10.0), ("k", T(11), 11.0)],
+        "k string, ts timestamp, q double",
+    )
+    out = {r["id"]: (r["q"], r["ts_r"]) for r in
+           asof_join(left, right, "ts", by="k", right_cols=["q"]).collect()}
+    assert out[1] == (4.0, T(4))
+    assert out[2] == (10.0, T(10))   # equal-ts right row is visible
+    assert out[3] == (None, None)    # no prior right row for key j
+    tol = {r["id"]: r["q"] for r in
+           asof_join(left, right, "ts", by="k", right_cols=["q"], tolerance=0.5).collect()}
+    assert tol == {1: None, 2: 10.0, 3: None}  # k@5's match (ts 4) is stale
