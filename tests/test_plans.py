@@ -93,6 +93,7 @@ SHUFFLE_CEILING = {
     "source_quota": 1,
     "repetition": 2,
     "embed_topk": 2,
+    "asof_join": 2,  # right-side dedupe agg + the union window
     "zip": 3,
     "tpch_q3": 3,
     "dedup_minhash": 3,
