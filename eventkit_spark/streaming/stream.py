@@ -419,6 +419,61 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def asof_join(self, right: "StreamFrame") -> DataFrame:
+        """Streaming as-of join (the batch union + running-last in
+        operators/relational.py): on each LEFT arrival emit the right
+        stream's latest value at-or-before it, per key. State = the
+        right side's (ts, value); right rows older than the state's ts
+        are ignored (out-of-order guard), ties at equal event time
+        deliver right-before-left like the batch <= convention."""
+        ts_col = self.ts_col
+        keys = self.key_cols
+        lvt = _sql_type(self.df, self.value_cols[0])
+        rvt = _sql_type(right.df, right.value_cols[0])
+        tagged = right.df.select(
+            *keys, F.col(right.ts_col).alias(ts_col), F.lit(0).alias("__tag"),
+            F.lit(None).cast(lvt).alias("__lv"),
+            F.col(right.value_cols[0]).alias("__rv"),
+        ).unionByName(
+            self.df.select(
+                *keys, F.col(ts_col), F.lit(1).alias("__tag"),
+                F.col(self.value_cols[0]).alias("__lv"),
+                F.lit(None).cast(rvt).alias("__rv"),
+            )
+        )
+        tst = _sql_type(self.df, ts_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {tst}, value {lvt}, value_r {rvt}, ts_r {tst}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            r_ts, r_v = state.get if state.exists else (None, None)
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values([ts_col, "__tag"])
+                for _, row in pdf.iterrows():
+                    if int(row["__tag"]) == 0:
+                        if r_ts is None or row[ts_col] >= r_ts:
+                            r_ts, r_v = row[ts_col], row["__rv"]
+                    else:
+                        outs.append(
+                            {**{k: row[k] for k in keys}, ts_col: row[ts_col],
+                             "value": row["__lv"], "value_r": r_v, "ts_r": r_ts}
+                        )
+            state.update((r_ts, r_v))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=f"r_ts {tst}, r_v {rvt}",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def throttle(self, maximum: float, interval: float, cost: float = 1.0) -> DataFrame:
         """Streaming Throttle: the same sliding-budget re-timestamping
         recurrence as the batch kernel (state.py:50), with the in-window

@@ -328,3 +328,33 @@ def test_streaming_emap_family(spark, tmp_path_factory):
             rows = got_df.orderBy(*order).collect()
         got = [r["value"] for r in rows]
         assert got == expect, f"{joiner}: {got} != {expect}"
+
+
+def test_streaming_asof_join(spark, stream_dir):
+    """Streaming as-of join == batch asof_join on the same rows: every
+    'purchase' row carries the latest 'error' value at-or-before it."""
+    left_s = _stream(spark, stream_dir).filter("event_type = 'purchase'")
+    right_s = _stream(spark, stream_dir).filter("event_type = 'error'")
+    out = left_s.run_available_now(sink_df=left_s.asof_join(right_s), name="ek_t12")
+
+    from eventkit_spark.operators.relational import asof_join
+
+    src = spark.read.parquet(stream_dir)
+
+    def flat(t):
+        return src.filter(F.col("event_type") == t).select(
+            "user_id", "ts", "value"
+        )
+
+    batch = asof_join(
+        flat("purchase"),
+        flat("error").withColumnRenamed("value", "rv"),
+        "ts", by="user_id", right_cols=["rv"],
+    )
+    sp = {(r["user_id"], r["ts"], r["value"]): (r["value_r"], r["ts_r"])
+          for r in out.collect()}
+    bp = {(r["user_id"], r["ts"], r["value"]): (r["rv"], r["ts_r"])
+          for r in batch.collect()}
+    assert sp == bp
+    assert len(sp) > 0
+    assert any(v[0] is not None for v in sp.values())
