@@ -176,3 +176,57 @@ def test_dedup_clusters_union_find_model(spark, edges):
         pairs = pairs.filter("id_a <> id_b")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
     assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=15),
+)
+@SET
+def test_asof_join_model(spark, left, right):
+    """asof_join vs a pure-Python latest-right<=ts model per key.
+    Right rows get distinct ts per key so the tie-break is determined."""
+    from datetime import datetime
+
+    from eventkit_spark.operators.relational import asof_join
+
+    right = list({(k, t) for k, t in right})  # unique (key, ts) on the right
+    T = lambda s: datetime(2024, 1, 1, 0, 0, 0, s)
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", T(t), float(i)) for i, (k, t) in enumerate(left)],
+        "id long, k string, ts timestamp, value double",
+    )
+    rdf = spark.createDataFrame(
+        [(f"k{k}", T(t), float(t)) for k, t in right] or [("zz", T(0), 0.0)],
+        "k string, ts timestamp, q double",
+    )
+    if not right:
+        rdf = rdf.filter("k <> 'zz'")
+    got = {r["id"]: r["q"] for r in asof_join(ldf, rdf, "ts", by="k", right_cols=["q"]).collect()}
+    exp = {}
+    for i, (k, t) in enumerate(left):
+        cands = [rt for rk, rt in right if rk == k and rt <= t]
+        exp[i] = float(max(cands)) if cands else None
+    assert got == exp
+
+
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    budget=st.integers(5, 60),
+)
+@SET
+def test_pack_sequences_model(spark, toks, budget):
+    """pack_sequences vs a pure-Python streaming-fill model (single
+    shard so the shard hash doesn't partition the stream)."""
+    from eventkit_spark.llm.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["pack_no"], r["offset"]) for r in
+           pack_sequences(docs, budget=budget, n_shards=1).collect()}
+    cum = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (cum // budget, cum)
+        cum += n
