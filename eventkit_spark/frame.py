@@ -377,6 +377,34 @@ class EventFrame:
     def sample(self, timer: "EventFrame"):
         return _timing.sample(self, timer)
 
+    def asof_join(self, other: "EventFrame", tolerance: float | None = None):
+        """Attach ``other``'s latest value at-or-before each row's event
+        time (per shared key) as a ``value_r``/``ts_r`` column pair —
+        the relational as-of join lifted to the fluent stream surface
+        (operators/relational.py; one shuffle, linear)."""
+        from pyspark.sql import functions as F
+
+        from .operators.relational import asof_join as _asof
+
+        if not self.ts_col or not other.ts_col:
+            raise ValueError("asof_join() needs event-time on both streams")
+        if list(other.key_cols) != list(self.key_cols):
+            raise ValueError("asof_join() streams must share key columns")
+        right = other.df.select(
+            *[F.col(k) for k in other.key_cols],
+            F.col(other.ts_col).alias(self.ts_col),
+            F.col(other.value_cols[0]).alias("value_r"),
+        )
+        out = _asof(
+            self.df,
+            right,
+            self.ts_col,
+            by=list(self.key_cols) or None,
+            right_cols=["value_r"],
+            tolerance=tolerance,
+        )
+        return self._with(df=out)
+
     def chunkwith(self, timer: "EventFrame", emit_empty: bool = True):
         return _timing.chunkwith(self, timer, emit_empty)
 

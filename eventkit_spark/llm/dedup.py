@@ -19,7 +19,7 @@ Scale design notes (the whole point of these):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _shingles(text_col, k: int = 3):
@@ -183,12 +183,21 @@ def minhash_lsh_candidates(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any LSH band bucket.
 
     rows-per-band r = num_hashes/bands; candidate iff some band's r
     minhashes all agree. Returns distinct (id_a, id_b), id_a < id_b.
     Verify candidates with ngram_jaccard_pairs or cosine.
+
+    ``max_bucket`` (optional) drops buckets larger than the cap BEFORE
+    collecting their posting list — the memory guard for pathological
+    duplication (a million-copy document makes a million-entry bucket
+    whose quadratic pair output is unpayable anyway; route such groups
+    through exact_dedup first, which collapses them in one aggregate).
+    Capping trades recall on mega-clusters for bounded executors —
+    the same contract as jaccard's ``max_df``.
     """
     r = num_hashes // bands
     mh = _minhash_cols(docs, num_hashes, k, text_col, id_col)
@@ -211,8 +220,14 @@ def minhash_lsh_candidates(
     # posting-list pair expansion per (band, bucket): the banded a⋈b
     # self-join planned the shingle + minhash-aggregate pipeline TWICE
     # with no exchange reuse; grouping each bucket once halves the heavy
-    # part. Bucket membership ~ near-dup groups + rare hash collisions,
-    # and emitting their pairs is the op's contract — no cap.
+    # part. Bucket membership ~ near-dup groups + rare hash collisions.
+    if max_bucket is not None:
+        # window count rides the same (band, bucket) exchange the groupBy
+        # needs — oversized buckets drop BEFORE any list is built
+        bw = W.partitionBy("band", "bucket")
+        banded = banded.withColumn("__bn", F.count("*").over(bw)).filter(
+            F.col("__bn") <= max_bucket
+        )
     posts = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("lst"))
@@ -353,7 +368,11 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -361,14 +380,19 @@ def simhash_near_dups(
     chunks; distance<=3 implies at least one chunk matches exactly, so
     candidates = equi-join per chunk (shuffle on 16-bit chunk values),
     then exact popcount filter. No quadratic pass.
+
+    ``max_bucket`` (optional, default unbounded) is the executor-memory
+    guard against pathological duplication: buckets larger than the cap
+    are dropped before their posting list is collected (their quadratic
+    pair output would be unpayable anyway — collapse exact duplicates
+    with exact_dedup first). Unset, every true pair is emitted.
     """
     # posting-list formulation: the 64-aggregate fingerprint pipeline is
     # the expensive part — a chunks⋈chunks self-join planned it twice
     # with no exchange reuse. Group each (chunk, val) bucket's members
     # once and expand (i < j) pairs from the sorted posting list instead.
     # Bucket sizes are ~n/2^16 for unrelated docs plus the near-dup
-    # groups themselves, whose quadratic pair expansion IS the requested
-    # output — no df cap here (it would silently drop true pairs).
+    # groups themselves.
     sh = simhash64(docs, text_col, id_col)
     chunks = sh.select(
         "id",
@@ -387,6 +411,11 @@ def simhash_near_dups(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.val")
+    if max_bucket is not None:
+        cw = W.partitionBy("chunk", "val")
+        chunks = chunks.withColumn("__bn", F.count("*").over(cw)).filter(
+            F.col("__bn") <= max_bucket
+        ).drop("__bn")
     posts = (
         chunks.groupBy("chunk", "val")
         .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("lst"))

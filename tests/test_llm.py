@@ -342,3 +342,18 @@ def test_asof_join_semantics(spark):
     tol = {r["id"]: r["q"] for r in
            asof_join(left, right, "ts", by="k", right_cols=["q"], tolerance=0.5).collect()}
     assert tol == {1: None, 2: 10.0, 3: None}  # k@5's match (ts 4) is stale
+
+
+def test_bucket_caps_prune_only_downward(spark):
+    """max_bucket on minhash/simhash may drop pairs, never invent them;
+    with a generous cap the pair sets are identical."""
+    from eventkit_spark.llm.dedup import minhash_lsh_candidates, simhash_near_dups
+
+    docs = load_table(spark, SF, "documents")
+    mh_all = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    mh_cap = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, max_bucket=500).collect()}
+    mh_tight = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, max_bucket=2).collect()}
+    assert mh_cap == mh_all and mh_tight <= mh_all
+    sh_all = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs).collect()}
+    sh_cap = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_bucket=500).collect()}
+    assert sh_cap == sh_all
