@@ -1,8 +1,11 @@
-"""LLM-data-pipeline operators (BASELINE.json north star): dedup,
-similarity search, text analysis, multimodal columns — designed
-partition-parallel for 100 TB scale (no global windows, no driver loops).
+"""LLM-data-pipeline operators (BASELINE.json north star): dedup (exact,
+MinHash/SimHash/Jaccard, connected-component clustering, decontamination),
+similarity search, text analysis + repetition signals, sampling/packing,
+multimodal columns — designed partition-parallel for 100 TB scale (no
+global windows; the one driver-side loop is dedup_clusters' Pregel
+iteration, O(graph diameter) rounds of one distributed join each).
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, sampling, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
