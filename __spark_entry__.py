@@ -643,6 +643,12 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(load_table(spark, sf, "documents"), budget=256, n_shards=8)
 
 
+def q_pack_spans(spark, sf):
+    from eventkit_spark.llm.sampling import pack_spans
+
+    return pack_spans(load_table(spark, sf, "documents"), budget=256, n_shards=8)
+
+
 def q_source_quota(spark, sf):
     from eventkit_spark.llm.sampling import source_quota
 
@@ -744,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash": q_split_by_hash,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
         "asof_join": q_asof_join,
         "tfidf": q_tfidf,
@@ -1407,6 +1414,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, CAST(floor(strt / 256.0) AS BIGINT) AS pack_no,
                    n_tokens, strt AS offset
             FROM c""",
+        "pack_spans": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761) % 2147483648 % 8 AS shard,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                       AS BIGINT) AS strt
+              FROM t WHERE n_tokens > 0
+            ), s AS (
+              SELECT doc_id, shard, n_tokens, strt,
+                     unnest(generate_series(CAST(floor(strt / 256.0) AS BIGINT),
+                                            CAST(floor((strt + n_tokens - 1) / 256.0) AS BIGINT))) AS pack_no
+              FROM c
+            )
+            SELECT doc_id, shard, pack_no,
+                   greatest(0, pack_no * 256 - strt) AS tok_start,
+                   least(n_tokens, (pack_no + 1) * 256 - strt) AS tok_end
+            FROM s""",
         "source_quota": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

@@ -123,6 +123,58 @@ def pack_sequences(
     )
 
 
+def pack_spans(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-EXACT sequence packing: every pack holds exactly ``budget``
+    tokens (except each shard's tail) — documents straddling a boundary
+    are SPLIT, emitting one row per (document, pack) span.
+
+    The companion to ``pack_sequences`` (which keeps documents whole and
+    lets packs overflow): this is the layout a real LLM training packer
+    materializes. Per shard: cumulative token offset (one window), then
+    each doc explodes into its covered packs via a JVM `sequence` —
+    span count = boundary crossings + 1, so output rows ≈ docs + packs.
+    Returns (id, shard, pack_no, tok_start, tok_end): the [start, end)
+    token slice OF THE DOCUMENT that lands in that pack.
+    """
+    tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    shard = portable_hash(F.col(id_col), n_shards)
+    w = W.partitionBy("shard").orderBy(F.col(id_col))
+    cum = F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    staged = (
+        df.select(F.col(id_col), shard.alias("shard"), tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("__start", cum - F.col("n_tokens"))
+    )
+    first_p = F.floor(F.col("__start") / budget)
+    last_p = F.floor((F.col("__start") + F.col("n_tokens") - 1) / budget)
+    out = staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "__start",
+        F.explode(F.sequence(first_p, last_p)).alias("pack_no"),
+    )
+    tok_start = F.greatest(F.lit(0), F.col("pack_no") * budget - F.col("__start"))
+    tok_end = F.least(
+        F.col("n_tokens"), (F.col("pack_no") + 1) * budget - F.col("__start")
+    )
+    return out.select(
+        id_col,
+        "shard",
+        "pack_no",
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+    )
+
+
 def source_quota(
     df: DataFrame,
     caps: int | dict[str, int],

@@ -357,3 +357,34 @@ def test_bucket_caps_prune_only_downward(spark):
     sh_all = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs).collect()}
     sh_cap = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_bucket=500).collect()}
     assert sh_cap == sh_all
+
+
+def test_pack_spans_exact_budget(spark):
+    """Every non-tail pack holds exactly `budget` tokens; spans tile each
+    document completely and in order; straddling docs split."""
+    from eventkit_spark.llm.sampling import pack_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (11 + (i * 7) % 23))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    rows = pack_spans(docs, budget=32, n_shards=3).collect()
+    # per-doc tiling: spans cover [0, n_tokens) contiguously
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["pack_no"])
+        assert spans[0]["tok_start"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert a["tok_end"] == b["tok_start"]
+    # per-pack budget: every pack except each shard's last is exactly 32
+    packs = {}
+    for r in rows:
+        key = (r["shard"], r["pack_no"])
+        packs[key] = packs.get(key, 0) + (r["tok_end"] - r["tok_start"])
+    for shard in {s for s, _ in packs}:
+        nums = sorted(p for s, p in packs if s == shard)
+        for p in nums[:-1]:
+            assert packs[(shard, p)] == 32, f"pack {(shard, p)} not full"
+        assert packs[(shard, nums[-1])] <= 32
