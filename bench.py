@@ -55,6 +55,7 @@ HEADLINE = [
     "split_by_hash",
     "stratified_sample",
     "pack_sequences",
+    "pack_spans",
     "source_quota",
     "embed_topk",
     "embed_rp_lsh",
