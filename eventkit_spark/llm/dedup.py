@@ -279,9 +279,16 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
-    ).localCheckpoint()
+    # propagate ONLY over edge-touched nodes: everything else is a
+    # singleton by construction, so each round's join/aggregate/count
+    # runs on O(|edges|) rows — at 100 TB with ~1% near-dups that is
+    # ~100x less per-round work than carrying the whole corpus' labels
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("cluster")
@@ -298,7 +305,14 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), F.col("cluster").alias("cluster_id"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("cluster"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def contamination(
