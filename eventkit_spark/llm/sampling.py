@@ -180,16 +180,22 @@ def source_quota(
     caps: int | dict[str, int],
     key_col: str,
     source_col: str = "source",
+    salt: int | None = None,
 ) -> DataFrame:
     """Quota/mixing sampler: keep at most ``caps`` docs per source
     (domain rebalancing — cap boilerplate-heavy domains before training).
 
     ``caps`` is a global int or {source: cap} with a ``"*"`` default.
     Selection is by key-hash order, so the kept subset is deterministic,
-    unbiased for uniform hashes, and stable as the corpus grows. One
-    window on the source key; at 100 TB skewed sources cost one
-    partition each — pre-aggregate with a salted count + per-salt quota
-    split if a single source exceeds an executor.
+    unbiased for uniform hashes, and stable as the corpus grows.
+
+    ``salt=N`` enables the skew-safe EXACT two-phase cut for mega-sources
+    whose rows won't fit one window partition: phase 1 ranks within
+    (source, key_hash % N) and keeps each salt's top ``cap`` — a superset
+    of the answer, at most N·cap rows per source — and phase 2 applies
+    the plain window to that bounded survivor set. Identical output to
+    the unsalted path (ranking key is the same total order); pick N ≈
+    ceil(biggest_source / executor_window_budget).
     """
     if isinstance(caps, int):
         cap = F.lit(caps)
@@ -202,7 +208,17 @@ def source_quota(
             cond = F.col(source_col) == src
             cap = F.when(cond, c) if cap is None else cap.when(cond, c)
         cap = F.lit(default) if cap is None else cap.otherwise(default)
-    w = W.partitionBy(source_col).orderBy(portable_hash(F.col(key_col)), F.col(key_col))
+    order = [portable_hash(F.col(key_col)), F.col(key_col)]
+    if salt is not None:
+        ws = W.partitionBy(
+            F.col(source_col), portable_hash(F.col(key_col)) % salt
+        ).orderBy(*order)
+        df = (
+            df.withColumn("__srn", F.row_number().over(ws))
+            .filter(F.col("__srn") <= cap)
+            .drop("__srn")
+        )
+    w = W.partitionBy(source_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)

@@ -388,3 +388,14 @@ def test_pack_spans_exact_budget(spark):
         for p in nums[:-1]:
             assert packs[(shard, p)] == 32, f"pack {(shard, p)} not full"
         assert packs[(shard, nums[-1])] <= 32
+
+
+def test_source_quota_salted_exact(spark):
+    """salt=N (skew-safe two-phase) must return EXACTLY the unsalted
+    subset — phase 1 only pre-prunes along the same total order."""
+    from eventkit_spark.llm.sampling import source_quota
+
+    docs = load_table(spark, SF, "documents")
+    plain = {r["doc_id"] for r in source_quota(docs, {"src0": 3, "*": 7}, "doc_id").collect()}
+    salted = {r["doc_id"] for r in source_quota(docs, {"src0": 3, "*": 7}, "doc_id", salt=5).collect()}
+    assert salted == plain and len(plain) > 0
