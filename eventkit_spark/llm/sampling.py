@@ -65,11 +65,25 @@ def stratified_sample(
     )
 
 
-def reservoir_per_key(df: DataFrame, group_col: str, n: int, key_col: str) -> DataFrame:
+def reservoir_per_key(
+    df: DataFrame, group_col: str, n: int, key_col: str, salt: int | None = None
+) -> DataFrame:
     """Fixed-size deterministic 'reservoir' per group: the n rows with
     the smallest key hashes (equivalent in distribution to reservoir
-    sampling for uniform hashes, but stable across runs)."""
-    w = W.partitionBy(group_col).orderBy(portable_hash(F.col(key_col)), F.col(key_col))
+    sampling for uniform hashes, but stable across runs). ``salt=N``
+    enables the same exact two-phase skew-safe cut as ``source_quota``
+    for groups too large for one window partition."""
+    order = [portable_hash(F.col(key_col)), F.col(key_col)]
+    if salt is not None:
+        ws = W.partitionBy(
+            F.col(group_col), portable_hash(F.col(key_col)) % salt
+        ).orderBy(*order)
+        df = (
+            df.withColumn("__srn", F.row_number().over(ws))
+            .filter(F.col("__srn") <= n)
+            .drop("__srn")
+        )
+    w = W.partitionBy(group_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
