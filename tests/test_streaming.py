@@ -358,3 +358,27 @@ def test_streaming_asof_join(spark, stream_dir):
     assert sp == bp
     assert len(sp) > 0
     assert any(v[0] is not None for v in sp.values())
+
+
+def test_streaming_llm_text_columns(spark, tmp_path_factory):
+    """The LLM text-analysis columns are pure Column expressions, so
+    they run unchanged over an unbounded stream: streamed text_stats ==
+    batch text_stats row for row."""
+    from eventkit_spark.llm.text import text_stats
+    from eventkit_spark.sources.tables import load_table
+    from eventkit_spark.streaming import file_stream
+
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.mode("overwrite").parquet(path)
+
+    sf = file_stream(
+        spark, path,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        value_cols=["text"], ts_col="doc_id",  # no event time needed for stateless cols
+    )
+    out = sf.run_available_now(sink_df=text_stats(sf.df), name="ek_llm1")
+    sp = {r["doc_id"]: (r["n_tokens"], r["quality"], r["lang_pred"]) for r in out.collect()}
+    bp = {r["doc_id"]: (r["n_tokens"], r["quality"], r["lang_pred"])
+          for r in text_stats(docs).collect()}
+    assert sp == bp and len(sp) == 500
