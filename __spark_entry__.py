@@ -573,6 +573,12 @@ def q_repetition(spark, sf):
     return repetition_stats(load_table(spark, sf, "documents"))
 
 
+def q_text_embed(spark, sf):
+    from eventkit_spark.llm.text import hash_embed
+
+    return hash_embed(load_table(spark, sf, "documents"), dim=64)
+
+
 def q_text_stats(spark, sf):
     from eventkit_spark.llm.text import text_stats
 
@@ -745,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "text_embed": q_text_embed,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "split_by_hash": q_split_by_hash,
@@ -1321,6 +1328,27 @@ def oracle_sql() -> dict[str, str]:
                    round(top_c * 1.0 / greatest(n_words, 1), 6) AS top_word_frac,
                    round(top_bc * 1.0 / greatest(n_bigrams, 1), 6) AS top_bigram_frac
             FROM ws JOIN bs ON ws.doc_id = bs.doc_id""",
+        "text_embed": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, term FROM tok WHERE term <> ''
+            ), b AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, length(term) + 1),
+                                        i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) % 64 AS bucket
+              FROM t2
+            ), tf AS (
+              SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+            ), n AS (
+              SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM tf GROUP BY doc_id
+            )
+            SELECT tf.doc_id, bucket, round(c / nrm, 6) AS w
+            FROM tf JOIN n USING (doc_id)""",
         "text_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -51,6 +51,7 @@ HEADLINE = [
     "repetition",
     "text_stats",
     "text_quality",
+    "text_embed",
     "tfidf",
     "split_by_hash",
     "stratified_sample",

@@ -159,6 +159,50 @@ def _bigrams(text: Column) -> Column:
     return F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
 
 
+def hash_embed(
+    docs: DataFrame, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashing text embedder (the hashing trick, Weinberger et
+    al. 2009): token -> bucket = portable_fingerprint(token) % dim, tf
+    weights, L2-normalized. The deterministic documents -> embeddings
+    bridge for the similarity ops when no model is in the loop.
+
+    Returns SPARSE rows (id, bucket, w) — engine-portable and exactly
+    oracle-checkable (the fingerprint fold is plain integer arithmetic
+    in any SQL dialect); densify with ``densify_embedding`` to feed the
+    ANN/near-dup operators. Two hash aggregates + one norm window, all
+    linear; the shuffles carry (id, bucket) pairs, never text.
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    b = tokens.select("id", (fingerprint(F.col("term")) % dim).alias("bucket"))
+    tf = b.groupBy("id", "bucket").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    nrm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(W.partitionBy("id")))
+    return tf.select(
+        F.col("id").alias(id_col),
+        "bucket",
+        F.round(F.col("c") / nrm, 6).alias("w"),
+    )
+
+
+def densify_embedding(sparse: DataFrame, dim: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """(id, bucket, w) sparse rows -> (id, embedding array<double>) for
+    the similarity operators: one collect into a map, one sequence
+    transform — no Python."""
+    m = sparse.groupBy(id_col).agg(
+        F.map_from_arrays(F.collect_list("bucket"), F.collect_list("w")).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("__m")[i.cast("long")], F.lit(0.0)),
+    )
+    return m.select(F.col(id_col), vec.alias("embedding"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stats battery."""
     t = F.col(text_col)

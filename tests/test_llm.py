@@ -399,3 +399,30 @@ def test_source_quota_salted_exact(spark):
     plain = {r["doc_id"] for r in source_quota(docs, {"src0": 3, "*": 7}, "doc_id").collect()}
     salted = {r["doc_id"] for r in source_quota(docs, {"src0": 3, "*": 7}, "doc_id", salt=5).collect()}
     assert salted == plain and len(plain) > 0
+
+
+def test_hash_embed_roundtrip_similarity(spark):
+    """hash_embed -> densify feeds the ANN ops: unit norms, identical
+    texts embed identically (cos 1 via near-dups), distinct texts don't."""
+    from eventkit_spark.llm.text import densify_embedding, hash_embed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words live in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    dense = densify_embedding(hash_embed(docs, dim=32), dim=32, id_col="doc_id")
+    rows = {r["doc_id"]: r["embedding"] for r in dense.collect()}
+    import math
+
+    for v in rows.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-4
+    assert rows[1] == rows[2] != rows[3]
+
+    pairs = embedding_near_dups(
+        dense.withColumnRenamed("doc_id", "vec_id"), threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
