@@ -579,6 +579,28 @@ def q_text_embed(spark, sf):
     return hash_embed(load_table(spark, sf, "documents"), dim=64)
 
 
+def q_pipeline_corpus(spark, sf):
+    """End-to-end curation chain: quality gate -> exact-dup keep-list ->
+    per-language corpus report. Demonstrates operator composition; every
+    stage is individually oracle-verified elsewhere."""
+    from eventkit_spark.llm.dedup import exact_dedup
+    from eventkit_spark.llm.text import quality_score, whitespace_token_count
+
+    docs = load_table(spark, sf, "documents")
+    good = docs.filter(F.round(quality_score(F.col("text")), 2) >= 0.5)
+    keep = exact_dedup(good).select("doc_id")
+    kept = good.join(keep, "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(whitespace_token_count(F.col("text"))).alias("n_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+        .select("lang", "n_docs", "n_tokens", "avg_chars")
+    )
+
+
 def q_text_stats(spark, sf):
     from eventkit_spark.llm.text import text_stats
 
@@ -752,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "text_embed": q_text_embed,
+        "pipeline_corpus": q_pipeline_corpus,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "split_by_hash": q_split_by_hash,
@@ -1349,6 +1372,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tf.doc_id, bucket, round(c / nrm, 6) AS w
             FROM tf JOIN n USING (doc_id)""",
+        "pipeline_corpus": r"""
+            WITH t AS (
+              SELECT doc_id, text, lang,
+                     regexp_split_to_array(lower(trim(text)), '\s+') w,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END n_words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, lang, n_words,
+                     CASE WHEN n_words <= 0 THEN 0.0
+                          ELSE list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) END mwl,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0 / length(text) END pr,
+                     CASE WHEN len(w) <= 0 THEN 0.0
+                          ELSE len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','for','with','a','an','it','on','as','at','by','be'], x))) * 1.0 / len(w) END sr
+              FROM t
+            ), scored AS (
+              SELECT doc_id, text, lang, n_words,
+                     round(
+                       (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN sr >= 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality
+              FROM m
+            ), good AS (
+              SELECT * FROM scored WHERE quality >= 0.5
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id FROM good GROUP BY text
+            ), kept AS (
+              SELECT g.* FROM good g JOIN keep USING (doc_id)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_tokens,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM kept GROUP BY lang""",
         "text_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
