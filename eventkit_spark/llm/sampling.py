@@ -47,14 +47,37 @@ def split_by_hash(
 
 
 def stratified_sample(
-    df: DataFrame, group_col: str, fraction: float, key_col: str
+    df: DataFrame, group_col: str, fraction: float, key_col: str, salt: int | None = None
 ) -> DataFrame:
     """EXACT stratified sample: ceil(fraction * |group|) rows per group,
     chosen by hash order (deterministic, unbiased for hash-uniform keys).
-    One window over the group key."""
-    w = W.partitionBy(group_col).orderBy(
-        portable_hash(F.col(key_col)), F.col(key_col)
-    )
+    One window over the group key.
+
+    ``salt=N``: skew-safe two-phase for groups too large for one window
+    partition. Group sizes come from a hash aggregate (map-side partial,
+    skew-immune) joined back; phase 1 keeps each (group, hash%N) salt's
+    top ceil(n·fraction) — a superset bounded at N·cap rows per group —
+    and phase 2 applies the exact cut. Output identical to unsalted."""
+    order = [portable_hash(F.col(key_col)), F.col(key_col)]
+    if salt is not None:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+        cap = F.ceil(F.col("__n") * fraction)
+        ws = W.partitionBy(
+            F.col(group_col), portable_hash(F.col(key_col)) % salt
+        ).orderBy(*order)
+        pre = (
+            df.join(counts, group_col)
+            .withColumn("__srn", F.row_number().over(ws))
+            .filter(F.col("__srn") <= cap)
+            .drop("__srn")
+        )
+        w = W.partitionBy(group_col).orderBy(*order)
+        return (
+            pre.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn", "__n")
+        )
+    w = W.partitionBy(group_col).orderBy(*order)
     n = F.count("*").over(W.partitionBy(group_col))
     rn = F.row_number().over(w)
     return (

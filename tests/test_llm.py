@@ -426,3 +426,14 @@ def test_hash_embed_roundtrip_similarity(spark):
         dense.withColumnRenamed("doc_id", "vec_id"), threshold=0.99
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_stratified_salted_exact(spark):
+    """Salted stratified sample == unsalted (same total order, exact
+    per-group ceil(n*frac) counts)."""
+    from eventkit_spark.llm.sampling import stratified_sample
+
+    docs = load_table(spark, SF, "documents")
+    plain = {r["doc_id"] for r in stratified_sample(docs, "lang", 0.25, "doc_id").collect()}
+    salted = {r["doc_id"] for r in stratified_sample(docs, "lang", 0.25, "doc_id", salt=4).collect()}
+    assert salted == plain and len(plain) > 0
