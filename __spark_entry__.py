@@ -49,6 +49,15 @@ def _csv_cents(col):
     )
 
 
+def _csv_micros(col):
+    """Like ``_csv_cents`` but for unit-interval fractions (histogram
+    bins): integer micros joined with ','."""
+    return F.concat_ws(
+        ",",
+        F.transform(col, lambda v: F.round(v * 1000000.0, 0).cast("long").cast("string")),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user running sum + mean of value over event time
     (SURVEY.md §7.1) at sf0.001."""
@@ -726,10 +735,20 @@ def q_mm_resize_plan(spark, sf):
 
 
 def q_mm_image_features(spark, sf):
+    # the decode stub is a modular ramp (llm/multimodal.py) so the DuckDB
+    # oracle regenerates identical fake pixels; hist rides as micros csv
+    # (raw array<double> broke the driver canonicalizer in round 2)
     from eventkit_spark.llm.multimodal import image_features, synth_media_table
 
     media = synth_media_table(load_table(spark, sf, "documents"))
-    return image_features(media)
+    return image_features(media).select(
+        "asset_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_luma", 6).alias("std_luma"),
+        _csv_micros(F.col("hist")).alias("hist"),
+    )
 
 
 def q_mm_audio_features(spark, sf):
@@ -737,7 +756,12 @@ def q_mm_audio_features(spark, sf):
 
     media = synth_media_table(load_table(spark, sf, "documents"))
     return audio_features(media).select(
-        "asset_id", "n_samples", F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr")
+        "asset_id",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("peak", 6).alias("peak"),
     )
 
 
@@ -746,31 +770,50 @@ def q_mm_video_features(spark, sf):
 
     media = synth_media_table(load_table(spark, sf, "documents"))
     return video_frame_features(media, every_n=2, max_frames=4).select(
-        "asset_id", "frame_no", F.round("mean_luma", 6).alias("mean_luma")
+        "asset_id",
+        "frame_no",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("std_luma", 6).alias("std_luma"),
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
-    # FIRST 50 entries (round 1 stopped at tpch_q1). The front block is
-    # (a) the three array-valued queries made hashable this round,
-    # (b) the rebuilt ema kernel, (c) the whole LLM-extension + relational
-    # + source set (unchecked in round 1), (d) a representative slice of
-    # stream operators. The tail block repeats the remaining stream ops
-    # that were already driver-green in CORRECTNESS_r01.json.
+    # FIRST 50 entries only, so the front block rotates each round toward
+    # whatever has the weakest current verdict (VERDICT.md r2 item 2):
+    # (a) the three mm feature kernels — image crashed the canonicalizer
+    #     in r2 (now serialized + fully oracled via the modular-ramp
+    #     decode), audio/video were parked at positions 87-88 and never
+    #     checked; (b) combinators whose implementation changed in round
+    #     2 after their r1-green verdict (switch/concat/sample/zip/
+    #     ziplatest); (c) ops rebuilt or added in round 3; (d) the
+    #     no_oracle set upgraded to bounded/containment oracles; (e) the
+    #     LLM-extension flagship set. The tail is entries green in their
+    #     current form in r1/r2; unit + replica harness keep them honest.
     return {
-        # round-1 red cells, now hashable
-        "chunk": q_chunk,
-        "list": q_list,
-        "deque": q_deque,
-        # rebuilt segmented-scan kernel
-        "ema": q_ema,
-        # llm extensions (unchecked in round 1)
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
+        # (a) never-driver-green multimodal kernels
+        "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_features": q_mm_video_features,
+        # (b) r2-touched combinators with stale r1 verdicts
+        "switch": q_switch,
+        "concat": q_concat,
+        "sample": q_sample,
+        "zip": q_zip,
+        "ziplatest": q_ziplatest,
+        # (c) round-3 rebuilt / new ops
+        "dedup_clusters": q_dedup_clusters,
+        "embed_neardup": q_embed_neardup,
+        # (d) bounded/containment oracles for the former no_oracle set
+        "approx_agg": q_approx_agg,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
+        "embed_rp_lsh": q_embed_rp_lsh,
+        "embed_ivf": q_embed_ivf,
+        "throttle": q_throttle,
+        # (e) LLM-extension flagship set (green r2, re-confirm)
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "text_embed": q_text_embed,
@@ -785,13 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "tfidf": q_tfidf,
         "embed_topk": q_embed_topk,
-        "embed_neardup": q_embed_neardup,
-        "embed_rp_lsh": q_embed_rp_lsh,
-        "embed_ivf": q_embed_ivf,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize_plan": q_mm_resize_plan,
-        "mm_image_features": q_mm_image_features,
-        # relational (unchecked in round 1 past tpch_q1)
+        # relational
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "region_revenue": q_region_revenue,
@@ -802,15 +841,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "cube": q_cube,
         "pivot": q_pivot,
-        "approx_agg": q_approx_agg,
-        # sources
+        # stream-op slice rounding out the front-50
+        "chunk": q_chunk,
+        "list": q_list,
+        "deque": q_deque,
+        "ema": q_ema,
+        "concatmap": q_concatmap,
+        # ---- entry 51+ (driver-green in r1/r2 in their current form)
         "source_range": q_source_range,
         "source_repeat": q_source_repeat,
         "source_timerange": q_source_timerange,
-        # new contract entry this round
-        "concatmap": q_concatmap,
-        "throttle": q_throttle,
-        # representative stream-operator slice
         "filter": q_filter,
         "takewhile": q_takewhile,
         "unique": q_unique,
@@ -820,12 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "any_all": q_any_all,
         "product_trailing": q_product_trailing,
         "merge": q_merge,
-        "zip": q_zip,
-        "ziplatest": q_ziplatest,
-        "switch": q_switch,
-        "sample": q_sample,
         "debounce_last": q_debounce_last,
-        # ---- entry 51+ (driver-green in round 1; unit + replica keep them honest)
         "skip": q_skip,
         "take": q_take,
         "dropwhile": q_dropwhile,
@@ -841,7 +876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_std": q_array_std,
         "array_mean": q_array_mean,
         "chain": q_chain,
-        "concat": q_concat,
         "delay": q_delay,
         "timeout": q_timeout,
         "debounce_first": q_debounce_first,
@@ -853,8 +887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mergemap": q_mergemap,
         "chainmap": q_chainmap,
         "switchmap": q_switchmap,
-        "mm_audio_features": q_mm_audio_features,
-        "mm_video_features": q_mm_video_features,
     }
 
 
@@ -1605,4 +1637,112 @@ def oracle_sql() -> dict[str, str]:
                    round(224.0 / (length(text) % 640 + 16), 6) AS scale_x,
                    round(224.0 / (length(text) % 480 + 16), 6) AS scale_y
             FROM documents""",
+        # the mm feature oracles regenerate the modular-ramp fake decode
+        # (llm/multimodal.py) with generate_series; every statistic is an
+        # exact-integer sum divided/rooted in the same operation order as
+        # the Spark kernel, so doubles match bit-for-bit before round()
+        "mm_image_features": """
+            WITH m AS (
+              SELECT doc_id AS asset_id,
+                     (ord(substr(text,1,1)) + length(text)) % 256 AS s0,
+                     (length(text) % 640 + 16) AS w,
+                     (length(text) % 480 + 16) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            px AS (
+              SELECT asset_id, s0, w*h AS n, unnest(generate_series(0, w*h - 1)) AS i FROM m
+            ),
+            v AS (
+              SELECT asset_id, n,
+                     (s0 + 21*i) % 256 AS r,
+                     (s0 + 21*i + 7) % 256 AS g,
+                     (s0 + 21*i + 14) % 256 AS b
+              FROM px
+            ),
+            agg AS (
+              SELECT asset_id, max(n) AS n,
+                     sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+                     sum(r+g+b) AS s1, sum((r+g+b)*(r+g+b)) AS s2,
+                     sum(CASE WHEN (r+g+b)//96 = 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN (r+g+b)//96 = 1 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN (r+g+b)//96 = 2 THEN 1 ELSE 0 END) AS c2,
+                     sum(CASE WHEN (r+g+b)//96 = 3 THEN 1 ELSE 0 END) AS c3,
+                     sum(CASE WHEN (r+g+b)//96 = 4 THEN 1 ELSE 0 END) AS c4,
+                     sum(CASE WHEN (r+g+b)//96 = 5 THEN 1 ELSE 0 END) AS c5,
+                     sum(CASE WHEN (r+g+b)//96 = 6 THEN 1 ELSE 0 END) AS c6,
+                     sum(CASE WHEN (r+g+b)//96 = 7 THEN 1 ELSE 0 END) AS c7
+              FROM v GROUP BY asset_id
+            )
+            SELECT asset_id,
+              round(CAST(sr AS DOUBLE)/n, 6) AS mean_r,
+              round(CAST(sg AS DOUBLE)/n, 6) AS mean_g,
+              round(CAST(sb AS DOUBLE)/n, 6) AS mean_b,
+              round(sqrt(greatest(CAST(s2 AS DOUBLE)/(n*9.0)
+                    - (CAST(s1 AS DOUBLE)/(n*3.0))*(CAST(s1 AS DOUBLE)/(n*3.0)), 0.0)), 6) AS std_luma,
+              concat_ws(',',
+                CAST(round((CAST(c0 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c1 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c2 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c3 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c4 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c5 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c6 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT),
+                CAST(round((CAST(c7 AS DOUBLE)/n)*1000000.0, 0) AS BIGINT)) AS hist
+            FROM agg""",
+        "mm_audio_features": """
+            WITH m AS (
+              SELECT doc_id AS asset_id,
+                     (ord(substr(text,1,1)) + length(text)) % 256 AS s0,
+                     greatest(length(text)//2, 1) AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ),
+            s AS (SELECT asset_id, s0, n, unnest(generate_series(0, n-1)) AS i FROM m),
+            u AS (SELECT asset_id, n, i, (s0 + 7*i) % 2001 - 1000 AS u FROM s),
+            z AS (
+              SELECT asset_id, n, u,
+                     CASE WHEN lag(u) OVER (PARTITION BY asset_id ORDER BY i) IS NULL THEN 0
+                          WHEN (lag(u) OVER (PARTITION BY asset_id ORDER BY i) < 0) <> (u < 0) THEN 1
+                          ELSE 0 END AS ch
+              FROM u
+            ),
+            agg AS (
+              SELECT asset_id, max(n) AS n, sum(u*u) AS s2, sum(ch) AS zc, max(abs(u)) AS pk
+              FROM z GROUP BY asset_id
+            )
+            SELECT asset_id, CAST(n AS BIGINT) AS n_samples,
+              round(n/16000.0, 6) AS duration_s,
+              round(sqrt(CAST(s2 AS DOUBLE)/(n*1000000.0)), 6) AS rms,
+              round(CASE WHEN n > 1 THEN CAST(zc AS DOUBLE)/(n-1.0) ELSE 0.0 END, 6) AS zcr,
+              round(pk/1000.0, 6) AS peak
+            FROM agg""",
+        "mm_video_features": """
+            WITH m AS (
+              SELECT doc_id AS asset_id,
+                     (ord(substr(text,1,1)) + length(text)) % 256 AS s0,
+                     (length(text) % 640 + 16) AS w,
+                     (length(text) % 480 + 16) AS h,
+                     length(text)//100 + 1 AS n_frames
+              FROM documents WHERE doc_id % 3 = 2
+            ),
+            fr AS (
+              SELECT asset_id, w, h, (s0 + 13*frame_no) % 256 AS sf, frame_no
+              FROM m, unnest(generate_series(0, least(n_frames - 1, 6), 2)) AS t(frame_no)
+            ),
+            px AS (
+              SELECT asset_id, frame_no, sf, w*h AS n,
+                     unnest(generate_series(0, w*h - 1)) AS i
+              FROM fr
+            ),
+            v AS (
+              SELECT asset_id, frame_no, n,
+                     (sf + 21*i) % 256 + (sf + 21*i + 7) % 256 + (sf + 21*i + 14) % 256 AS luma3
+              FROM px
+            ),
+            agg AS (SELECT asset_id, frame_no, max(n) AS n, sum(luma3) AS s1, sum(luma3*luma3) AS s2
+                    FROM v GROUP BY asset_id, frame_no)
+            SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
+              round(CAST(s1 AS DOUBLE)/(n*3.0), 6) AS mean_luma,
+              round(sqrt(greatest(CAST(s2 AS DOUBLE)/(n*9.0)
+                    - (CAST(s1 AS DOUBLE)/(n*3.0))*(CAST(s1 AS DOUBLE)/(n*3.0)), 0.0)), 6) AS std_luma
+            FROM agg""",
     }

@@ -2,21 +2,29 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The container has no image/audio codecs, so the decode kernels are
-STUBBED behind ``_decode_image_bytes`` (deterministic fake derived from
-the payload hash, clearly marked). Everything Spark-side — schema,
-partition-preserving mapInPandas plumbing, batch shapes, metadata structs
-— is real and tested; swapping the stub for PIL/libsndfile is a kernel
-change only.
+STUBBED (clearly marked).  Round 3 replaces the earlier RNG-seeded fakes
+with *modular-ramp* fakes: pixel / sample ``k`` of an asset is
+``(seed + k*STEP) % M`` — a pure-integer recurrence that any engine can
+regenerate.  That choice is deliberate: the driver's DuckDB oracle can
+rebuild the exact same fake media with ``generate_series`` and verify the
+whole distributed pipeline (filter -> mapInPandas decode -> feature math)
+value-for-value, which an RNG stub cannot offer.  Every feature below is
+derived from exact integer sums (then divided/rooted once, in the same
+operation order the oracle uses) so Spark and DuckDB produce bit-identical
+doubles.  Swapping in PIL / soundfile / ffmpeg is a kernel change only;
+the plumbing — schema, partition-preserving mapInPandas, batch shapes,
+metadata structs — is the real deliverable.
 
 Scale notes: binary payloads ride in parquet as-is; mapInPandas streams
 Arrow record batches so peak memory is one batch, not one partition.
 Feature extraction emits fixed-width vectors -> downstream joins/agg are
-columnar. Frame sampling explodes to (asset_id, frame_no) keyed rows —
+columnar.  Frame sampling explodes to (asset_id, frame_no) keyed rows —
 the natural partitioning for distributed decode.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -25,6 +33,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 IMAGE_META_SCHEMA = "asset_id long, media_type string, width int, height int, n_bytes int"
+
+# Ramp strides: odd -> coprime with 256, so the fake pixel stream cycles
+# through every intensity value (non-degenerate means/histograms).
+_PIXEL_STEP = 7       # per flattened channel value
+_AUDIO_STEP = 7       # per sample, modulus 2001 -> amplitude in [-1, 1]
+_FRAME_STEP = 13      # per-frame seed offset for video
 
 
 def synth_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -47,20 +61,35 @@ def synth_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def _seed_of(payload: bytes) -> int:
+    """Fake-decode seed: (first byte + payload length) mod 256.  The
+    oracle recomputes it as (ord(substr(text,1,1)) + length(text)) % 256
+    — valid because the test corpus is ASCII (byte == code point)."""
+    b0 = payload[0] if len(payload) else 0
+    return (int(b0) + len(payload)) % 256
+
+
 def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: a real build calls PIL/turbojpeg here. The fake is a
-    deterministic pseudo-image seeded by the payload hash so tests and
-    plumbing are stable. Raises for absurd sizes like a real decoder."""
+    """STUB decode: a real build calls PIL/turbojpeg here.  The fake is a
+    deterministic modular ramp over the flattened (H, W, 3) array:
+    ``value[j] = (seed + j*7) % 256`` — cross-engine reproducible (see
+    module docstring).  Raises for absurd sizes like a real decoder."""
     if width <= 0 or height <= 0:
         raise NotImplementedError("real decoder required for degenerate dims")
-    seed = int.from_bytes(bytes(payload[:8]).ljust(8, b"\0"), "little", signed=False)
-    rng = np.random.default_rng(seed % (2**63))
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    s0 = _seed_of(payload)
+    j = np.arange(height * width * 3, dtype=np.int64)
+    flat = (s0 + j * _PIXEL_STEP) % 256
+    return flat.reshape(height, width, 3).astype(np.uint8)
 
 
 def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
-    """Decode + extract per-image features (mean/std per channel, 8-bin
-    luma histogram) via mapInPandas. Output schema is fixed-width."""
+    """Decode + extract per-image features (mean per channel, luma std,
+    8-bin luma histogram) via mapInPandas.  Output schema is fixed-width.
+
+    All statistics are computed from exact integer sums and divided /
+    square-rooted in a fixed operation order so the DuckDB oracle (same
+    formulas over ``generate_series``) reproduces identical doubles.
+    """
     out_schema = (
         "asset_id long, mean_r double, mean_g double, mean_b double, "
         "std_luma double, hist array<double>"
@@ -72,17 +101,22 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
             for _, row in pdf.iterrows():
                 img = _decode_image_bytes(
                     row["payload"], int(row["width"]), int(row["height"])
-                )
-                luma = img.mean(axis=2)
-                hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+                ).astype(np.int64)
+                n = img.shape[0] * img.shape[1]
+                luma3 = img.sum(axis=2)            # r+g+b, integer 0..765
+                s1 = int(luma3.sum())
+                s2 = int((luma3 * luma3).sum())
+                # var(luma) with luma = luma3/3, via exact integer sums
+                var = s2 / (n * 9.0) - (s1 / (n * 3.0)) * (s1 / (n * 3.0))
+                counts = np.bincount(luma3.ravel() // 96, minlength=8)
                 rows.append(
                     {
                         "asset_id": row["asset_id"],
-                        "mean_r": float(img[:, :, 0].mean()),
-                        "mean_g": float(img[:, :, 1].mean()),
-                        "mean_b": float(img[:, :, 2].mean()),
-                        "std_luma": float(luma.std()),
-                        "hist": (hist / hist.sum()).tolist(),
+                        "mean_r": int(img[:, :, 0].sum()) / n,
+                        "mean_g": int(img[:, :, 1].sum()) / n,
+                        "mean_b": int(img[:, :, 2].sum()) / n,
+                        "std_luma": math.sqrt(max(var, 0.0)),
+                        "hist": [int(c) / n for c in counts],
                     }
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "mean_r", "mean_g", "mean_b", "std_luma", "hist"])
@@ -94,14 +128,24 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
 
 
 def _decode_audio_bytes(payload: bytes, n_bytes: int) -> np.ndarray:
-    """STUB decode: a real build calls soundfile/ffmpeg here. Fake mono
-    float32 waveform, one sample per 2 payload bytes (16-bit PCM shape),
-    seeded by the payload hash so the plumbing is deterministic."""
+    """STUB decode: a real build calls soundfile/ffmpeg here.  Fake mono
+    waveform, one sample per 2 payload bytes (16-bit PCM shape):
+    ``sample[i] = ((seed + i*7) % 2001 - 1000) / 1000`` — a deterministic
+    integer ramp in [-1, 1] the oracle can regenerate."""
     if n_bytes <= 0:
         raise NotImplementedError("real decoder required for empty payloads")
-    seed = int.from_bytes(bytes(payload[:8]).ljust(8, b"\0"), "little", signed=False)
-    rng = np.random.default_rng(seed % (2**63))
-    return rng.uniform(-1.0, 1.0, size=max(1, n_bytes // 2)).astype(np.float32)
+    s0 = _seed_of(payload)
+    i = np.arange(max(1, n_bytes // 2), dtype=np.int64)
+    u = (s0 + i * _AUDIO_STEP) % 2001 - 1000
+    return (u / 1000.0).astype(np.float32)
+
+
+def _audio_ints(payload: bytes, n_bytes: int) -> np.ndarray:
+    """Integer milli-amplitudes behind ``_decode_audio_bytes`` — feature
+    math runs on these exact ints so sums carry no float error."""
+    s0 = _seed_of(payload)
+    i = np.arange(max(1, n_bytes // 2), dtype=np.int64)
+    return (s0 + i * _AUDIO_STEP) % 2001 - 1000
 
 
 def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
@@ -118,16 +162,19 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                wav = _decode_audio_bytes(row["payload"], int(row["n_bytes"]))
-                zc = np.count_nonzero(np.diff(np.signbit(wav))) / max(1, wav.size - 1)
+                u = _audio_ints(row["payload"], int(row["n_bytes"]))
+                n = int(u.size)
+                s2 = int((u * u).sum())
+                neg = u < 0
+                zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
                 rows.append(
                     {
                         "asset_id": row["asset_id"],
-                        "n_samples": int(wav.size),
-                        "duration_s": float(wav.size / sample_rate),
-                        "rms": float(np.sqrt((wav.astype(np.float64) ** 2).mean())),
-                        "zcr": float(zc),
-                        "peak": float(np.abs(wav).max()),
+                        "n_samples": n,
+                        "duration_s": n / (sample_rate * 1.0),
+                        "rms": math.sqrt(s2 / (n * 1000000.0)),
+                        "zcr": zc / (n - 1.0) if n > 1 else 0.0,
+                        "peak": int(np.abs(u).max()) / 1000.0,
                     }
                 )
             yield pd.DataFrame(
@@ -142,13 +189,15 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
 
 
 def _decode_video_frame(payload: bytes, frame_no: int, width: int, height: int) -> np.ndarray:
-    """STUB frame decode: a real build seeks + decodes via ffmpeg. The
-    fake varies the image seed by frame number so frames differ."""
+    """STUB frame decode: a real build seeks + decodes via ffmpeg.  Same
+    modular-ramp fake as images with a per-frame seed offset
+    (``seed + 13*frame_no``) so frames of one video differ."""
     if width <= 0 or height <= 0:
         raise NotImplementedError("real decoder required for degenerate dims")
-    seed = int.from_bytes(bytes(payload[:8]).ljust(8, b"\0"), "little", signed=False)
-    rng = np.random.default_rng((seed ^ (frame_no * 0x9E3779B97F4A7C15)) % (2**63))
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    s0 = (_seed_of(payload) + _FRAME_STEP * frame_no) % 256
+    j = np.arange(height * width * 3, dtype=np.int64)
+    flat = (s0 + j * _PIXEL_STEP) % 256
+    return flat.reshape(height, width, 3).astype(np.uint8)
 
 
 def video_frame_features(
@@ -177,14 +226,18 @@ def video_frame_features(
                 img = _decode_video_frame(
                     row["payload"], int(row["frame_no"]),
                     int(row["width"]), int(row["height"]),
-                )
-                luma = img.mean(axis=2)
+                ).astype(np.int64)
+                n = img.shape[0] * img.shape[1]
+                luma3 = img.sum(axis=2)
+                s1 = int(luma3.sum())
+                s2 = int((luma3 * luma3).sum())
+                var = s2 / (n * 9.0) - (s1 / (n * 3.0)) * (s1 / (n * 3.0))
                 rows.append(
                     {
                         "asset_id": row["asset_id"],
                         "frame_no": int(row["frame_no"]),
-                        "mean_luma": float(luma.mean()),
-                        "std_luma": float(luma.std()),
+                        "mean_luma": s1 / (n * 3.0),
+                        "std_luma": math.sqrt(max(var, 0.0)),
                     }
                 )
             yield pd.DataFrame(
