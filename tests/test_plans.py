@@ -129,6 +129,22 @@ def test_dedup_pair_queries_scan_once(spark):
         assert plan.count("FileScan") == 1, f"{q.__name__} scans corpus more than once"
 
 
+def test_embed_neardup_prefilter_buckets_once(spark):
+    """embedding_near_dups(prefilter='rp_lsh') must run the Arrow
+    bucketing pass exactly once: the old bucketed a⋈b self-join planned
+    the pandas-UDF pipeline on both sides (no exchange reuse). The
+    posting-list form has two ArrowEvalPython nodes total — one
+    bucketing, one cosine verify."""
+    from eventkit_spark.llm.similarity import embedding_near_dups
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = physical_plan(embedding_near_dups(emb, threshold=0.92, prefilter="rp_lsh"))
+    assert plan.count("ArrowEvalPython") == 1, "bucketing pipeline planned more than once"
+    assert plan.count("MapInPandas") == 1, "verify pass should be one fused Arrow kernel"
+
+
 def test_bucketed_join_elides_shuffle(spark):
     """Two tables bucketed on the same key join AND aggregate with no
     shuffle exchange — the write-once pre-shuffle that makes repeated
