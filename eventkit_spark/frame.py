@@ -346,6 +346,19 @@ class EventFrame:
     def fork_zip(self, *branch_fns):
         return _combine.fork_zip(self, *branch_fns)
 
+    def fork(self, *branch_fns):
+        """Fork into N operator branches; join back via any ``Fork``
+        method — ``ef.fork(f, g).merge()`` etc. (event.py:284-307,
+        ops/combine.py:10-37). ``ef[f, g]`` is the bracket synonym."""
+        return _combine.fork(self, *branch_fns)
+
+    def __getitem__(self, branch_fns):
+        """Square-bracket fork synonym (event.py:286-292:
+        ``ev[ev.Min, ev.Max].zip()``)."""
+        if not isinstance(branch_fns, tuple):
+            branch_fns = (branch_fns,)
+        return _combine.fork(self, *branch_fns)
+
     # -- higher-order (SURVEY.md §2.3 emap family) --------------------
     def emap(self, child_gen, joiner="merge"):
         """Generic emap with a named or user-supplied joiner

@@ -217,6 +217,51 @@ def ziplatest(*efs, partial: bool = True):
     )
 
 
+class Fork(list):
+    """Result of ``EventFrame.fork(*branch_fns)``: the N branch frames,
+    awaiting a join discipline (combine.py:10-37 ``Fork``: the reference
+    joins forked branches back through ANY combinator —
+    ``ev[Min, Max].merge()`` etc., event.py:284-307).
+
+    Each method routes the branches through the module's existing
+    combinator, so a fork join costs exactly what that combinator costs
+    on N independent streams; no extra machinery. ``join`` accepts any
+    callable taking ``*frames`` for custom disciplines (the reference's
+    ``Fork.join(joiner)``)."""
+
+    def join(self, joiner):
+        return joiner(*self)
+
+    def merge(self):
+        return merge(*self)
+
+    def chain(self):
+        return chain(*self)
+
+    def concat(self):
+        return concat(*self)
+
+    def switch(self):
+        return switch(*self)
+
+    def zip(self):
+        return zip_(*self)
+
+    def ziplatest(self, partial: bool = True):
+        return ziplatest(*self, partial=partial)
+
+
+def fork(ef, *branch_fns):
+    """``ef.fork(fn, fn, ...)`` — run N operator branches off one source;
+    join them back with any ``Fork`` method (event.py:284-307).
+
+    All branches derive from the same scan, so Catalyst plans the source
+    once per branch but AQE/exchange reuse collapses identical subtrees;
+    branches that are pure window aggregates should prefer
+    ``running_multi`` (single shuffle) when zipping."""
+    return Fork(fn(ef) for fn in branch_fns)
+
+
 def fork_zip(ef, *branch_fns):
     """``fork(a, b, c).zip()`` (combine.py:10-37 + event.py:284-307): run N
     operator branches off one source and zip them positionally by seq.

@@ -106,3 +106,38 @@ def test_merge_keeps_ts_order(abc):
     rows = m.df.orderBy("seq").collect()
     ts = [r["ts"] for r in rows]
     assert ts == sorted(ts)
+
+
+def test_fork_join_disciplines(spark):
+    """Generic fork: branches join back through ANY combinator, mirroring
+    /root/reference/tests/event_test.py:148-152 (zip golden) and
+    ops/combine.py:10-37 (Fork.merge/chain/join)."""
+    from eventkit_spark.sources.create import range_
+
+    ev = range_(spark, 4, 10, interval=0.01)
+    # the reference's own fork golden: range(4,10)[Min, Max, Sum].zip()
+    got = ev[lambda e: e.min(), lambda e: e.max(), lambda e: e.sum()].zip().to_list()
+    assert got == [(4, 4, 4), (4, 5, 9), (4, 6, 15), (4, 7, 22), (4, 8, 30), (4, 9, 39)]
+
+    # non-zip joiner: merge interleaves branch emits at equal ts by
+    # branch index (min first, then max) — pairwise per tick
+    merged = ev.fork(lambda e: e.min(), lambda e: e.max()).merge().to_list()
+    exp = []
+    for i in range(4, 10):
+        exp += [4, i]
+    assert merged == exp
+
+    # chain: all of branch 0, then all of branch 1
+    chained = ev.fork(lambda e: e.min(), lambda e: e.max()).chain().to_list()
+    assert chained == [4] * 6 + list(range(4, 10))
+
+    # custom joiner callable (the reference's Fork.join(JoinOp))
+    from eventkit_spark.operators import combine as C
+
+    joined = ev.fork(lambda e: e.min(), lambda e: e.max()).join(C.zip_).to_list()
+    assert joined == [(4, i) for i in range(4, 10)]
+
+    # ziplatest over fork branches keeps the partial NULL convention:
+    # at t0 branch 0 emits first (tag order), branch 1 not yet seen
+    zl = ev.fork(lambda e: e.take(1), lambda e: e.max()).ziplatest().to_list()
+    assert zl[0] == (4, None) and zl[1] == (4, 4) and zl[-1] == (4, 9)
