@@ -156,6 +156,15 @@ def q_fork_minmax(spark, sf):
     )
 
 
+def q_reduce_py(spark, sf):
+    # arbitrary-Python fold (no Column form): clamped running sum via the
+    # applyInPandas reduce path; DuckDB mirrors it with a windowed
+    # list_reduce over the same (event_id-ordered) prefix
+    ef = _ev(spark, sf)
+    out = ef.reduce(lambda a, x: min(1000.0, a + x), initializer=0.0)
+    return out.df.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
 def q_fork_merge(spark, sf):
     # generic fork joined via a NON-zip discipline (round-2 VERDICT
     # missing #2): running-min and running-max branches interleaved by
@@ -814,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ziplatest": q_ziplatest,
         # (c) round-3 rebuilt / new ops
         "fork_merge": q_fork_merge,
+        "reduce_py": q_reduce_py,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         # (d) bounded/containment oracles for the former no_oracle set
@@ -1026,6 +1036,11 @@ def oracle_sql() -> dict[str, str]:
         "array_mean": f"""
             SELECT event_id, user_id,
                    round(avg(value) OVER ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS tmean
+            FROM events""",
+        "reduce_py": f"""
+            SELECT event_id, user_id,
+                   round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(value) OVER ({_CUM})),
+                         (a, b) -> least(CAST(1000 AS DOUBLE), a + b)), 2) AS value
             FROM events""",
         "fork_merge": f"""
             WITH mn AS (

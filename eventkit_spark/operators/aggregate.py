@@ -228,11 +228,39 @@ def pairwise(ef):
 def reduce_(ef, merge_expr, initializer=None, result_type="double"):
     """Generic running fold (aggregate.py:18-36).
 
-    ``merge_expr(acc, x) -> Column`` folds over the cumulative collected
-    array via the ``aggregate`` higher-order function. O(n^2) work per
-    stream — correct for arbitrary folds, but prefer the specific running
-    aggregates above (O(n)) whenever the fold is one of them.
+    Two paths, chosen by probing the merge function once with Column
+    arguments:
+
+    - Column-expressible (``merge_expr(acc, x) -> Column``, e.g.
+      ``operator.add`` or a ``F.greatest`` lambda): folds over the
+      cumulative collected array via the ``aggregate`` higher-order
+      function — JVM-side, O(n^2) work per stream but no Python in the
+      hot path. Prefer the specific running aggregates above (O(n))
+      whenever the fold is one of them.
+    - Arbitrary Python callable (the reference accepts ANY ``func``,
+      aggregate.py:18-36 — e.g. a clamped sum or a dict-merging fold
+      that no Column expression can state): an Arrow-batched
+      ``applyInPandas`` linear scan per key, the same kernel shape as
+      ``state.ema_exact`` — parallel across keys, O(n) per key, honest
+      about being the slow path. Unkeyed streams degrade to one task
+      (the reference's single process).
+
+    Both paths seed the fold with the first element when
+    ``initializer`` is None (n emits; the reference's silent first-seed
+    is documented-divergent, matching the engine's other docstring-over-
+    bug choices).
     """
+    from pyspark.sql import Column
+
+    try:
+        probe = merge_expr(
+            F.lit(None).cast(result_type), F.lit(None).cast(result_type)
+        )
+        column_path = isinstance(probe, Column)
+    except Exception:
+        column_path = False
+    if not column_path:
+        return _reduce_python(ef, merge_expr, initializer, result_type)
     v = value_col(ef)
     arr = F.collect_list(v).over(wcum(ef))
     init = F.lit(initializer).cast(result_type)
@@ -247,6 +275,43 @@ def reduce_(ef, merge_expr, initializer=None, result_type="double"):
         out = F.aggregate(arr, init, merge_expr)
     cols = [F.col(c) for c in meta_cols(ef)] + [out.alias("value")]
     return ef._with(df=ef.df.select(*cols), value_cols=["value"])
+
+
+def _reduce_python(ef, func, initializer, result_type):
+    """Arbitrary-Python running fold: per-key sorted linear scan via
+    applyInPandas (pattern: state.ema_exact)."""
+    vname = ef.value_cols[0]
+    seq_col = ef.seq_col
+    schema = ef.df.schema
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(seq_col)
+        out = []
+        acc = initializer
+        for i, x in enumerate(pdf[vname]):
+            if i == 0 and initializer is None:
+                acc = x
+            else:
+                acc = func(acc, x)
+            out.append(acc)
+        pdf = pdf.assign(**{vname: pd.Series(out, index=pdf.index)})
+        return pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {result_type if f.name == vname else f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+    grouped = (
+        ef.df.groupBy(*ef.key_cols)
+        if ef.key_cols
+        else ef.df.groupBy(F.lit(0).alias("__g"))
+    )
+    df = grouped.applyInPandas(kernel, schema=out_schema)
+    if not ef.key_cols and "__g" in df.columns:
+        df = df.drop("__g")
+    return ef._with(df=df.select(*[f.name for f in schema.fields]), value_cols=[vname])
 
 
 def list_(ef):

@@ -91,6 +91,47 @@ def test_reduce(ints):
     assert got == [0, 1, 2, 3, 3, 3, 3, 3, 3, 3]
 
 
+def test_reduce_python_callable(ints, spark):
+    """Arbitrary Python fold (reference Reduce accepts any func,
+    aggregate.py:18-36): a clamped sum has no Column expression — it
+    must route through the applyInPandas kernel and still match the
+    sequential fold."""
+    from functools import reduce as pyreduce
+
+    func = lambda a, x: min(12, a + x)  # noqa: E731
+    got = ints.reduce(func, initializer=0, result_type="bigint").to_list()
+    exp, acc = [], 0
+    for x in range(10):
+        acc = func(acc, x)
+        exp.append(acc)
+    assert got == exp == [0, 1, 3, 6, 10, 12, 12, 12, 12, 12]
+
+    # no initializer: first element seeds (engine docstring semantics)
+    got2 = ints.reduce(func, result_type="bigint").to_list()
+    assert got2 == [0, 1, 3, 6, 10, 12, 12, 12, 12, 12]
+
+    # plain operator.add stays on the JVM Column path (no pandas node)
+    import operator
+
+    from eventkit_spark.plans.audit import physical_plan
+
+    ef = ints.reduce(operator.add, result_type="bigint")
+    assert "FlatMapGroupsInPandas" not in physical_plan(ef.df)
+    assert ef.to_list() == [sum(range(i + 1)) for i in range(10)]
+
+    # and the python path is keyed-parallel: per-key folds stay separate
+    from eventkit_spark.sources.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    per_key = ev.reduce(func, initializer=0, result_type="double")
+    one = per_key.df.filter(F.col("user_id") == 0).orderBy("event_id").limit(3).collect()
+    raw = ev.df.filter(F.col("user_id") == 0).orderBy("event_id").limit(3).collect()
+    acc = 0
+    for r_out, r_in in zip(one, raw):
+        acc = func(acc, r_in["value"])
+        assert abs(r_out["value"] - acc) < 1e-9
+
+
 def test_list(ints):
     assert ints.list().to_list() == [list(range(10))]
 
