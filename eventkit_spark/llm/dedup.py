@@ -255,6 +255,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` -> (id, cluster_id).
 
@@ -265,13 +266,29 @@ def dedup_clusters(
     (cluster_id = own id), so the output covers the whole corpus and
     `filter(id == cluster_id)` IS the deduplicated keep-list.
 
-    Pregel-shaped min-label propagation: per iteration one equi-join
-    (labels ⋈ edges) + one min-aggregate, converging in O(graph diameter)
-    rounds — near-dup components are shallow (dups of dups of one
-    original), so this is 2-4 rounds in practice, each a single shuffle.
-    `localCheckpoint` truncates lineage so plan size stays constant
-    across rounds. The per-round `count()` action is one job over the
-    (tiny, O(changed labels)) delta — not a full-corpus collect.
+    Pregel-shaped min-label propagation WITH pointer jumping: each round
+    does (a) one equi-join (labels ⋈ edges) + min-aggregate — one hop of
+    propagation — then (b) a label-table self-join rewriting
+    ``cluster -> label(cluster)`` — path compression, the halving step of
+    the public two-phase CC algorithms (Kiveris et al.'s star
+    contractions compress the same way). A labels-only hop is valid
+    because every label IS a reachable node id, so composing two labels
+    is still a reachable, smaller id. Rounds drop from O(diameter) to
+    O(log diameter): a 1000-hop template chain (boilerplate corpora
+    produce exactly these) converges in ~11 rounds, not 1000, and
+    ``max_iter=25`` covers diameters past 2^24.
+
+    Convergence is CHECKED, not assumed: exhausting ``max_iter`` with
+    labels still moving raises (``on_nonconverged="warn"`` downgrades to
+    a warning) — a silently split cluster would poison the keep-list
+    downstream (round-2 ADVICE, medium).
+
+    Scale notes: propagation runs ONLY over edge-touched nodes —
+    everything else is a singleton by construction, so each round's
+    join/aggregate/count is O(|edges|), ~100x less than whole-corpus
+    labels at ~1% near-dups. `localCheckpoint` truncates lineage so plan
+    size stays constant across rounds; the per-round `count()` is one
+    job over that same bounded delta.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (
@@ -279,23 +296,32 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    # propagate ONLY over edge-touched nodes: everything else is a
-    # singleton by construction, so each round's join/aggregate/count
-    # runs on O(|edges|) rows — at 100 TB with ~1% near-dups that is
-    # ~100x less per-round work than carrying the whole corpus' labels
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("cluster")
         )
-        new_labels = (
+        hopped = (
             labels.union(prop).groupBy("id").agg(F.min("cluster").alias("cluster"))
-        ).localCheckpoint()
+        )
+        # pointer jump: cluster <- label(cluster). label(x) <= x always,
+        # so the left join misses only already-root labels (coalesce)
+        lut = hopped.select(
+            F.col("id").alias("__cid"), F.col("cluster").alias("__cc")
+        )
+        new_labels = (
+            hopped.join(lut, hopped.cluster == F.col("__cid"), "left")
+            .select(
+                "id", F.coalesce(F.col("__cc"), F.col("cluster")).alias("cluster")
+            )
+            .localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -305,6 +331,18 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — clusters would be split; "
+            "raise max_iter"
+        )
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
     ids = docs.select(F.col(id_col).alias("id"))
     return (
         ids.join(labels, "id", "left")

@@ -195,6 +195,36 @@ def test_dedup_clusters_transitive(spark):
     assert out2 == {i: 1 for i in range(1, 8)} | {7: 1}
 
 
+def test_dedup_clusters_deep_chain_pointer_jump(spark):
+    """A 1000-hop path graph (worst-case diameter: templated boilerplate
+    chains) must converge in O(log diameter) rounds thanks to pointer
+    jumping — 14 rounds cover diameter 1000, where plain one-hop
+    propagation needed 1000. Exhausting max_iter raises instead of
+    silently returning split clusters."""
+    import pytest
+
+    from eventkit_spark.llm.dedup import dedup_clusters
+
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(docs, pairs, max_iter=14)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iter=3)
+
+    # warn mode returns (possibly split) labels instead of raising
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup_clusters(docs, pairs, max_iter=3, on_nonconverged="warn").count()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_contamination_kgram_overlap(spark):
     """A train doc sharing a 5-gram with any heldout doc is flagged with
     the distinct-shingle overlap count; others are not."""
