@@ -467,12 +467,25 @@ def q_pivot(spark, sf):
 
 def q_approx_agg(spark, sf):
     # approximate aggregates (SURVEY §2.9): sketch values are
-    # engine-specific -> rows-only check; exactness bounds are tested
-    # against exact counts in the unit suite
+    # engine-specific, so the DRIVER-CHECKED contract is the error
+    # BOUND, not the sketch value (round-2 VERDICT item 7): each group
+    # emits booleans asserting approx-vs-exact relative error within the
+    # sketch's documented tolerance (HLL++ rsd=0.05 -> 15% ~ 3 sigma;
+    # percentile_approx accuracy=10000 -> 5% is generous). The oracle
+    # emits the same groups with constant TRUE — a sketch drifting out
+    # of tolerance hash-mismatches. Raw sketch values stay covered by
+    # exactness-bound unit tests.
     o = load_table(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_cust"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("ac"),
+        F.countDistinct("o_custkey").alias("xc"),
+        F.percentile_approx("o_totalprice", 0.5).alias("am"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("xm"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        (F.abs(F.col("ac") - F.col("xc")) <= 0.15 * F.col("xc")).alias("cust_ok"),
+        (F.abs(F.col("am") - F.col("xm")) <= 0.05 * F.col("xm")).alias("median_ok"),
     )
 
 
@@ -565,10 +578,20 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
-    from eventkit_spark.llm.dedup import minhash_lsh_candidates
+    # CONTAINMENT contract (round-2 VERDICT item 7): the true-pair set
+    # (exact jaccard >= 0.5, SQL-expressible) intersected with the
+    # minhash candidate set. At r=2 rows/band x 16 bands the band-
+    # collision probability at jaccard 0.5 is 1-(1-0.25)^16 ~ 0.99 and
+    # the hash family is deterministic, so candidates cover every true
+    # pair at these SFs — any pair the LSH misses shows up as a driver
+    # row-count/hash mismatch against the exact-pair oracle.
+    from eventkit_spark.llm.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
-    return minhash_lsh_candidates(
-        load_table(spark, sf, "documents"), num_hashes=32, bands=8, k=3
+    docs = load_table(spark, sf, "documents")
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64)
+    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=16, k=3)
+    return exact.join(cand, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -666,7 +689,25 @@ def q_embed_neardup(spark, sf):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-def q_embed_rp_lsh(spark, sf):
+def q_embed_rp_lsh_recall(spark, sf):
+    # RECALL contract (round-2 VERDICT item 7): the RP-LSH-prefiltered
+    # near-dup pairs at target_recall=0.9999 against the exact all-pairs
+    # oracle. The hyperplane family is deterministic, and at these
+    # parameters the bucketing covers every true pair at test SFs, so
+    # the LSH output EQUALS the exact set — a lost pair (bucketing bug,
+    # auto-sizing regression) hash-mismatches. The top-k probe surface
+    # of the same bucketing family keeps its original embed_rp_lsh
+    # registry name (rows-only, tail) for bench/verdict continuity.
+    from eventkit_spark.llm.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf, "embeddings")
+    out = embedding_near_dups(
+        emb, threshold=0.35, prefilter="rp_lsh", target_recall=0.9999
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_embed_rp_lsh_topk(spark, sf):
     from eventkit_spark.llm.similarity import rp_lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -830,7 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_agg": q_approx_agg,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "embed_rp_lsh": q_embed_rp_lsh,
+        "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_ivf": q_embed_ivf,
         "throttle": q_throttle,
         # (e) LLM-extension flagship set (green r2, re-confirm)
@@ -909,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mergemap": q_mergemap,
         "chainmap": q_chainmap,
         "switchmap": q_switchmap,
+        "embed_rp_lsh": q_embed_rp_lsh_topk,
     }
 
 
@@ -1339,6 +1381,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
             WHERE common / (sa.n + sb.n - common) >= 0.3""",
+        # containment contract: exact pairs at jaccard>=0.5 — the Spark
+        # side intersects them with minhash candidates, so equality
+        # proves LSH recall 1 at these parameters
+        "dedup_minhash": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            WHERE common / (sa.n + sb.n - common) >= 0.5""",
+        # bounded contract: every group's sketch must sit inside its
+        # documented tolerance, so the oracle is constant TRUE per group
+        "approx_agg": """
+            SELECT o_orderpriority, TRUE AS cust_ok, TRUE AS median_ok
+            FROM orders GROUP BY o_orderpriority""",
         "dedup_clusters": r"""
             WITH RECURSIVE words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
@@ -1638,6 +1710,21 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rank <= 5""",
         "embed_neardup": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))), 6) AS cos
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_reduce(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) >= 0.35""",
+        # recall contract: identical SQL to embed_neardup — the LSH
+        # prefilter at target_recall 0.9999 must reproduce the exact set
+        "embed_rp_lsh_recall": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
             )

@@ -3,6 +3,12 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
 the noop sink (full computation, no driver materialization cost).
+
+Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 2): the first
+pass pays scan-cache/codegen/Arrow first-touch costs that BASELINE.md
+measured at up to +-30% noise; ``queries``/``value`` report the per-query
+MIN so real plan regressions separate from noise, and ``queries_cold`` /
+``value_cold`` keep the first-pass numbers for cold-start comparisons.
 """
 
 from __future__ import annotations
@@ -60,10 +66,14 @@ HEADLINE = [
     "source_quota",
     "embed_topk",
     "embed_rp_lsh",
+    "embed_rp_lsh_recall",
     "embed_ivf",
     "embed_neardup",
     "mm_frame_sample",
     "mm_resize_plan",
+    "mm_image_features",
+    "fork_merge",
+    "reduce_py",
 ]
 
 
@@ -77,25 +87,31 @@ def main():
     # JVM/codegen warmup outside timing
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
+    runs: list[dict[str, float]] = []
+    for _ in range(iters):
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        runs.append(times)
 
+    best = {n: min(r[n] for r in runs) for n in HEADLINE}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "queries": best,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "iterations": iters,
+    }
+    if iters > 1:
+        out["queries_cold"] = runs[0]
+        out["value_cold"] = round(sum(runs[0].values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
