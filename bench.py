@@ -66,7 +66,6 @@ HEADLINE = [
     "source_quota",
     "embed_topk",
     "embed_rp_lsh",
-    "embed_rp_lsh_recall",
     "embed_ivf",
     "embed_neardup",
     "mm_frame_sample",

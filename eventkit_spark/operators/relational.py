@@ -7,11 +7,21 @@ running ``last(ignorenulls)`` window per key — exactly one shuffle on
 the `by` key, linear in total rows, the same shape `timing.sample` and
 TakeUntil use internally. Right-side payloads ride a single struct so N
 carried columns still cost one window expression.
+
+The UNKEYED case (``by=None``) cannot ride a key shuffle — a naive
+global window serializes everything through one task. It instead runs
+the classic two-pass carry-forward: range-partition the union on
+``(ts, tag)``, compute the running last WITHIN each range partition (a
+window keyed on the partition id — balanced, parallel), then broadcast
+each partition's closing right-row so later partitions coalesce their
+leading unmatched rows against the carry-in. Two shuffles (range + pid)
+and a P-row broadcast instead of one single-task sort.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql.types import TimestampType
 
 
 def asof_join(
@@ -22,18 +32,24 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: float | None = None,
     suffix: str = "_r",
+    partitions: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (per ``by`` key group) — a LEFT as-of join:
     left rows with no prior right row keep NULLs.
 
     ``right_cols`` limits which right columns are carried (default: all
-    non-key, non-ts). ``tolerance`` (seconds) drops matches older than
-    ``left.ts - tolerance``. Right rows at exactly left.ts ARE visible
-    (ties resolve right-before-left, the <= convention of e.g. DuckDB's
-    ASOF JOIN). If several right rows share one (key, ts), the one with
-    the highest tie-break order (later union position) wins — pre-
-    aggregate the right side if that matters.
+    non-key, non-ts). ``tolerance`` drops matches older than
+    ``left.ts - tolerance`` — in SECONDS when ``ts_col`` is a timestamp,
+    in the column's own units when it is numeric (any orderable numeric
+    ts works; only the timestamp case converts via ``unix_micros``).
+    Right rows at exactly left.ts ARE visible (ties resolve
+    right-before-left, the <= convention of e.g. DuckDB's ASOF JOIN). If
+    several right rows share one (key, ts), the one with the highest
+    tie-break order wins — pre-aggregate the right side if that matters.
+
+    ``partitions`` sizes the unkeyed range partitioning (default:
+    ``spark.sql.shuffle.partitions``); ignored when ``by`` is given.
     """
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     if right_cols is None:
@@ -57,19 +73,51 @@ def asof_join(
         payload.alias("__p"),
     )
     u = r_tag.unionByName(l_tag)
-    w = (
-        (W.partitionBy(*by) if by else W.partitionBy(F.lit(0)))
-        .orderBy(F.col(ts_col), F.col("__tag"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    u = u.withColumn(
-        "__m", F.last(F.when(F.col("__tag") == 0, F.col("__p")), ignorenulls=True).over(w)
-    )
+    right_mark = F.when(F.col("__tag") == 0, F.col("__p"))
+    if by:
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(ts_col), F.col("__tag"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(w))
+    else:
+        # two-pass carry-forward (module docstring): parallel local
+        # windows per range partition + a tiny broadcast of carry-ins
+        n_part = partitions or int(
+            u.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        u = u.repartitionByRange(
+            n_part, F.col(ts_col), F.col("__tag")
+        ).withColumn("__pid", F.spark_partition_id())
+        wloc = (
+            W.partitionBy("__pid")
+            .orderBy(F.col(ts_col), F.col("__tag"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(wloc))
+        pids = u.select("__pid").distinct()
+        closing = (
+            u.filter(F.col("__tag") == 0)
+            .groupBy("__pid")
+            .agg(F.max_by("__p", F.struct(F.col(ts_col))).alias("__pl"))
+        )
+        wcarry = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+        carry = (
+            pids.join(closing, "__pid", "left")
+            .withColumn("__carry", F.last("__pl", ignorenulls=True).over(wcarry))
+            .select("__pid", "__carry")
+        )
+        u = u.join(F.broadcast(carry), "__pid", "left").withColumn(
+            "__m", F.coalesce(F.col("__m"), F.col("__carry"))
+        )
     out = u.filter(F.col("__tag") == 1)
     if tolerance is not None:
-        fresh = (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__m.__asof_ts"))
-        ) <= int(tolerance * 1_000_000)
+        if isinstance(left.schema[ts_col].dataType, TimestampType):
+            age = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__m.__asof_ts"))
+            fresh = age <= int(tolerance * 1_000_000)
+        else:
+            fresh = (F.col(ts_col) - F.col("__m.__asof_ts")) <= F.lit(tolerance)
         out = out.withColumn("__m", F.when(fresh, F.col("__m")))
     keep = [F.col(c) for c in left.columns]
     keep += [F.col(f"__m.{c}").alias(c + suffix if c in left.columns else c) for c in right_cols]

@@ -374,6 +374,43 @@ def test_asof_join_semantics(spark):
     assert tol == {1: None, 2: 10.0, 3: None}  # k@5's match (ts 4) is stale
 
 
+def test_asof_join_unkeyed_carry_forward(spark):
+    """by=None must (a) range-partition instead of one global window —
+    the plan shows RangePartitioning and a pid-keyed window, no
+    SinglePartition sort of the union — and (b) still produce exact
+    as-of semantics across partition boundaries (carry-in), including
+    numeric-ts tolerance in column units."""
+    from eventkit_spark.operators.relational import asof_join
+    from eventkit_spark.plans.audit import physical_plan
+
+    n = 5000
+    left = spark.range(n).select(
+        F.col("id"), (F.col("id") * 10).alias("ts"), (F.col("id") * 1.0).alias("value")
+    )
+    # sparse right stream: one quote every 50 ticks, offset +5
+    right = spark.range(n // 50).select(
+        (F.col("id") * 500 + 5).alias("ts"), (F.col("id") * 100.0).alias("q")
+    )
+    out = asof_join(left, right, "ts", right_cols=["q"], partitions=8)
+    plan = physical_plan(out)
+    assert "rangepartitioning" in plan.lower()
+    rows = {r["id"]: (r["q"], r["ts_r"]) for r in out.collect()}
+    assert len(rows) == n
+    for i in (0, 1, 49, 50, 51, 499, 500, 2501, n - 1):
+        ts = i * 10
+        k = (ts - 5) // 500  # latest right with right.ts <= ts
+        exp = (k * 100.0, k * 500 + 5) if ts >= 5 else (None, None)
+        assert rows[i] == exp, (i, rows[i], exp)
+
+    # numeric tolerance: matches older than 20 ticks expire
+    tol = {r["id"]: r["q"] for r in
+           asof_join(left, right, "ts", right_cols=["q"], tolerance=20,
+                     partitions=8).collect()}
+    assert tol[1] == 0.0      # ts=10, match at 5: age 5 <= 20
+    assert tol[4] is None     # ts=40, match at 5: age 35 > 20
+    assert tol[51] == 100.0   # ts=510, match at 505
+
+
 def test_bucket_caps_prune_only_downward(spark):
     """max_bucket on minhash/simhash may drop pairs, never invent them;
     with a generous cap the pair sets are identical."""
