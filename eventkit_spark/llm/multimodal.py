@@ -41,6 +41,19 @@ _AUDIO_STEP = 7       # per sample, modulus 2001 -> amplitude in [-1, 1]
 _FRAME_STEP = 13      # per-frame seed offset for video
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Decode kernels are CPU-bound: when the source has FEWER partitions
+    than spark.sql.shuffle.partitions (small test files read as one
+    split), repartition so the mapInPandas decode saturates the cluster
+    instead of running in one task. At 100 TB the ingest already has far
+    more splits than that, so the check never triggers and payload bytes
+    are not reshuffled."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def synth_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Derive a deterministic fake media table from documents: binary
     payload = utf8 bytes of the text, metadata struct alongside.
@@ -124,7 +137,7 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
     flat = media.filter(F.col("meta.media_type") == "image/png").select(
         "asset_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
-    return flat.mapInPandas(kernel, schema=out_schema)
+    return _spread(flat).mapInPandas(kernel, schema=out_schema)
 
 
 def _decode_audio_bytes(payload: bytes, n_bytes: int) -> np.ndarray:
@@ -185,7 +198,7 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
     flat = media.filter(F.col("meta.media_type") == "audio/wav").select(
         "asset_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
     )
-    return flat.mapInPandas(kernel, schema=out_schema)
+    return _spread(flat).mapInPandas(kernel, schema=out_schema)
 
 
 def _decode_video_frame(payload: bytes, frame_no: int, width: int, height: int) -> np.ndarray:
@@ -244,7 +257,7 @@ def video_frame_features(
                 rows, columns=["asset_id", "frame_no", "mean_luma", "std_luma"]
             )
 
-    return flat.mapInPandas(kernel, schema=out_schema)
+    return _spread(flat).mapInPandas(kernel, schema=out_schema)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
