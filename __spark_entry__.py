@@ -661,6 +661,38 @@ def q_pipeline_corpus(spark, sf):
     )
 
 
+def q_line_dedup(spark, sf):
+    # CCNet/Dolma-style paragraph dedup. The synthetic docs are single
+    # lines, so the contract derives a multi-line corpus first (8-word
+    # chunks joined by newlines — mirrored exactly in the oracle) and
+    # then drops every repeated line after its first (doc, pos)
+    # occurrence, reassembling the survivors.
+    from eventkit_spark.llm.text import line_dedup
+
+    docs = load_table(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    docs2 = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(docs2)
+
+
+def q_redact_pii(spark, sf):
+    from eventkit_spark.llm.text import redact_pii
+
+    out = redact_pii(load_table(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "text",
+    )
+
+
 def q_text_stats(spark, sf):
     from eventkit_spark.llm.text import text_stats
 
@@ -727,6 +759,19 @@ def q_embed_ivf(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=3)
+
+
+def q_embed_ivf_recall(spark, sf):
+    # FULL-PROBE contract: with nprobe == n_cells every cell is probed,
+    # so IVF must EQUAL brute-force top-k exactly — verifying the whole
+    # assignment/probe/scoring machinery against the embed_topk oracle.
+    # The partial-probe production form stays registered as embed_ivf
+    # (rows-only; recall < 1 by design).
+    from eventkit_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=8)
+    return out.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
 
 
 def q_split_by_hash(spark, sf):
@@ -873,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) round-3 rebuilt / new ops
         "fork_merge": q_fork_merge,
         "reduce_py": q_reduce_py,
+        "line_dedup": q_line_dedup,
+        "redact_pii": q_redact_pii,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         # (d) bounded/containment oracles for the former no_oracle set
@@ -880,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash": q_dedup_simhash,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
+        "embed_ivf_recall": q_embed_ivf_recall,
         "embed_ivf": q_embed_ivf,
         "throttle": q_throttle,
         # (e) LLM-extension flagship set (green r2, re-confirm)
@@ -1368,6 +1416,49 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "line_dedup": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+            ), d2 AS (
+              SELECT doc_id,
+                     [array_to_string(w[i*8+1 : i*8+8], ' ')
+                      for i in range(0, CAST(ceil(len(w)/8.0) AS INT))] AS lines
+              FROM w
+            ), l AS (
+              SELECT doc_id, i AS pos, lines[i+1] AS line
+              FROM d2, unnest(generate_series(0, len(lines)-1)) AS t(i)
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn
+              FROM l
+            ), kept AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM k WHERE rn = 1 GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.text, '') AS text
+            FROM tot t LEFT JOIN kept k USING (doc_id)""",
+        # counts are measured stage-by-stage (n_X == inserted <X> tokens)
+        "redact_pii": r"""
+            WITH s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+                regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ip,
+              len(regexp_extract_all(t2, '\+?[0-9][0-9()\[\] .-]{6,14}[0-9]\b')) AS n_phone,
+              regexp_replace(t2, '\+?[0-9][0-9()\[\] .-]{6,14}[0-9]\b', '<PHONE>', 'g') AS text
+            FROM s2""",
         "dedup_jaccard": r"""
             WITH words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
@@ -1703,6 +1794,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 3""",
         "embed_topk": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10
+            ), s AS (
+              SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_transform(range(1, 65), i -> qv[i] * ve[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(range(1, 65), i -> ve[i] * ve[i]), (a, b) -> a + b))) AS cos
+              FROM v c, q WHERE c.vec_id <> q.qid
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 5""",
+        # full-probe IVF == brute force: identical SQL to embed_topk
+        "embed_ivf_recall": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
             ), q AS (

@@ -58,6 +58,8 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "text_embed",
+    "line_dedup",
+    "redact_pii",
     "tfidf",
     "split_by_hash",
     "stratified_sample",

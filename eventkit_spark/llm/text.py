@@ -203,6 +203,88 @@ def densify_embedding(sparse: DataFrame, dim: int = 64, id_col: str = "doc_id") 
     return m.select(F.col(id_col), vec.alias("embedding"))
 
 
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level dedup across the whole corpus (public CCNet / Dolma
+    paragraph-dedup practice): every distinct line survives exactly once,
+    at its first (doc, position) occurrence; later copies — boilerplate
+    headers, navigation chrome, license blocks — are dropped and the
+    documents are reassembled from their surviving lines.
+
+    Returns (id, n_lines, n_kept, text) for every input doc (docs losing
+    all lines keep an empty string — filter on ``n_kept`` downstream).
+
+    Scale shape: posexplode -> ONE shuffle keyed on xxhash64(line) (the
+    window carries 8-byte hashes; the line text rides only to its own
+    group), row_number picks the global first occurrence, then one
+    groupBy(id) rebuilds documents. Hash-grouping assumes no 64-bit
+    collisions (standard corpus-dedup trade, same as exact_dedup).
+    """
+    from pyspark.sql import Window as W
+
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = W.partitionBy(F.xxhash64("line")).orderBy("id", "pos")
+    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            sep,
+        ).alias("text"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+
+# PII patterns: RE2-compatible (no lookaround) so the same regexes run
+# in Spark (Java regex) and any RE2 engine (DuckDB, Go) — public Dolma/
+# CCNet-style scrubbing rules.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\[\] .-]{6,14}[0-9]\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / IPv4s / phone-shaped digit runs, the standard
+    pre-training redaction pass: each match is replaced by a typed
+    token (``<EMAIL>``, ``<IP>``, ``<PHONE>``) and per-category match
+    counts ride alongside for audit. Pure JVM regexp_replace chain —
+    one codegen'd projection, no shuffle, linear in input bytes.
+
+    Replacement order is email -> ip -> phone, and each count is
+    measured on the text AS THAT STAGE SEES IT — so ``n_X`` equals the
+    number of ``<X>`` tokens inserted, and an IPv4 never double-counts
+    as a phone-shaped digit run."""
+    red = F.col(text_col)
+    counts = []
+    for name, p in PII_PATTERNS.items():
+        counts.append(F.regexp_count(red, F.lit(p)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, p, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), *counts, red.alias("text"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stats battery."""
     t = F.col(text_col)

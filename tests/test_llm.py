@@ -504,3 +504,48 @@ def test_stratified_salted_exact(spark):
     plain = {r["doc_id"] for r in stratified_sample(docs, "lang", 0.25, "doc_id").collect()}
     salted = {r["doc_id"] for r in stratified_sample(docs, "lang", 0.25, "doc_id", salt=4).collect()}
     assert salted == plain and len(plain) > 0
+
+
+def test_line_dedup_keep_first(spark):
+    """Every distinct line survives once at its first (doc, pos); docs
+    reassemble in order; all-dup docs come back empty but present."""
+    from eventkit_spark.llm.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nalpha\nbeta"),
+            (2, "header\ngamma\nalpha"),
+            (3, "header\nalpha"),
+            (4, "delta\ndelta\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["text"]) == (3, 3, "header\nalpha\nbeta")
+    assert (out[2]["n_lines"], out[2]["n_kept"], out[2]["text"]) == (3, 1, "gamma")
+    assert (out[3]["n_lines"], out[3]["n_kept"], out[3]["text"]) == (2, 0, "")
+    # within-doc repeats also keep only the first
+    assert (out[4]["n_lines"], out[4]["n_kept"], out[4]["text"]) == (3, 1, "delta")
+
+
+def test_redact_pii(spark):
+    """Emails, IPv4s and phone-shaped digit runs become typed tokens;
+    counts measured pre-replacement; clean text passes through intact."""
+    from eventkit_spark.llm.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+            (3, "perfectly clean text with number 7"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "example" not in out[1]["text"] and "555" not in out[1]["text"]
+    assert out[2]["n_ip"] == 2 and out[2]["text"].count("<IP>") == 2
+    assert out[2]["n_phone"] == 0  # IPs are typed before the phone stage
+    assert out[3]["text"] == "perfectly clean text with number 7"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
