@@ -382,3 +382,11 @@ def test_streaming_llm_text_columns(spark, tmp_path_factory):
     bp = {r["doc_id"]: (r["n_tokens"], r["quality"], r["lang_pred"])
           for r in text_stats(docs).collect()}
     assert sp == bp and len(sp) == 500
+
+    # redact_pii is likewise a pure projection: streamed == batch
+    from eventkit_spark.llm.text import redact_pii
+
+    out2 = sf.run_available_now(sink_df=redact_pii(sf.df), name="ek_llm2")
+    sp2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    bp2 = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert sp2 == bp2 and len(sp2) == 500
