@@ -220,9 +220,12 @@ def line_dedup(
 
     Scale shape: posexplode -> ONE shuffle keyed on xxhash64(line) (the
     window carries 8-byte hashes; the line text rides only to its own
-    group), row_number picks the global first occurrence, then one
-    groupBy(id) rebuilds documents. Hash-grouping assumes no 64-bit
-    collisions (standard corpus-dedup trade, same as exact_dedup).
+    group), row_number marks the global first occurrence, then ONE
+    groupBy(id) with conditional aggregates rebuilds documents AND
+    counts totals in the same pass (collect_list skips NULLs, so the
+    non-first lines vanish without a second aggregate or a join).
+    Two shuffles total. Hash-grouping assumes no 64-bit collisions
+    (standard corpus-dedup trade, same as exact_dedup).
     """
     from pyspark.sql import Window as W
 
@@ -231,26 +234,20 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
     w = W.partitionBy(F.xxhash64("line")).orderBy("id", "pos")
-    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("n_kept"),
+    marked = lines.withColumn("__first", F.row_number().over(w) == 1)
+    keep = F.when(F.col("__first"), F.struct("pos", "line"))
+    out = marked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("__first"), F.lit(1))).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.getField("line"),
+                F.array_sort(F.collect_list(keep)), lambda s: s.getField("line")
             ),
             sep,
         ).alias("text"),
     )
-    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text", F.lit("")).alias("text"),
-        )
+    return out.select(
+        F.col("id").alias(id_col), "n_lines", "n_kept", "text"
     )
 
 

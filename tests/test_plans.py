@@ -102,6 +102,15 @@ SHUFFLE_CEILING = {
     "switchmap": 4,
     "decontaminate": 4,
     "tfidf": 3,
+    # round-3 additions
+    "line_dedup": 2,
+    "redact_pii": 0,
+    "fork_merge": 2,
+    "reduce_py": 1,
+    "mm_image_features": 1,  # the _spread repartition only
+    "mm_audio_features": 1,
+    "mm_video_features": 1,
+    "embed_ivf_recall": 2,
 }
 
 

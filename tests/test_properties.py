@@ -230,3 +230,61 @@ def test_pack_sequences_model(spark, toks, budget):
     for i, n in enumerate(toks):
         assert got[i] == (cum // budget, cum)
         cum += n
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_line_dedup_model(spark, docs):
+    """vs a pure-Python keep-first model: survivors == distinct lines,
+    each at its first (doc, pos); per-doc order preserved."""
+    from eventkit_spark.llm.text import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+
+    seen, model = set(), {}
+    for i, lines in enumerate(docs):
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        model[i] = (len(lines), len(kept), "\n".join(kept))
+    for i in model:
+        assert (got[i]["n_lines"], got[i]["n_kept"], got[i]["text"]) == model[i]
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            ["plain words", "x@y.io", "1.2.3.4", "+44 20 7946 0958", "no pii here 9"]
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SET
+def test_redact_pii_properties(spark, parts):
+    """After redaction no pattern matches the output (idempotence), and
+    each count equals the number of inserted typed tokens."""
+    import re
+
+    from eventkit_spark.llm.text import PII_PATTERNS, redact_pii
+
+    text = " | ".join(parts)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = redact_pii(df).collect()[0]
+    for name, pat in PII_PATTERNS.items():
+        assert not re.search(pat, r["text"]), (name, r["text"])
+        assert r[f"n_{name}"] == r["text"].count(f"<{name.upper()}>")
+    # idempotence: redacting the redacted text changes nothing
+    df2 = spark.createDataFrame([(0, r["text"])], "doc_id long, text string")
+    r2 = redact_pii(df2).collect()[0]
+    assert r2["text"] == r["text"]
