@@ -218,27 +218,36 @@ def line_dedup(
     Returns (id, n_lines, n_kept, text) for every input doc (docs losing
     all lines keep an empty string — filter on ``n_kept`` downstream).
 
-    Scale shape: posexplode -> ONE shuffle keyed on xxhash64(line) (the
-    window carries 8-byte hashes; the line text rides only to its own
-    group), row_number marks the global first occurrence, then ONE
-    groupBy(id) with conditional aggregates rebuilds documents AND
-    counts totals in the same pass (collect_list skips NULLs, so the
-    non-first lines vanish without a second aggregate or a join).
-    Two shuffles total. Hash-grouping assumes no 64-bit collisions
-    (standard corpus-dedup trade, same as exact_dedup).
+    Scale shape — built for the op's OWN skew: a boilerplate line is by
+    definition a hot key, so the first-occurrence computation must not
+    be a window over the line hash (a window partition cannot be split;
+    the hottest line's every copy lands in one task). Instead:
+    (1) groupBy(line hash) -> min(id, pos): hash-aggregate with MAP-SIDE
+    partial aggregation, so a million copies of one line collapse to one
+    row per input partition before the shuffle; (2) an equi-join of the
+    lines back to the firsts table on the hash (fact-fact, AQE
+    skew-join splits a hot hash); (3) ONE groupBy(id) with conditional
+    aggregates rebuilds documents and counts totals in the same pass
+    (collect_list skips the NULLed non-first lines). Three shuffles,
+    all skew-tolerant, shuffling 8-byte hashes + each line's bytes
+    once. Hash-grouping assumes no 64-bit collisions (standard
+    corpus-dedup trade, same as exact_dedup).
     """
-    from pyspark.sql import Window as W
-
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("__h", F.xxhash64("line"))
+    firsts = lines.groupBy("__h").agg(
+        F.min(F.struct("id", "pos")).alias("__first")
     )
-    w = W.partitionBy(F.xxhash64("line")).orderBy("id", "pos")
-    marked = lines.withColumn("__first", F.row_number().over(w) == 1)
-    keep = F.when(F.col("__first"), F.struct("pos", "line"))
+    marked = lines.join(firsts, "__h").withColumn(
+        "__keep",
+        (F.col("__first.id") == F.col("id")) & (F.col("__first.pos") == F.col("pos")),
+    )
+    keep = F.when(F.col("__keep"), F.struct("pos", "line"))
     out = marked.groupBy("id").agg(
         F.count("*").alias("n_lines"),
-        F.count(F.when(F.col("__first"), F.lit(1))).alias("n_kept"),
+        F.count(F.when(F.col("__keep"), F.lit(1))).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(keep)), lambda s: s.getField("line")

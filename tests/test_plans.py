@@ -103,7 +103,7 @@ SHUFFLE_CEILING = {
     "decontaminate": 4,
     "tfidf": 3,
     # round-3 additions
-    "line_dedup": 2,
+    "line_dedup": 3,  # skew-safe agg+join form, not a hot-key window
     "redact_pii": 0,
     "fork_merge": 2,
     "reduce_py": 1,
