@@ -100,12 +100,21 @@ def ngram_jaccard_pairs(
     # score, never promote a non-pair): one window riding an id exchange
     sh = sh.withColumn("n", F.count("*").over(W.partitionBy("id")))
     if max_df is not None:
-        # df as a window over the shingle exchange the posting-list
-        # groupBy needs anyway — the filter BOUNDS every collect_list at
-        # max_df entries, so no hot shingle can blow an executor
-        sh = sh.withColumn("__df", F.count("*").over(W.partitionBy("shingle"))).filter(
-            F.col("__df") <= max_df
+        # df-pruning BOUNDS every collect_list at max_df entries. The
+        # guard must not itself shuffle on the hot key: a count WINDOW
+        # over the shingle put every copy of a boilerplate shingle into
+        # one un-splittable window task before dropping it. Instead,
+        # aggregate the hot set (map-side partial combine collapses hot
+        # shingles per input partition; output = only the shingles OVER
+        # the cap, a tiny table) and anti-join it — AQE broadcasts the
+        # hot table, so hot rows drop map-side with no hot-key exchange.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(hot, "shingle", "left_anti")
     posts = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n"))).alias("lst"))
@@ -222,12 +231,18 @@ def minhash_lsh_candidates(
     # with no exchange reuse; grouping each bucket once halves the heavy
     # part. Bucket membership ~ near-dup groups + rare hash collisions.
     if max_bucket is not None:
-        # window count rides the same (band, bucket) exchange the groupBy
-        # needs — oversized buckets drop BEFORE any list is built
-        bw = W.partitionBy("band", "bucket")
-        banded = banded.withColumn("__bn", F.count("*").over(bw)).filter(
-            F.col("__bn") <= max_bucket
+        # oversized buckets drop BEFORE any list is built — via a hot-set
+        # aggregate + anti-join, NOT a count window: the window form
+        # shuffled every member of the hot bucket into one un-splittable
+        # task first (the exact skew the guard exists for); the hot
+        # table is tiny and AQE broadcasts it, so hot rows drop map-side
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("band", "bucket")
         )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     posts = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("lst"))

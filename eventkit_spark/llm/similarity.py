@@ -370,10 +370,16 @@ def embedding_near_dups(
             "id", F.posexplode(buckets_udf(F.col("v"))).alias("tbl", "bucket")
         )
         if max_bucket is not None:
-            bw = W.partitionBy("tbl", "bucket")
-            banded = banded.withColumn("__bn", F.count("*").over(bw)).filter(
-                F.col("__bn") <= max_bucket
+            # hot-set aggregate + anti-join, not a count window: a hot
+            # bucket must never shuffle into one window task just to be
+            # dropped (same guard shape as minhash's max_bucket)
+            hot = (
+                banded.groupBy("tbl", "bucket")
+                .agg(F.count("*").alias("__bn"))
+                .filter(F.col("__bn") > max_bucket)
+                .select("tbl", "bucket")
             )
+            banded = banded.join(hot, ["tbl", "bucket"], "left_anti")
         posts = (
             banded.groupBy("tbl", "bucket")
             .agg(F.array_sort(F.collect_list("id")).alias("lst"))
