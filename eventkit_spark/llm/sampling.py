@@ -272,8 +272,15 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document.
 
     tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
-    scikit-learn convention). Shuffles: one on (doc, term) for tf, one
-    on term for df (broadcast back), one window for top-k.
+    scikit-learn convention).
+
+    df is a groupBy(term) aggregate joined back onto tf — NOT a count
+    window over term: stopwords put ~every doc's tf row into one
+    un-splittable window partition, while the aggregate gets map-side
+    partial combine and the fact-fact join gets AQE skew splitting.
+    The join re-plans the tokenize pass (no exchange reuse across join
+    sides), and still measured equal-or-faster than the window at
+    sf0.1 — the same trade the jaccard/line-dedup guards take.
     """
     tokens = docs.select(
         F.col(id_col).alias("id"),
@@ -281,11 +288,8 @@ def tfidf_top_terms(
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
     n_docs = docs.count()
-    # tf rows ARE the distinct (doc, term) pairs — df is a count window
-    # over them, making the whole query a LINEAR chain (one scan, three
-    # exchanges); the join formulation planned the tokenize+explode pass
-    # twice with no exchange reuse
-    scored = tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "term")
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
     scored = scored.withColumn("tfidf", F.col("tf") * idf)
     w = W.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))

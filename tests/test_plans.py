@@ -105,7 +105,7 @@ SHUFFLE_CEILING = {
     "dedup_jaccard": 7,
     "switchmap": 4,
     "decontaminate": 4,
-    "tfidf": 3,
+    "tfidf": 5,  # df agg + skew-splittable join, not a hot-term window
     # round-3 additions
     "line_dedup": 3,  # skew-safe agg+join form, not a hot-key window
     "redact_pii": 0,
