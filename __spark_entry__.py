@@ -693,6 +693,18 @@ def q_redact_pii(spark, sf):
     )
 
 
+def q_reservoir(spark, sf):
+    # deterministic per-group "reservoir": n smallest key hashes per
+    # language — the hash arithmetic is engine-portable, so the oracle
+    # reproduces the exact sample (round-2 VERDICT: reservoir_per_key
+    # had no driver row)
+    from eventkit_spark.llm.sampling import reservoir_per_key
+
+    docs = load_table(spark, sf, "documents")
+    out = reservoir_per_key(docs, group_col="lang", n=20, key_col="doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
 def q_text_stats(spark, sf):
     from eventkit_spark.llm.text import text_stats
 
@@ -920,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_py": q_reduce_py,
         "line_dedup": q_line_dedup,
         "redact_pii": q_redact_pii,
+        "reservoir": q_reservoir,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         # (d) bounded/containment oracles for the former no_oracle set
@@ -1765,6 +1778,13 @@ def oracle_sql() -> dict[str, str]:
                    greatest(0, pack_no * 256 - strt) AS tok_start,
                    least(n_tokens, (pack_no + 1) * 256 - strt) AS tok_end
             FROM s""",
+        "reservoir": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang
+                        ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id) rn
+              FROM documents
+            ) WHERE rn <= 20""",
         "source_quota": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
