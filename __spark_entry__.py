@@ -165,6 +165,49 @@ def q_reduce_py(spark, sf):
     return out.df.select("event_id", "user_id", F.round("value", 2).alias("value"))
 
 
+def q_constant(spark, sf):
+    return _out(_ev(spark, sf).constant(42.5), "event_id", "user_id", "value")
+
+
+def q_star_pack(spark, sf):
+    # pack the 2-col pairwise payload into one struct, then star it back
+    # to positional columns — the reference's Pack/Star round-trip as a
+    # driver-checked row (was unit-only)
+    ef = _ev(spark, sf).pairwise().pack().star()
+    return ef.df.select(
+        "event_id", "user_id",
+        F.round("prev", 2).alias("prev"), F.round("cur", 2).alias("cur"),
+    )
+
+
+def q_map_pandas(spark, sf):
+    # the Arrow-batched arbitrary-Python map path (map_pandas); the
+    # kernel is 2v+1 so the oracle is exact double arithmetic
+    ef = _ev(spark, sf).map_pandas(lambda s: s * 2.0 + 1.0, "double")
+    return ef.df.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+def q_source_marble(spark, sf):
+    from eventkit_spark.sources.create import marble
+
+    ef = marble(spark, "a-b--cd-|", interval=1.0)
+    return ef.df.select("seq", F.unix_micros(F.col("ts")).alias("t_us"), "value")
+
+
+def q_source_wait(spark, sf):
+    from eventkit_spark.sources.create import wait
+
+    ef = wait(spark, 7.25)
+    return ef.df.select("seq", "value")
+
+
+def q_source_timer(spark, sf):
+    from eventkit_spark.sources.create import timer
+
+    ef = timer(spark, 0.5, 10)
+    return ef.df.select("seq", F.unix_micros(F.col("ts")).alias("t_us"), "value")
+
+
 def q_fork_merge(spark, sf):
     # generic fork joined via a NON-zip discipline (round-2 VERDICT
     # missing #2): running-min and running-max branches interleaved by
@@ -933,6 +976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "redact_pii": q_redact_pii,
         "reservoir": q_reservoir,
+        # unit-only §2 ops promoted to driver rows (r3)
+        "constant": q_constant,
+        "star_pack": q_star_pack,
+        "map_pandas": q_map_pandas,
+        "source_marble": q_source_marble,
+        "source_wait": q_source_wait,
+        "source_timer": q_source_timer,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         # (d) bounded/containment oracles for the former no_oracle set
@@ -1778,6 +1828,32 @@ def oracle_sql() -> dict[str, str]:
                    greatest(0, pack_no * 256 - strt) AS tok_start,
                    least(n_tokens, (pack_no + 1) * 256 - strt) AS tok_end
             FROM s""",
+        "constant": """
+            SELECT event_id, user_id, CAST(42.5 AS DOUBLE) AS value FROM events""",
+        "star_pack": f"""
+            SELECT event_id, user_id, round(prev, 2) AS prev, round(cur, 2) AS cur FROM (
+              SELECT event_id, user_id, lag(value) OVER ({_WIN}) prev, value AS cur,
+                     row_number() OVER ({_WIN}) rn
+              FROM events
+            ) WHERE rn > 1""",
+        "map_pandas": """
+            SELECT event_id, user_id, round(value * 2.0 + 1.0, 2) AS value FROM events""",
+        # marble 'a-b--cd-|' at 1s ticks from 2024-01-01 (EPOCH):
+        # a@0s b@2s c@5s d@6s; 1704067200000000 = epoch micros of EPOCH
+        "source_marble": """
+            SELECT CAST(seq AS BIGINT) AS seq, CAST(t_us AS BIGINT) AS t_us, value
+            FROM (VALUES
+              (0, 1704067200000000, 'a'),
+              (1, 1704067202000000, 'b'),
+              (2, 1704067205000000, 'c'),
+              (3, 1704067206000000, 'd')) AS t(seq, t_us, value)""",
+        "source_wait": """
+            SELECT CAST(0 AS BIGINT) AS seq, CAST(7.25 AS DOUBLE) AS value""",
+        "source_timer": """
+            SELECT CAST(i AS BIGINT) AS seq,
+                   CAST(1704067200000000 + (i + 1) * 500000 AS BIGINT) AS t_us,
+                   (i + 1) * CAST(0.5 AS DOUBLE) AS value
+            FROM (SELECT unnest(generate_series(0, 9)) AS i)""",
         "reservoir": """
             SELECT doc_id, lang, source FROM (
               SELECT doc_id, lang, source,
