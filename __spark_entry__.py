@@ -208,6 +208,22 @@ def q_source_timer(spark, sf):
     return ef.df.select("seq", F.unix_micros(F.col("ts")).alias("t_us"), "value")
 
 
+def q_chunkwith(spark, sf):
+    # buffer-and-flush at timer ticks (as-of bucketing): values 0..19 at
+    # 0.5s spacing, ticks every 2s — exact binary intervals so both
+    # engines compute identical micros
+    from eventkit_spark.sources.create import range_, timer
+
+    src = range_(spark, 0, 20, interval=0.5)
+    tk = timer(spark, 2.0, 8)
+    out = src.chunkwith(tk)
+    return out.df.select(
+        "seq",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.concat_ws(",", F.transform(F.col("value"), lambda v: v.cast("string"))).alias("vals"),
+    )
+
+
 def q_fork_merge(spark, sf):
     # generic fork joined via a NON-zip discipline (round-2 VERDICT
     # missing #2): running-min and running-max branches interleaved by
@@ -983,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_marble": q_source_marble,
         "source_wait": q_source_wait,
         "source_timer": q_source_timer,
+        "chunkwith": q_chunkwith,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         # (d) bounded/containment oracles for the former no_oracle set
@@ -1854,6 +1871,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200000000 + (i + 1) * 500000 AS BIGINT) AS t_us,
                    (i + 1) * CAST(0.5 AS DOUBLE) AS value
             FROM (SELECT unnest(generate_series(0, 9)) AS i)""",
+        # rows 0..19 at 0.5s; tick j (j=0..7) at (j+1)*2s; a row joins
+        # the first tick at-or-after it: bucket = max(0, ceil((i-4)/4))
+        "chunkwith": """
+            WITH rows AS (
+              SELECT i, greatest(CAST(ceil((i - 4) / 4.0) AS BIGINT), 0) AS b
+              FROM range(0, 20) t(i)
+            ), agg AS (
+              SELECT b, string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS vals
+              FROM rows GROUP BY b
+            )
+            SELECT CAST(j AS BIGINT) AS seq,
+                   CAST(1704067200000000 + (j + 1) * 2000000 AS BIGINT) AS t_us,
+                   coalesce(vals, '') AS vals
+            FROM range(0, 8) t(j) LEFT JOIN agg ON b = j""",
         "reservoir": """
             SELECT doc_id, lang, source FROM (
               SELECT doc_id, lang, source,
