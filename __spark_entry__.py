@@ -752,6 +752,17 @@ def q_redact_pii(spark, sf):
     )
 
 
+def q_temperature_mix(spark, sf):
+    # temperature-sampled source mix at alpha=0.5: quotas proportional
+    # to sqrt(source size); the oracle recomputes the quota table and
+    # the same hash-order cut in SQL
+    from eventkit_spark.llm.sampling import temperature_mix
+
+    docs = load_table(spark, sf, "documents")
+    out = temperature_mix(docs, total=300, key_col="doc_id", alpha=0.5)
+    return out.select("doc_id", "source")
+
+
 def q_reservoir(spark, sf):
     # deterministic per-group "reservoir": n smallest key hashes per
     # language — the hash arithmetic is engine-portable, so the oracle
@@ -992,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "redact_pii": q_redact_pii,
         "reservoir": q_reservoir,
+        "temperature_mix": q_temperature_mix,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1885,6 +1897,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200000000 + (j + 1) * 2000000 AS BIGINT) AS t_us,
                    coalesce(vals, '') AS vals
             FROM range(0, 8) t(j) LEFT JOIN agg ON b = j""",
+        "temperature_mix": """
+            WITH counts AS (
+              SELECT source AS s, count(*) AS n FROM documents GROUP BY source
+            ), q AS (
+              SELECT s, least(n, CAST(floor(300 * pow(n, 0.5)
+                       / (SELECT sum(pow(n, 0.5)) FROM counts)) AS BIGINT)) AS cap
+              FROM counts
+            ), ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                        ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id) rn
+              FROM documents
+            )
+            SELECT doc_id, source FROM ranked JOIN q ON source = q.s WHERE rn <= cap""",
         "reservoir": """
             SELECT doc_id, lang, source FROM (
               SELECT doc_id, lang, source,

@@ -263,6 +263,41 @@ def source_quota(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    key_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    salt: int | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing: sample ~``total`` rows with
+    per-source quotas proportional to ``count(source) ** alpha`` — the
+    standard up/down-weighting recipe for multilingual / multi-domain
+    training mixes (alpha=1 keeps natural proportions, alpha=0 is
+    uniform per source; published practice, e.g. the multilingual
+    temperature sampling of public mBERT/XLM-R recipes).
+
+    Quotas are floor(total * w_s) with w_s = n_s^alpha / sum(n^alpha),
+    capped at n_s; selection within a source is key-hash order (same
+    deterministic contract as ``source_quota``, which does the actual
+    cut — including its opt-in ``salt`` skew path). The per-source
+    count aggregate collects #sources rows to the driver (tiny, like
+    IVF's centroid fetch); everything row-scale stays distributed.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    denom = sum(n**alpha for n in counts.values())
+    caps = {
+        s: min(n, int(total * (n**alpha) / denom)) for s, n in counts.items()
+    }
+    return source_quota(df, {**caps, "*": 0}, key_col, source_col, salt=salt)
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

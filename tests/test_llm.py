@@ -549,3 +549,31 @@ def test_redact_pii(spark):
     assert out[2]["n_phone"] == 0  # IPs are typed before the phone stage
     assert out[3]["text"] == "perfectly clean text with number 7"
     assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_temperature_mix_quotas(spark):
+    """alpha=1 keeps natural proportions, alpha=0 splits uniformly,
+    quotas never exceed a source's size, and the cut is deterministic."""
+    from eventkit_spark.llm.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def dist(alpha, total=100):
+        out = temperature_mix(df, total=total, key_col="doc_id", alpha=alpha)
+        return {r["source"]: r["n"] for r in
+                out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+
+    nat = dist(alpha=1.0)
+    assert abs(nat.get("big", 0) - 80) <= 1 and abs(nat.get("small", 0) - 5) <= 1
+    uni = dist(alpha=0.0)
+    assert max(uni.values()) - min(uni.values()) <= 1  # uniform per source
+    half = dist(alpha=0.5, total=120)
+    assert all(n <= {"big": 800, "mid": 150, "small": 50}[s] for s, n in half.items())
+    # temperature flattens: small source's share grows as alpha drops
+    assert half["small"] / sum(half.values()) > nat["small"] / sum(nat.values())
+    # deterministic
+    a = {r["doc_id"] for r in temperature_mix(df, 100, "doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_mix(df, 100, "doc_id").collect()}
+    assert a == b
