@@ -752,6 +752,14 @@ def q_redact_pii(spark, sf):
     )
 
 
+def q_sliding_chunks(spark, sf):
+    # overlapping token windows (size 16, stride 12) — the RAG/embedding
+    # chunker; the oracle replays the same slicing with list arithmetic
+    from eventkit_spark.llm.sampling import sliding_chunks
+
+    return sliding_chunks(load_table(spark, sf, "documents"), size=16, stride=12)
+
+
 def q_temperature_mix(spark, sf):
     # temperature-sampled source mix at alpha=0.5: quotas proportional
     # to sqrt(source size); the oracle recomputes the quota table and
@@ -1004,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "reservoir": q_reservoir,
         "temperature_mix": q_temperature_mix,
+        "sliding_chunks": q_sliding_chunks,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1897,6 +1906,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200000000 + (j + 1) * 2000000 AS BIGINT) AS t_us,
                    coalesce(vals, '') AS vals
             FROM range(0, 8) t(j) LEFT JOIN agg ON b = j""",
+        "sliding_chunks": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+            ), m AS (
+              SELECT doc_id, w, len(w) AS n,
+                     CASE WHEN len(w) <= 16 THEN 1
+                          ELSE CAST(ceil((len(w) - 16) / 12.0) AS BIGINT) + 1 END AS nc
+              FROM w
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_no,
+                   least(16, n - i*12) AS n_tokens,
+                   array_to_string(w[i*12 + 1 : i*12 + 16], ' ') AS chunk
+            FROM m, unnest(generate_series(0, nc - 1)) AS t(i)""",
         "temperature_mix": """
             WITH counts AS (
               SELECT source AS s, count(*) AS n FROM documents GROUP BY source

@@ -263,6 +263,45 @@ def source_quota(
     )
 
 
+def sliding_chunks(
+    docs: DataFrame,
+    size: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking with overlap: split each document into
+    windows of ``size`` whitespace tokens advancing by ``stride`` — the
+    standard retrieval/embedding-pipeline chunker (overlap = size -
+    stride keeps boundary context in two chunks).
+
+    Returns (id, chunk_no, n_tokens, chunk). Pure column expressions
+    (split -> sequence of starts -> posexplode -> slice/join): zero
+    shuffles, whole-stage codegen, linear in input bytes; the exploded
+    (id, chunk_no) rows are the natural partitioning for a downstream
+    embedding kernel."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / float(stride)) + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.posexplode(starts).alias("chunk_no", "start"),
+    ).select(
+        id_col,
+        "chunk_no",
+        F.least(F.lit(size), F.size(F.split(F.trim(F.col("__t")), r"\s+")) - F.col("start")).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("__t")), r"\s+"), F.col("start") + 1, size), " "
+        ).alias("chunk"),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     total: int,

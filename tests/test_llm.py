@@ -577,3 +577,27 @@ def test_temperature_mix_quotas(spark):
     a = {r["doc_id"] for r in temperature_mix(df, 100, "doc_id").collect()}
     b = {r["doc_id"] for r in temperature_mix(df, 100, "doc_id").collect()}
     assert a == b
+
+
+def test_sliding_chunks_overlap(spark):
+    """Windows advance by stride with size-stride token overlap; the
+    final short window keeps the tail; single-window docs pass through."""
+    from eventkit_spark.llm.sampling import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        ((r["doc_id"], r["chunk_no"], r["n_tokens"], r["chunk"])
+         for r in sliding_chunks(docs, size=4, stride=3).collect())
+    )
+    exp1 = [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+    ]
+    assert [c for c in out if c[0] == 1] == exp1
+    assert [c for c in out if c[0] == 2] == [(2, 0, 3, "a b c")]
+    # every adjacent pair overlaps by size - stride tokens
+    assert exp1[0][3].split()[-1] == exp1[1][3].split()[0]

@@ -40,3 +40,48 @@ def test_explain_skew(spark):
     rows = explain_skew(ev, ["user_id"], top=3).collect()
     assert len(rows) == 3
     assert rows[0]["rows"] >= rows[1]["rows"] >= rows[2]["rows"]
+
+
+def test_line_dedup_hot_line(spark):
+    """A pathologically hot line (one boilerplate line in 20k docs) must
+    dedup correctly — and the plan must contain no Window over the line
+    hash (the hot-key trap the agg+join form exists to avoid)."""
+    from eventkit_spark.llm.text import line_dedup
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("COMMON BOILERPLATE\nunique-"), F.col("id").cast("string")).alias("text"),
+    )
+    out = line_dedup(docs)
+    plan = physical_plan(out)
+    assert "Window" not in plan, "line_dedup must not window over the line hash"
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_lines").alias("total")
+    ).collect()[0]
+    # 20k unique lines survive + exactly ONE copy of the boilerplate
+    assert (agg["kept"], agg["total"]) == (20001, 40000)
+    assert out.filter(F.col("text").contains("COMMON")).count() == 1
+
+
+def test_jaccard_hot_shingle_guard(spark):
+    """max_df drops a shingle shared by every doc BEFORE pair expansion:
+    with the hot shingle as the only overlap, no pairs survive, and the
+    guard is an anti-join (no Window over the shingle)."""
+    from eventkit_spark.llm.dedup import ngram_jaccard_pairs
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the same header every doc has "),
+            F.col("id").cast("string"), F.lit("-a "),
+            F.col("id").cast("string"), F.lit("-b "),
+            F.col("id").cast("string"), F.lit("-c"),
+        ).alias("text"),
+    )
+    out = ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_df=64)
+    plan = physical_plan(out)
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "shingle" in ln]
+    assert not win_lines, "df guard must not window over the shingle"
+    assert out.count() == 0  # only the pruned boilerplate overlapped
