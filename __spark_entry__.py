@@ -752,6 +752,14 @@ def q_redact_pii(spark, sf):
     )
 
 
+def q_top_ngrams(spark, sf):
+    # corpus-wide top-50 bigrams (tokenizer-prep vocab pass); global
+    # top-k via TakeOrderedAndProject, deterministic tie-break
+    from eventkit_spark.llm.text import top_ngrams
+
+    return top_ngrams(load_table(spark, sf, "documents"), n=2, k=50)
+
+
 def q_sliding_chunks(spark, sf):
     # overlapping token windows (size 16, stride 12) — the RAG/embedding
     # chunker; the oracle replays the same slicing with list arithmetic
@@ -1013,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir": q_reservoir,
         "temperature_mix": q_temperature_mix,
         "sliding_chunks": q_sliding_chunks,
+        "top_ngrams": q_top_ngrams,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1906,6 +1915,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200000000 + (j + 1) * 2000000 AS BIGINT) AS t_us,
                    coalesce(vals, '') AS vals
             FROM range(0, 8) t(j) LEFT JOIN agg ON b = j""",
+        "top_ngrams": r"""
+            WITH joined AS (
+              SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+            ), grams AS (
+              SELECT unnest([array_to_string(w[i:i+1], ' ')
+                             for i in range(1, len(w))]) AS gram
+              FROM (SELECT regexp_split_to_array(t, ' ') w FROM joined)
+            ), counts AS (
+              SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+            )
+            SELECT gram, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INT) AS rank
+            FROM counts ORDER BY cnt DESC, gram LIMIT 50""",
         "sliding_chunks": r"""
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents

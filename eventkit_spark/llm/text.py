@@ -291,6 +291,39 @@ def redact_pii(
     return docs.select(F.col(id_col), *counts, red.alias("text"))
 
 
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 1,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams with counts — the vocab /
+    merge-candidate pass of tokenizer training.
+
+    explode -> ONE hash aggregate (map-side combined) -> global top-k.
+    The top-k is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject: per-partition heaps merged on the driver —
+    no global sort, no single-task shuffle. Ties break by gram text for
+    determinism."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = docs.select(F.explode(words).alias("gram")).filter(F.col("gram") != "")
+    else:
+        joined = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        pat = r"(?=(" + r" ".join([r"\S+"] * n) + r"))\S+"
+        grams = docs.select(
+            F.explode(F.regexp_extract_all(joined, F.lit(pat), 1)).alias("gram")
+        )
+    from pyspark.sql import Window as W
+
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
+    # rank window runs over the already-limited k rows — one tiny task
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("gram")))
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stats battery."""
     t = F.col(text_col)

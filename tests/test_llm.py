@@ -601,3 +601,27 @@ def test_sliding_chunks_overlap(spark):
     assert [c for c in out if c[0] == 2] == [(2, 0, 3, "a b c")]
     # every adjacent pair overlaps by size - stride tokens
     assert exp1[0][3].split()[-1] == exp1[1][3].split()[0]
+
+
+def test_top_ngrams_vocab(spark):
+    """Global top-k grams with deterministic ranks; the top-k plans as
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    from eventkit_spark.llm.text import top_ngrams
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "a y")],
+        "doc_id long, text string",
+    )
+    # a=4, b=3, then c/x/y all cnt=1 -> tie broken by gram text: 'c'
+    uni = {(r["gram"], r["cnt"]) for r in top_ngrams(docs, n=1, k=3).collect()}
+    assert uni == {("a", 4), ("b", 3), ("c", 1)}
+    uni_full = [(r["rank"], r["gram"]) for r in top_ngrams(docs, n=1, k=3)
+                .orderBy("rank").collect()]
+    assert uni_full == [(1, "a"), (2, "b"), (3, "c")]
+    bi = [(r["rank"], r["gram"], r["cnt"]) for r in top_ngrams(docs, n=2, k=2)
+          .orderBy("rank").collect()]
+    assert bi == [(1, "a b", 3), (2, "a y", 1)]
+    assert "TakeOrderedAndProject" in physical_plan(
+        top_ngrams(docs, n=1, k=3).drop("rank")
+    )
