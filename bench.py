@@ -60,6 +60,9 @@ HEADLINE = [
     "text_embed",
     "line_dedup",
     "redact_pii",
+    "temperature_mix",
+    "sliding_chunks",
+    "top_ngrams",
     "tfidf",
     "split_by_hash",
     "stratified_sample",
