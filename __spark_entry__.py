@@ -686,6 +686,20 @@ def q_decontaminate(spark, sf):
     return contamination(train, test, k=5, min_overlap=1)
 
 
+def q_decontaminate_bloom(spark, sf):
+    """Bloom-prefiltered decontamination (the 100 TB form): the corpus
+    branch is a zero-exchange scan probing a broadcast bloom of heldout
+    shingle hashes; the exact verify on the flagged residue makes the
+    result identical to the join path, so the oracle is the same SQL."""
+    from eventkit_spark.llm.dedup import contamination
+    from eventkit_spark.llm.sampling import split_by_hash
+
+    docs = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return contamination(train, test, k=5, min_overlap=1, method="bloom")
+
+
 def q_repetition(spark, sf):
     from eventkit_spark.llm.text import repetition_stats
 
@@ -1022,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "sliding_chunks": q_sliding_chunks,
         "top_ngrams": q_top_ngrams,
+        "decontaminate_bloom": q_decontaminate_bloom,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1122,7 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "filter": "SELECT event_id, user_id, value FROM events WHERE value > 250",
         "skip": f"""
             SELECT event_id, user_id FROM (
@@ -2184,3 +2199,6 @@ def oracle_sql() -> dict[str, str]:
                     - (CAST(s1 AS DOUBLE)/(n*3.0))*(CAST(s1 AS DOUBLE)/(n*3.0)), 0.0)), 6) AS std_luma
             FROM agg""",
     }
+    # bloom + exact-verify is value-identical to the join path by design
+    sqls["decontaminate_bloom"] = sqls["decontaminate"]
+    return sqls

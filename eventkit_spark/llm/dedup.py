@@ -375,18 +375,38 @@ def contamination(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "join",
+    fpp: float = 1e-4,
 ) -> DataFrame:
     """Train/test decontamination: (id, n_shared) for docs sharing at
     least ``min_overlap`` distinct word ``k``-grams with ANY heldout doc.
 
-    The heldout shingle set is deduplicated to distinct 64-bit hashes
-    before the join — a benchmark/test corpus is tiny next to training
-    data, so AQE broadcasts it and the scan of the training side streams
-    map-side with no shuffle of document text (the join carries 8-byte
-    hashes). Filter training data with an anti-join on the result.
-    No reference analog — standard practice from public LLM-data
-    pipelines (e.g. GPT-3 appendix C / Dolma decontamination).
+    ``method="join"``: the heldout shingle set is deduplicated to
+    distinct 64-bit hashes before the join — a benchmark/test corpus is
+    tiny next to training data, so AQE broadcasts it and the scan of the
+    training side streams map-side with no shuffle of document text (the
+    join carries 8-byte hashes). The training side still pays one
+    (id, shingle) ``distinct`` exchange.
+
+    ``method="bloom"``: the 100 TB form. Heldout distinct shingle hashes
+    are collected once (bounded: heldout benchmarks are MBs) into a
+    Bloom filter sized for ``fpp``, broadcast, and probed per document
+    with a vectorized Arrow UDF over the in-place shingle-hash array —
+    the corpus branch is a pure scan with ZERO exchanges. Only the
+    flagged residue (true positives + ~fpp of the corpus) enters the
+    exact broadcast-join verify stage, so the result is IDENTICAL to
+    ``method="join"`` while the shuffle is bounded by the contaminated
+    fraction instead of the corpus size.
+
+    Filter training data with an anti-join on the result. No reference
+    analog — standard practice from public LLM-data pipelines (e.g.
+    GPT-3 appendix C / Dolma decontamination; bloom prefilters per
+    CCNet/Dolma taggers).
     """
+    if method == "bloom":
+        return _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp)
+    if method != "join":
+        raise ValueError(f"contamination: unknown method {method!r}")
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), k)).alias("__s"),
@@ -398,6 +418,104 @@ def contamination(
     )
     return (
         sh.join(held, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_shared")
+    )
+
+
+_BLOOM_MIX = 0x9E3779B97F4A7C15  # odd golden-ratio constant -> full-period double hashing
+
+
+def _bloom_build(hashes, fpp: float):
+    """Pack 64-bit hashes into a double-hashed Bloom filter.
+
+    Standard sizing: m = -n ln(fpp)/ln(2)^2 bits, k = (m/n) ln(2)
+    probes; probe i lands at (h + i * mix(h)) mod m (Kirsch-Mitzenmacher
+    double hashing, public construction).
+    """
+    import math
+
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    n = max(len(h), 1)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    n_probes = max(1, int(round(m_bits / n * math.log(2))))
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    step = (h * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+    for i in range(n_probes):
+        idx = (h + np.uint64(i) * step) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            words, (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63))
+        )
+    return words, m_bits, n_probes
+
+
+def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
+    import pandas as pd
+
+    spark = docs.sparkSession
+    held_hashes = (
+        heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+        .toPandas()["shingle"]
+        .to_numpy(dtype="int64")
+    )
+    bloom = spark.sparkContext.broadcast(_bloom_build(held_hashes, fpp))
+
+    def _bloom_hits(arrs):
+        import numpy as np
+
+        words, m_bits, n_probes = bloom.value
+        lens = arrs.map(lambda a: 0 if a is None else len(a)).to_numpy(dtype="int64")
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(arrs), dtype="int32"))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+        ).view(np.uint64)
+        step = (flat * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+        hit = np.ones(len(flat), dtype=bool)
+        for i in range(n_probes):
+            idx = (flat + np.uint64(i) * step) % np.uint64(m_bits)
+            hit &= (
+                (words[(idx >> np.uint64(6)).astype(np.int64)] >> (idx & np.uint64(63)))
+                & np.uint64(1)
+            ) != 0
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        per_doc = np.add.reduceat(hit.astype(np.int64), np.minimum(offsets, len(flat) - 1))
+        per_doc[lens == 0] = 0  # reduceat repeats a neighbor segment for empty ones
+        return pd.Series(per_doc.astype("int32"))
+
+    bloom_hits = F.pandas_udf(_bloom_hits, "int")
+
+    # Distinct shingle hashes per doc, in place (no explode, no exchange).
+    hashes = F.filter(
+        F.array_distinct(F.transform(_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))),
+        lambda h: h.isNotNull(),
+    )
+    flagged = (
+        docs.select(F.col(id_col).alias("id"), hashes.alias("__hs"))
+        .withColumn("__hits", bloom_hits("__hs"))
+        .filter(F.col("__hits") >= min_overlap)
+    )
+    # Exact verify on the flagged residue: __hs is already distinct, so a
+    # broadcast semi-count needs no distinct exchange; the groupBy
+    # shuffles only flagged ids.
+    held_df = F.broadcast(
+        spark.createDataFrame([(int(v),) for v in held_hashes], "shingle long")
+    )
+    # explode_outer, not explode: an inner explode lets Catalyst infer a
+    # size(__hs)>0 constraint and push the WHOLE regex/shingle chain into
+    # the scan filter, re-evaluating it for every corpus row. Outer
+    # explode keeps the corpus-side cost at exactly one evaluation (the
+    # UDF input); the inner join drops the null rows it adds.
+    return (
+        flagged.select("id", F.explode_outer("__hs").alias("shingle"))
+        .join(held_df, "shingle")
         .groupBy("id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)

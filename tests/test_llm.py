@@ -247,6 +247,32 @@ def test_contamination_kgram_overlap(spark):
     assert out == {1: 1}
 
 
+def test_contamination_bloom_matches_join(spark):
+    """The bloom-prefiltered path (zero-shuffle corpus probe + exact
+    verify on the flagged residue) returns EXACTLY the join path's rows
+    — false positives are eliminated by the verify stage."""
+    from eventkit_spark.llm.dedup import contamination
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    for k, m in [(5, 1), (3, 2)]:
+        a = sorted(map(tuple, contamination(train, held, k=k, min_overlap=m).collect()))
+        b = sorted(
+            map(tuple, contamination(train, held, k=k, min_overlap=m, method="bloom").collect())
+        )
+        assert a == b and len(a) > 0
+
+
+def test_contamination_bloom_empty_heldout(spark):
+    from eventkit_spark.llm.dedup import contamination
+
+    train = spark.createDataFrame([(1, "some training text here")], "doc_id long, text string")
+    held = train.filter("doc_id < 0")
+    assert contamination(train, held, method="bloom").count() == 0
+
+
 def test_repetition_stats_fractions(spark):
     """Crafted strings with known duplicate-word / top-gram fractions."""
     from eventkit_spark.llm.text import repetition_stats

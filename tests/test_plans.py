@@ -165,6 +165,32 @@ def test_embed_neardup_prefilter_buckets_once(spark):
     assert plan.count("MapInPandas") == 1, "verify pass should be one fused Arrow kernel"
 
 
+def test_contamination_bloom_zero_shuffle_corpus(spark):
+    """contamination(method='bloom') must keep the corpus branch a pure
+    scan: shingle-hash arrays built in place (no explode), probed by ONE
+    Arrow UDF against the broadcast bloom; the only exchange is the
+    per-doc aggregate over the flagged residue, and the heldout side is
+    a pre-collected local relation (no second corpus FileScan)."""
+    from eventkit_spark.llm.dedup import contamination
+    from eventkit_spark.plans.audit import count_shuffles, physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    out = contamination(train, held, method="bloom")
+    plan = physical_plan(out)
+    assert plan.count("FileScan") == 1, "bloom path should scan the corpus once"
+    assert plan.count("ArrowEvalPython") == 1, "one bloom-probe kernel"
+    # one hash exchange (flagged-residue aggregate); the broadcast
+    # exchange ships the collected heldout hashes, not corpus data
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the regex/shingle chain must not be inferred into the scan filter
+    # (the explode_outer guard) — corpus rows pay it exactly once
+    scan_filter = [ln for ln in plan.splitlines() if "PushedFilters" in ln or "DataFilters" in ln]
+    assert not any("regexp" in ln for ln in scan_filter), "shingle chain leaked into scan filter"
+
+
 def test_bucketed_join_elides_shuffle(spark):
     """Two tables bucketed on the same key join AND aggregate with no
     shuffle exchange — the write-once pre-shuffle that makes repeated
