@@ -753,6 +753,37 @@ def q_line_dedup(spark, sf):
     return line_dedup(docs2)
 
 
+def q_c4_filters(spark, sf):
+    """C4 heuristic cleaning. The synthetic docs carry no punctuation,
+    so the contract derives a decorated multi-line corpus (8-word chunks
+    with a deterministic suffix cycle: '.', '?', ' javascript.', '',
+    '!', plus 'lorem ipsum' / '{' markers on doc_id multiples) —
+    mirrored exactly in the oracle — then applies the real operator."""
+    from eventkit_spark.llm.text import c4_filters
+
+    docs = load_table(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    suffixes = F.array(
+        F.lit("."), F.lit("?"), F.lit(" javascript."), F.lit(""), F.lit("!")
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            F.element_at(suffixes, ((F.col("doc_id") * 31 + i) % 5 + 1).cast("int")),
+        ),
+    )
+    text2 = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(F.col("doc_id") % 41 == 0, F.lit(" lorem ipsum"))
+        .when(F.col("doc_id") % 43 == 0, F.lit(" {"))
+        .otherwise(F.lit("")),
+    )
+    docs2 = docs.select("doc_id", text2.alias("text"))
+    return c4_filters(docs2, min_line_words=5, min_kept_lines=2)
+
+
 def q_redact_pii(spark, sf):
     from eventkit_spark.llm.text import redact_pii
 
@@ -1037,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunks": q_sliding_chunks,
         "top_ngrams": q_top_ngrams,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "c4_filters": q_c4_filters,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1541,6 +1573,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "c4_filters": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+            ), d2 AS (
+              SELECT doc_id,
+                     [array_to_string(w[i*8+1 : i*8+8], ' ') ||
+                      ['.', '?', ' javascript.', '', '!'][CAST((doc_id*31 + i) % 5 AS INT) + 1]
+                      for i in range(0, CAST(ceil(len(w)/8.0) AS INT))] AS lines
+              FROM w
+            ), t AS (
+              SELECT doc_id,
+                     array_to_string(lines, chr(10)) ||
+                     CASE WHEN doc_id % 41 = 0 THEN ' lorem ipsum'
+                          WHEN doc_id % 43 = 0 THEN ' {' ELSE '' END AS text
+              FROM d2
+            ), f AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines, lower(text) AS low FROM t
+            ), g AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     [x for x in lines if regexp_matches(x, '[.!?"]\s*$')
+                        and len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                        and not contains(lower(x), 'javascript')] AS kept,
+                     low
+              FROM f
+            )
+            SELECT doc_id, n_lines, len(kept) AS n_kept,
+                   array_to_string(kept, chr(10)) AS text
+            FROM g
+            WHERE NOT contains(low, 'lorem ipsum') AND NOT contains(low, '{')
+              AND len(kept) >= 2""",
         "line_dedup": r"""
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents

@@ -291,6 +291,61 @@ def redact_pii(
     return docs.select(F.col(id_col), *counts, red.alias("text"))
 
 
+def c4_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style heuristic cleaning (public rules from the T5/C4 paper,
+    sec 2.2): keep only lines that end in terminal punctuation, have at
+    least ``min_line_words`` words, and mention no ``line_blocklist``
+    term; drop whole documents whose ORIGINAL text contains any
+    ``doc_blocklist`` term (boilerplate markers like "lorem ipsum" or
+    code braces) or that retain fewer than ``min_kept_lines`` lines.
+
+    Returns (id, n_lines, n_kept, text) for surviving docs, with
+    ``text`` rebuilt from the kept lines in order.
+
+    Scale shape: one codegen'd projection + filter — split and a
+    higher-order line filter run in place, so the pass is a pure scan
+    with ZERO exchanges and no Python; it composes ahead of any dedup
+    stage without adding a shuffle. The line predicate is RE2-compatible
+    (no lookaround), so the identical rules run in DuckDB/Go pipelines.
+    """
+    lines = F.split(F.col(text_col), sep)
+
+    def _keep(x):
+        cond = (
+            x.rlike(r'[.!?"]\s*$')
+            & (F.size(F.split(F.trim(x), r"\s+")) >= min_line_words)
+        )
+        for term in line_blocklist:
+            cond = cond & ~F.lower(x).contains(term.lower())
+        return cond
+
+    kept = F.filter(lines, _keep)
+    doc_ok = F.lit(True)
+    for term in doc_blocklist:
+        # on the ORIGINAL text, before the select renames the rebuilt one
+        doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(term.lower())
+    return (
+        docs.filter(doc_ok)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, sep).alias("text"),
+        )
+        .filter(F.col("n_kept") >= min_kept_lines)
+        .select(F.col("id").alias(id_col), "n_lines", "n_kept", "text")
+    )
+
+
 def top_ngrams(
     docs: DataFrame,
     n: int = 1,

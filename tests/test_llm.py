@@ -265,7 +265,27 @@ def test_contamination_bloom_matches_join(spark):
         assert a == b and len(a) > 0
 
 
-def test_contamination_bloom_empty_heldout(spark):
+def test_c4_filters_rules(spark):
+    """Each C4 rule exercised: no terminal punctuation, short lines, and
+    blocklisted lines drop; docs with 'lorem ipsum'/'{' or too few kept
+    lines drop entirely."""
+    from eventkit_spark.llm.text import c4_filters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this line has enough words here.\nno punctuation so dropped\nshort line.\nthe javascript line is dropped too.\nanother good long line survives here!"),
+            (2, "good first line with many words.\nlorem ipsum makes the doc vanish."),
+            (3, "code docs have a curly { brace.\nso this whole doc is gone now."),
+            (4, "only one keepable line is not enough here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_filters(docs, min_kept_lines=2).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["text"] == (
+        "this line has enough words here.\nanother good long line survives here!"
+    )
     from eventkit_spark.llm.dedup import contamination
 
     train = spark.createDataFrame([(1, "some training text here")], "doc_id long, text string")

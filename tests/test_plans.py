@@ -115,6 +115,8 @@ SHUFFLE_CEILING = {
     "mm_audio_features": 1,
     "mm_video_features": 1,
     "embed_ivf_recall": 2,
+    "c4_filters": 0,  # pure scan: HOF line filter + doc predicate in place
+    "decontaminate_bloom": 2,  # flagged-residue agg + heldout broadcast
 }
 
 
