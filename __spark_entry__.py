@@ -753,6 +753,12 @@ def q_line_dedup(spark, sf):
     return line_dedup(docs2)
 
 
+def q_unigram_logprob(spark, sf):
+    from eventkit_spark.llm.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf, "documents"))
+
+
 def q_c4_filters(spark, sf):
     """C4 heuristic cleaning. The synthetic docs carry no punctuation,
     so the contract derives a decorated multi-line corpus (8-word chunks
@@ -1069,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
+        "unigram_logprob": q_unigram_logprob,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1573,6 +1580,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), dt AS (
+              SELECT doc_id, tok, count(*) AS c_dt FROM t2 GROUP BY doc_id, tok
+            ), cnt AS (
+              SELECT tok, count(*) AS c FROM t2 GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt
+            )
+            SELECT doc_id, CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+                   round(sum(c_dt * ln(CAST(c AS DOUBLE)/n)) / sum(c_dt), 6) AS avg_logprob
+            FROM dt JOIN cnt USING (tok), tot
+            GROUP BY doc_id""",
         "c4_filters": r"""
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents

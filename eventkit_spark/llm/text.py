@@ -291,6 +291,55 @@ def redact_pii(
     return docs.select(F.col(id_col), *counts, red.alias("text"))
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean unigram log-likelihood under the corpus's OWN
+    unigram LM — the cheap perplexity proxy used for quality filtering
+    in public pipelines (CCNet's LM-based filtering; perplexity =
+    exp(-avg_logprob)). Garbled/rare-token docs score low, boilerplate
+    scores high; filter or stratify on the score downstream.
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob rounded to 6
+    decimals (absorbs parallel-sum reassociation, keeps the column
+    engine-comparable).
+
+    Scale shape: TWO corpus scans (vocabulary count + scoring — same
+    documented trade as `contamination`'s join path: a single-scan form
+    needs per-token doc lists, which a hot stopword makes unbounded).
+    The vocabulary table is persisted MEMORY_AND_DISK — it is the
+    classic cacheable dimension, vocabulary-sized not corpus-sized — so
+    its aggregate runs once and the one-row total reads the cache
+    instead of paying a third scan. Token counts are map-side-partial
+    hash aggregates (hot stopwords collapse per partition before the
+    shuffle); the (doc, token) pre-aggregate bounds the scoring join's
+    per-token fan-out at n_docs and AQE splits what's left. No windows,
+    no Python.
+    """
+    from pyspark import StorageLevel
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cnt.agg(F.sum("c").alias("n"))
+    dt = toks.groupBy("id", "tok").agg(F.count("*").alias("c_dt"))
+    logp = F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        dt.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.round(F.sum(F.col("c_dt") * logp) / F.sum("c_dt"), 6).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
 def c4_filters(
     docs: DataFrame,
     text_col: str = "text",

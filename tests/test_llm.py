@@ -265,6 +265,20 @@ def test_contamination_bloom_matches_join(spark):
         assert a == b and len(a) > 0
 
 
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with hand-computed mean log-likelihoods: counts
+    a=2 b=2 c=1, N=5; doc1 = ln(2/5), doc2 = (ln(2/5)+ln(1/5))/2."""
+    from eventkit_spark.llm.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["avg_logprob"] == -0.916291
+    assert out[2]["avg_logprob"] == -1.262864
+
+
 def test_c4_filters_rules(spark):
     """Each C4 rule exercised: no terminal punctuation, short lines, and
     blocklisted lines drop; docs with 'lorem ipsum'/'{' or too few kept

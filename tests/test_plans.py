@@ -116,6 +116,10 @@ SHUFFLE_CEILING = {
     "mm_video_features": 1,
     "embed_ivf_recall": 2,
     "c4_filters": 0,  # pure scan: HOF line filter + doc predicate in place
+    # vocab agg + (doc,tok) agg + tok join + id agg + 1-row total
+    # broadcast; the vocab branch is persisted so its plan-time lineage
+    # (counted here) runs once at runtime
+    "unigram_logprob": 7,
     "decontaminate_bloom": 2,  # flagged-residue agg + heldout broadcast
 }
 
