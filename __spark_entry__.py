@@ -753,6 +753,15 @@ def q_line_dedup(spark, sf):
     return line_dedup(docs2)
 
 
+def q_train_order(spark, sf):
+    """Seeded global training-order shuffle: rank must equal the oracle's
+    row_number over the same portable-hash order (total, deterministic)."""
+    from eventkit_spark.llm.sampling import train_order
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return train_order(docs, "doc_id", seed=7).select("doc_id", "rank")
+
+
 def q_unigram_logprob(spark, sf):
     from eventkit_spark.llm.text import unigram_logprob
 
@@ -1076,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
+        "train_order": q_train_order,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1580,6 +1590,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "train_order": r"""
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY ((doc_id + 70049) * 2654435761) % 2147483648, doc_id
+                   ) - 1 AS rank
+            FROM documents""",
         "unigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

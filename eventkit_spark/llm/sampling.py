@@ -337,6 +337,57 @@ def temperature_mix(
     return source_quota(df, {**caps, "*": 0}, key_col, source_col, salt=salt)
 
 
+def train_order(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    slices: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training order: every row
+    gets a dense global ``rank`` (0..n-1) following the seeded
+    portable-hash order of its key — the "shuffle the corpus before
+    training" step, reproducible across engines and runs (same seed,
+    same order; different seed, a different permutation).
+
+    Scale shape — a global row_number would serialize the corpus through
+    one window partition, so this is the salted two-phase rank instead:
+    (1) bucket rows by the seeded hash and RANGE-slice the hash space
+    into ``slices`` contiguous chunks (hash-uniform => balanced);
+    (2) per-slice counts (tiny: one row per slice) get prefix-summed
+    into slice offsets — the only global window runs over that
+    #slices-row table; (3) rank = slice offset + per-slice row_number,
+    one shuffle of the data on the slice key. Ties inside a bucket
+    break on the key itself, so the order is total and deterministic.
+    """
+    spark = df.sparkSession
+    n_slices = slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = ((1 << 31) + n_slices - 1) // n_slices
+    b = portable_hash(F.col(key_col) + F.lit(seed * 10007), 1 << 31)
+    t = df.withColumn("__b", b).withColumn(
+        "__slice", F.floor(F.col("__b") / F.lit(width)).cast("int")
+    )
+    offs = (
+        t.groupBy("__slice")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__slice",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__slice").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("__slice").orderBy("__b", key_col))
+    return (
+        t.join(F.broadcast(offs), "__slice")
+        .withColumn(rank_col, (F.col("__off") + rn - 1).cast("long"))
+        .drop("__b", "__slice", "__off")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

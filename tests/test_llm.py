@@ -265,6 +265,34 @@ def test_contamination_bloom_matches_join(spark):
         assert a == b and len(a) > 0
 
 
+def test_train_order_matches_global_sort(spark):
+    """The salted two-phase rank must equal a brute-force global sort by
+    the same seeded hash, for any slice count; same seed reproduces,
+    different seed permutes differently."""
+    from eventkit_spark.llm.sampling import portable_hash, train_order
+
+    df = spark.range(101).select(F.col("id").alias("doc_id"))
+    for slices in (1, 4, 32):
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in train_order(df, "doc_id", seed=7, slices=slices).collect()
+        }
+        b = portable_hash(F.col("doc_id") + F.lit(7 * 10007), 1 << 31)
+        want = {
+            r["doc_id"]: i
+            for i, r in enumerate(df.withColumn("b", b).orderBy("b", "doc_id").collect())
+        }
+        assert got == want
+    again = {
+        r["doc_id"]: r["rank"] for r in train_order(df, "doc_id", seed=7).collect()
+    }
+    other = {
+        r["doc_id"]: r["rank"] for r in train_order(df, "doc_id", seed=8).collect()
+    }
+    assert again == want and other != want
+    assert sorted(other.values()) == list(range(101))
+
+
 def test_unigram_logprob_hand_computed(spark):
     """Tiny corpus with hand-computed mean log-likelihoods: counts
     a=2 b=2 c=1, N=5; doc1 = ln(2/5), doc2 = (ln(2/5)+ln(1/5))/2."""

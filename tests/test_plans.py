@@ -121,6 +121,8 @@ SHUFFLE_CEILING = {
     # (counted here) runs once at runtime
     "unigram_logprob": 7,
     "decontaminate_bloom": 2,  # flagged-residue agg + heldout broadcast
+    # slice-count agg (+tiny-table window) + data shuffle on slice + broadcast
+    "train_order": 4,
 }
 
 
