@@ -1108,7 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
+        "tfidf": q_tfidf,  # r3-touched (df agg rewrite): keep in the checked window
         "text_embed": q_text_embed,
         "pipeline_corpus": q_pipeline_corpus,
         "text_stats": q_text_stats,
@@ -1119,7 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
         "asof_join": q_asof_join,
-        "tfidf": q_tfidf,
+        "repetition": q_repetition,  # unchanged since its r2-green verdict
         "embed_topk": q_embed_topk,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize_plan": q_mm_resize_plan,

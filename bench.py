@@ -63,6 +63,10 @@ HEADLINE = [
     "temperature_mix",
     "sliding_chunks",
     "top_ngrams",
+    "decontaminate_bloom",
+    "c4_filters",
+    "unigram_logprob",
+    "train_order",
     "tfidf",
     "split_by_hash",
     "stratified_sample",

@@ -390,3 +390,24 @@ def test_streaming_llm_text_columns(spark, tmp_path_factory):
     sp2 = {r["doc_id"]: r["text"] for r in out2.collect()}
     bp2 = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
     assert sp2 == bp2 and len(sp2) == 500
+
+    # c4_filters too: stateless projection + filter, streamed == batch.
+    # The synthetic docs carry no punctuation, so decorate: every third
+    # doc keeps its bare line (dropped by the terminal-punct rule), the
+    # rest get a final period (kept) — n_kept then varies 0/1.
+    from eventkit_spark.llm.text import c4_filters
+
+    def _c4(df):
+        decorated = df.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit("."))
+            ),
+        )
+        return c4_filters(decorated, min_kept_lines=0)
+
+    out3 = sf.run_available_now(sink_df=_c4(sf.df), name="ek_llm3")
+    sp3 = {r["doc_id"]: (r["n_lines"], r["n_kept"]) for r in out3.collect()}
+    bp3 = {r["doc_id"]: (r["n_lines"], r["n_kept"]) for r in _c4(docs).collect()}
+    assert sp3 == bp3 and len(sp3) == 500
+    assert {v[1] for v in sp3.values()} == {0, 1}
