@@ -768,6 +768,12 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(load_table(spark, sf, "documents"))
 
 
+def q_ccnet_buckets(spark, sf):
+    from eventkit_spark.llm.text import perplexity_buckets
+
+    return perplexity_buckets(load_table(spark, sf, "documents"))
+
+
 def q_c4_filters(spark, sf):
     """C4 heuristic cleaning. The synthetic docs carry no punctuation,
     so the contract derives a decorated multi-line corpus (8-word chunks
@@ -1086,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
         "train_order": q_train_order,
+        "ccnet_buckets": q_ccnet_buckets,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1613,6 +1620,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c_dt * ln(CAST(c AS DOUBLE)/n)) / sum(c_dt), 6) AS avg_logprob
             FROM dt JOIN cnt USING (tok), tot
             GROUP BY doc_id""",
+        "ccnet_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), dt AS (
+              SELECT doc_id, tok, count(*) AS c_dt FROM t2 GROUP BY doc_id, tok
+            ), cnt AS (
+              SELECT tok, count(*) AS c FROM t2 GROUP BY tok
+            ), tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt
+            ), scored AS (
+              SELECT doc_id,
+                     round(sum(c_dt * ln(CAST(c AS DOUBLE)/n)) / sum(c_dt), 6) AS avg_logprob
+              FROM dt JOIN cnt USING (tok), tot
+              GROUP BY doc_id
+            ), wl AS (
+              SELECT s.doc_id, d.lang, s.avg_logprob
+              FROM scored s JOIN documents d USING (doc_id)
+            ), ct AS (
+              SELECT lang,
+                     quantile_cont(avg_logprob, 1.0/3) AS c1,
+                     quantile_cont(avg_logprob, 2.0/3) AS c2
+              FROM wl GROUP BY lang
+            )
+            SELECT doc_id, lang, avg_logprob,
+                   CASE WHEN avg_logprob >= c2 THEN 'head'
+                        WHEN avg_logprob >= c1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM wl JOIN ct USING (lang)""",
         "c4_filters": r"""
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents

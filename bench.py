@@ -67,6 +67,7 @@ HEADLINE = [
     "c4_filters",
     "unigram_logprob",
     "train_order",
+    "ccnet_buckets",
     "tfidf",
     "split_by_hash",
     "stratified_sample",

@@ -340,6 +340,58 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing (public CCNet
+    recipe): score every doc with the corpus unigram LM
+    (`unigram_logprob`), cut each LANGUAGE at its 1/3 and 2/3 score
+    percentiles, and label docs head (most natural text), middle, or
+    tail. Downstream recipes train on head+middle or reweight by bucket.
+
+    Returns (id, lang, avg_logprob, bucket).
+
+    ``approx=False`` uses exact interpolated percentiles (matches
+    DuckDB's quantile_cont — the oracle-checkable form; per-language
+    aggregate state is O(distinct scores)). At 100 TB flip
+    ``approx=True``: approx_percentile is a fixed-size sketch and the
+    cutoffs don't need exactness in production. The cutoff table is one
+    row per language — broadcast back, no second corpus shuffle. The
+    doc-level score table feeds both the cutoff aggregate and the final
+    labeling, so it is persisted MEMORY_AND_DISK (one narrow row per
+    doc — doc-scale, not token-scale) rather than re-running the
+    scoring pipeline twice."""
+    from pyspark import StorageLevel
+
+    scored = unigram_logprob(docs, text_col, id_col)
+    wl = scored.join(docs.select(id_col, lang_col), id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if approx:
+        cuts = F.approx_percentile(
+            "avg_logprob", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)), F.lit(10000)
+        )
+    else:
+        cuts = F.percentile("avg_logprob", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)))
+    ct = wl.groupBy(lang_col).agg(cuts.alias("__c"))
+    return (
+        wl.join(F.broadcast(ct), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.element_at("__c", 2), "head")
+            .when(F.col("avg_logprob") >= F.element_at("__c", 1), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
 def c4_filters(
     docs: DataFrame,
     text_col: str = "text",

@@ -293,6 +293,31 @@ def test_train_order_matches_global_sort(spark):
     assert sorted(other.values()) == list(range(101))
 
 
+def test_perplexity_buckets_ordering(spark):
+    """Within each language every head score >= every middle >= every
+    tail, and all three buckets are populated for the big languages."""
+    from eventkit_spark.llm.text import perplexity_buckets
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = perplexity_buckets(docs).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(
+            r["avg_logprob"]
+        )
+    assert len(rows) == 500
+    for lang, buckets in by_lang.items():
+        if set(buckets) == {"head", "middle", "tail"}:
+            assert min(buckets["head"]) >= max(buckets["middle"]) >= min(buckets["middle"])
+            assert min(buckets["middle"]) >= max(buckets["tail"])
+    assert any(set(b) == {"head", "middle", "tail"} for b in by_lang.values())
+    # approx sketch path: same schema, same row count, buckets populated
+    approx = perplexity_buckets(docs, approx=True)
+    assert approx.columns == ["doc_id", "lang", "avg_logprob", "bucket"]
+    assert approx.count() == 500
+
+
 def test_unigram_logprob_hand_computed(spark):
     """Tiny corpus with hand-computed mean log-likelihoods: counts
     a=2 b=2 c=1, N=5; doc1 = ln(2/5), doc2 = (ln(2/5)+ln(1/5))/2."""

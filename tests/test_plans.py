@@ -123,6 +123,11 @@ SHUFFLE_CEILING = {
     "decontaminate_bloom": 2,  # flagged-residue agg + heldout broadcast
     # slice-count agg (+tiny-table window) + data shuffle on slice + broadcast
     "train_order": 4,
+    # plan-time lineage: the persisted doc-score table appears on both
+    # the cutoff and labeling sides, so its unigram chain is COUNTED
+    # twice here; at runtime the persist runs it once (~7 real
+    # exchanges: unigram 5 + lang join + cutoff agg/broadcast)
+    "ccnet_buckets": 18,
 }
 
 
