@@ -992,6 +992,25 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_asof_join_unkeyed(spark, sf):
+    """Unkeyed as-of join — exercises the r3 range-partitioned
+    carry-forward (parallel, no single-task global window)."""
+    from eventkit_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf, "events")
+    trades = ev.filter(F.col("event_id") % 7 == 1).select("event_id", "ts", "value")
+    quotes = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .groupBy("ts")
+        .agg(F.max("value").alias("qvalue"))
+    )
+    out = asof_join(trades, quotes, "ts", by=None, right_cols=["qvalue"])
+    return out.select(
+        "event_id", "value", "qvalue",
+        F.unix_micros(F.col("ts_r")).alias("quote_us"),
+    )
+
+
 def q_tfidf(spark, sf):
     from eventkit_spark.llm.sampling import tfidf_top_terms
 
@@ -1093,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "train_order": q_train_order,
         "ccnet_buckets": q_ccnet_buckets,
+        "asof_join_unkeyed": q_asof_join_unkeyed,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1980,6 +2000,15 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY lang) n
               FROM documents
             ) WHERE rn <= ceil(n * 0.25)""",
+        "asof_join_unkeyed": """
+            WITH trades AS (
+              SELECT event_id, ts, value FROM events WHERE event_id % 7 = 1
+            ), quotes AS (
+              SELECT ts, max(value) AS qvalue
+              FROM events WHERE event_id % 7 = 0 GROUP BY ts
+            )
+            SELECT t.event_id, t.value, q.qvalue, epoch_us(q.ts) AS quote_us
+            FROM trades t ASOF LEFT JOIN quotes q ON t.ts >= q.ts""",
         "asof_join": """
             WITH trades AS (
               SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1
