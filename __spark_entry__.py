@@ -768,6 +768,19 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(load_table(spark, sf, "documents"))
 
 
+def q_substring_dedup(spark, sf):
+    """ExactSubstr span dedup. The synthetic docs share no natural long
+    spans, so the contract appends a fixed 13-token boilerplate tail to
+    every doc (mirrored in the oracle): the lowest doc_id keeps it, every
+    other doc has exactly those tokens excised."""
+    from eventkit_spark.llm.dedup import substring_dedup
+
+    docs = load_table(spark, sf, "documents")
+    boiler = " the quick brown fox jumps over the lazy dog again and again tonight"
+    docs2 = docs.select("doc_id", F.concat(F.col("text"), F.lit(boiler)).alias("text"))
+    return substring_dedup(docs2, window=10)
+
+
 def q_ccnet_buckets(spark, sf):
     from eventkit_spark.llm.text import perplexity_buckets
 
@@ -1113,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "ccnet_buckets": q_ccnet_buckets,
         "asof_join_unkeyed": q_asof_join_unkeyed,
+        "substring_dedup": q_substring_dedup,
         # unit-only §2 ops promoted to driver rows (r3)
         "constant": q_constant,
         "star_pack": q_star_pack,
@@ -1640,6 +1654,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c_dt * ln(CAST(c AS DOUBLE)/n)) / sum(c_dt), 6) AS avg_logprob
             FROM dt JOIN cnt USING (tok), tot
             GROUP BY doc_id""",
+        "substring_dedup": r"""
+            WITH d2 AS (
+              SELECT doc_id,
+                     text || ' the quick brown fox jumps over the lazy dog again and again tonight' AS text
+              FROM documents
+            ), w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM d2
+            ), n AS (
+              SELECT doc_id, toks, len(toks) AS n_tok FROM w
+            ), tok AS (
+              SELECT doc_id, i AS pos, toks[i+1] AS tok
+              FROM n, unnest(generate_series(0, n_tok - 1)) AS t(i)
+            ), occ AS (
+              SELECT doc_id, i AS p, array_to_string(toks[i+1:i+10], ' ') AS gram
+              FROM n, unnest(generate_series(0, n_tok - 10)) AS t(i)
+              WHERE n_tok >= 10
+            ), rnk AS (
+              SELECT doc_id, p,
+                     row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+              FROM occ
+            ), rem AS (
+              SELECT DISTINCT doc_id, p + o AS pos
+              FROM rnk, unnest(generate_series(0, 9)) AS t2(o)
+              WHERE rn > 1
+            ), kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+              WHERE r.pos IS NULL
+            ), reb AS (
+              SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT n.doc_id, CAST(n.n_tok AS INT) AS n_tokens,
+                   CAST(n.n_tok - coalesce(reb.n_kept, 0) AS INT) AS n_removed,
+                   coalesce(reb.text, '') AS text
+            FROM n LEFT JOIN reb USING (doc_id)""",
         "ccnet_buckets": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

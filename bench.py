@@ -64,6 +64,7 @@ HEADLINE = [
     "sliding_chunks",
     "top_ngrams",
     "decontaminate_bloom",
+    "substring_dedup",
     "c4_filters",
     "unigram_logprob",
     "train_order",

@@ -631,3 +631,83 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (the ExactSubstr dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): every token covered by a
+    length-``window`` token run whose exact content appears earlier in
+    the corpus (first occurrence = smallest (doc, position)) is deleted,
+    and documents are reassembled from the surviving tokens. Any
+    duplicated span of >= ``window`` tokens contains a duplicated
+    window, so all long exact duplicates are caught; the first copy
+    survives intact.
+
+    Returns (id, n_tokens, n_removed, text) for EVERY input doc.
+
+    Scale shape: the paper's suffix array is a single-machine
+    construction; the relational equivalent is rolling window hashes.
+    Window hashes are built IN PLACE on the token array (one xxhash64
+    per position — no token explode for candidate generation), then:
+    (1) groupBy(hash) -> min(id, pos) with map-side partials (a
+    boilerplate span is a hot key and collapses per partition — same
+    guard as line_dedup); (2) join-back marks later occurrences;
+    (3) their covered positions explode + distinct (overlapping spans
+    merge for free); (4) one anti-join removes them from the token
+    stream and one groupBy(id) rebuilds text. Everything shuffles
+    8-byte hashes or (id, pos) ints, never window text. Two corpus
+    scans (window pass + rebuild pass), the documented dedup trade.
+    64-bit window-hash collisions are the standard corpus-dedup
+    assumption (cf. exact_dedup).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_tok"),
+    )
+    windows = F.when(
+        F.col("n_tok") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - window),
+            lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = base.select("id", F.posexplode(windows).alias("p", "h"))
+    firsts = occ.groupBy("h").agg(F.min(F.struct("id", "p")).alias("f"))
+    dups = (
+        occ.join(firsts, "h")
+        .filter(~((F.col("f.id") == F.col("id")) & (F.col("f.p") == F.col("p"))))
+        .select("id", "p")
+    )
+    rem = dups.select(
+        "id", F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(window - 1))).alias("pos")
+    ).distinct()
+    tok = base.select("id", F.posexplode("__toks").alias("pos", "tok"))
+    kept = tok.join(rem, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("__text"),
+    )
+    return (
+        base.select("id", "n_tok")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tok").alias("n_tokens"),
+            (F.col("n_tok") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+        )
+    )

@@ -293,6 +293,36 @@ def test_train_order_matches_global_sort(spark):
     assert sorted(other.values()) == list(range(101))
 
 
+def test_substring_dedup_spans(spark):
+    """A 13-token span shared by two docs survives only in the lowest
+    (doc, pos) occurrence; the later copy is excised token-exactly and
+    untouched docs pass through byte-identical."""
+    from eventkit_spark.llm.dedup import substring_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler),
+            (2, "delta epsilon zeta " + boiler),
+            (3, "unique words only in this document right here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, window=10).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text"].endswith(boiler)
+    assert out[2]["n_removed"] == 13 and out[2]["text"] == "delta epsilon zeta"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text"] == "unique words only in this document right here"
+    # overlapping duplicated windows merge: a doc that IS the boilerplate
+    # twice over loses everything after the first copy
+    twice = spark.createDataFrame(
+        [(1, boiler), (2, boiler + " " + boiler)], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in substring_dedup(twice, window=10).collect()}
+    assert out2[1]["n_removed"] == 0
+    assert out2[2]["n_removed"] == 26 and out2[2]["text"] == ""
+
+
 def test_perplexity_buckets_ordering(spark):
     """Within each language every head score >= every middle >= every
     tail, and all three buckets are populated for the big languages."""

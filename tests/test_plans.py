@@ -128,6 +128,9 @@ SHUFFLE_CEILING = {
     # twice here; at runtime the persist runs it once (~7 real
     # exchanges: unigram 5 + lang join + cutoff agg/broadcast)
     "ccnet_buckets": 18,
+    # window-hash firsts agg + dup join + cover distinct + anti-join +
+    # rebuild agg + outer join, all on hashes/(id,pos) ints
+    "substring_dedup": 6,
 }
 
 
