@@ -95,7 +95,17 @@ def asof_join(
             .orderBy(F.col(ts_col), F.col("__tag"))
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(wloc))
+        # localCheckpoint PINS the range partitioning: __pid comes from
+        # spark_partition_id() over SAMPLED range boundaries, and the
+        # carry-in table below re-reads u — without pinning, each branch
+        # re-materializes the exchange and can sample DIFFERENT
+        # boundaries, so the carry table would describe partitions that
+        # are not the ones the local windows ran in (observed as wrong
+        # carries at sf0.1 partition counts). Makes the unkeyed path
+        # eager, like dedup_clusters' rounds.
+        u = u.withColumn(
+            "__m", F.last(right_mark, ignorenulls=True).over(wloc)
+        ).localCheckpoint()
         pids = u.select("__pid").distinct()
         closing = (
             u.filter(F.col("__tag") == 0)

@@ -536,7 +536,13 @@ def test_asof_join_unkeyed_carry_forward(spark):
     )
     out = asof_join(left, right, "ts", right_cols=["q"], partitions=8)
     plan = physical_plan(out)
-    assert "rangepartitioning" in plan.lower()
+    # the range-partitioned window result is PINNED (localCheckpoint) so
+    # the carry-in branches read the same physical partitions the local
+    # windows ran in — the visible plan is a scan of the pinned RDD, and
+    # no single-partition sort of the union exists anywhere
+    assert "existingrdd" in plan.lower()
+    # (the only single-partition window left is the #partitions-row
+    # carry table — the data path itself is the pinned parallel scan)
     rows = {r["id"]: (r["q"], r["ts_r"]) for r in out.collect()}
     assert len(rows) == n
     for i in (0, 1, 49, 50, 51, 499, 500, 2501, n - 1):
