@@ -87,17 +87,51 @@ class EventFrame:
 
     @classmethod
     def create(cls, obj, spark=None, **kwargs) -> "EventFrame":
-        """Coerce a DataFrame / EventFrame / iterable into a stream
-        (Event.create, event.py:484-506)."""
+        """Coerce into a stream (Event.create, event.py:484-506): an
+        EventFrame passes through; a DataFrame wraps; a zero-arg
+        constructor is called and its result re-coerced; an async
+        iterator drains (Aiterate analog); an awaitable resolves to a
+        single-emit Wait analog; any other iterable becomes a sequence
+        source. Same coercion ladder as the reference, with the
+        batch-mode difference that async objects are resolved at plan
+        time (sources/create.py:38-57)."""
         if isinstance(obj, EventFrame):
             return obj
         if isinstance(obj, DataFrame):
             return cls(obj, **kwargs)
-        from .sources.create import sequence
+        is_async = hasattr(obj, "__aiter__") or hasattr(obj, "__await__")
+        if callable(obj) and not is_async and not hasattr(obj, "__iter__"):
+            # event-constructor-without-arguments (event.py:495-497)
+            return cls.create(obj(), spark=spark, **kwargs)
+        from .sources.create import aiterate, sequence, wait
 
         if spark is None:
             raise ValueError("spark session required to create from an iterable")
-        return sequence(spark, list(obj), **kwargs)
+        if hasattr(obj, "__aiter__"):
+            return aiterate(spark, obj, **kwargs)
+        if hasattr(obj, "__await__"):
+            import asyncio
+
+            async def _resolve():
+                return await obj
+
+            return wait(spark, asyncio.run(_resolve()), **kwargs)
+        if hasattr(obj, "__iter__"):
+            return sequence(spark, list(obj), **kwargs)
+        raise ValueError(f"cannot coerce {obj!r} into an EventFrame")
+
+    @staticmethod
+    def init(obj, names, spark) -> None:
+        """Attach one empty stream per name as attributes of ``obj``
+        (Event.init, event.py:470-480). Empty frames carry the default
+        unary double payload; append with ``.merge``/``.chain``."""
+        for name in names:
+            df = spark.createDataFrame([], "seq long, ts timestamp, value double")
+            setattr(
+                obj,
+                name,
+                EventFrame(df, value_cols=["value"], seq_col="seq", ts_col="ts"),
+            )
 
     # -- terminals (event.py:235-257 run/list; event.py:339-389 aiter) -
     def collect(self):

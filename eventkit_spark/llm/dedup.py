@@ -523,18 +523,40 @@ def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Pure JVM formulation: explode tokens, xxhash64 each, then 64
-    codegen'd sign-sum aggregates (one per bit) with map-side partial
-    aggregation — the shuffle carries one row per doc. (A pandas-UDF
-    version measured ~2x slower and kept Python in the hot path.)
+    Pure JVM formulation: explode tokens, hash each, then 64 codegen'd
+    sign-sum aggregates (one per bit) with map-side partial aggregation
+    — the shuffle carries one row per doc. (A pandas-UDF version
+    measured ~2x slower and kept Python in the hot path.)
+
+    ``portable=False`` (default, production): token hash = xxhash64 —
+    fastest, JVM-only. ``portable=True``: token hash packs two
+    independent 31-bit polynomial folds (``text.fingerprint`` bases
+    31/37) into bits 0..61 — byte-identical reproducible in ANSI
+    SQL/DuckDB, which is what lets ``dedup_simhash`` carry an EXACT
+    driver oracle (brute-force bit_count(xor) pairs) instead of a
+    rows-only check. Same SimHash semantics either way; only the token
+    hash family differs.
     """
+    if portable:
+        from .text import fingerprint
+
+        tok_hash = fingerprint(F.col("tok"), base=31) + fingerprint(
+            F.col("tok"), base=37
+        ) * F.lit(1 << 31)
+    else:
+        tok_hash = F.xxhash64("tok")
     tokens = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", tok_hash.alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -558,6 +580,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -578,7 +601,7 @@ def simhash_near_dups(
     # once and expand (i < j) pairs from the sorted posting list instead.
     # Bucket sizes are ~n/2^16 for unrelated docs plus the near-dup
     # groups themselves.
-    sh = simhash64(docs, text_col, id_col)
+    sh = simhash64(docs, text_col, id_col, portable=portable)
     chunks = sh.select(
         "id",
         "simhash",

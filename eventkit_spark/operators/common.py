@@ -22,6 +22,33 @@ RN = "__ek_rn"
 TAG = "__ek_src"
 
 
+def as_ts(col: Column) -> Column:
+    """Event-time coerced to TIMESTAMP (LTZ).
+
+    Identity for LTZ columns; for TIMESTAMP_NTZ (parquet written with
+    isAdjustedToUTC=false — pandas default, the driver's testdata) the
+    cast reinterprets the naive value in the session timezone, which the
+    engine pins to UTC (session.py / sources/tables.py), so it is
+    value-preserving. Every event-time expression goes through this so
+    operators accept either timestamp flavor.
+    """
+    return col.cast("timestamp")
+
+
+def ts_micros(col: Column) -> Column:
+    """Event-time as epoch microseconds (long), NTZ-safe."""
+    return F.unix_micros(as_ts(col))
+
+
+def ts_seconds(col: Column) -> Column:
+    """Event-time as epoch seconds (double, fractional), NTZ-safe.
+
+    ``TIMESTAMP_NTZ CAST double`` is an analysis error in Spark 4; the
+    LTZ hop makes the same expression legal for both flavors.
+    """
+    return as_ts(col).cast("double")
+
+
 def wkey(ef):
     """Partition window for the stream's keys (global if unkeyed)."""
     if ef.key_cols:

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
+from .common import ts_micros
+
 PSEQ = "__ek_pseq"
 CIDX = "__ek_cidx"
 
@@ -46,7 +48,7 @@ def _explode_children(ef, child_gen):
     )
     child_ts = F.timestamp_micros(
         (
-            F.unix_micros(F.col("__ek_pts"))
+            ts_micros(F.col("__ek_pts"))
             + (F.col("__ek_child.dt") * 1e6).cast("long")
         )
     )

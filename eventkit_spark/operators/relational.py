@@ -10,18 +10,23 @@ carried columns still cost one window expression.
 
 The UNKEYED case (``by=None``) cannot ride a key shuffle — a naive
 global window serializes everything through one task. It instead runs
-the classic two-pass carry-forward: range-partition the union on
-``(ts, tag)``, compute the running last WITHIN each range partition (a
-window keyed on the partition id — balanced, parallel), then broadcast
-each partition's closing right-row so later partitions coalesce their
-leading unmatched rows against the carry-in. Two shuffles (range + pid)
-and a P-row broadcast instead of one single-task sort.
+the classic two-pass carry-forward: fix range boundaries once with a
+driver-side quantile sketch, assign every row a deterministic bucket id
+from the broadcast boundary array, compute the running last WITHIN each
+bucket (a window keyed on the bucket id — balanced, parallel), then
+broadcast each bucket's closing right-row so later buckets coalesce
+their leading unmatched rows against the carry-in. One shuffle (bucket
+id) plus a P-row broadcast instead of one single-task sort — and no
+``localCheckpoint`` materialization: bucket ids are pure expressions, so
+the plan stays lazy, fault-tolerant, and re-computable (the r3 design
+pinned ``spark_partition_id`` over a sampled range exchange, which
+required eagerly checkpointing the whole union — ADVICE.md r3).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 
 def asof_join(
@@ -52,6 +57,14 @@ def asof_join(
     ``spark.sql.shuffle.partitions``); ignored when ``by`` is given.
     """
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    # normalize event-time flavor first: TIMESTAMP_NTZ (naive parquet,
+    # pandas default) is reinterpreted as LTZ in the session tz (pinned
+    # UTC) so ordering/epoch expressions are legal and both sides union
+    # to one type
+    if isinstance(left.schema[ts_col].dataType, TimestampNTZType):
+        left = left.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if isinstance(right.schema[ts_col].dataType, TimestampNTZType):
+        right = right.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != ts_col]
     payload = F.struct(
@@ -82,31 +95,40 @@ def asof_join(
         )
         u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(w))
     else:
-        # two-pass carry-forward (module docstring): parallel local
-        # windows per range partition + a tiny broadcast of carry-ins
+        # deterministic two-pass carry-forward (module docstring):
+        # boundaries come from ONE driver-side quantile sketch (a single
+        # cheap pass, no materialization), and the bucket id is a pure
+        # expression over the broadcast literal array — every branch
+        # that re-reads ``u`` recomputes the SAME ids, so no pinning /
+        # checkpoint is needed and executor loss just recomputes.
         n_part = partitions or int(
             u.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        u = u.repartitionByRange(
-            n_part, F.col(ts_col), F.col("__tag")
-        ).withColumn("__pid", F.spark_partition_id())
+        tnum = F.col(ts_col).cast("double")
+        probs = [i / n_part for i in range(1, n_part)]
+        bounds = (
+            sorted(set(u.select(tnum.alias("__t")).approxQuantile("__t", probs, 0.001)))
+            if probs
+            else []
+        )
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            pid = F.size(F.filter(barr, lambda b: tnum > b))
+        else:
+            pid = F.lit(0)
+        u = u.withColumn("__pid", pid)
         wloc = (
             W.partitionBy("__pid")
             .orderBy(F.col(ts_col), F.col("__tag"))
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        # localCheckpoint PINS the range partitioning: __pid comes from
-        # spark_partition_id() over SAMPLED range boundaries, and the
-        # carry-in table below re-reads u — without pinning, each branch
-        # re-materializes the exchange and can sample DIFFERENT
-        # boundaries, so the carry table would describe partitions that
-        # are not the ones the local windows ran in (observed as wrong
-        # carries at sf0.1 partition counts). Makes the unkeyed path
-        # eager, like dedup_clusters' rounds.
-        u = u.withColumn(
-            "__m", F.last(right_mark, ignorenulls=True).over(wloc)
-        ).localCheckpoint()
-        pids = u.select("__pid").distinct()
+        u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(wloc))
+        # carry-ins: each bucket's closing right payload, lagged forward
+        # across the (len(bounds)+1)-row bucket table, broadcast back
+        pids = (
+            u.sparkSession.range(len(bounds) + 1)
+            .select(F.col("id").cast("int").alias("__pid"))
+        )
         closing = (
             u.filter(F.col("__tag") == 0)
             .groupBy("__pid")

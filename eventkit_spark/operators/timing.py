@@ -12,13 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from .common import RN, meta_cols, wcum, worder
+from .common import RN, meta_cols, ts_micros, ts_seconds, wcum, worder
 
 
 def _shift(ts_col, seconds: float):
-    # timestamp + fractional-second interval, JVM-side
+    # timestamp + fractional-second interval, JVM-side (NTZ-safe)
     return F.timestamp_micros(
-        (F.unix_micros(F.col(ts_col)) + F.lit(int(round(seconds * 1e6)))).cast("long")
+        (ts_micros(F.col(ts_col)) + F.lit(int(round(seconds * 1e6)))).cast("long")
     )
 
 
@@ -39,7 +39,8 @@ def timeout(ef, seconds: float, emit_sentinel: bool = False):
     if not ef.ts_col:
         raise ValueError("timeout() needs an event-time column")
     w = worder(ef)
-    gap = F.col(ef.ts_col).cast("double") - F.lag(F.col(ef.ts_col)).over(w).cast("double")
+    t = ts_seconds(F.col(ef.ts_col))
+    gap = t - F.lag(t).over(w)
     ok = F.when(gap.isNull() | (gap <= seconds), 1).otherwise(0)
     flag = F.min(ok).over(wcum(ef))
     df = ef.df.withColumn(RN, flag)
@@ -85,7 +86,7 @@ def debounce(ef, seconds: float, on_first: bool = False):
     if not ef.ts_col:
         raise ValueError("debounce() needs an event-time column")
     w = worder(ef)
-    t = F.col(ef.ts_col).cast("double")
+    t = ts_seconds(F.col(ef.ts_col))
     if on_first:
         gap = t - F.lag(t).over(w)
         keep = gap.isNull() | (gap >= seconds)

@@ -13,7 +13,7 @@ from typing import Callable
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
-from .common import RN, meta_cols, value_col, worder
+from .common import RN, meta_cols, ts_seconds, value_col, worder
 
 
 def _project(ef, new_values: list, names: list[str]):
@@ -51,7 +51,7 @@ def timestamp(ef):
     """
     if not ef.ts_col:
         raise ValueError("timestamp() needs an event-time column")
-    t = F.col(ef.ts_col).cast("double")
+    t = ts_seconds(F.col(ef.ts_col))
     cols = [F.col(c) for c in meta_cols(ef)]
     cols.append(t.alias("t"))
     cols += [F.col(c) for c in ef.value_cols]

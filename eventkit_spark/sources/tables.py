@@ -12,6 +12,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from ..frame import EventFrame
 
@@ -39,13 +40,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     # self-sufficient vs caller-created sessions (the driver builds its
     # own SparkSession without our session.py defaults): nanos timestamps
-    # are unreadable without this runtime-settable SQL conf
+    # are unreadable without this runtime-settable SQL conf, and the UTC
+    # session tz makes the NTZ->LTZ normalization below value-preserving
+    # (and epoch math identical to the DuckDB oracle's naive timestamps)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nano_ts_cols(path):
         # integer div: truncate ns->us exactly like DuckDB/pandas (float
         # division rounds the 16th digit and drifts by 1us)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet written with isAdjustedToUTC=false (pandas/pyarrow default,
+    # and the driver's testdata since round 3) loads as TIMESTAMP_NTZ,
+    # which unix_micros / double casts reject at analysis time. The
+    # session timezone is pinned UTC (session.py), so reinterpreting NTZ
+    # as LTZ is value-preserving — every downstream event-time expression
+    # then sees one type.
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, TimestampNTZType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 

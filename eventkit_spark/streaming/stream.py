@@ -550,7 +550,7 @@ class StreamFrame:
         ex = F.posexplode_outer if outer else F.posexplode
         base = self.df.select(
             *self.key_cols,
-            F.unix_micros(F.col(self.ts_col)).alias("pseq"),
+            F.unix_micros(F.col(self.ts_col).cast("timestamp")).alias("pseq"),
             ex(children).alias("cidx", "__ek_child"),
         )
         child_ts = F.timestamp_micros(

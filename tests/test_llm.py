@@ -27,18 +27,33 @@ def test_neardup_multiblock_equals_singleblock(spark):
     assert len(single) > 0  # the fixture actually exercises the threshold
 
 
-def test_neardup_lsh_prefilter_subset_and_recall(spark):
-    """rp_lsh-prefiltered near-dups must be a subset of the exact pairs
-    (every emitted cos is exact-verified) with auto-sized bits/tables
-    hitting the recall target even at this low threshold."""
+def test_neardup_lsh_prefilter_guard_low_threshold(spark):
+    """Below the sign-LSH separability floor the auto-sizer must WARN
+    and fall back to the exact blocked path (r3 VERDICT item 5: the old
+    behavior silently ran bits=1 — near-brute-force plus extra
+    shuffles). The fallback result equals the exact pair set; explicit
+    bits= still forces LSH at the caller's own risk."""
+    import pytest as _pytest
+
     emb = load_table(spark, SF, "embeddings")
     exact = _pairs(embedding_near_dups(emb, threshold=THRESH, block_size=1_000_000))
-    lsh = _pairs(embedding_near_dups(emb, threshold=THRESH, prefilter="rp_lsh"))
-    assert set(lsh) <= set(exact)
-    for k, v in lsh.items():
-        assert abs(v - exact[k]) < 1e-6
-    recall = len(lsh) / max(1, len(exact))
-    assert recall >= 0.9, f"LSH prefilter recall {recall:.2f} below 0.9"
+    with _pytest.warns(UserWarning, match="degenerates at threshold"):
+        lsh_df = embedding_near_dups(emb, threshold=THRESH, prefilter="rp_lsh")
+    lsh = _pairs(lsh_df)
+    assert lsh == exact and len(exact) > 0
+    # the fallback took the exact path: no posting-list distinct in plan
+    from eventkit_spark.plans.audit import physical_plan
+
+    assert "ArrowEvalPython" not in physical_plan(lsh_df)
+    # explicit bits bypasses the guard (no warning) and stays a subset
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        forced = _pairs(
+            embedding_near_dups(emb, threshold=THRESH, prefilter="rp_lsh", bits=2, tables=8)
+        )
+    assert set(forced) <= set(exact)
 
 
 def test_neardup_lsh_planted_high_threshold(spark):
@@ -518,10 +533,11 @@ def test_asof_join_semantics(spark):
 
 
 def test_asof_join_unkeyed_carry_forward(spark):
-    """by=None must (a) range-partition instead of one global window —
-    the plan shows RangePartitioning and a pid-keyed window, no
-    SinglePartition sort of the union — and (b) still produce exact
-    as-of semantics across partition boundaries (carry-in), including
+    """by=None must (a) bucket on DETERMINISTIC quantile boundaries
+    instead of one global window — the plan shows a __pid-keyed window
+    over a plain lazy scan (no localCheckpoint/ExistingRDD pin, no
+    nondeterministic spark_partition_id) — and (b) still produce exact
+    as-of semantics across bucket boundaries (carry-in), including
     numeric-ts tolerance in column units."""
     from eventkit_spark.operators.relational import asof_join
     from eventkit_spark.plans.audit import physical_plan
@@ -536,13 +552,16 @@ def test_asof_join_unkeyed_carry_forward(spark):
     )
     out = asof_join(left, right, "ts", right_cols=["q"], partitions=8)
     plan = physical_plan(out)
-    # the range-partitioned window result is PINNED (localCheckpoint) so
-    # the carry-in branches read the same physical partitions the local
-    # windows ran in — the visible plan is a scan of the pinned RDD, and
-    # no single-partition sort of the union exists anywhere
-    assert "existingrdd" in plan.lower()
+    # fully lazy + fault-tolerant: no pinned RDD scan, no partition-id
+    # nondeterminism — bucket ids are pure expressions over broadcast
+    # quantile boundaries, recomputable on executor loss
+    assert "existingrdd" not in plan.lower()
+    assert "spark_partition_id" not in plan.lower()
+    # the data path windows on __pid (parallel, hash-shuffled on the
+    # bucket id), not on a SinglePartition sort of the union
+    assert "__pid" in plan
     # (the only single-partition window left is the #partitions-row
-    # carry table — the data path itself is the pinned parallel scan)
+    # carry table — the data path itself is the parallel bucket window)
     rows = {r["id"]: (r["q"], r["ts_r"]) for r in out.collect()}
     assert len(rows) == n
     for i in (0, 1, 49, 50, 51, 499, 500, 2501, n - 1):

@@ -137,6 +137,11 @@ SHUFFLE_CEILING = {
 def test_headline_shuffle_ceilings(spark):
     import __spark_entry__ as e
 
+    # measure canonical (uncached) plan shapes: cached intermediates left
+    # behind by earlier tests swap ReusedExchange subtrees for
+    # InMemoryTableScan branches and inflate the apparent exchange count
+    # (ccnet_buckets 18 -> 42 with test_llm's caches warm)
+    spark.catalog.clearCache()
     qs = e.queries()
     over = {}
     for name, ceiling in SHUFFLE_CEILING.items():
