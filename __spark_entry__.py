@@ -1869,14 +1869,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), h AS (
               SELECT doc_id,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     (list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(range(1, length(term) + 1),
                                       i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2147483647)
-                     + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) * 2654435761) % 2147483648
+                     + ((list_reduce(list_prepend(CAST(0 AS BIGINT),
                          list_transform(range(1, length(term) + 1),
                                         i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
-                         (acc, c) -> (acc * 37 + c) % 2147483647) * 2147483648 AS h
+                         (acc, c) -> (acc * 37 + c) % 2147483647) * 2246822519) % 2147483648) * 2147483648 AS h
               FROM tok
             ), bits AS (
               SELECT doc_id, i.range AS i,

@@ -545,18 +545,32 @@ def simhash64(
     rows-only check. Same SimHash semantics either way; only the token
     hash family differs.
     """
+    tokens_raw = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
     if portable:
         from .text import fingerprint
 
-        tok_hash = fingerprint(F.col("tok"), base=31) + fingerprint(
-            F.col("tok"), base=37
-        ) * F.lit(1 << 31)
+        # the polynomial fold is an interpreted higher-order aggregate
+        # (per char) — folding every token INSTANCE measured 6.6 s vs
+        # xxhash64's 2.8 s at sf0.1. Fold the DISTINCT vocabulary once
+        # and broadcast-join the hashes back: Zipf makes |vocab| tiny
+        # relative to instances, and the fact side stays shuffle-free.
+        # Raw folds of short tokens leave the high-order bits ZERO
+        # (base^len*127 << 2^31), which collapses the SimHash Hamming
+        # space (37k vs 525 pairs at sf0.1); a Knuth multiplicative
+        # scramble (odd constant, mod 2^31 — overflow-free int64, the
+        # same arithmetic in any SQL engine) diffuses every fold across
+        # all 31 bits of each half.
+        f1 = (fingerprint(F.col("tok"), base=31) * F.lit(2654435761)) % F.lit(1 << 31)
+        f2 = (fingerprint(F.col("tok"), base=37) * F.lit(2246822519)) % F.lit(1 << 31)
+        vocab = tokens_raw.select("tok").distinct().select(
+            "tok", (f1 + f2 * F.lit(1 << 31)).alias("h")
+        )
+        tokens = tokens_raw.join(F.broadcast(vocab), "tok").select("id", "h")
     else:
-        tok_hash = F.xxhash64("tok")
-    tokens = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).select("id", tok_hash.alias("h"))
+        tokens = tokens_raw.select("id", F.xxhash64("tok").alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

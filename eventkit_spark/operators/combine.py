@@ -217,6 +217,49 @@ def ziplatest(*efs, partial: bool = True):
     )
 
 
+class AddableJoin:
+    """Join builder whose source list can grow after construction — the
+    engine analog of the reference's ``AddableJoinOp.add_source``
+    (eventkit/ops/combine.py:54-94: Merge/Chain/Concat/Switch accept new
+    sources while live, e.g. from an emap parent).
+
+    Batch semantics: the combinator is a lazy plan, so "adding a source
+    mid-stream" simply rebuilds the plan over the current source deque
+    the next time ``frame()`` is read — the observable result over
+    recorded streams is identical to the reference's live attachment
+    (its joiners, too, order solely by emit time/arrival, not by WHEN
+    the source was attached). Like the reference, the same source may be
+    added multiple times. ``set_parent``/``parent_done`` bookkeeping has
+    no batch analog (plans have no liveness); the emap family covers the
+    higher-order construction path statically.
+    """
+
+    _JOINERS = {"merge": None, "chain": None, "concat": None, "switch": None}
+
+    def __init__(self, joiner: str = "merge", *sources):
+        if joiner not in self._JOINERS:
+            raise ValueError(f"joiner must be one of {sorted(self._JOINERS)}")
+        self._joiner = joiner
+        self._sources = []
+        for s in sources:
+            self.add_source(s)
+
+    def add_source(self, source) -> "AddableJoin":
+        from ..frame import EventFrame
+
+        self._sources.append(EventFrame.create(source))
+        return self
+
+    def frame(self):
+        """The joined stream over the sources added so far."""
+        if not self._sources:
+            raise ValueError("AddableJoin has no sources")
+        fn = {"merge": merge, "chain": chain, "concat": concat, "switch": switch}[
+            self._joiner
+        ]
+        return fn(*self._sources)
+
+
 class Fork(list):
     """Result of ``EventFrame.fork(*branch_fns)``: the N branch frames,
     awaiting a join discipline (combine.py:10-37 ``Fork``: the reference

@@ -141,3 +141,34 @@ def test_fork_join_disciplines(spark):
     # at t0 branch 0 emits first (tag order), branch 1 not yet seen
     zl = ev.fork(lambda e: e.take(1), lambda e: e.max()).ziplatest().to_list()
     assert zl[0] == (4, None) and zl[1] == (4, 4) and zl[-1] == (4, 9)
+
+
+def test_addable_join_dynamic_sources(spark):
+    """AddableJoinOp.add_source analog (reference combine.py:54-94):
+    sources attach after construction, the same source may attach twice,
+    and each frame() read reflects the sources added so far."""
+    import pytest
+
+    from eventkit_spark.operators.combine import AddableJoin
+    from eventkit_spark.sources.create import sequence
+
+    a = sequence(spark, [1, 2], interval=0.01)
+    b = sequence(spark, [10], times=[0.005])
+
+    j = AddableJoin("merge", a)
+    assert j.frame().to_list() == [1, 2]
+    j.add_source(b)
+    assert j.frame().to_list() == [1, 10, 2]
+    j.add_source(b)  # same source twice, like the reference
+    assert j.frame().to_list() == [1, 10, 10, 2]
+
+    # chain discipline keeps strict source order regardless of ts
+    jc = AddableJoin("chain", b).add_source(a)
+    assert jc.frame().to_list() == [10, 1, 2]
+
+    # coercion through EventFrame.create: raw iterables need a spark kwarg,
+    # so pre-coerced frames are the expected input; bad joiner rejects
+    with pytest.raises(ValueError):
+        AddableJoin("nope")
+    with pytest.raises(ValueError):
+        AddableJoin("merge").frame()
