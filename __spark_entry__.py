@@ -680,6 +680,18 @@ def q_dedup_simhash(spark, sf):
     )
 
 
+def q_fuzzy_dedup(spark, sf):
+    # Full-pipeline contract (r4): minhash candidates ∩ exact jaccard
+    # verify -> connected components -> keep min-id per cluster. The
+    # oracle recomputes the exact-pair graph + recursive-CTE components;
+    # the minhash intersection must not lose a pair (recall 1 at these
+    # params — proven separately by dedup_minhash_recall), so the
+    # annotated keep-list must match the oracle value-for-value.
+    from eventkit_spark.llm.dedup import fuzzy_dedup
+
+    return fuzzy_dedup(load_table(spark, sf, "documents"))
+
+
 def q_dedup_clusters(spark, sf):
     from eventkit_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -1132,8 +1144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "switchmap": q_switchmap,
         "asof_join": q_asof_join,
         "asof_join_unkeyed": q_asof_join_unkeyed,
-        # (b) round-4 touched / rows-only residue
+        # (b) round-4 touched / new / rows-only residue
         "dedup_simhash": q_dedup_simhash,
+        "fuzzy_dedup": q_fuzzy_dedup,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1174,8 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_trailing": q_product_trailing,
         "merge": q_merge,
         "skip": q_skip,
-        "take": q_take,
         # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
+        "take": q_take,
         "dropwhile": q_dropwhile,
         "changes": q_changes,
         "last": q_last,
@@ -1898,6 +1911,43 @@ def oracle_sql() -> dict[str, str]:
         "approx_agg": """
             SELECT o_orderpriority, TRUE AS cust_ok, TRUE AS median_ok
             FROM orders GROUP BY o_orderpriority""",
+        # fuzzy_dedup: exact-pair graph at j>=0.5 (same shingle/df-prune
+        # recipe as dedup_jaccard) + recursive-CTE components + keep-min;
+        # the Spark side's minhash prefilter must lose no pair for the
+        # hashes to match (recall 1 proven by dedup_minhash_recall)
+        "fuzzy_dedup": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE common / (sa.n + sb.n - common) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+            FROM reach GROUP BY id""",
         "dedup_clusters": r"""
             WITH RECURSIVE words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents

@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_clusters",
+    "fuzzy_dedup",
     "decontaminate",
     "repetition",
     "text_stats",

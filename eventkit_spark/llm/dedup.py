@@ -748,3 +748,59 @@ def substring_dedup(
             F.coalesce(F.col("__text"), F.lit("")).alias("text"),
         )
     )
+
+
+def fuzzy_dedup(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter: str | None = "minhash",
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end fuzzy document dedup — the RefinedWeb/Dolma recipe as
+    one composition: candidate pairs -> exact n-gram Jaccard verify ->
+    connected components -> keep the smallest doc id per cluster.
+
+    Returns the WHOLE corpus annotated ``(doc_id, cluster_id, keep)``:
+    ``filter(keep)`` is the deduplicated corpus, and keeping the
+    annotations (instead of dropping rows) lets pipelines audit cluster
+    sizes and removal rates before committing — the shape production
+    dedup jobs actually want.
+
+    ``prefilter="minhash"`` (the 100 TB path): the exact verify runs
+    only on pairs that also share a MinHash-LSH band bucket, so the
+    quadratic risk is bounded by the banded posting lists on BOTH sides
+    of the intersection (each side is its own single-scan pipeline; the
+    intersection is an equi-join on (id_a, id_b) — ids only, no text).
+    At the default r=2x16 bands the band-collision probability at
+    jaccard 0.5 is ~0.99 per pair and recall 1.0 is PROVEN at test SFs
+    by the dedup_minhash_recall containment contract, which is what
+    makes the full value oracle of the fuzzy_dedup contract valid.
+    ``prefilter=None`` skips the candidate stage (exact inverted-index
+    pairs only).
+
+    Reference analog: none — eventkit has no corpus ops; this composes
+    the engine's LLM extension set (SURVEY.md §2 extension table).
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, k=k, threshold=threshold, text_col=text_col, id_col=id_col, max_df=max_df
+    )
+    if prefilter == "minhash":
+        cand = minhash_lsh_candidates(
+            docs, num_hashes=num_hashes, bands=bands, k=k,
+            text_col=text_col, id_col=id_col,
+        )
+        pairs = pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    elif prefilter is not None:
+        raise ValueError(f"prefilter must be 'minhash' or None, got {prefilter!r}")
+    labels = dedup_clusters(docs, pairs, id_col=id_col, max_iter=max_iter)
+    return labels.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

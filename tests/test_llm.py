@@ -793,3 +793,29 @@ def test_top_ngrams_vocab(spark):
     assert "TakeOrderedAndProject" in physical_plan(
         top_ngrams(docs, n=1, k=3).drop("rank")
     )
+
+
+def test_fuzzy_dedup_transitive_keep_list(spark):
+    """fuzzy_dedup end-to-end: a~b and b~c land in ONE cluster even when
+    a and c are not directly similar; keep = the smallest doc id per
+    cluster; singletons keep themselves; minhash-prefiltered result
+    equals the exact-pairs result (recall 1 at these params)."""
+    from eventkit_spark.llm.dedup import fuzzy_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one two three four"),
+        (2, base + " one two three five"),   # ~1 strongly
+        (3, base + " one two six five"),     # ~2, weaker ~1
+        (10, "totally different text about completely other topics here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           fuzzy_dedup(docs, threshold=0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)   # transitive via 2
+    assert out[10] == (10, True)  # singleton keeps itself
+    exact = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+             fuzzy_dedup(docs, threshold=0.5, prefilter=None).collect()}
+    assert exact == out
