@@ -680,6 +680,28 @@ def q_dedup_simhash(spark, sf):
     )
 
 
+# fixed demo model for the classifier contract: deterministic weights in
+# [-1, 1] over the 64 hash-embed buckets; both the Spark query and the
+# DuckDB oracle hardcode the same list
+_LQC_WEIGHTS = [((i * 37 + 11) % 21 - 10) / 10 for i in range(64)]
+
+
+def q_quality_classifier(spark, sf):
+    # fastText-style linear quality filter over hash_embed features:
+    # score = sigmoid(w.x + b), keep = score >= 0.5. Pure codegen (the
+    # weight lookup is a folded literal-array element_at, no join); the
+    # oracle recomputes the identical portable-fingerprint features and
+    # dot product in SQL.
+    from eventkit_spark.llm.text import linear_quality_classifier
+
+    return linear_quality_classifier(
+        load_table(spark, sf, "documents"),
+        weights=_LQC_WEIGHTS,
+        bias=0.1,
+        threshold=0.5,
+    )
+
+
 def q_fuzzy_dedup(spark, sf):
     # Full-pipeline contract (r4): minhash candidates ∩ exact jaccard
     # verify -> connected components -> keep min-id per cluster. The
@@ -1147,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) round-4 touched / new / rows-only residue
         "dedup_simhash": q_dedup_simhash,
         "fuzzy_dedup": q_fuzzy_dedup,
+        "quality_classifier": q_quality_classifier,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1186,8 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "any_all": q_any_all,
         "product_trailing": q_product_trailing,
         "merge": q_merge,
-        "skip": q_skip,
         # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
+        "skip": q_skip,
         "take": q_take,
         "dropwhile": q_dropwhile,
         "changes": q_changes,
@@ -1911,6 +1934,36 @@ def oracle_sql() -> dict[str, str]:
         "approx_agg": """
             SELECT o_orderpriority, TRUE AS cust_ok, TRUE AS median_ok
             FROM orders GROUP BY o_orderpriority""",
+        # linear quality classifier: identical hash-embed features (the
+        # text_embed fold), literal weight list, sigmoid dot product
+        "quality_classifier": rf"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, term FROM tok WHERE term <> ''
+            ), b AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, length(term) + 1),
+                                        i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) % 64 AS bucket
+              FROM t2
+            ), tf AS (
+              SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+            ), n AS (
+              SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM tf GROUP BY doc_id
+            ), feat AS (
+              SELECT tf.doc_id, bucket, round(c / nrm, 6) AS w
+              FROM tf JOIN n USING (doc_id)
+            ), scored AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-(sum(w * list_extract(
+                       {list(_LQC_WEIGHTS)}, CAST(bucket AS INTEGER) + 1)) + 0.1))), 6) AS score
+              FROM feat GROUP BY doc_id
+            )
+            SELECT doc_id, score, score >= 0.5 AS keep FROM scored""",
         # fuzzy_dedup: exact-pair graph at j>=0.5 (same shingle/df-prune
         # recipe as dedup_jaccard) + recursive-CTE components + keep-min;
         # the Spark side's minhash prefilter must lose no pair for the

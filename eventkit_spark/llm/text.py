@@ -495,3 +495,51 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def linear_quality_classifier(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    dim: int | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text classifier score per document —
+    the learned quality-filter stage of CCNet/RefinedWeb-style
+    pipelines: ``score = sigmoid(w . x + b)`` where ``x`` is the
+    L2-normalized hashed bag-of-words (exactly ``hash_embed``'s
+    features, so a model trained offline on those features applies
+    verbatim).
+
+    ``weights`` (length = feature dim) rides along as a LITERAL array —
+    a broadcast in spirit but cheaper: Catalyst folds the
+    ``element_at`` lookup into the projection, so scoring is one
+    codegen'd aggregate over the sparse (doc, bucket, w) rows with NO
+    join and NO Python. ``threshold`` adds a boolean ``keep`` column
+    (score >= threshold) without a second pass.
+
+    At 100 TB this is the cheapest possible shape: the only shuffle is
+    hash_embed's (doc, bucket) aggregate; the model itself is O(dim)
+    driver-side constants.
+
+    Reference analog: none (corpus op); the portable fingerprint
+    bucketing keeps it exactly reproducible in ANSI SQL for the driver
+    oracle.
+    """
+    d = dim or len(weights)
+    if len(weights) != d:
+        raise ValueError(f"weights length {len(weights)} != dim {d}")
+    sparse = hash_embed(docs, dim=d, text_col=text_col, id_col=id_col)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    contrib = F.col("w") * F.element_at(warr, F.col("bucket").cast("int") + 1)
+    scored = sparse.groupBy(id_col).agg(
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.sum(contrib) + F.lit(float(bias))))),
+            6,
+        ).alias("score")
+    )
+    if threshold is not None:
+        scored = scored.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+    return scored

@@ -819,3 +819,33 @@ def test_fuzzy_dedup_transitive_keep_list(spark):
     exact = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
              fuzzy_dedup(docs, threshold=0.5, prefilter=None).collect()}
     assert exact == out
+
+
+def test_linear_quality_classifier(spark):
+    """fastText-style scoring: score == sigmoid(w.x + b) on the
+    hash_embed features (verified against a local recomputation),
+    threshold adds the keep flag, weight-length mismatch rejects."""
+    import math
+
+    import pytest
+
+    from eventkit_spark.llm.text import hash_embed, linear_quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "delta delta delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    W = [((i * 7) % 11 - 5) / 5 for i in range(16)]
+    out = {r["doc_id"]: r for r in
+           linear_quality_classifier(docs, W, bias=0.2, dim=16, threshold=0.5).collect()}
+    feats = hash_embed(docs, dim=16).collect()
+    exp = {}
+    for r in feats:
+        exp.setdefault(r["doc_id"], 0.0)
+        exp[r["doc_id"]] += r["w"] * W[r["bucket"]]
+    for d, dot in exp.items():
+        want = round(1.0 / (1.0 + math.exp(-(dot + 0.2))), 6)
+        assert abs(out[d]["score"] - want) < 2e-6, (d, out[d]["score"], want)
+        assert out[d]["keep"] == (out[d]["score"] >= 0.5)
+    with pytest.raises(ValueError):
+        linear_quality_classifier(docs, W, dim=32)

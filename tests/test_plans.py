@@ -113,6 +113,8 @@ SHUFFLE_CEILING = {
     # round-3 additions
     "line_dedup": 3,  # skew-safe agg+join form, not a hot-key window
     "redact_pii": 0,
+    # round-4 additions
+    "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "fork_merge": 2,
     "reduce_py": 1,
     "mm_image_features": 1,  # the _spread repartition only
