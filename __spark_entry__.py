@@ -702,6 +702,16 @@ def q_quality_classifier(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    # SemDeDup contract (r4): exact cosine pairs at 0.35 -> components
+    # -> keep-min annotation; the oracle brute-forces the same pair
+    # graph (identical HOF fold order) and walks it with a recursive
+    # CTE, so clusters must match value-for-value.
+    from eventkit_spark.llm.similarity import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf, "embeddings"), threshold=0.35)
+
+
 def q_fuzzy_dedup(spark, sf):
     # Full-pipeline contract (r4): minhash candidates ∩ exact jaccard
     # verify -> connected components -> keep min-id per cluster. The
@@ -1170,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "fuzzy_dedup": q_fuzzy_dedup,
         "quality_classifier": q_quality_classifier,
+        "semantic_dedup": q_semantic_dedup,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1208,8 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_minmax": q_fork_minmax,
         "any_all": q_any_all,
         "product_trailing": q_product_trailing,
-        "merge": q_merge,
         # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
+        "merge": q_merge,
         "skip": q_skip,
         "take": q_take,
         "dropwhile": q_dropwhile,
@@ -1934,6 +1945,29 @@ def oracle_sql() -> dict[str, str]:
         "approx_agg": """
             SELECT o_orderpriority, TRUE AS cust_ok, TRUE AS median_ok
             FROM orders GROUP BY o_orderpriority""",
+        # SemDeDup: exact cosine pair graph (same fold order as the
+        # embed_neardup oracle) + recursive-CTE components + keep-min
+        "semantic_dedup": """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a, v b
+              WHERE a.vec_id < b.vec_id
+                AND list_reduce(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) >= 0.35
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ), reach(id, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
+            FROM reach GROUP BY id""",
         # linear quality classifier: identical hash-embed features (the
         # text_embed fold), literal weight list, sigmoid dot product
         "quality_classifier": rf"""

@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "fuzzy_dedup",
+    "semantic_dedup",
+    "quality_classifier",
     "decontaminate",
     "repetition",
     "text_stats",

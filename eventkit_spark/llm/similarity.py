@@ -511,3 +511,53 @@ def embedding_near_dups(
         kernel, schema="id_a long, id_b long, cos double"
     )
     return out.select("id_a", "id_b", F.col("cos"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefilter: str | None = None,
+    max_iter: int = 25,
+    block_size: int = 2048,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", re-expressed relationally): embedding pairs with
+    cosine >= ``threshold`` form a graph, connected components cluster
+    transitive semantic duplicates, and the smallest id per cluster
+    survives.
+
+    Returns the WHOLE corpus annotated ``(id, cluster_id, keep)`` —
+    same auditable shape as ``dedup.fuzzy_dedup`` (filter on ``keep``
+    to drop).
+
+    ``prefilter`` forwards to ``embedding_near_dups``: None = exact
+    blocked-BLAS all-pairs (the verify path, quadratic communication
+    O(n^2/B)); "rp_lsh" = posting-list LSH candidates + exact verify
+    (the 100 TB path — subject to the same separability guard, so low
+    thresholds fall back to exact with a warning). Components run only
+    over edge-touched ids (dedup.dedup_clusters), so the clustering
+    cost is O(|pairs|) per round regardless of corpus size.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = embedding_near_dups(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        prefilter=prefilter,
+        block_size=block_size,
+        max_bucket=max_bucket,
+    )
+    labels = dedup_clusters(
+        corpus, pairs.select("id_a", "id_b"), id_col=id_col, max_iter=max_iter
+    )
+    return labels.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -849,3 +849,26 @@ def test_linear_quality_classifier(spark):
         assert out[d]["keep"] == (out[d]["score"] >= 0.5)
     with pytest.raises(ValueError):
         linear_quality_classifier(docs, W, dim=32)
+
+
+def test_semantic_dedup_transitive_clusters(spark):
+    """SemDeDup composition: planted near-identical vectors cluster
+    transitively (a~b, b~c), the smallest id survives, unrelated
+    vectors are singletons."""
+    import numpy as np
+
+    from eventkit_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16))
+    a = base[0]
+    b = a + 0.02 * rng.normal(size=16)   # ~a
+    c = b + 0.02 * rng.normal(size=16)   # ~b (and ~a transitively)
+    vecs = [a, b, c, *base[1:]]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in
+           semantic_dedup(emb, threshold=0.98).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False) and out[2] == (0, False)
+    assert len(out) == 32 and sum(1 for c, k in out.values() if k) == 30
