@@ -906,11 +906,16 @@ def q_sliding_chunks(spark, sf):
 def q_temperature_mix(spark, sf):
     # temperature-sampled source mix at alpha=0.5: quotas proportional
     # to sqrt(source size); the oracle recomputes the quota table and
-    # the same hash-order cut in SQL
+    # the same hash-order cut in SQL. total=301, NOT 300: with uniform
+    # source sizes (sf0.01/0.1 testdata) total=300 puts every quota at
+    # EXACTLY 15.0, and DuckDB's multithreaded float sum flips
+    # floor(15.0±1e-15) between 14 and 15 across runs (observed: same
+    # connection, same SQL, 300 then 280 rows). 301 -> 15.05 keeps both
+    # engines 0.05 away from the floor boundary, ~1e13x the float noise.
     from eventkit_spark.llm.sampling import temperature_mix
 
     docs = load_table(spark, sf, "documents")
-    out = temperature_mix(docs, total=300, key_col="doc_id", alpha=0.5)
+    out = temperature_mix(docs, total=301, key_col="doc_id", alpha=0.5)
     return out.select("doc_id", "source")
 
 
@@ -2363,11 +2368,13 @@ def oracle_sql() -> dict[str, str]:
                    least(16, n - i*12) AS n_tokens,
                    array_to_string(w[i*12 + 1 : i*12 + 16], ' ') AS chunk
             FROM m, unnest(generate_series(0, nc - 1)) AS t(i)""",
+        # total=301 keeps quotas off exact floor boundaries — see
+        # q_temperature_mix
         "temperature_mix": """
             WITH counts AS (
               SELECT source AS s, count(*) AS n FROM documents GROUP BY source
             ), q AS (
-              SELECT s, least(n, CAST(floor(300 * pow(n, 0.5)
+              SELECT s, least(n, CAST(floor(301 * pow(n, 0.5)
                        / (SELECT sum(pow(n, 0.5)) FROM counts)) AS BIGINT)) AS cap
               FROM counts
             ), ranked AS (
