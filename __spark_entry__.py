@@ -156,6 +156,50 @@ def q_fork_minmax(spark, sf):
     )
 
 
+def q_array_anyall(spark, sf):
+    # trailing-frame boolean aggregates (ArrayAny/ArrayAll — were
+    # unit-only, r3 VERDICT coverage table): payload = (value > 250),
+    # any/all over the last 5 rows per key, forked and zipped on seq
+    ef = _ev(spark, sf).map(lambda v: (v > 250).cast("int"), names=["value"])
+    out = ef.fork_zip(lambda e: e.array_any(5), lambda e: e.array_all(5))
+    return out.df.select(
+        "event_id", "user_id", F.col("v0").alias("tany"), F.col("v1").alias("tall")
+    )
+
+
+def q_partial(spark, sf):
+    # Partial/PartialRight (transform.py:62-81 — were unit-only): bind
+    # constants on both payload sides; the oracle is a literal projection
+    ef = _ev(spark, sf).partial("L").partial_right(9)
+    return ef.df.select(
+        "event_id", "user_id",
+        F.col("p0").alias("lhs"), F.round("value", 2).alias("value"),
+        F.col("r0").alias("rhs"),
+    )
+
+
+def q_set_ops(spark, sf):
+    # relational set ops (§2.9 "pass-through" row — intersect/except had
+    # no driver exercise): big clickers AND big purchasers MINUS big
+    # error users (max-value thresholds picked so the three user sets
+    # genuinely overlap AND differ at test SFs — every-user-has-every-
+    # type made a plain type intersect vacuous)
+    ev = load_table(spark, sf, "events")
+
+    def users(etype, thr):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.max("value").alias("m"))
+            .filter(F.col("m") > thr)
+            .select("user_id")
+        )
+
+    return users("click", 150).intersect(users("purchase", 150)).exceptAll(
+        users("error", 180)
+    )
+
+
 def q_reduce_py(spark, sf):
     # arbitrary-Python fold (no Column form): clamped running sum via the
     # applyInPandas reduce path; DuckDB mirrors it with a windowed
@@ -1186,6 +1230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": q_fuzzy_dedup,
         "quality_classifier": q_quality_classifier,
         "semantic_dedup": q_semantic_dedup,
+        # unit-only §2 ops promoted to driver rows (r4)
+        "array_anyall": q_array_anyall,
+        "partial": q_partial,
+        "set_ops": q_set_ops,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1221,10 +1269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique": q_unique,
         "takeuntil": q_takeuntil,
         "running_mean": q_running_mean,
+        # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
         "fork_minmax": q_fork_minmax,
         "any_all": q_any_all,
         "product_trailing": q_product_trailing,
-        # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
         "merge": q_merge,
         "skip": q_skip,
         "take": q_take,
@@ -1388,6 +1436,25 @@ def oracle_sql() -> dict[str, str]:
                    min(value) OVER ({_CUM}) AS rmin,
                    max(value) OVER ({_CUM}) AS rmax
             FROM events""",
+        "array_anyall": f"""
+            SELECT event_id, user_id,
+                   (max(CASE WHEN value > 250 THEN 1 ELSE 0 END)
+                      OVER ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 1) AS tany,
+                   (min(CASE WHEN value > 250 THEN 1 ELSE 0 END)
+                      OVER ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 1) AS tall
+            FROM events""",
+        "partial": """
+            SELECT event_id, user_id, 'L' AS lhs, round(value, 2) AS value, 9 AS rhs
+            FROM events""",
+        "set_ops": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+              GROUP BY user_id HAVING max(value) > 150
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id HAVING max(value) > 150
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+              GROUP BY user_id HAVING max(value) > 180""",
         "any_all": f"""
             SELECT event_id, user_id,
                    max(CASE WHEN value > 400 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rany,

@@ -68,8 +68,10 @@ def partial(ef, *left):
 
 
 def partial_right(ef, *right):
-    """Append constant payload args (transform.py:73-81)."""
-    names = [f"p{i}" for i in range(len(right))]
+    """Append constant payload args (transform.py:73-81). Right-bound
+    columns are named ``r{i}`` so chaining with ``partial`` (which
+    names its prepended columns ``p{i}``) never collides."""
+    names = [f"r{i}" for i in range(len(right))]
     cols = [F.col(c) for c in meta_cols(ef)]
     cols += [F.col(c) for c in ef.value_cols]
     cols += [F.lit(v).alias(n) for v, n in zip(right, names)]
