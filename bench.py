@@ -102,16 +102,29 @@ def main():
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     runs: list[dict[str, float]] = []
+    errors: dict[str, str] = {}
     for _ in range(iters):
         times: dict[str, float] = {}
         for name in HEADLINE:
+            if name in errors:
+                continue
             fn = qs[name]
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            # one failing query must not zero out the whole bench: the
+            # round-3 driver run died in q_timeout before emitting a
+            # single number (rc=1, no BENCH_r03 data) — record the error
+            # and keep timing everything else
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as ex:  # noqa: BLE001 — report, don't die
+                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                times.pop(name, None)
+                continue
             times[name] = round(time.perf_counter() - t0, 3)
         runs.append(times)
 
-    best = {n: min(r[n] for r in runs) for n in HEADLINE}
+    ok = [n for n in HEADLINE if n not in errors]
+    best = {n: min(r[n] for r in runs if n in r) for n in ok}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_seconds",
@@ -121,9 +134,11 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "iterations": iters,
     }
+    if errors:
+        out["errors"] = errors
     if iters > 1:
-        out["queries_cold"] = runs[0]
-        out["value_cold"] = round(sum(runs[0].values()), 3)
+        out["queries_cold"] = {n: runs[0][n] for n in ok if n in runs[0]}
+        out["value_cold"] = round(sum(out["queries_cold"].values()), 3)
     print(json.dumps(out))
 
 
