@@ -288,3 +288,56 @@ def test_redact_pii_properties(spark, parts):
     df2 = spark.createDataFrame([(0, r["text"])], "doc_id long, text string")
     r2 = redact_pii(df2).collect()[0]
     assert r2["text"] == r["text"]
+
+
+asof_ts = st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=30)
+
+
+@given(lts=asof_ts, rts=asof_ts, tol=st.one_of(st.none(), st.integers(1, 20)))
+@SET
+def test_asof_join_unkeyed_model(spark, lts, rts, tol):
+    """Unkeyed as-of (the r4 deterministic-boundary path) vs a pure
+    model: for each left ts, the latest right ts <= it (<= convention,
+    duplicate timestamps allowed), NULL when none, tolerance expiring
+    stale matches in column units. Small `partitions` forces real
+    cross-bucket carry-ins on these sizes."""
+    from eventkit_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lts)], "id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(t, t * 10.0) for t in rts], "ts long, q double"
+    )
+    out = asof_join(left, right, "ts", right_cols=["q"], tolerance=tol, partitions=3)
+    got = {r["id"]: r["q"] for r in out.collect()}
+    assert len(got) == len(lts)
+    for i, t in enumerate(lts):
+        prior = [rt for rt in rts if rt <= t]
+        if tol is not None:
+            prior = [rt for rt in prior if t - rt <= tol]
+        exp = max(prior) * 10.0 if prior else None
+        assert got[i] == exp, (i, t, got[i], exp)
+
+
+@given(lts=asof_ts, rts=asof_ts)
+@SET
+def test_asof_join_keyed_model(spark, lts, rts):
+    """Keyed as-of: same model per key; keys never cross."""
+    from eventkit_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(i, "k" if t % 2 else "j", t) for i, t in enumerate(lts)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k" if t % 3 else "j", t, t * 10.0) for t in rts],
+        "k string, ts long, q double",
+    )
+    out = asof_join(left, right, "ts", by="k", right_cols=["q"])
+    got = {r["id"]: r["q"] for r in out.collect()}
+    for i, t in enumerate(lts):
+        key = "k" if t % 2 else "j"
+        prior = [rt for rt in rts if ("k" if rt % 3 else "j") == key and rt <= t]
+        exp = max(prior) * 10.0 if prior else None
+        assert got[i] == exp, (i, t, key, got[i], exp)
