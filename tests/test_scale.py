@@ -85,3 +85,25 @@ def test_jaccard_hot_shingle_guard(spark):
     win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "shingle" in ln]
     assert not win_lines, "df guard must not window over the shingle"
     assert out.count() == 0  # only the pruned boilerplate overlapped
+
+
+def test_asof_unkeyed_deterministic_across_runs(spark):
+    """The r3 unkeyed as-of bug class: nondeterministic bucket
+    assignment made repeated executions of the SAME plan disagree (the
+    carry table described partitions the windows didn't run in). The r4
+    quantile-boundary path must produce byte-identical results across
+    independent executions at a size that spans many buckets."""
+    from eventkit_spark.operators.relational import asof_join
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.col("id"), (F.col("id") * 7 % 1_000_003).alias("ts")
+    )
+    right = spark.range(n // 100).select(
+        (F.col("id") * 997 + 3).alias("ts"), (F.col("id") * 1.0).alias("q")
+    )
+    out = asof_join(left, right, "ts", right_cols=["q"], partitions=32)
+    h1 = out.selectExpr("sum(hash(id, ts, q, ts_r)) as h", "count(*) as n").first()
+    h2 = out.selectExpr("sum(hash(id, ts, q, ts_r)) as h", "count(*) as n").first()
+    assert h1 == h2
+    assert h1["n"] == n
