@@ -178,6 +178,27 @@ def q_partial(spark, sf):
     )
 
 
+def q_interval_join(spark, sf):
+    # binned point-in-interval join (§2.9 gap Spark fills badly on its
+    # own — an inequality-only join plans BroadcastNestedLoop): clicks
+    # attached to every per-user purchase window of ±300 s. The oracle
+    # is the naive BETWEEN join.
+    from eventkit_spark.operators.relational import interval_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end"),
+    )
+    out = interval_join(clicks, purchases, by="user_id", right_cols=["pid"])
+    return out.select("event_id", "user_id", "pid")
+
+
 def q_set_ops(spark, sf):
     # relational set ops (§2.9 "pass-through" row — intersect/except had
     # no driver exercise): big clickers AND big purchasers MINUS big
@@ -1234,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_anyall": q_array_anyall,
         "partial": q_partial,
         "set_ops": q_set_ops,
+        "interval_join": q_interval_join,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1268,8 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "takewhile": q_takewhile,
         "unique": q_unique,
         "takeuntil": q_takeuntil,
-        "running_mean": q_running_mean,
         # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
+        "running_mean": q_running_mean,
         "fork_minmax": q_fork_minmax,
         "any_all": q_any_all,
         "product_trailing": q_product_trailing,
@@ -1446,6 +1468,12 @@ def oracle_sql() -> dict[str, str]:
         "partial": """
             SELECT event_id, user_id, 'L' AS lhs, round(value, 2) AS value, 9 AS rhs
             FROM events""",
+        "interval_join": """
+            SELECT c.event_id, c.user_id, p.event_id AS pid
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 300 SECOND AND p.ts + INTERVAL 300 SECOND""",
         "set_ops": """
             SELECT user_id FROM events WHERE event_type = 'click'
               GROUP BY user_id HAVING max(value) > 150

@@ -1,5 +1,6 @@
 """Relational extras the reference lacks (SURVEY.md §2.9): the as-of
-join, exposed as a first-class DataFrame operator.
+join and the binned point-in-interval join (``interval_join``), exposed
+as first-class DataFrame operators.
 
 The scale-correct formulation is NOT a range join (O(n·m) comparisons,
 un-broadcastable at 100 TB): union the two tagged streams and take one
@@ -155,3 +156,84 @@ def asof_join(
     keep += [F.col(f"__m.{c}").alias(c + suffix if c in left.columns else c) for c in right_cols]
     keep.append(F.col("__m.__asof_ts").alias(ts_col + suffix))
     return out.select(*keep)
+
+
+def _tnum(col: F.Column) -> F.Column:
+    """Orderable numeric surrogate for a time-ish column: timestamps
+    (either flavor) become epoch seconds, numerics cast to double."""
+    return col.cast("timestamp").cast("double")
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] | str | None = None,
+    bucket_width: float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-interval join: each event row pairs with every interval
+    row where ``start <= ts <= end`` (and the ``by`` keys match).
+
+    Vanilla Spark plans an inequality-only join as
+    BroadcastNestedLoopJoin — O(events x intervals) comparisons, a
+    scale cliff the moment neither side broadcasts. This is the binned
+    range join instead (the same strategy as Databricks' range-join
+    hint and genomics overlap joins): bucket time into fixed-width
+    bins, events land in ONE bin, each interval explodes into every
+    bin it covers, and the pair space shrinks to an EQUI-join on
+    (by..., bin) + the exact range filter. An event's bin is unique, so
+    no pair dedup is needed. Cost: shuffle O(events + sum(interval
+    length / width)); a width near the median interval length keeps the
+    per-interval explosion ~O(1).
+
+    ``bucket_width`` defaults to the median interval length via one
+    cheap driver-side quantile sketch (seconds for timestamps, column
+    units for numerics). Intervals with ``end < start`` are dropped
+    (Spark's ``sequence`` would silently generate DESCENDING bins for
+    them). Timestamps of either flavor (LTZ / NTZ) and plain numerics
+    all work — comparisons ride a numeric surrogate column.
+
+    Returns events.* plus the intervals' payload columns
+    (``right_cols``, default all non-key/non-bound), suffixed on
+    collision. Inner join: events matching no interval are dropped
+    (wrap with a left anti-join against the result keys for the outer
+    variant).
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if right_cols is None:
+        right_cols = [
+            c for c in intervals.columns if c not in by and c not in (start_col, end_col)
+        ]
+    ev = events.withColumn("__t", _tnum(F.col(ts_col)))
+    iv = (
+        intervals.withColumn("__s", _tnum(F.col(start_col)))
+        .withColumn("__e", _tnum(F.col(end_col)))
+        .filter(F.col("__s") <= F.col("__e"))
+    )
+    if bucket_width is None:
+        med = iv.select((F.col("__e") - F.col("__s")).alias("__len")).approxQuantile(
+            "__len", [0.5], 0.01
+        )
+        bucket_width = float(med[0]) if med and med[0] and med[0] > 0 else 1.0
+    w = float(bucket_width)
+    ev = ev.withColumn("__b", F.floor(F.col("__t") / w))
+    iv = iv.withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col("__s") / w), F.floor(F.col("__e") / w)))
+    )
+    keep_r = [
+        F.col(c).alias(c + suffix if c in events.columns else c) for c in right_cols
+    ]
+    iv = iv.select(*[F.col(c) for c in by], F.col("__b"), F.col("__s"), F.col("__e"), *keep_r)
+    joined = ev.join(iv, on=[*by, "__b"], how="inner").filter(
+        (F.col("__s") <= F.col("__t")) & (F.col("__t") <= F.col("__e"))
+    )
+    out_cols = [F.col(c) for c in events.columns]
+    out_cols += [
+        F.col(c + suffix if c in events.columns else c)
+        for c in right_cols
+    ]
+    return joined.select(*out_cols)

@@ -872,3 +872,39 @@ def test_semantic_dedup_transitive_clusters(spark):
     assert out[0] == (0, True)
     assert out[1] == (0, False) and out[2] == (0, False)
     assert len(out) == 32 and sum(1 for c, k in out.values() if k) == 30
+
+
+def test_interval_join_binned_equals_naive(spark):
+    """Binned point-in-interval join == the naive inequality join on
+    random data (keys, overlapping/degenerate/reversed intervals),
+    and the plan is an equi-join, not BroadcastNestedLoop."""
+    import random
+
+    from eventkit_spark.operators.relational import interval_join
+
+    rng = random.Random(5)
+    ev_rows = [(i, rng.choice("ab"), rng.uniform(0, 100)) for i in range(300)]
+    iv_rows = []
+    for j in range(60):
+        s = rng.uniform(0, 100)
+        ln = rng.uniform(0, 15) if j % 7 else -1.0  # every 7th reversed
+        iv_rows.append((j, rng.choice("ab"), s, s + ln))
+    ev = spark.createDataFrame(ev_rows, "eid long, k string, ts double")
+    iv = spark.createDataFrame(iv_rows, "iid long, k string, start double, end double")
+    out = interval_join(ev, iv, by="k")
+    got = {(r["eid"], r["iid"]) for r in out.collect()}
+    exp = {
+        (e, j)
+        for e, ek, t in ev_rows
+        for j, jk, s, en in iv_rows
+        if ek == jk and s <= t <= en
+    }
+    assert got == exp and len(exp) > 0
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoop" not in plan
+    # events carry extra payload columns through with suffixing
+    out2 = interval_join(
+        ev.withColumnRenamed("k", "kk"), iv.withColumnRenamed("k", "kk"),
+        by="kk", right_cols=["iid", "start"],
+    )
+    assert set(out2.columns) == {"eid", "kk", "ts", "iid", "start"}
