@@ -178,6 +178,14 @@ def q_partial(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    # inactivity-gap sessionization (30 min) per user: lag-compare flags
+    # session starts, cumulative sum numbers them — two windows on one
+    # key shuffle
+    ef = _ev(spark, sf).sessionize(1800.0)
+    return ef.df.select("event_id", "user_id", "session")
+
+
 def q_interval_join(spark, sf):
     # binned point-in-interval join (§2.9 gap Spark fills badly on its
     # own — an inequality-only join plans BroadcastNestedLoop): clicks
@@ -1256,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial": q_partial,
         "set_ops": q_set_ops,
         "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1289,8 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter": q_filter,
         "takewhile": q_takewhile,
         "unique": q_unique,
-        "takeuntil": q_takeuntil,
         # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
+        "takeuntil": q_takeuntil,
         "running_mean": q_running_mean,
         "fork_minmax": q_fork_minmax,
         "any_all": q_any_all,
@@ -1468,6 +1477,15 @@ def oracle_sql() -> dict[str, str]:
         "partial": """
             SELECT event_id, user_id, 'L' AS lhs, round(value, 2) AS value, 9 AS rhs
             FROM events""",
+        "sessionize": f"""
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+                     OVER ({_CUM}) - 1 AS BIGINT) AS session
+            FROM (
+              SELECT event_id, user_id,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER ({_WIN})) AS gap
+              FROM events
+            )""",
         "interval_join": """
             SELECT c.event_id, c.user_id, p.event_id AS pid
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

@@ -421,6 +421,9 @@ class EventFrame:
     def debounce(self, seconds: float, on_first: bool = False):
         return _timing.debounce(self, seconds, on_first)
 
+    def sessionize(self, gap: float, session_col: str = "session"):
+        return _timing.sessionize(self, gap, session_col)
+
     def sample(self, timer: "EventFrame"):
         return _timing.sample(self, timer)
 

@@ -203,3 +203,30 @@ def chunkwith(ef, timer, emit_empty: bool = True):
         *[F.col(k) for k in ef.key_cols], F.col("value"),
     )
     return ef._with(df=out, value_cols=["value"], seq_col="seq", ts_col="ts", key_cols=list(ef.key_cols))
+
+
+def sessionize(ef, gap: float, session_col: str = "session"):
+    """Assign an inactivity-gap session id per key: a row whose
+    event-time gap from the previous row exceeds ``gap`` seconds starts
+    a new session; ids count up from 0 within each key.
+
+    The classic event-analytics primitive the reference's single-stream
+    model never needed (its timeout/debounce cut or thin the stream;
+    sessionize LABELS it). Two window passes over ONE key shuffle: a
+    lag-compare flags session starts, a cumulative sum numbers them —
+    the same plan shape as `changes` + `running_sum`, fully
+    partition-parallel per key. Streaming twin: F.session_window /
+    the session debounce kernel (streaming/stream.py).
+    """
+    if not ef.ts_col:
+        raise ValueError("sessionize() needs an event-time column")
+    w = worder(ef)
+    t = ts_seconds(F.col(ef.ts_col))
+    gap_prev = t - F.lag(t).over(w)
+    new_s = F.when(gap_prev.isNull() | (gap_prev > gap), 1).otherwise(0)
+    df = ef.df.withColumn(RN, new_s)
+    df = df.withColumn(
+        session_col,
+        F.sum(RN).over(wcum(ef)) - 1,
+    ).drop(RN)
+    return ef._with(df=df, value_cols=[*ef.value_cols, session_col])

@@ -132,3 +132,21 @@ def test_throttle_set_limit(spark):
     rel = [(t - base).total_seconds() for t in ts]
     # budget 1/10s -> 0, 10, 20; then the raise at 25 drains the rest
     assert rel == pytest.approx([0, 10, 20, 25, 25, 25, 25, 25, 25, 25])
+
+
+def test_sessionize_gap_labels(spark):
+    """Inactivity-gap sessionization: ids start at 0 per key, a gap
+    strictly greater than `gap` starts a new session, equal-gap rows
+    stay in-session."""
+    from eventkit_spark.sources.create import sequence
+
+    # times: bursts [0, 1, 2], [10, 11], [30]  with gap=5
+    ef = sequence(spark, list(range(6)), times=[0, 1, 2, 10, 11, 30])
+    out = ef.sessionize(5.0)
+    rows = out.df.orderBy("seq").select("value", "session").collect()
+    assert [(r["value"], r["session"]) for r in rows] == [
+        (0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 2)
+    ]
+    # exactly-gap boundary stays in session (strict >)
+    ef2 = sequence(spark, [0, 1], times=[0, 5])
+    assert [r["session"] for r in ef2.sessionize(5.0).df.orderBy("seq").collect()] == [0, 0]
