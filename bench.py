@@ -56,6 +56,8 @@ HEADLINE = [
     "fuzzy_dedup",
     "semantic_dedup",
     "quality_classifier",
+    "interval_join",
+    "sessionize",
     "decontaminate",
     "repetition",
     "text_stats",
