@@ -178,6 +178,27 @@ def q_partial(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    # ordered conversion funnel per user (view -> click -> purchase,
+    # within 7 days of the first view): greedy-earliest chain via k
+    # filtered min-aggregates joined on the key — no event-stream
+    # window, no per-key sort. Oracle: chained min subqueries.
+    from eventkit_spark.operators.relational import funnel
+
+    ev = load_table(spark, sf, "events")
+    out = funnel(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        by="user_id",
+        within=7 * 86400.0,
+    )
+    return out.select("user_id", "t1", "t2", "t3", "steps_completed", "converted")
+
+
 def q_sessionize(spark, sf):
     # inactivity-gap sessionization (30 min) per user: lag-compare flags
     # session starts, cumulative sum numbers them — two windows on one
@@ -1265,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
@@ -1297,8 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_timerange": q_source_timerange,
         "filter": q_filter,
         "takewhile": q_takewhile,
-        "unique": q_unique,
         # ---- entry 51+ (stale r1/r2 green, next rotation's (e)) ----
+        "unique": q_unique,
         "takeuntil": q_takeuntil,
         "running_mean": q_running_mean,
         "fork_minmax": q_fork_minmax,
@@ -1477,6 +1499,28 @@ def oracle_sql() -> dict[str, str]:
         "partial": """
             SELECT event_id, user_id, 'L' AS lhs, round(value, 2) AS value, 9 AS rhs
             FROM events""",
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id, t1, t2, t3,
+                   CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                     AS steps_completed,
+                   (t3 IS NOT NULL AND
+                    epoch_us(t3) - epoch_us(t1) <= 604800000000) AS converted
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
         "sessionize": f"""
             SELECT event_id, user_id,
                    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)

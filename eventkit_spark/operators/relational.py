@@ -237,3 +237,70 @@ def interval_join(
         for c in right_cols
     ]
     return joined.select(*out_cols)
+
+
+def funnel(
+    df: DataFrame,
+    steps: list,
+    ts_col: str = "ts",
+    by: list[str] | str = "user_id",
+    within: float | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel per key: the earliest chain of rows
+    matching ``steps`` in order (step k at-or-after step k-1's earliest
+    completion), one output row per key that reached step 1.
+
+    ``steps`` is a list of Column predicates (or SQL strings); the
+    output carries ``t1..tn`` (each step's earliest qualifying event
+    time, NULL once the chain breaks), ``steps_completed``, and — when
+    ``within`` seconds is given — ``converted`` (all steps within the
+    window of t1). Greedy-earliest is the standard funnel semantics
+    (Amplitude/Mixpanel "first conversion"): matching earliest step-1
+    maximizes nothing in general, but gives deterministic, explainable
+    results and is the convention analytics engines document.
+
+    Scale shape: step k is ONE filtered partial aggregate keyed on
+    ``by`` joined back to the (#keys)-row funnel table — k small
+    hash-agg + key-join rounds, never a window over the event stream
+    and never a per-key sort. At 100 TB each round shuffles only
+    matching events' (key, ts) pairs; AQE broadcasts the funnel table
+    side when #keys is small.
+
+    No reference analog (eventkit has no multi-step pattern matching);
+    SQL oracle: chained min-aggregate subqueries.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    preds = [F.expr(p) if isinstance(p, str) else p for p in steps]
+    if not preds:
+        raise ValueError("funnel() needs at least one step predicate")
+    t = F.col(ts_col)
+    cur = (
+        df.filter(preds[0])
+        .groupBy(*by)
+        .agg(F.min(t).alias("t1"))
+    )
+    for k, p in enumerate(preds[1:], start=2):
+        nxt = (
+            df.join(cur.select(*by, F.col(f"t{k-1}")), on=by)
+            .filter(p & (t >= F.col(f"t{k-1}")))
+            .groupBy(*by)
+            .agg(F.min(t).alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, on=by, how="left")
+    n = len(preds)
+    completed = F.lit(1)
+    for k in range(2, n + 1):
+        completed = completed + F.when(F.col(f"t{k}").isNotNull(), 1).otherwise(0)
+    out = cur.withColumn("steps_completed", completed.cast("int"))
+    if within is not None:
+        last = F.col(f"t{n}")
+        span_ok = (
+            last.isNotNull()
+            & (
+                last.cast("timestamp").cast("double")
+                - F.col("t1").cast("timestamp").cast("double")
+                <= float(within)
+            )
+        )
+        out = out.withColumn("converted", span_ok)
+    return out

@@ -908,3 +908,34 @@ def test_interval_join_binned_equals_naive(spark):
         by="kk", right_cols=["iid", "start"],
     )
     assert set(out2.columns) == {"eid", "kk", "ts", "iid", "start"}
+
+
+def test_funnel_ordered_chain(spark):
+    """Funnel semantics: steps must occur in order from the earliest
+    step-1 match (greedy-earliest); partial funnels keep NULL tails;
+    `within` gates conversion on the t1->tn span."""
+    from eventkit_spark.operators.relational import funnel
+
+    rows = [
+        # u1: a@0, b@10, c@20 -> full chain
+        (1, "a", 0.0), (1, "b", 10.0), (1, "c", 20.0),
+        # u2: b BEFORE a -> chain stops after a (no b at/after t1)
+        (2, "b", 0.0), (2, "a", 5.0), (2, "c", 9.0),
+        # u3: full chain but too slow for within=15
+        (3, "a", 0.0), (3, "b", 1.0), (3, "c", 100.0),
+        # u4: no step-1 event at all -> absent from output
+        (4, "b", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, et string, ts double")
+    out = {r["user_id"]: r for r in funnel(
+        df,
+        steps=[F.col("et") == "a", F.col("et") == "b", F.col("et") == "c"],
+        by="user_id",
+        within=25.0,
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["steps_completed"] == 3 and out[1]["converted"]
+    assert out[2]["steps_completed"] == 1 and not out[2]["converted"]
+    assert out[2]["t2"] is None and out[2]["t3"] is None
+    assert out[3]["steps_completed"] == 3 and not out[3]["converted"]
+    # u2's c@9 must NOT count: step 3 needs step 2 first
