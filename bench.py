@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_classifier",
     "interval_join",
     "sessionize",
+    "funnel",
     "decontaminate",
     "repetition",
     "text_stats",
