@@ -772,35 +772,99 @@ def fuzzy_dedup(
     sizes and removal rates before committing — the shape production
     dedup jobs actually want.
 
-    ``prefilter="minhash"`` (the 100 TB path): the exact verify runs
-    only on pairs that also share a MinHash-LSH band bucket, so the
-    quadratic risk is bounded by the banded posting lists on BOTH sides
-    of the intersection (each side is its own single-scan pipeline; the
-    intersection is an equi-join on (id_a, id_b) — ids only, no text).
-    At the default r=2x16 bands the band-collision probability at
-    jaccard 0.5 is ~0.99 per pair and recall 1.0 is PROVEN at test SFs
-    by the dedup_minhash_recall containment contract, which is what
-    makes the full value oracle of the fuzzy_dedup contract valid.
-    ``prefilter=None`` skips the candidate stage (exact inverted-index
-    pairs only).
+    ``prefilter="minhash"`` (the 100 TB path): candidates come from the
+    banded MinHash posting lists FIRST, and exact Jaccard runs ONLY on
+    those candidate pairs (``jaccard_verify``) — the corpus's exact
+    pair set is never materialized, so the quadratic sum-df^2 posting
+    expansion of the full inverted index is replaced by
+    O(candidate pairs x shingles/doc) verify joins restricted to docs
+    that appear in a candidate at all. At the default r=2x16 bands the
+    band-collision probability at jaccard 0.5 is ~0.99 per pair and
+    recall 1.0 is PROVEN at test SFs by the dedup_minhash_recall
+    containment contract, which is what makes the full value oracle of
+    the fuzzy_dedup contract valid. ``prefilter=None`` skips the
+    candidate stage (exact inverted-index pairs only — the verify/test
+    path).
 
     Reference analog: none — eventkit has no corpus ops; this composes
     the engine's LLM extension set (SURVEY.md §2 extension table).
     """
-    pairs = ngram_jaccard_pairs(
-        docs, k=k, threshold=threshold, text_col=text_col, id_col=id_col, max_df=max_df
-    )
     if prefilter == "minhash":
         cand = minhash_lsh_candidates(
             docs, num_hashes=num_hashes, bands=bands, k=k,
             text_col=text_col, id_col=id_col,
         )
-        pairs = pairs.join(cand, ["id_a", "id_b"], "left_semi")
-    elif prefilter is not None:
+        pairs = jaccard_verify(
+            docs, cand, k=k, threshold=threshold, text_col=text_col, id_col=id_col
+        )
+    elif prefilter is None:
+        pairs = ngram_jaccard_pairs(
+            docs, k=k, threshold=threshold, text_col=text_col, id_col=id_col,
+            max_df=max_df,
+        )
+    else:
         raise ValueError(f"prefilter must be 'minhash' or None, got {prefilter!r}")
     labels = dedup_clusters(docs, pairs, id_col=id_col, max_iter=max_iter)
     return labels.select(
         F.col(id_col),
         F.col("cluster_id"),
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair set — the verify
+    stage of candidate-first dedup (fuzzy_dedup's 100 TB shape).
+
+    Only documents that appear in some candidate pair are shingled
+    (semi-join pushdown), then two equi-joins attach each pair's two
+    distinct-shingle streams and one aggregate counts the overlap:
+    cost O(|pairs| x shingles/doc), independent of corpus-wide shingle
+    document frequencies — no sum-df^2 posting-list expansion, no
+    max_df tuning. Returns (id_a, id_b, jaccard) at or above
+    ``threshold``; jaccard is over DISTINCT shingles, identical to
+    ``ngram_jaccard_pairs``.
+    """
+    cand = pairs.select("id_a", "id_b").distinct()
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+        )
+        .select("id", F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = cand.join(
+        sh.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+    )
+    inter = (
+        a.join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingle")),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
