@@ -939,3 +939,27 @@ def test_funnel_ordered_chain(spark):
     assert out[2]["t2"] is None and out[2]["t3"] is None
     assert out[3]["steps_completed"] == 3 and not out[3]["converted"]
     # u2's c@9 must NOT count: step 3 needs step 2 first
+
+
+def test_jaccard_verify_equals_inverted_index(spark):
+    """jaccard_verify on the all-pairs candidate set must reproduce
+    ngram_jaccard_pairs exactly (same distinct-shingle jaccard), and
+    restrict correctly when given a partial candidate set."""
+    from eventkit_spark.llm.dedup import jaccard_verify, ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    exact = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    allpairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        "id_a long, id_b long",
+    )
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+           for r in jaccard_verify(docs, allpairs, k=3, threshold=0.3).collect()}
+    assert got == exact and len(exact) > 0
+    # partial candidates: output restricted to the given pairs
+    some = spark.createDataFrame(sorted(exact)[:2], "id_a long, id_b long")
+    sub = {(r["id_a"], r["id_b"]) for r in
+           jaccard_verify(docs, some, k=3, threshold=0.3).collect()}
+    assert sub == set(sorted(exact)[:2])
