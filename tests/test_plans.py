@@ -115,6 +115,12 @@ SHUFFLE_CEILING = {
     "redact_pii": 0,
     # round-4 additions
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
+    "sessionize": 1,  # two windows on ONE key shuffle
+    "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
+    "funnel": 12,  # k=3 filtered aggs + key joins over #keys-row tables
+    # post-checkpoint tail plans only (CC rounds are eager) — canaries
+    "fuzzy_dedup": 2,
+    "semantic_dedup": 2,
     "fork_merge": 2,
     "reduce_py": 1,
     "mm_image_features": 1,  # the _spread repartition only
