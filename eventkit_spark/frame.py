@@ -424,10 +424,19 @@ class EventFrame:
     def sessionize(self, gap: float, session_col: str = "session"):
         return _timing.sessionize(self, gap, session_col)
 
+    def resample(self, every: float, origin: float = 0.0):
+        """OHLC downsample into fixed event-time buckets — returns a
+        plain DataFrame (the stream shape ends at the rollup)."""
+        return _timing.resample(self, every, origin)
+
+    def rolling(self, seconds: float, min_periods: int = 1):
+        return _timing.rolling(self, seconds, min_periods)
+
     def sample(self, timer: "EventFrame"):
         return _timing.sample(self, timer)
 
-    def asof_join(self, other: "EventFrame", tolerance: float | None = None):
+    def asof_join(self, other: "EventFrame", tolerance: float | None = None,
+                  direction: str = "backward"):
         """Attach ``other``'s latest value at-or-before each row's event
         time (per shared key) as a ``value_r``/``ts_r`` column pair —
         the relational as-of join lifted to the fluent stream surface
@@ -452,6 +461,7 @@ class EventFrame:
             by=list(self.key_cols) or None,
             right_cols=["value_r"],
             tolerance=tolerance,
+            direction=direction,
         )
         return self._with(df=out)
 

@@ -423,3 +423,54 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k Okapi BM25 terms per document (Robertson et al.; Lucene's
+    non-negative idf form ``ln(1 + (N - df + .5)/(df + .5))``).
+
+    Same scale shape as ``tfidf_top_terms``: df is a groupBy(term)
+    aggregate joined back (map-side combined, AQE-splittable) — never a
+    window over term (stopword partitions). Doc length rides the
+    initial projection (``size(split(...))``, zero extra shuffle) and
+    the corpus constants N / total_tokens are collected ONCE driver-side
+    as exact integers: ``dl/avgdl`` is expressed as ``dl*N/total`` so
+    both engines evaluate the same rational in the same order — no
+    pre-averaged float constant to drift.
+    """
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(arr).alias("dl"),
+        F.explode(arr).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = base.groupBy("id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    totals = docs.select(
+        F.count("*").alias("n"),
+        F.sum(F.size(arr)).alias("tot"),
+    ).collect()[0]
+    n_docs, total_tokens = int(totals["n"]), int(totals["tot"])
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "term")
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        (1.0 - b) + b * (F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_tokens)))
+    )
+    scored = scored.withColumn("bm25", idf * (F.col("tf") * (k1 + 1.0)) / denom)
+    w = W.partitionBy("id").orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", F.round("bm25", 6).alias("bm25"), "rank")
+    )

@@ -543,3 +543,91 @@ def linear_quality_classifier(
     if threshold is not None:
         scored = scored.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
     return scored
+
+
+# Gopher's required stop words (Rae et al. 2021, appendix A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A1.1 —
+    public rule set): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (``#`` and ellipses), bullet-started and
+    ellipsis-ended line ratios, alphabetic-word ratio, and a required
+    stop-word count. Returns one row per doc with the raw counts plus a
+    ``keep`` verdict; callers filter on ``keep`` (keeping the counts
+    makes the op auditable and lets thresholds be re-applied without a
+    rescan).
+
+    Every ratio test is evaluated by INTEGER cross-multiplication
+    (``100*n_symbols <= round(100*max_symbol_ratio)*n_words``), so the
+    verdict is exact — no float division, no engine-specific rounding —
+    and the whole op is a single codegen'd projection with ZERO
+    exchanges (the same shape as ``c4_filters``; at 100 TB it is a pure
+    scan that composes ahead of dedup without adding a shuffle).
+
+    Reference analog: none (corpus op new in the Spark engine).
+    """
+    t = F.col(text_col)
+    lower = F.lower(F.trim(t))
+    words = F.split(lower, r"\s+")
+    lines = F.split(t, "\n")
+    n_words = F.when(F.length(lower) == 0, F.lit(0)).otherwise(F.size(words))
+    sum_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # '#' chars + non-overlapping '...' runs + unicode ellipsis chars
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•‣▪]")))
+    n_ellipsis = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = None
+    for sw in stopwords:
+        hit = F.array_contains(words, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    def pct(r: float) -> int:
+        return int(round(r * 100))
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (sum_wl >= min_mean_word_len * n_words)
+        & (sum_wl <= max_mean_word_len * n_words)
+        & (100 * n_sym <= pct(max_symbol_ratio) * n_words)
+        & (100 * n_bullet <= pct(max_bullet_ratio) * n_lines)
+        & (100 * n_ellipsis <= pct(max_ellipsis_ratio) * n_lines)
+        & (100 * n_alpha >= pct(min_alpha_ratio) * n_words)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        sum_wl.alias("sum_word_len"),
+        n_sym.alias("n_symbols"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ellipsis.cast("long").alias("n_ellipsis_lines"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        stop_hits.cast("long").alias("stop_hits"),
+        keep.alias("keep"),
+    )

@@ -39,24 +39,37 @@ def asof_join(
     tolerance: float | None = None,
     suffix: str = "_r",
     partitions: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (per ``by`` key group) — a LEFT as-of join:
     left rows with no prior right row keep NULLs.
 
+    ``direction`` follows pandas ``merge_asof``: ``"backward"`` (the
+    default above), ``"forward"`` (EARLIEST right row with ``right.ts
+    >= left.ts``) or ``"nearest"`` (whichever of the two is closer in
+    time; exact ties resolve backward). All three ride the SAME single
+    key shuffle — forward is just a second window expression with a
+    following frame over the same partitioning (one extra sort, no
+    extra exchange), and nearest coalesces the pair by time distance.
+
     ``right_cols`` limits which right columns are carried (default: all
-    non-key, non-ts). ``tolerance`` drops matches older than
-    ``left.ts - tolerance`` — in SECONDS when ``ts_col`` is a timestamp,
-    in the column's own units when it is numeric (any orderable numeric
-    ts works; only the timestamp case converts via ``unix_micros``).
-    Right rows at exactly left.ts ARE visible (ties resolve
-    right-before-left, the <= convention of e.g. DuckDB's ASOF JOIN). If
-    several right rows share one (key, ts), the one with the highest
-    tie-break order wins — pre-aggregate the right side if that matters.
+    non-key, non-ts). ``tolerance`` drops matches farther than
+    ``tolerance`` from ``left.ts`` on the match's side of it — in
+    SECONDS when ``ts_col`` is a timestamp, in the column's own units
+    when it is numeric (any orderable numeric ts works; only the
+    timestamp case converts via ``unix_micros``). Rows at exactly
+    left.ts ARE visible from both directions (the <= / >= convention of
+    e.g. DuckDB's ASOF JOIN). If several right rows share one
+    (key, ts), the one with the highest tie-break order wins for
+    backward, the lowest for forward — pre-aggregate the right side if
+    that matters.
 
     ``partitions`` sizes the unkeyed range partitioning (default:
     ``spark.sql.shuffle.partitions``); ignored when ``by`` is given.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     # normalize event-time flavor first: TIMESTAMP_NTZ (naive parquet,
     # pandas default) is reinterpreted as LTZ in the session tz (pinned
@@ -88,13 +101,26 @@ def asof_join(
     )
     u = r_tag.unionByName(l_tag)
     right_mark = F.when(F.col("__tag") == 0, F.col("__p"))
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
     if by:
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(ts_col), F.col("__tag"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(w))
+        if need_back:
+            wb = (
+                W.partitionBy(*by)
+                .orderBy(F.col(ts_col), F.col("__tag"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            u = u.withColumn("__mb", F.last(right_mark, ignorenulls=True).over(wb))
+        if need_fwd:
+            # tag DESC puts an equal-ts right row AFTER the left row, so
+            # the following frame sees it (>= convention); same
+            # partitioning as the backward window — one shuffle total
+            wf = (
+                W.partitionBy(*by)
+                .orderBy(F.col(ts_col), F.col("__tag").desc())
+                .rowsBetween(W.currentRow, W.unboundedFollowing)
+            )
+            u = u.withColumn("__mf", F.first(right_mark, ignorenulls=True).over(wf))
     else:
         # deterministic two-pass carry-forward (module docstring):
         # boundaries come from ONE driver-side quantile sketch (a single
@@ -118,40 +144,84 @@ def asof_join(
         else:
             pid = F.lit(0)
         u = u.withColumn("__pid", pid)
-        wloc = (
-            W.partitionBy("__pid")
-            .orderBy(F.col(ts_col), F.col("__tag"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        u = u.withColumn("__m", F.last(right_mark, ignorenulls=True).over(wloc))
-        # carry-ins: each bucket's closing right payload, lagged forward
-        # across the (len(bounds)+1)-row bucket table, broadcast back
         pids = (
             u.sparkSession.range(len(bounds) + 1)
             .select(F.col("id").cast("int").alias("__pid"))
         )
-        closing = (
-            u.filter(F.col("__tag") == 0)
-            .groupBy("__pid")
-            .agg(F.max_by("__p", F.struct(F.col(ts_col))).alias("__pl"))
-        )
-        wcarry = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-        carry = (
-            pids.join(closing, "__pid", "left")
-            .withColumn("__carry", F.last("__pl", ignorenulls=True).over(wcarry))
-            .select("__pid", "__carry")
-        )
-        u = u.join(F.broadcast(carry), "__pid", "left").withColumn(
-            "__m", F.coalesce(F.col("__m"), F.col("__carry"))
-        )
+        if need_back:
+            wloc = (
+                W.partitionBy("__pid")
+                .orderBy(F.col(ts_col), F.col("__tag"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            u = u.withColumn("__mb", F.last(right_mark, ignorenulls=True).over(wloc))
+            # carry-ins: each bucket's closing right payload, lagged
+            # forward across the (len(bounds)+1)-row bucket table,
+            # broadcast back
+            closing = (
+                u.filter(F.col("__tag") == 0)
+                .groupBy("__pid")
+                .agg(F.max_by("__p", F.struct(F.col(ts_col))).alias("__pl"))
+            )
+            wcarry = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            carry = (
+                pids.join(closing, "__pid", "left")
+                .withColumn("__carry", F.last("__pl", ignorenulls=True).over(wcarry))
+                .select("__pid", "__carry")
+            )
+            u = u.join(F.broadcast(carry), "__pid", "left").withColumn(
+                "__mb", F.coalesce(F.col("__mb"), F.col("__carry"))
+            ).drop("__carry")
+        if need_fwd:
+            wlocf = (
+                W.partitionBy("__pid")
+                .orderBy(F.col(ts_col), F.col("__tag").desc())
+                .rowsBetween(W.currentRow, W.unboundedFollowing)
+            )
+            u = u.withColumn("__mf", F.first(right_mark, ignorenulls=True).over(wlocf))
+            # mirrored carry: each bucket's OPENING right payload, pulled
+            # backward from later buckets
+            opening = (
+                u.filter(F.col("__tag") == 0)
+                .groupBy("__pid")
+                .agg(F.min_by("__p", F.struct(F.col(ts_col))).alias("__pf"))
+            )
+            wcarryf = W.orderBy("__pid").rowsBetween(1, W.unboundedFollowing)
+            carryf = (
+                pids.join(opening, "__pid", "left")
+                .withColumn("__carry_f", F.first("__pf", ignorenulls=True).over(wcarryf))
+                .select("__pid", "__carry_f")
+            )
+            u = u.join(F.broadcast(carryf), "__pid", "left").withColumn(
+                "__mf", F.coalesce(F.col("__mf"), F.col("__carry_f"))
+            ).drop("__carry_f")
     out = u.filter(F.col("__tag") == 1)
-    if tolerance is not None:
-        if isinstance(left.schema[ts_col].dataType, TimestampType):
-            age = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__m.__asof_ts"))
-            fresh = age <= int(tolerance * 1_000_000)
-        else:
-            fresh = (F.col(ts_col) - F.col("__m.__asof_ts")) <= F.lit(tolerance)
-        out = out.withColumn("__m", F.when(fresh, F.col("__m")))
+    is_ts = isinstance(left.schema[ts_col].dataType, TimestampType)
+
+    def _dist(match):
+        # non-negative time distance from left.ts to the match's ts
+        if is_ts:
+            return F.abs(
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(match["__asof_ts"])
+            )
+        return F.abs(F.col(ts_col) - match["__asof_ts"])
+
+    def _fresh(match):
+        if tolerance is None:
+            return F.lit(True)
+        if is_ts:
+            return _dist(match) <= int(tolerance * 1_000_000)
+        return _dist(match) <= F.lit(tolerance)
+
+    if direction == "backward":
+        out = out.withColumn("__m", F.when(_fresh(F.col("__mb")), F.col("__mb")))
+    elif direction == "forward":
+        out = out.withColumn("__m", F.when(_fresh(F.col("__mf")), F.col("__mf")))
+    else:  # nearest: tolerance applies per side, then closer wins (tie -> backward)
+        mb = F.when(_fresh(F.col("__mb")), F.col("__mb"))
+        mf = F.when(_fresh(F.col("__mf")), F.col("__mf"))
+        take_back = mf.isNull() | (mb.isNotNull() & (_dist(mb) <= _dist(mf)))
+        out = out.withColumn("__m", F.when(take_back, mb).otherwise(mf))
     keep = [F.col(c) for c in left.columns]
     keep += [F.col(f"__m.{c}").alias(c + suffix if c in left.columns else c) for c in right_cols]
     keep.append(F.col("__m.__asof_ts").alias(ts_col + suffix))
@@ -304,3 +374,179 @@ def funnel(
         )
         out = out.withColumn("converted", span_ok)
     return out
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] | str | None = None,
+    bucket_width: float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval x interval overlap join: each left interval pairs with
+    every right interval sharing the ``by`` keys whose ranges overlap
+    (``l.start <= r.end AND r.start <= l.end``, closed bounds — the
+    genomics/temporal-overlap convention).
+
+    Same binning strategy as ``interval_join``, extended to the
+    two-sided case: BOTH sides explode into the fixed-width bins their
+    range covers, pairs meet on an EQUI-join over (by..., bin), and —
+    because two overlapping intervals can now share MANY bins — each
+    pair is kept only in the FIRST bin both cover
+    (``bin == floor(max(l.start, r.start) / width)``), which dedups
+    without a distinct/shuffle. Cost: shuffle O(sum(len/width)) per
+    side; width near the median interval length keeps the explosion
+    ~O(1) per row. Vanilla Spark would plan the raw inequality join as
+    BroadcastNestedLoop — the same scale cliff interval_join avoids.
+
+    ``bucket_width`` defaults to the pooled median interval length via
+    one driver-side quantile sketch. Degenerate (end < start) intervals
+    are dropped on both sides. Timestamps (either flavor) and numerics
+    both work. Returns left.* plus the right payload columns
+    (``right_cols``, default all non-key/non-bound), suffixed on
+    collision.
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in by and c not in (start_col, end_col)
+        ]
+    lv = (
+        left.withColumn("__ls", _tnum(F.col(start_col)))
+        .withColumn("__le", _tnum(F.col(end_col)))
+        .filter(F.col("__ls") <= F.col("__le"))
+    )
+    rv = (
+        right.withColumn("__rs", _tnum(F.col(start_col)))
+        .withColumn("__re", _tnum(F.col(end_col)))
+        .filter(F.col("__rs") <= F.col("__re"))
+    )
+    if bucket_width is None:
+        meds = []
+        for d, s, e in ((lv, "__ls", "__le"), (rv, "__rs", "__re")):
+            q = d.select((F.col(e) - F.col(s)).alias("__len")).approxQuantile(
+                "__len", [0.5], 0.01
+            )
+            if q and q[0] and q[0] > 0:
+                meds.append(float(q[0]))
+        bucket_width = sum(meds) / len(meds) if meds else 1.0
+    w = float(bucket_width)
+    lv = lv.withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col("__ls") / w), F.floor(F.col("__le") / w)))
+    )
+    rv = rv.withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col("__rs") / w), F.floor(F.col("__re") / w)))
+    )
+    keep_r = [
+        F.col(c).alias(c + suffix if c in left.columns else c) for c in right_cols
+    ]
+    rv = rv.select(*[F.col(c) for c in by], "__b", "__rs", "__re", *keep_r)
+    joined = lv.join(rv, on=[*by, "__b"], how="inner").filter(
+        (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        # keep each pair only in the first shared bin: no distinct pass
+        & (F.col("__b") == F.floor(F.greatest(F.col("__ls"), F.col("__rs")) / w))
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(c + suffix if c in left.columns else c) for c in right_cols]
+    return joined.select(*out_cols)
+
+
+def topk_per_group(
+    df: DataFrame,
+    by: list[str] | str,
+    order_col,
+    k: int = 3,
+    descending: bool = True,
+    tie_cols: list | None = None,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` — the per-entity
+    leaderboard primitive (top products per region, top terms per doc).
+
+    ONE window ``row_number`` over the group shuffle: with many groups
+    this is fully parallel (each partition sorts only its groups), the
+    right 100 TB shape as long as no single group dominates — for a
+    known-hot group set, pre-filter with an aggregate max/approx
+    threshold first. ``tie_cols`` (default: the remaining columns in
+    order) break ranking ties deterministically so results are stable
+    across runs and engines.
+
+    Returns df.* plus ``rank`` (1-based).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    oc = oc.desc() if descending else oc.asc()
+    ties = [F.col(c) if isinstance(c, str) else c for c in (tie_cols or [])]
+    w = W.partitionBy(*by).orderBy(oc, *ties)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    period: float = 86400.0,
+) -> DataFrame:
+    """Cohort retention triangle: entities grouped by their FIRST-seen
+    period (cohort), counted by how many were active again ``offset``
+    periods later. Output: (cohort, offset, n_active) with offset 0 =
+    cohort size.
+
+    Scale shape: the first-seen table is one partial-combined aggregate
+    on ``by`` (shuffles only distinct keys), joined back to the
+    per-(key, period) distinct activity — both shuffles carry key+int
+    pairs, never payloads, and the final (cohort, offset) aggregate is
+    tiny. No window over the event stream. Periods are
+    ``floor(epoch / period)`` so cohorts are stable across engines.
+    """
+    p = F.floor(_tnum(F.col(ts_col)) / float(period))
+    acts = df.select(F.col(by).alias("k"), p.alias("__p")).distinct()
+    first = acts.groupBy("k").agg(F.min("__p").alias("__c"))
+    return (
+        acts.join(first, "k")
+        .groupBy(F.col("__c").alias("cohort"), (F.col("__p") - F.col("__c")).alias("offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    by: list[str] | str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (optionally per ``by``
+    group): bin ``i`` covers ``[lo + i*wd, lo + (i+1)*wd)``; values
+    below ``lo`` clamp to bin 0, at-or-above ``hi`` to bin nbins-1
+    (numpy.histogram edge convention for the last bin). Output:
+    (by..., bin, bin_lo, n, lo_val, hi_val).
+
+    ONE partial-combined hash aggregate over at most nbins*#groups
+    cells — the canonical map-side-combine shape; at 100 TB the shuffle
+    carries only the cell table. Bin ids are exact integer floors of
+    ``(x - lo) / wd`` so both engines agree without float-boundary
+    drift (callers pick lo/hi/nbins so data doesn't sit exactly on an
+    edge... as with any float histogram).
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    x = (F.col(col) if isinstance(col, str) else col).cast("double")
+    wd = (float(hi) - float(lo)) / int(nbins)
+    raw = F.floor((x - float(lo)) / wd)
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1)).cast("long")
+    return (
+        df.groupBy(*[F.col(c) for c in by], b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(x), 6).alias("lo_val"),
+            F.round(F.max(x), 6).alias("hi_val"),
+        )
+        .withColumn("bin_lo", F.round(F.lit(float(lo)) + F.col("bin") * wd, 6))
+    )

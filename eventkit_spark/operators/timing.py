@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from .common import RN, meta_cols, ts_micros, ts_seconds, wcum, worder
+from .common import RN, meta_cols, ts_micros, ts_seconds, wcum, wkey, worder
 
 
 def _shift(ts_col, seconds: float):
@@ -230,3 +230,81 @@ def sessionize(ef, gap: float, session_col: str = "session"):
         F.sum(RN).over(wcum(ef)) - 1,
     ).drop(RN)
     return ef._with(df=df, value_cols=[*ef.value_cols, session_col])
+
+
+def resample(ef, every: float, origin: float = 0.0):
+    """Downsample the stream into fixed ``every``-second event-time
+    buckets per key — the OHLC/candlestick primitive: one row per
+    (key, bucket) with ``open``/``high``/``low``/``close`` of the value
+    column plus ``n`` and ``vsum``.
+
+    ONE partial-combined hash aggregate on (key, bucket) — min_by/
+    max_by ordered by (event-time, seq) pick the endpoints without any
+    per-key sort or window, so the map side reduces every bucket to a
+    constant-size cell before the shuffle: at 100 TB the exchange
+    carries only #buckets rows. Bucket ids are integer floors of epoch
+    micros, exact across engines.
+
+    Reference analog: none (the reference's timing ops cut or thin the
+    stream; resample AGGREGATES it — the natural batch/stream rollup
+    Spark adds).
+    """
+    if not ef.ts_col:
+        raise ValueError("resample() needs an event-time column")
+    ev = int(round(every * 1e6))
+    org = int(round(origin * 1e6))
+    b = F.floor((ts_micros(F.col(ef.ts_col)) - F.lit(org)) / F.lit(ev)).cast("long")
+    v = F.col(ef.value_cols[0])
+    ordc = F.struct(ts_micros(F.col(ef.ts_col)).alias("t"), F.col(ef.seq_col).alias("s"))
+    out = (
+        ef.df.groupBy(*[F.col(k) for k in ef.key_cols], b.alias("bucket"))
+        .agg(
+            F.min_by(v, ordc).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordc).alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.sum(v), 6).alias("vsum"),
+        )
+        .withColumn(
+            "bucket_ts",
+            F.timestamp_micros((F.col("bucket") * ev + org).cast("long")),
+        )
+    )
+    return out
+
+
+def rolling(ef, seconds: float, min_periods: int = 1):
+    """Trailing event-time window aggregates per key: for every row,
+    the sum/count/mean of the value column over ``[ts - seconds, ts]``
+    (closed bounds, current row included) — the moving-average /
+    rolling-volume primitive.
+
+    ONE key shuffle with a RANGE frame over epoch micros: Spark keeps a
+    sliding frame per partition (no per-row rescan), fully parallel per
+    key. The frame bound is integer micros so both engines cut the
+    window identically. ``min_periods`` NULLs the outputs until the
+    frame holds that many rows (pandas convention).
+
+    Adds ``roll_sum`` / ``roll_n`` / ``roll_mean`` columns; when the
+    value column is integral, roll_sum is exact (contracts feed
+    cents-scaled longs for bit-stable float-free comparison).
+    """
+    if not ef.ts_col:
+        raise ValueError("rolling() needs an event-time column")
+    rng = int(round(seconds * 1e6))
+    w = (
+        wkey(ef)
+        .orderBy(ts_micros(F.col(ef.ts_col)))
+        .rangeBetween(-rng, 0)
+    )
+    v = F.col(ef.value_cols[0])
+    df = ef.df.withColumn("roll_n", F.count(v).over(w))
+    gate = F.when(F.col("roll_n") >= int(min_periods), F.lit(True))
+    df = df.withColumn("roll_sum", F.when(gate, F.sum(v).over(w)))
+    df = df.withColumn(
+        "roll_mean",
+        F.when(gate, F.round(F.col("roll_sum") / F.col("roll_n"), 6)),
+    )
+    df = df.withColumn("roll_n", F.when(gate, F.col("roll_n")))
+    return ef._with(df=df, value_cols=[*ef.value_cols, "roll_sum", "roll_n", "roll_mean"])
