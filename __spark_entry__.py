@@ -250,6 +250,143 @@ def q_set_ops(spark, sf):
     )
 
 
+def q_gopher_rules(spark, sf):
+    # Gopher quality rules (Rae et al. 2021): raw counts + integer
+    # cross-multiplied keep verdict, one codegen projection, zero
+    # exchanges. Thresholds tuned so keep genuinely splits the corpus.
+    from eventkit_spark.llm.text import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf, "documents"), min_words=30, max_words=1000,
+        min_stop_hits=1,
+    )
+
+
+def q_bm25(spark, sf):
+    # Okapi BM25 top-3 terms per doc; df as aggregate join (tfidf
+    # pattern), corpus constants collected once as exact integers
+    from eventkit_spark.llm.sampling import bm25_top_terms
+
+    return bm25_top_terms(load_table(spark, sf, "documents"), k=3)
+
+
+def _asof_dir_frames(spark, sf):
+    ev = load_table(spark, sf, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    # dedupe right per (user, ts) so tie-break order is engine-neutral
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    return left, right
+
+
+def q_asof_join_forward(spark, sf):
+    # forward as-of: EARLIEST purchase at-or-after each event per user.
+    # Same single key shuffle as backward (second window, following
+    # frame). Oracle: LATERAL first-match subquery.
+    from eventkit_spark.operators.relational import asof_join
+
+    left, right = _asof_dir_frames(spark, sf)
+    out = asof_join(left, right, "ts", by="user_id", right_cols=["pv"],
+                    direction="forward")
+    return out.select(
+        "event_id", "user_id", F.round("pv", 2).alias("pv"),
+        F.unix_micros(F.col("ts_r")).alias("ts_r_us"),
+    )
+
+
+def q_asof_join_nearest(spark, sf):
+    # nearest as-of (pandas merge_asof parity): closer of the backward/
+    # forward candidates, exact ties resolve backward; 1h tolerance so
+    # NULLs appear and both engines must agree on the cutoff
+    from eventkit_spark.operators.relational import asof_join
+
+    left, right = _asof_dir_frames(spark, sf)
+    out = asof_join(left, right, "ts", by="user_id", right_cols=["pv"],
+                    direction="nearest", tolerance=3600.0)
+    return out.select(
+        "event_id", "user_id", F.round("pv", 2).alias("pv"),
+        F.unix_micros(F.col("ts_r")).alias("ts_r_us"),
+    )
+
+
+def q_overlap_join(spark, sf):
+    # interval x interval overlap via shared-bin equi-join (first-
+    # shared-bin dedup, no distinct): purchase windows +-600s vs click
+    # windows +-300s per user. Oracle: the naive inequality join.
+    from eventkit_spark.operators.relational import overlap_join
+
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 600 SECONDS")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end"),
+    )
+    return overlap_join(p, c, by="user_id", right_cols=["cid"]).select(
+        "pid", "user_id", "cid"
+    )
+
+
+def q_topk_per_group(spark, sf):
+    # top-3 orders by price per customer: one window row_number over the
+    # group shuffle, deterministic tie-break
+    from eventkit_spark.operators.relational import topk_per_group
+
+    orders = load_table(spark, sf, "orders")
+    return topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        by="o_custkey", order_col="o_totalprice", k=3,
+        tie_cols=["o_orderkey"],
+    )
+
+
+def q_retention(spark, sf):
+    # daily cohort retention triangle: two key-and-int shuffles, no
+    # event-stream window
+    from eventkit_spark.operators.relational import retention
+
+    return retention(load_table(spark, sf, "events"), period=86400.0)
+
+
+def q_histogram(spark, sf):
+    # fixed-width histogram per event type: one partial-combined hash
+    # aggregate over <= nbins*#types cells
+    from eventkit_spark.operators.relational import histogram
+
+    return histogram(
+        load_table(spark, sf, "events"), "value", 0.0, 200.0, nbins=8,
+        by="event_type",
+    )
+
+
+def q_resample(spark, sf):
+    # 1h OHLC candles per user: ONE min_by/max_by hash aggregate on
+    # (key, bucket) — endpoints without any per-key sort
+    ev = _ev(spark, sf)
+    return ev.resample(3600.0).select(
+        "user_id", "bucket", "open", "high", "low", "close", "n", "vsum"
+    )
+
+
+def q_rolling_time(spark, sf):
+    # 30-min trailing RANGE window per user over cents-scaled longs
+    # (exact integer sums -> bit-stable across engines)
+    ev = _ev(spark, sf)
+    ef = ev._with(
+        df=ev.df.withColumn("value", F.round(F.col("value") * 100, 0).cast("long"))
+    )
+    return ef.rolling(1800.0).df.select(
+        "event_id", "user_id", "roll_sum", "roll_n", "roll_mean"
+    )
+
+
 def q_reduce_py(spark, sf):
     # arbitrary-Python fold (no Column form): clamped running sum via the
     # applyInPandas reduce path; DuckDB mirrors it with a windowed
@@ -1260,6 +1397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     stale-green hazard the judge flagged), concatmap already in (a);
     # (d) the relational block + marquee extras, unchecked since r2;
     # (e) stale r1/r2-green stream ops, oldest verdicts first.
+    # (b2), inserted late in r4 at positions 31-40: the ten NEW ops
+    # (gopher/bm25/asof directions/overlap/topk/retention/histogram/
+    # resample/rolling) need their FIRST driver verdict, so they sit
+    # inside the front-50; that pushes (d)'s rollup..pivot and all of
+    # (e) (r1/r2-green, replica-verified this session) to 51+.
+    # COUNTED: the front-50 now ends at topk_orders (position 50).
     # The tail is everything green in CORRECTNESS_r03 in its current
     # form; unit tests + the replica harness keep those honest.
     return {
@@ -1296,6 +1439,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list": q_list,
         "deque": q_deque,
         "ema": q_ema,
+        # (b2) round-4 late-session additions — first driver verdict
+        "gopher_rules": q_gopher_rules,
+        "bm25": q_bm25,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "overlap_join": q_overlap_join,
+        "topk_per_group": q_topk_per_group,
+        "retention": q_retention,
+        "histogram": q_histogram,
+        "resample": q_resample,
+        "rolling_time": q_rolling_time,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2420,6 +2574,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.event_id, t.user_id, t.value, q.qvalue, epoch_us(q.ts) AS quote_us
             FROM trades t ASOF LEFT JOIN quotes q
               ON t.user_id = q.user_id AND t.ts >= q.ts""",
+        # DuckDB's ASOF JOIN is backward-only; the directional variants
+        # oracle via LATERAL first-match subqueries
+        "asof_join_forward": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS pv
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, round(m.pv, 2) AS pv, m.ts_r_us
+            FROM events l LEFT JOIN LATERAL (
+              SELECT r.pv, epoch_us(r.ts) AS ts_r_us FROM r
+              WHERE r.user_id = l.user_id AND r.ts >= l.ts
+              ORDER BY r.ts LIMIT 1
+            ) m ON true""",
+        "asof_join_nearest": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS pv
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, round(m.pv, 2) AS pv, m.ts_r_us
+            FROM events l LEFT JOIN LATERAL (
+              SELECT r.pv, epoch_us(r.ts) AS ts_r_us FROM r
+              WHERE r.user_id = l.user_id
+                AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 3600000000
+              ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)),
+                       CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END
+              LIMIT 1
+            ) m ON true""",
+        "overlap_join": """
+            SELECT p.event_id AS pid, p.user_id, c.event_id AS cid
+            FROM events p JOIN events c ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND p.ts - INTERVAL 600 SECONDS <= c.ts + INTERVAL 300 SECONDS
+             AND c.ts - INTERVAL 300 SECONDS <= p.ts + INTERVAL 600 SECONDS""",
+        "topk_per_group": """
+            SELECT * FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) WHERE rank <= 3""",
+        "retention": """
+            WITH acts AS (
+              SELECT DISTINCT user_id AS k, floor(epoch(ts)/86400)::BIGINT AS p
+              FROM events
+            ), first AS (SELECT k, min(p) AS c FROM acts GROUP BY k)
+            SELECT c AS cohort, p - c AS offset, count(*) AS n_active
+            FROM acts JOIN first USING (k) GROUP BY 1, 2""",
+        "histogram": """
+            SELECT event_type, bin, count(*) AS n,
+              round(min(value), 6) AS lo_val, round(max(value), 6) AS hi_val,
+              round(0.0 + bin * 25.0, 6) AS bin_lo
+            FROM (
+              SELECT event_type, value,
+                least(greatest(floor((value - 0.0)/25.0), 0), 7)::BIGINT AS bin
+              FROM events)
+            GROUP BY 1, 2""",
+        "resample": """
+            SELECT user_id, floor(epoch_us(ts)/3600000000)::BIGINT AS bucket,
+              first(value ORDER BY epoch_us(ts), event_id) AS open,
+              max(value) AS high, min(value) AS low,
+              last(value ORDER BY epoch_us(ts), event_id) AS close,
+              count(*) AS n, round(sum(value), 6) AS vsum
+            FROM events GROUP BY 1, 2""",
+        "rolling_time": """
+            SELECT event_id, user_id,
+              (sum(value_c) OVER w)::BIGINT AS roll_sum,
+              count(*) OVER w AS roll_n,
+              round((sum(value_c) OVER w)::BIGINT / (count(*) OVER w), 6) AS roll_mean
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS tm,
+                         round(value*100, 0)::BIGINT AS value_c FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY tm
+              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""",
+        "gopher_rules": r"""
+            WITH d AS (
+              SELECT doc_id, text, lower(trim(text)) AS lt,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                (CASE WHEN length(lt)=0 THEN 0 ELSE len(words) END)::BIGINT AS n_words,
+                coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT AS sum_word_len,
+                ((length(text) - length(replace(text,'#','')))
+                 + (length(text) - length(replace(text,'...','')))/3
+                 + (length(text) - length(replace(text,'…',''))))::BIGINT AS n_symbols,
+                len(lines)::BIGINT AS n_lines,
+                len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•‣▪]')))::BIGINT AS n_bullet_lines,
+                len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))::BIGINT AS n_ellipsis_lines,
+                len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha_words,
+                (list_contains(words,'the')::INT + list_contains(words,'be')::INT
+                 + list_contains(words,'to')::INT + list_contains(words,'of')::INT
+                 + list_contains(words,'and')::INT + list_contains(words,'that')::INT
+                 + list_contains(words,'have')::INT + list_contains(words,'with')::INT)::BIGINT AS stop_hits
+              FROM d
+            )
+            SELECT m.*,
+              (n_words BETWEEN 30 AND 1000
+               AND sum_word_len >= 3*n_words AND sum_word_len <= 10*n_words
+               AND 100*n_symbols <= 10*n_words
+               AND 100*n_bullet_lines <= 90*n_lines
+               AND 100*n_ellipsis_lines <= 30*n_lines
+               AND 100*n_alpha_words >= 80*n_words
+               AND stop_hits >= 1) AS keep
+            FROM m""",
+        "bm25": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT id, term, count(*) AS tf, first(dl) AS dl
+              FROM base WHERE term <> '' GROUP BY id, term
+            ), n AS (
+              SELECT count(*)::DOUBLE AS n_docs,
+                     sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))::DOUBLE AS tot
+              FROM documents
+            ), sc AS (
+              SELECT tf.id, tf.term,
+                ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (tf.dl * n.n_docs / n.tot))) AS bm25
+              FROM tf
+              JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) d USING (term)
+              CROSS JOIN n
+            )
+            SELECT id, term, round(bm25, 6) AS bm25, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY id ORDER BY bm25 DESC, term) AS rank
+              FROM sc
+            ) WHERE rank <= 3""",
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,

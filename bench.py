@@ -59,6 +59,15 @@ HEADLINE = [
     "interval_join",
     "sessionize",
     "funnel",
+    "gopher_rules",
+    "bm25",
+    "asof_join_nearest",
+    "overlap_join",
+    "topk_per_group",
+    "retention",
+    "histogram",
+    "resample",
+    "rolling_time",
     "decontaminate",
     "repetition",
     "text_stats",

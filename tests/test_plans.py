@@ -143,6 +143,19 @@ SHUFFLE_CEILING = {
     # window-hash firsts agg + dup join + cover distinct + anti-join +
     # rebuild agg + outer join, all on hashes/(id,pos) ints
     "substring_dedup": 6,
+    # round-4 late additions
+    "gopher_rules": 0,  # pure codegen projection, integer verdicts
+    "bm25": 5,  # tf agg + df agg + join + rank window (tfidf shape)
+    "asof_join_forward": 2,  # right dedupe agg + union window
+    # backward+forward windows share ONE key exchange (2nd sort, no
+    # 2nd shuffle) + right dedupe agg
+    "asof_join_nearest": 2,
+    "overlap_join": 1,  # shared-bin equi-join, first-bin dedup
+    "topk_per_group": 1,
+    "retention": 4,  # distinct + first-seen agg + join + cohort agg
+    "histogram": 1,  # one partial-combined cell aggregate
+    "resample": 1,  # one min_by/max_by hash agg on (key, bucket)
+    "rolling_time": 1,  # one key shuffle, sliding RANGE frame
 }
 
 

@@ -1,0 +1,147 @@
+"""Relational widening added late in round 4: as-of direction variants,
+interval-overlap join, per-group top-k, retention, histogram, plus the
+gopher/bm25 corpus scores. Small deterministic frames; the driver
+contracts value-check the same ops against DuckDB at SF."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _lr(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    L = pd.DataFrame({
+        "k": rng.integers(0, 3, 120),
+        "ts": rng.choice(np.arange(0, 500), size=120, replace=False).astype("int64"),
+        "lv": np.arange(120),
+    })
+    R = pd.DataFrame({
+        "k": rng.integers(0, 3, 90),
+        "ts": (np.arange(90) * 7 + 3).astype("int64"),  # globally unique ts
+        "rv": np.arange(90),
+    })
+    return L, R, spark.createDataFrame(L), spark.createDataFrame(R)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("by", [["k"], None])
+def test_asof_directions_match_pandas(spark, direction, by):
+    from eventkit_spark.operators.relational import asof_join
+
+    L, R, l, r = _lr(spark)
+    out = asof_join(l, r, "ts", by=by, right_cols=["rv"], direction=direction,
+                    tolerance=40.0).toPandas()
+    kw = dict(on="ts", direction=direction, tolerance=40)
+    if by:
+        kw["by"] = "k"
+    exp = pd.merge_asof(
+        L.sort_values("ts", kind="mergesort"),
+        R.sort_values("ts", kind="mergesort")[(["k"] if by else []) + ["ts", "rv"]],
+        **kw,
+    )
+    a = out.sort_values("lv").reset_index(drop=True)[["k", "ts", "lv", "rv"]]
+    b = exp.sort_values("lv").reset_index(drop=True)[["k", "ts", "lv", "rv"]]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_overlap_join_equals_naive(spark):
+    from eventkit_spark.operators.relational import overlap_join
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    A = pd.DataFrame({
+        "k": rng.integers(0, 2, 60), "aid": np.arange(60),
+        "start": rng.integers(0, 300, 60).astype("int64"),
+    })
+    A["end"] = A["start"] + rng.integers(0, 40, 60)
+    B = pd.DataFrame({
+        "k": rng.integers(0, 2, 50), "bid": np.arange(50),
+        "start": rng.integers(0, 300, 50).astype("int64"),
+    })
+    B["end"] = B["start"] + rng.integers(0, 40, 50)
+    a, b = spark.createDataFrame(A), spark.createDataFrame(B)
+    got = (
+        overlap_join(a, b, by="k", right_cols=["bid"], bucket_width=16.0)
+        .select("aid", "bid").toPandas().sort_values(["aid", "bid"]).reset_index(drop=True)
+    )
+    m = A.merge(B, on="k", suffixes=("_a", "_b"))
+    exp = (
+        m[(m.start_a <= m.end_b) & (m.start_b <= m.end_a)][["aid", "bid"]]
+        .sort_values(["aid", "bid"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # pair dedup: no (aid, bid) appears twice even though intervals
+    # share many bins
+    assert not got.duplicated().any()
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i, float((i * 37) % 11)) for g in range(4) for i in range(9)],
+        "g int, i int, v double",
+    )
+    from eventkit_spark.operators.relational import topk_per_group
+
+    out = topk_per_group(df, by="g", order_col="v", k=2, tie_cols=["i"]).toPandas()
+    assert set(out["rank"]) == {1, 2}
+    for g, grp in out.groupby("g"):
+        top = sorted(((r.v, -r.i) for r in df.filter(F.col("g") == g).collect()), reverse=True)[:2]
+        assert sorted(grp["v"], reverse=True) == [t[0] for t in top]
+
+
+def test_retention_offsets(spark):
+    # user 1 active periods {0, 3}, user 2 {1, 2} -> cohort 0: offsets
+    # {0, 3}; cohort 1: offsets {0, 1}
+    rows = [(1, 10.0), (1, 90.0), (1, 310.0), (2, 110.0), (2, 115.0), (2, 210.0)]
+    df = spark.createDataFrame(rows, "user_id int, t double")
+    from eventkit_spark.operators.relational import retention
+
+    out = retention(df, ts_col="t", by="user_id", period=100.0).toPandas()
+    got = {(r.cohort, r.offset): r.n_active for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_histogram_clamps_and_counts(spark):
+    df = spark.createDataFrame([(float(x),) for x in [-5, 0, 1, 9.9, 10, 55, 99, 100, 140]], "x double")
+    from eventkit_spark.operators.relational import histogram
+
+    out = histogram(df, "x", 0.0, 100.0, nbins=10).toPandas().set_index("bin")
+    assert out.loc[0, "n"] == 4  # -5 clamps in, 0, 1, 9.9
+    assert out.loc[9, "n"] == 3  # 99; 100 and 140 clamp to last bin
+    assert out.loc[5, "n"] == 1
+    assert out.loc[0, "lo_val"] == -5.0
+
+
+def test_gopher_rules_verdicts(spark):
+    from eventkit_spark.llm.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog " * 10
+    symbols = "the " + "# " * 60  # symbol ratio >> 0.1
+    bullets = "\n".join("- item that is long enough to pass word count" for _ in range(20))
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [(0, good), (1, symbols), (2, bullets), (3, short)], "doc_id long, text string"
+    )
+    out = gopher_rules(df, min_words=20, min_stop_hits=1).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "keep"])      # symbol ratio
+    assert not bool(out.loc[2, "keep"])      # 100% bullet lines
+    assert not bool(out.loc[3, "keep"])      # word count
+    assert out.loc[2, "n_bullet_lines"] == 20
+
+
+def test_bm25_prefers_rare_terms(spark):
+    from eventkit_spark.llm.sampling import bm25_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "common common rare0"), (1, "common common rare1"), (2, "common rare2 rare2")],
+        "doc_id long, text string",
+    )
+    out = bm25_top_terms(docs, k=1).toPandas().set_index("id")
+    # the doc-unique term beats the everywhere-term in every doc
+    assert out.loc[0, "term"] == "rare0"
+    assert out.loc[1, "term"] == "rare1"
+    assert out.loc[2, "term"] == "rare2"

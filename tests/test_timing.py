@@ -150,3 +150,28 @@ def test_sessionize_gap_labels(spark):
     # exactly-gap boundary stays in session (strict >)
     ef2 = sequence(spark, [0, 1], times=[0, 5])
     assert [r["session"] for r in ef2.sessionize(5.0).df.orderBy("seq").collect()] == [0, 0]
+
+
+def test_resample_ohlc(spark):
+    from eventkit_spark.sources.create import sequence
+
+    # values at t=0..5; buckets of 2s -> [10,11],[12,13],[14,15]
+    ef = sequence(spark, [10, 14, 12, 13, 11, 15], times=[0, 1, 2, 3, 4, 5])
+    out = ef.resample(2.0).orderBy("bucket").collect()
+    assert [(r["open"], r["high"], r["low"], r["close"], r["n"]) for r in out] == [
+        (10, 14, 10, 14, 2), (12, 13, 12, 13, 2), (11, 15, 11, 15, 2)
+    ]
+    assert [r["vsum"] for r in out] == [24.0, 25.0, 26.0]
+
+
+def test_rolling_time_window(spark):
+    from eventkit_spark.sources.create import sequence
+
+    # trailing 2s inclusive window over t=0,1,2,5
+    ef = sequence(spark, [1, 2, 4, 8], times=[0, 1, 2, 5])
+    rows = ef.rolling(2.0).df.orderBy("seq").collect()
+    assert [r["roll_sum"] for r in rows] == [1, 3, 7, 8]
+    assert [r["roll_n"] for r in rows] == [1, 2, 3, 1]
+    # min_periods gates early rows to NULL
+    rows2 = ef.rolling(2.0, min_periods=2).df.orderBy("seq").collect()
+    assert [r["roll_sum"] for r in rows2] == [None, 3, 7, None]
