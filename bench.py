@@ -61,6 +61,9 @@ HEADLINE = [
     "funnel",
     "gopher_rules",
     "bm25",
+    "url_canonicalize",
+    "host_stats",
+    "bigram_logprob",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -631,3 +631,69 @@ def gopher_rules(
         stop_hits.cast("long").alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean INTERPOLATED bigram log-likelihood under the
+    corpus's own LM — the next step up from ``unigram_logprob``:
+    ``P(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/N`` (Jelinek-
+    Mercer smoothing, the classic public recipe), scored over every
+    adjacent token pair. Repetitive/templated text scores HIGH (its
+    bigrams dominate the corpus), garbled text LOW — a sharper quality
+    axis than unigram frequency alone.
+
+    Returns (id, n_bigrams, avg_logprob) rounded to 6 decimals.
+
+    Scale shape: bigram pairs are built IN PLACE with a zip of the
+    token array against its own tail (zero extra scans, no window),
+    then everything is map-side-partial hash aggregates: corpus
+    c(w1,w2) and c(w1) tables + a per-(doc, w1, w2) pre-aggregate that
+    bounds the scoring join's fan-out. Hot bigrams ("of the") collapse
+    per partition before any shuffle; AQE splits the residual joins. The
+    unigram table is vocabulary-sized and broadcast-eligible.
+    """
+    from pyspark import StorageLevel
+
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    arr = F.filter(arr, lambda w: w != "")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = docs.select(
+        F.col(id_col).alias("id"), F.explode(arr).alias("tok")
+    )
+    ucnt = (
+        uni.groupBy("tok").agg(F.count("*").alias("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = ucnt.agg(F.sum("cu").alias("n"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    dbg = bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("c_d"))
+    c1 = ucnt.select(F.col("tok").alias("w1"), F.col("cu").alias("c1"))
+    c2 = ucnt.select(F.col("tok").alias("w2"), F.col("cu").alias("c2"))
+    p = (
+        F.lit(float(lam)) * (F.col("cb").cast("double") / F.col("c1"))
+        + F.lit(1.0 - float(lam)) * (F.col("c2").cast("double") / F.col("n"))
+    )
+    return (
+        dbg.join(bcnt, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.sum("c_d").alias("n_bigrams"),
+            F.round(F.sum(F.col("c_d") * F.log(p)) / F.sum("c_d"), 6).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logprob")
+    )

@@ -156,6 +156,12 @@ SHUFFLE_CEILING = {
     "histogram": 1,  # one partial-combined cell aggregate
     "resample": 1,  # one min_by/max_by hash agg on (key, bucket)
     "rolling_time": 1,  # one key shuffle, sliding RANGE frame
+    "url_canonicalize": 0,  # pure regex projection
+    "host_stats": 2,  # distinct-canonical expand + host agg
+    # bigram/unigram count tables + (doc,w1,w2) pre-agg + 3 scoring
+    # joins + final per-doc agg; the persisted unigram table's lineage
+    # is counted on both its join sides here, runs once at runtime
+    "bigram_logprob": 11,
 }
 
 

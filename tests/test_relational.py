@@ -145,3 +145,48 @@ def test_bm25_prefers_rare_terms(spark):
     assert out.loc[0, "term"] == "rare0"
     assert out.loc[1, "term"] == "rare1"
     assert out.loc[2, "term"] == "rare2"
+
+
+def test_canonical_url_rules(spark):
+    from eventkit_spark.llm.web import url_canonicalize
+
+    cases = [
+        (0, "HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&q=1#frag", "http://www.ex.com/A/b?q=1", "www.ex.com"),
+        (1, "https://u:p@Host.io:443/path/", "https://u:p@host.io/path", "host.io"),
+        (2, "https://a.b:8443/x?gclid=1", "https://a.b:8443/x", "a.b"),
+        (3, "http://root.site/", "http://root.site/", "root.site"),
+        (4, "http://h.co/p?utm_a=1&utm_b=2", "http://h.co/p", "h.co"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _, _ in cases], "doc_id long, url string")
+    out = url_canonicalize(df).toPandas().set_index("doc_id")
+    for i, _, canon, host in cases:
+        assert out.loc[i, "canonical"] == canon, (i, out.loc[i, "canonical"])
+        assert out.loc[i, "host"] == host
+
+
+def test_host_stats_dup_mass(spark):
+    from eventkit_spark.llm.web import host_stats
+
+    df = spark.createDataFrame(
+        [(0, "http://a.com/x?utm_source=1"), (1, "http://a.com/x#f"),
+         (2, "http://a.com/y"), (3, "http://b.com/z")],
+        "doc_id long, url string",
+    )
+    out = host_stats(df).toPandas().set_index("host")
+    assert out.loc["a.com", "n_pages"] == 3
+    assert out.loc["a.com", "n_canonical"] == 2  # x (twice) + y
+    assert out.loc["a.com", "n_dup"] == 1
+    assert out.loc["b.com", "n_dup"] == 0
+
+
+def test_bigram_logprob_favors_repetition(spark):
+    from eventkit_spark.llm.text import bigram_logprob
+
+    # same vocabulary, different transitions: docs 0-5 all follow the
+    # corpus-dominant "the cat sat" chain; doc 6 uses the same words in
+    # an order the corpus never repeats -> its conditional probs crater
+    rows = [(i, "the cat sat") for i in range(6)] + [(6, "sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_logprob(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "avg_logprob"] > out.loc[6, "avg_logprob"]
+    assert out.loc[6, "n_bigrams"] == 2
