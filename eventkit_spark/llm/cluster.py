@@ -1,0 +1,234 @@
+"""Distributed clustering over embedding columns: Lloyd's k-means and
+product quantization (PQ) — the curation/compression stages of an
+embedding pipeline (cluster-then-dedup à la SemDeDup; PQ codes for
+billion-scale ANN à la Jégou et al. 2011).
+
+Scale shape shared by both: centroids are the ONLY driver-side state
+(k x d doubles — kilobytes), shipped to executors as a broadcast
+closure; every assignment pass is one blocked BLAS matmul per Arrow
+batch (the `ivf_topk` kernel pattern, llm/similarity.py:243), and every
+update pass is one partial-combined (cluster, dim) aggregate whose
+shuffle carries k*d cells, not vectors. Iterations are driver-driven
+(classic Lloyd's), so the corpus is scanned once per iteration with no
+lineage growth — each pass reads the source, not the previous pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _as_double
+
+
+def _seed_centroids(corpus, n, id_col, vec_col):
+    """Deterministic pseudo-random seed sample: the ``n`` vectors with
+    the smallest xxhash64(id) — a distributed TakeOrderedAndProject, no
+    global window, reproducible across runs/engines."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            _as_double(F.col(vec_col)).alias("cv"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n)
+        .select("cv")
+        .collect()
+    )
+    return np.stack([np.array(r["cv"]) for r in rows])
+
+
+def _assign_kernel(cent_mat):
+    """(cluster, squared distance) per vector via one BLAS product per
+    Arrow batch against the broadcast-closure centroid matrix."""
+    import numpy as np
+    import pandas as pd
+
+    def k(vs):
+        A = np.stack(vs.to_numpy())
+        # ||a - c||^2 = ||a||^2 - 2 a.c + ||c||^2 ; argmin over c
+        d2 = (
+            (A * A).sum(axis=1, keepdims=True)
+            - 2.0 * (A @ cent_mat.T)
+            + (cent_mat * cent_mat).sum(axis=1)
+        )
+        idx = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "cluster": idx.astype(np.int32),
+            "dist2": d2[np.arange(len(idx)), idx],
+        })
+
+    return F.pandas_udf(k, "cluster int, dist2 double")
+
+
+def _maximin_seeds(base, k):
+    """Deterministic farthest-point seeding: start from the hash-min
+    vector, then repeatedly add the point farthest (max min-dist2) from
+    the chosen set — ties break on id. k-1 extra scans, each a blocked
+    BLAS pass; the classic separable-blob failure of random seeding
+    (two seeds in one blob -> a split/merged local minimum) cannot
+    happen because each new seed is pulled to an uncovered region."""
+    import numpy as np
+
+    first = (
+        base.select("v", F.xxhash64(F.col("id")).alias("__h"))
+        .orderBy("__h").limit(1).collect()
+    )
+    seeds = [np.array(first[0]["v"])]
+    for _ in range(1, k):
+        cent = np.stack(seeds)
+        far = (
+            base.withColumn("a", _assign_kernel(cent)(F.col("v")))
+            .select("id", "v", F.col("a.dist2").alias("d2"))
+            .orderBy(F.col("d2").desc(), F.col("id"))
+            .limit(1)
+            .collect()
+        )
+        seeds.append(np.array(far[0]["v"]))
+    return np.stack(seeds)
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "maximin",
+):
+    """Lloyd's k-means over an ``array<float>`` column. Returns
+    ``(assignments, centers, n_iter)``: assignments is a DataFrame
+    (id, cluster, dist2), centers a k x d numpy array.
+
+    Per iteration: ONE corpus scan -> blocked-BLAS argmin (Arrow batch,
+    no per-row Python) -> ONE partial-combined (cluster, dim) mean
+    aggregate -> k*d cells collected to the driver (kilobytes). Stops
+    early when max centroid shift^2 < ``tol``. Empty clusters keep
+    their previous center (the standard convention). Deterministic: no
+    RNG anywhere.
+
+    ``init="maximin"`` (default) is deterministic farthest-point
+    seeding — k-1 cheap extra scans that avoid the split-blob local
+    minimum of random seeding; ``init="hash"`` is the one-scan
+    hash-sample (use for large k where k-1 passes add up).
+
+    Reference analog: none (corpus op); pyspark.ml.KMeans is the
+    JVM-estimator equivalent — this stays in the DataFrame/Arrow lane
+    so it composes with the rest of the pipeline and its plan is
+    auditable (`ivf_topk(centroids="kmeans")` uses the ml estimator;
+    this op IS the engine-native path).
+    """
+    import numpy as np
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if init == "maximin":
+        cent = _maximin_seeds(base, k)
+    elif init == "hash":
+        cent = _seed_centroids(corpus, k, id_col, vec_col)
+    else:
+        raise ValueError(f"init must be 'maximin' or 'hash', got {init!r}")
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        assigned = base.withColumn("a", _assign_kernel(cent)(F.col("v")))
+        sums = (
+            assigned.select(
+                F.col("a.cluster").alias("c"),
+                F.posexplode(F.col("v")).alias("dim", "x"),
+            )
+            .groupBy("c", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        counts = np.zeros(k)
+        for r in sums:
+            new_cent[r["c"], r["dim"]] = r["s"] / r["n"]
+            counts[r["c"]] = r["n"]
+        shift = float(((new_cent - cent) ** 2).sum(axis=1).max())
+        cent = new_cent
+        if shift < tol:
+            break
+    assignments = base.withColumn("a", _assign_kernel(cent)(F.col("v"))).select(
+        F.col("id").alias(id_col),
+        F.col("a.cluster").alias("cluster"),
+        F.round(F.col("a.dist2"), 6).alias("dist2"),
+    )
+    return assignments, cent, n_iter
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` contiguous subvectors, k-means each subspace to ``ks``
+    centers, encode every vector as its per-subspace nearest-center
+    code. Returns ``(codes, codebooks)``: codes a DataFrame
+    (id, codes array<int>, recon_err2 double), codebooks an
+    m x ks x (d/m) numpy array.
+
+    Compression: d floats -> m small ints (d=64, m=8, ks=16 is 256x).
+    The codebook fit runs ``m`` independent Lloyd's loops over SLICED
+    vectors (slice is a zero-copy column expr; each loop's shuffle
+    carries ks*(d/m) cells); encoding is ONE scan with m blocked-BLAS
+    argmins fused into a single Arrow kernel. At 100 TB the codes table
+    is what you keep hot for ANN — the float vectors page to cold
+    storage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+    d = int(first["d"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub).alias("sv"),
+        )
+        # hash init here: maximin's ks-1 extra scans x m subspaces would
+        # dominate the fit, and PQ averages away subspace init noise
+        _, cent, _ = kmeans(
+            sliced, k=ks, max_iter=max_iter, id_col=id_col, vec_col="sv",
+            init="hash",
+        )
+        books.append(cent)
+    books_arr = np.stack(books)  # m x ks x sub
+
+    def enc(vs):
+        A = np.stack(vs.to_numpy())
+        codes = np.empty((len(A), m), dtype=np.int32)
+        err = np.zeros(len(A))
+        for j in range(m):
+            S = A[:, j * sub:(j + 1) * sub]
+            C = books_arr[j]
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            idx = np.argmin(d2, axis=1)
+            codes[:, j] = idx
+            err += d2[np.arange(len(idx)), idx]
+        return pd.DataFrame({"codes": list(codes), "recon_err2": np.maximum(err, 0.0)})
+
+    enc_udf = F.pandas_udf(enc, "codes array<int>, recon_err2 double")
+    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    codes = base.withColumn("e", enc_udf(F.col("v"))).select(
+        F.col(id_col),
+        F.col("e.codes").alias("codes"),
+        F.round(F.col("e.recon_err2"), 6).alias("recon_err2"),
+    )
+    return codes, books_arr

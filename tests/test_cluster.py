@@ -1,0 +1,72 @@
+"""Distributed Lloyd's k-means and product quantization (llm/cluster):
+deterministic seeding, convergence behavior, and code quality on
+separable data."""
+
+import numpy as np
+import pytest
+
+
+def _blobs(spark, n=240, d=8, k=3, spread=0.05):
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(k, d)) * 3.0
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = centers[c] + rng.normal(size=d) * spread
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), centers
+
+
+def test_kmeans_recovers_separable_blobs(spark):
+    from eventkit_spark.llm.cluster import kmeans
+
+    df, _ = _blobs(spark)
+    a, cent, n_iter = kmeans(df, k=3, max_iter=10)
+    pdf = a.toPandas().merge(df.select("vec_id", "label").toPandas(), on="vec_id")
+    # every found cluster maps to exactly one true label (purity 1.0 on
+    # well-separated blobs)
+    purity = pdf.groupby("cluster")["label"].nunique()
+    assert (purity == 1).all()
+    assert pdf["cluster"].nunique() == 3
+    assert n_iter <= 10
+
+
+def test_kmeans_inertia_monotone(spark):
+    from eventkit_spark.llm.cluster import kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    i1 = kmeans(emb, k=8, max_iter=1)[0].toPandas().dist2.sum()
+    i5 = kmeans(emb, k=8, max_iter=5)[0].toPandas().dist2.sum()
+    assert i5 <= i1 + 1e-9
+
+
+def test_kmeans_deterministic(spark):
+    from eventkit_spark.llm.cluster import kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans(emb, k=4, max_iter=3)[0].toPandas().sort_values("vec_id")
+    b = kmeans(emb, k=4, max_iter=3)[0].toPandas().sort_values("vec_id")
+    assert (a.cluster.values == b.cluster.values).all()
+    assert np.allclose(a.dist2.values, b.dist2.values)
+
+
+def test_pq_encode_shapes_and_quality(spark):
+    from eventkit_spark.llm.cluster import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes16, books16 = pq_encode(emb, m=8, ks=16, max_iter=3)
+    pdf = codes16.toPandas()
+    assert books16.shape == (8, 16, 8)
+    assert all(len(c) == 8 for c in pdf.codes)
+    assert (pdf.recon_err2 >= 0).all()
+    # a richer codebook reconstructs strictly better on average
+    codes4, _ = pq_encode(emb, m=8, ks=4, max_iter=3)
+    assert pdf.recon_err2.mean() < codes4.toPandas().recon_err2.mean()
+
+
+def test_pq_rejects_bad_subspaces(spark):
+    from eventkit_spark.llm.cluster import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(emb, m=7)

@@ -411,3 +411,41 @@ def test_streaming_llm_text_columns(spark, tmp_path_factory):
     bp3 = {r["doc_id"]: (r["n_lines"], r["n_kept"]) for r in _c4(docs).collect()}
     assert sp3 == bp3 and len(sp3) == 500
     assert {v[1] for v in sp3.values()} == {0, 1}
+
+
+def test_streaming_gopher_and_url_columns(spark, tmp_path_factory):
+    """gopher_rules and url_canonicalize are stateless projections, so
+    they run unchanged over an unbounded stream: streamed == batch."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.text import gopher_rules
+    from eventkit_spark.llm.web import url_canonicalize
+    from eventkit_spark.sources.tables import load_table
+    from eventkit_spark.streaming import file_stream
+
+    path = str(tmp_path_factory.mktemp("docs_stream2"))
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.mode("overwrite").parquet(path)
+
+    sf = file_stream(
+        spark, path,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        value_cols=["text"], ts_col="doc_id",
+    )
+    out = sf.run_available_now(
+        sink_df=gopher_rules(sf.df, min_words=30, min_stop_hits=1), name="ek_gph"
+    )
+    sp = {r["doc_id"]: (r["n_words"], r["keep"]) for r in out.collect()}
+    bp = {r["doc_id"]: (r["n_words"], r["keep"])
+          for r in gopher_rules(docs, min_words=30, min_stop_hits=1).collect()}
+    assert sp == bp and len(sp) == 500
+
+    mkurl = lambda d: d.select(  # noqa: E731
+        "doc_id", F.concat(F.lit("HTTP://"), F.col("source"),
+                           F.lit(".Ex.com/p/"), F.col("doc_id").cast("string"),
+                           F.lit("?utm_source=s#f")).alias("url"))
+    out2 = sf.run_available_now(sink_df=url_canonicalize(mkurl(sf.df)), name="ek_url")
+    sp2 = {r["doc_id"]: (r["canonical"], r["host"]) for r in out2.collect()}
+    bp2 = {r["doc_id"]: (r["canonical"], r["host"])
+           for r in url_canonicalize(mkurl(docs)).collect()}
+    assert sp2 == bp2 and len(sp2) == 500
