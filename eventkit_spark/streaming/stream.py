@@ -757,6 +757,33 @@ class StreamFrame:
             *self.key_cols, F.col("win.start").alias("win_start"), "value", "n"
         )
 
+    def resample(self, duration: str = "1 hour") -> DataFrame:
+        """Streaming twin of the batch OHLC resample (operators/
+        timing.py): tumbling event-time window + min_by/max_by endpoint
+        aggregates — the natural Structured Streaming rollup (run with
+        outputMode('complete') or a watermark + append). Tick-for-tick
+        equal to batch over a drained stream
+        (tests/test_streaming.py::test_streaming_resample_parity)."""
+        v = F.col(self.value_cols[0])
+        ordc = F.struct(
+            F.unix_micros(F.col(self.ts_col).cast("timestamp")).alias("t"),
+        )
+        return (
+            self.df.groupBy(*self.key_cols, F.window(self.ts_col, duration).alias("win"))
+            .agg(
+                F.min_by(v, ordc).alias("open"),
+                F.max(v).alias("high"),
+                F.min(v).alias("low"),
+                F.max_by(v, ordc).alias("close"),
+                F.count("*").alias("n"),
+                F.round(F.sum(v), 6).alias("vsum"),
+            )
+            .select(
+                *self.key_cols, F.col("win.start").alias("win_start"),
+                "open", "high", "low", "close", "n", "vsum",
+            )
+        )
+
     def debounce_last(self, gap: str = "10 minutes") -> DataFrame:
         """Debounce(on_first=False): last value of each rapid burst ==
         session window with the burst gap (timing.py:67-101;

@@ -449,3 +449,41 @@ def test_streaming_gopher_and_url_columns(spark, tmp_path_factory):
     bp2 = {r["doc_id"]: (r["canonical"], r["host"])
            for r in url_canonicalize(mkurl(docs)).collect()}
     assert sp2 == bp2 and len(sp2) == 500
+
+
+def test_streaming_resample_parity(spark, tmp_path_factory):
+    """Streaming OHLC resample (tumbling window + min_by/max_by) ==
+    batch resample tick-for-tick over a drained stream. Endpoint ties
+    break on ts alone in streaming (no seq column); event timestamps
+    are unique per key in the testdata, so the comparison is exact."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.sources.tables import load_events
+    from eventkit_spark.streaming import file_stream
+
+    path = str(tmp_path_factory.mktemp("ev_resample"))
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    ev.df.write.mode("overwrite").parquet(path)
+
+    sf = file_stream(
+        spark, path,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        key_cols=["user_id"],
+    )
+    agg = sf.resample("1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("ek_resample")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT user_id, unix_micros(win_start) AS ws, open, high, low, close, n, vsum"
+        " FROM ek_resample"
+    )
+    batch = ev.resample(3600.0).select(
+        "user_id", (F.col("bucket") * 3600000000).alias("ws"),
+        "open", "high", "low", "close", "n", "vsum",
+    )
+    a = out.toPandas().sort_values(["user_id", "ws"]).reset_index(drop=True)
+    b = batch.toPandas().sort_values(["user_id", "ws"]).reset_index(drop=True)[a.columns]
+    assert a.equals(b) and len(a) == 951
