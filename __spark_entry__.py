@@ -2824,12 +2824,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25": r"""
             WITH base AS (
               SELECT doc_id AS id,
-                     len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl,
                      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
               FROM documents
-            ), tf AS (
-              SELECT id, term, count(*) AS tf, first(dl) AS dl
+            ), tf0 AS (
+              SELECT id, term, count(*) AS tf
               FROM base WHERE term <> '' GROUP BY id, term
+            ), tf AS (
+              SELECT id, term, tf,
+                     (sum(tf) OVER (PARTITION BY id))::BIGINT AS dl
+              FROM tf0
             ), n AS (
               SELECT count(*)::DOUBLE AS n_docs,
                      sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))::DOUBLE AS tot
