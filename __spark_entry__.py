@@ -387,6 +387,14 @@ def q_rolling_time(spark, sf):
     )
 
 
+def q_collocations(spark, sf):
+    # PMI-ranked adjacent-pair collocations (Church & Hanks): the
+    # WordPiece-style merge score next to top_ngrams' raw-count BPE view
+    from eventkit_spark.llm.text import top_collocations
+
+    return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
+
+
 def q_kmeans(spark, sf):
     # engine-native Lloyd's k-means over the embeddings table:
     # hash-seeded (deterministic), blocked-BLAS argmin per Arrow batch,
@@ -1469,13 +1477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     stale-green hazard the judge flagged), concatmap already in (a);
     # (d) the relational block + marquee extras, unchecked since r2;
     # (e) stale r1/r2-green stream ops, oldest verdicts first.
-    # (b2), inserted late in r4 at positions 31-45: the FIFTEEN new
+    # (b2), inserted late in r4 at positions 31-46: the SIXTEEN new
     # ops (gopher/bm25/asof directions/overlap/topk/retention/histogram/
-    # resample/rolling/url/host/bigram/kmeans/pq) need their FIRST
-    # driver verdict, so they sit inside the front-50; that pushes (d)'s
-    # mm_resize_plan..pivot and all of (e) (r1/r2-green,
+    # resample/rolling/url/host/bigram/kmeans/pq/collocations) need
+    # their FIRST driver verdict, so they sit inside the front-50; that
+    # pushes (d)'s mm_frame_sample..pivot and all of (e) (r1/r2-green,
     # replica-verified this session) to 51+. COUNTED: the front-50 now
-    # ends at mm_frame_sample (position 50).
+    # ends at embed_topk (position 50).
     # The tail is everything green in CORRECTNESS_r03 in its current
     # form; unit tests + the replica harness keep those honest.
     return {
@@ -1528,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
+        "collocations": q_collocations,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2768,6 +2777,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canonical) AS n_canonical,
                    count(*) - count(DISTINCT canonical) AS n_dup
             FROM c GROUP BY host""".format(url_canon=_URL_CANON_SQL),
+        "collocations": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w <> '')) AS tok,
+                generate_subscripts(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w <> ''), 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.tok AS w1, b.tok AS w2
+              FROM toks a JOIN toks b ON a.id = b.id AND b.pos = a.pos + 1
+            ), ucnt AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+            tot AS (SELECT sum(cu)::DOUBLE AS n FROM ucnt),
+            bcnt AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+              HAVING count(*) >= 5
+            )
+            SELECT w1, w2, c12,
+              round(ln(c12 * tot.n / (u1.cu * u2.cu)), 6) AS pmi
+            FROM bcnt
+            JOIN ucnt u1 ON u1.tok = bcnt.w1
+            JOIN ucnt u2 ON u2.tok = bcnt.w2
+            CROSS JOIN tot
+            ORDER BY pmi DESC, w1, w2 LIMIT 50""",
         "bigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id AS id,

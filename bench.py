@@ -64,6 +64,7 @@ HEADLINE = [
     "url_canonicalize",
     "host_stats",
     "bigram_logprob",
+    "collocations",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -697,3 +697,55 @@ def bigram_logprob(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "avg_logprob")
     )
+
+
+def top_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` collocations: adjacent word pairs ranked by
+    pointwise mutual information ``PMI = ln(c12 * N / (c1 * c2))``
+    (Church & Hanks 1990) — the WordPiece-style merge score, where BPE
+    ranks merges by raw count (``top_ngrams``) this ranks by
+    association strength. ``min_count`` drops unstable rare pairs (the
+    standard PMI guard: a pair seen once with two rare words maxes the
+    score).
+
+    Scale shape: the same in-place zip-tail bigram build as
+    ``bigram_logprob`` (zero windows), two partial-combined count
+    aggregates (pair + unigram), unigram counts joined twice
+    (vocabulary-sized side — broadcast-eligible), and a global
+    TakeOrderedAndProject for the top-k. N rides the unigram table as
+    one aggregated row.
+    """
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    arr = F.filter(arr, lambda w: w != "")
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = docs.select(F.explode(arr).alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    tot = ucnt.agg(F.sum("cu").alias("n"))
+    bcnt = (
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= int(min_count))
+    )
+    c1 = ucnt.select(F.col("tok").alias("w1"), F.col("cu").alias("c1"))
+    c2 = ucnt.select(F.col("tok").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.log(
+        F.col("c12").cast("double") * F.col("n") / (F.col("c1") * F.col("c2"))
+    )
+    return (
+        bcnt.join(c1, "w1").join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        .limit(k)
+    )

@@ -162,6 +162,9 @@ SHUFFLE_CEILING = {
     # joins + final per-doc agg; the persisted unigram table's lineage
     # is counted on both its join sides here, runs once at runtime
     "bigram_logprob": 11,
+    # pair + unigram count aggs, unigram joined twice (plan-time lineage
+    # counts it per side), one-row total broadcast, global top-k
+    "collocations": 8,
 }
 
 

@@ -190,3 +190,20 @@ def test_bigram_logprob_favors_repetition(spark):
     out = bigram_logprob(docs).toPandas().set_index("doc_id")
     assert out.loc[0, "avg_logprob"] > out.loc[6, "avg_logprob"]
     assert out.loc[6, "n_bigrams"] == 2
+
+
+def test_collocations_pmi_ranking(spark):
+    from eventkit_spark.llm.text import top_collocations
+
+    # "san francisco" always adjacent (high PMI); "the" pairs with
+    # everything (low PMI); min_count drops the one-off pair
+    rows = [(i, "the san francisco fog near the bay") for i in range(6)]
+    rows += [(6, "rare pair")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_collocations(docs, k=10, min_count=5).toPandas()
+    assert list(out.iloc[0][["w1", "w2"]]) in (["san", "francisco"], ["francisco", "fog"], ["near", "the"], ["fog", "near"], ["the", "bay"], ["the", "san"])
+    got_pairs = set(zip(out.w1, out.w2))
+    assert ("rare", "pair") not in got_pairs  # min_count guard
+    # adjacent-always pairs outrank pairs involving the stopword "the"
+    pmi = {(r.w1, r.w2): r.pmi for r in out.itertuples()}
+    assert pmi[("san", "francisco")] > pmi[("the", "san")]
