@@ -395,6 +395,16 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_tfidf_cosine(spark, sf):
+    # all-pairs sparse cosine over tf-idf vectors (posting-list form;
+    # max_df exercises the hot-term df-prune guard)
+    from eventkit_spark.llm.sampling import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        load_table(spark, sf, "documents"), threshold=0.3, max_df=200
+    )
+
+
 def q_kmeans(spark, sf):
     # engine-native Lloyd's k-means over the embeddings table:
     # hash-seeded (deterministic), blocked-BLAS argmin per Arrow batch,
@@ -1537,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "collocations": q_collocations,
+        # (b3) round-4 extension pass — first driver verdict
+        "tfidf_cosine": q_tfidf_cosine,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2777,6 +2789,34 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canonical) AS n_canonical,
                    count(*) - count(DISTINCT canonical) AS n_dup
             FROM c GROUP BY host""".format(url_canon=_URL_CANON_SQL),
+        # all-pairs tf-idf cosine: same smoothed idf as the tfidf
+        # contract, norms over the UNPRUNED weight vectors, df<=200
+        # prune applied only to the pair join (the engine's monotone
+        # hot-term guard), cosine rounded to 6 before the cut
+        "tfidf_cosine": r"""
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), t2 AS (SELECT id, term FROM tok WHERE term <> ''),
+            tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            w AS (
+              SELECT id, term, df, tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0) AS w
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ), nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+            wn AS (
+              SELECT w.id, term, w.w, nrm.nrm FROM w JOIN nrm ON w.id = nrm.id
+              WHERE df <= 200
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     sum(a.w * b.w) / (any_value(a.nrm) * any_value(b.nrm)) AS cos
+              FROM wn a JOIN wn b ON a.term = b.term AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cos FROM p
+            WHERE round(cos, 6) >= 0.3""",
         "collocations": r"""
             WITH toks AS (
               SELECT doc_id AS id,

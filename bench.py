@@ -65,6 +65,7 @@ HEADLINE = [
     "host_stats",
     "bigram_logprob",
     "collocations",
+    "tfidf_cosine",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

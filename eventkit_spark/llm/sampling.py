@@ -475,3 +475,87 @@ def bm25_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", F.round("bm25", 6).alias("bm25"), "rank")
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs document cosine similarity over TF-IDF vectors
+    (Bayardo et al. 2007's all-pairs problem, posting-list form).
+
+    The bag-of-words twin of ``embedding_near_dups``: two documents are
+    similar when the cosine of their tf-idf term vectors crosses
+    ``threshold``. Emits (id_a, id_b, cos) with id_a < id_b, cosine
+    rounded to 6 decimals BEFORE the threshold filter so both engines
+    cut the same set.
+
+    Scale shape (the jaccard posting-list recipe): tokenize ONCE, df as
+    a groupBy(term) aggregate (map-side combined — never a count window
+    over the term, stopwords are the hottest keys in the corpus), doc
+    norms as one window riding the id exchange, then per-term posting
+    lists expanded to (i < j) weight products. The pair exchange carries
+    64-bit term hashes + two doubles, not term strings. ``max_df``
+    df-prunes hot terms BEFORE the pair expansion (bounds every posting
+    list; norms are computed before pruning, so pruning only lowers a
+    pair's cosine — it can never promote a false pair). idf uses the
+    smoothed scikit-learn convention ln((N+1)/(df+1))+1 with the TRUE
+    df, so pruned terms still shape surviving weights identically.
+
+    Reference analog: none (corpus-level op; the reference is a
+    single-stream engine). This is the classic near-dup / similar-doc
+    retrieval primitive over sparse lexical vectors.
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w_tbl = tf.join(df_tbl, "term").withColumn(
+        "w",
+        F.col("tf")
+        * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0),
+    )
+    # doc norm: one window on the id exchange (same ride-along as
+    # jaccard's per-doc set size) — NOT a separate agg + re-join
+    w_tbl = w_tbl.withColumn(
+        "nrm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(W.partitionBy("id")))
+    )
+    if max_df is not None:
+        w_tbl = w_tbl.filter(F.col("df") <= max_df)
+    posts = (
+        w_tbl.select(F.xxhash64("term").alias("t"), "id", "w", "nrm")
+        .groupBy("t")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "w", "nrm"))).alias("lst"))
+        .filter(F.size("lst") >= 2)
+    )
+    lst = F.col("lst")
+    pairs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.greatest(F.size(lst), F.lit(1))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    x.getField("nrm").alias("na"),
+                    y.getField("id").alias("id_b"),
+                    y.getField("nrm").alias("nb"),
+                    (x.getField("w") * y.getField("w")).alias("ww"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        posts.select(F.explode(pairs).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.na", "p.nb")
+        .agg(F.sum("p.ww").alias("dot"))
+    )
+    out = dots.withColumn(
+        "cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    )
+    return out.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")

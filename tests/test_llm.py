@@ -963,3 +963,48 @@ def test_jaccard_verify_equals_inverted_index(spark):
     sub = {(r["id_a"], r["id_b"]) for r in
            jaccard_verify(docs, some, k=3, threshold=0.3).collect()}
     assert sub == set(sorted(exact)[:2])
+
+
+def test_tfidf_cosine_pairs_brute_force_equality(spark):
+    """The posting-list all-pairs cosine must equal a brute-force
+    tf-idf vector cosine computed driver-side (max_df=None so the
+    guard can't hide disagreement), and the max_df prune must only
+    LOWER scores (monotone guard, same law the jaccard prune obeys)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from eventkit_spark.llm.sampling import tfidf_cosine_pairs
+
+    docs = load_table(spark, SF, "documents").limit(120).cache()
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    n = len(rows)
+    tf = {i: Counter(t.lower().strip().split()) for i, t in rows}
+    df = Counter(term for c in tf.values() for term in c)
+    vec = {
+        i: {t: c * (math.log((n + 1) / (df[t] + 1)) + 1.0) for t, c in cnt.items()}
+        for i, cnt in tf.items()
+    }
+    nrm = {i: math.sqrt(sum(w * w for w in v.values())) for i, v in vec.items()}
+    expected = {}
+    ids = sorted(vec)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            small, big = (vec[a], vec[b]) if len(vec[a]) < len(vec[b]) else (vec[b], vec[a])
+            dot = sum(w * big.get(t, 0.0) for t, w in small.items())
+            cos = round(dot / (nrm[a] * nrm[b]), 6)
+            if cos >= 0.3:
+                expected[(a, b)] = cos
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.3).collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) <= 1e-6
+    pruned = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.3, max_df=30).collect()
+    }
+    assert set(pruned) <= set(got)
+    for k, v in pruned.items():
+        assert v <= got[k] + 1e-9

@@ -114,6 +114,9 @@ SHUFFLE_CEILING = {
     "line_dedup": 3,  # skew-safe agg+join form, not a hot-key window
     "redact_pii": 0,
     # round-4 additions
+    # tf agg + df agg + idf join + norm window (id exchange) + posting
+    # agg + pair agg — the jaccard posting-list shape over weights
+    "tfidf_cosine": 7,
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
