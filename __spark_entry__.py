@@ -395,6 +395,19 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_dsir(spark, sf):
+    # DSIR importance weights: train split scored against the test
+    # split's hashed-unigram distribution (leak-free selection framing)
+    from eventkit_spark.llm.sampling import dsir_logratio, split_by_hash
+
+    docs = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    return dsir_logratio(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        buckets=256,
+    )
+
+
 def q_tfidf_cosine(spark, sf):
     # all-pairs sparse cosine over tf-idf vectors (posting-list form;
     # max_df exercises the hot-term df-prune guard)
@@ -1549,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         # (b3) round-4 extension pass — first driver verdict
         "tfidf_cosine": q_tfidf_cosine,
+        "dsir": q_dsir,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2789,6 +2803,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canonical) AS n_canonical,
                    count(*) - count(DISTINCT canonical) AS n_dup
             FROM c GROUP BY host""".format(url_canon=_URL_CANON_SQL),
+        # DSIR: hashed-unigram importance log-ratio, train scored
+        # against test; the text_embed fingerprint fold mod 256,
+        # Laplace(1) over the bucket vocabulary, exact integer totals
+        "dsir": r"""
+            WITH sp AS (
+              SELECT doc_id, text,
+                     CASE WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 800 THEN 'train'
+                          WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 900 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, split,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM sp
+            ), t2 AS (SELECT doc_id, split, term FROM tok WHERE term <> ''),
+            b AS (
+              SELECT doc_id, split,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(term) + 1),
+                                      i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) % 256 AS bucket
+              FROM t2
+            ),
+            raw_db AS (SELECT doc_id, bucket, count(*) AS c FROM b WHERE split = 'train' GROUP BY 1, 2),
+            raw_f AS (SELECT bucket, sum(c) AS cr FROM raw_db GROUP BY 1),
+            tgt_f AS (SELECT bucket, count(*) AS ct FROM b WHERE split = 'test' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(cr) FROM raw_f) AS tr,
+                           (SELECT count(*) FROM b WHERE split = 'test') AS tt),
+            w AS (
+              SELECT raw_f.bucket,
+                     ln((coalesce(ct, 0) + 1.0) / (tt + 256.0))
+                     - ln((cr + 1.0) / (tr + 256.0)) AS lw
+              FROM raw_f LEFT JOIN tgt_f ON raw_f.bucket = tgt_f.bucket CROSS JOIN tot
+            )
+            SELECT doc_id, round(sum(c * lw), 6) AS logw
+            FROM raw_db JOIN w USING (bucket) GROUP BY doc_id""",
         # all-pairs tf-idf cosine: same smoothed idf as the tfidf
         # contract, norms over the UNPRUNED weight vectors, df<=200
         # prune applied only to the pair join (the engine's monotone

@@ -66,6 +66,7 @@ HEADLINE = [
     "bigram_logprob",
     "collocations",
     "tfidf_cosine",
+    "dsir",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -559,3 +559,87 @@ def tfidf_cosine_pairs(
         "cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
     )
     return out.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling").
+
+    Scores every raw-corpus document by how target-like its hashed
+    unigram distribution is:
+
+        logw(doc) = sum over tokens t of
+                    ln p_target(f(t)) - ln p_raw(f(t))
+
+    with ``f`` = the engine-portable fingerprint fold mod ``buckets``
+    (the ``hash_embed`` feature space) and add-``smoothing`` Laplace
+    estimates over the bucket vocabulary. Downstream selection is
+    composition: rank by logw (``train_order`` for a global order,
+    or a threshold filter) and keep the target-like head.
+
+    Scale shape: each side is tokenized ONCE and immediately reduced —
+    the raw side to a (doc, bucket, count) aggregate (shuffles carry
+    (id, int) pairs, never text), the target side straight to
+    ``buckets`` rows. The feature log-ratio table is at most ``buckets``
+    rows, so it broadcasts back onto the per-doc aggregate; corpus
+    totals are collected driver-side as exact integers (two scalar
+    rows, not data). At 100 TB the only data-sized exchange is the one
+    (doc, bucket) hash aggregate.
+
+    Returns (doc_id, logw) with logw rounded to 6 decimals. Reference
+    analog: none (corpus op; public-recipe extension).
+    """
+    def _buckets(frame):
+        from .text import fingerprint
+
+        toks = frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        ).filter(F.col("term") != "")
+        return toks.select("id", (fingerprint(F.col("term")) % buckets).alias("bucket"))
+
+    from pyspark import StorageLevel
+
+    # persist both reduced tables: raw_db feeds the feature counts AND
+    # the scoring join (one corpus text scan, not three — the persisted
+    # form is (id, bucket, c) ints, orders smaller than the text), and
+    # tgt_f is the classic buckets-sized cacheable dimension
+    raw_db = (
+        _buckets(docs)
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    raw_f = raw_db.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt_f = (
+        _buckets(target)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot_r = int(raw_f.agg(F.sum("cr")).collect()[0][0] or 0)
+    tot_t = int(tgt_f.agg(F.sum("ct")).collect()[0][0] or 0)
+    s = float(smoothing)
+    w_tbl = (
+        raw_f.join(tgt_f, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + s) / F.lit(tot_t + s * buckets))
+                - F.log((F.col("cr") + s) / F.lit(tot_r + s * buckets))
+            ).alias("lw"),
+        )
+    )
+    out = (
+        raw_db.join(F.broadcast(w_tbl), "bucket")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("logw"))
+    )
+    return out.select(F.col("id").alias(id_col), "logw")

@@ -1008,3 +1008,21 @@ def test_tfidf_cosine_pairs_brute_force_equality(spark):
     assert set(pruned) <= set(got)
     for k, v in pruned.items():
         assert v <= got[k] + 1e-9
+
+
+def test_dsir_logratio_ranks_target_like_docs_higher(spark):
+    """A raw doc sharing the target's token distribution must out-score
+    a raw doc disjoint from it; the buckets-sized weight table must
+    BROADCAST onto the scoring join (the 100 TB shape)."""
+    from eventkit_spark.llm.sampling import dsir_logratio
+    from eventkit_spark.plans.audit import physical_plan
+
+    raw = spark.createDataFrame(
+        [(0, "alpha alpha beta alpha"), (1, "zog zog qux zog")],
+        ["doc_id", "text"],
+    )
+    tgt = spark.createDataFrame([(9, "alpha beta alpha alpha")], ["doc_id", "text"])
+    out = dsir_logratio(raw, tgt, buckets=64)
+    got = {r["doc_id"]: r["logw"] for r in out.collect()}
+    assert got[0] > got[1]
+    assert "BroadcastHashJoin" in physical_plan(out)

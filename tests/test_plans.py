@@ -117,6 +117,12 @@ SHUFFLE_CEILING = {
     # tf agg + df agg + idf join + norm window (id exchange) + posting
     # agg + pair agg — the jaccard posting-list shape over weights
     "tfidf_cosine": 7,
+    # plan-time lineage: the persisted (id,bucket,c) aggregate appears
+    # under BOTH the weight-table and scoring sides (and tgt_f under the
+    # broadcast), so tokenize chains are COUNTED thrice; at runtime each
+    # side's text is scanned once and the broadcast weight table is
+    # buckets-sized
+    "dsir": 10,
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
