@@ -395,6 +395,14 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_char_entropy(spark, sf):
+    # zero-shuffle Arrow entropy kernel + codegen composition ratios;
+    # the oracle pays the per-char explode this kernel avoids
+    from eventkit_spark.llm.text import char_entropy
+
+    return char_entropy(load_table(spark, sf, "documents"))
+
+
 def q_dsir(spark, sf):
     # DSIR importance weights: train split scored against the test
     # split's hashed-unigram distribution (leak-free selection framing)
@@ -1563,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b3) round-4 extension pass — first driver verdict
         "tfidf_cosine": q_tfidf_cosine,
         "dsir": q_dsir,
+        "char_entropy": q_char_entropy,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2803,6 +2812,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canonical) AS n_canonical,
                    count(*) - count(DISTINCT canonical) AS n_dup
             FROM c GROUP BY host""".format(url_canon=_URL_CANON_SQL),
+        # char entropy: the oracle brute-forces the per-char explode the
+        # engine's Arrow kernel avoids; ASCII digit/upper classes only
+        # (portable regex semantics)
+        "char_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, substr(text, i, 1) AS c
+              FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+            ), cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+            n AS (SELECT doc_id, length(text) AS n FROM documents),
+            e AS (
+              SELECT cc.doc_id,
+                     -sum((cnt / n.n::DOUBLE) * ln(cnt / n.n::DOUBLE) / ln(2)) AS ent
+              FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id
+            )
+            SELECT n.doc_id, n.n AS n_chars,
+                   round(coalesce(e.ent, 0.0), 6) AS entropy,
+                   round(coalesce(length(regexp_replace(d.text, '[^0-9]', '', 'g'))
+                         / nullif(n.n, 0)::DOUBLE, 0.0), 6) AS digit_ratio,
+                   round(coalesce(length(regexp_replace(d.text, '[^A-Z]', '', 'g'))
+                         / nullif(n.n, 0)::DOUBLE, 0.0), 6) AS upper_ratio
+            FROM n JOIN documents d USING (doc_id)
+            LEFT JOIN e ON e.doc_id = n.doc_id""",
         # DSIR: hashed-unigram importance log-ratio, train scored
         # against test; the text_embed fingerprint fold mod 256,
         # Laplace(1) over the bucket vocabulary, exact integer totals

@@ -67,6 +67,7 @@ HEADLINE = [
     "collocations",
     "tfidf_cosine",
     "dsir",
+    "char_entropy",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -749,3 +749,54 @@ def top_collocations(
         .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
         .limit(k)
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy + composition ratios per doc —
+    the cheap gibberish/boilerplate detector (low entropy = repeated
+    filler, high entropy = random noise; both are filtered tails in
+    public pipeline recipes alongside the Gopher/C4 rules).
+
+    Returns (id, n_chars, entropy, digit_ratio, upper_ratio); entropy
+    in bits, everything rounded to 6 decimals.
+
+    Scale shape: the ratios are pure codegen Column expressions and the
+    entropy is an Arrow-batched pandas kernel over the doc's OWN text —
+    ZERO shuffles, embarrassingly parallel, no per-char explode (the
+    SQL-oracle form explodes ~10^14 char rows at 100 TB; the kernel
+    reads each text exactly once in place). Histogram order is fixed
+    (sorted codepoints) so the float sum is deterministic.
+
+    Reference analog: none (corpus op; public-recipe extension).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def _kernel(texts):
+        def one(t):
+            if not t:
+                return 0.0
+            _, counts = np.unique(np.array(list(t)), return_counts=True)
+            p = counts / counts.sum()
+            return float(-(p * np.log2(p)).sum())
+
+        return texts.map(one)
+
+    _ent = F.pandas_udf(_kernel, "double")
+
+    t = F.col(text_col)
+    n = F.length(t)
+    safe = F.when(n > 0, n.cast("double"))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.round(_ent(t), 6).alias("entropy"),
+        F.round(
+            F.coalesce(F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe, F.lit(0.0)), 6
+        ).alias("digit_ratio"),
+        F.round(
+            F.coalesce(F.length(F.regexp_replace(t, r"[^A-Z]", "")) / safe, F.lit(0.0)), 6
+        ).alias("upper_ratio"),
+    )

@@ -1026,3 +1026,23 @@ def test_dsir_logratio_ranks_target_like_docs_higher(spark):
     got = {r["doc_id"]: r["logw"] for r in out.collect()}
     assert got[0] > got[1]
     assert "BroadcastHashJoin" in physical_plan(out)
+
+
+def test_char_entropy_known_values_and_no_shuffle(spark):
+    """Closed-form checks: a one-symbol string has 0 bits, a perfectly
+    balanced binary string has exactly 1 bit; the plan must contain NO
+    exchange (the kernel reads each doc's text in place)."""
+    from eventkit_spark.llm.text import char_entropy
+    from eventkit_spark.plans.audit import count_shuffles
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, ""), (3, "aA1a")],
+        ["doc_id", "text"],
+    )
+    out = char_entropy(docs)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["entropy"] == 0.0
+    assert got[1]["entropy"] == 1.0
+    assert got[2]["entropy"] == 0.0 and got[2]["n_chars"] == 0
+    assert got[3]["digit_ratio"] == 0.25 and got[3]["upper_ratio"] == 0.25
+    assert count_shuffles(out) == 0

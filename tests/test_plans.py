@@ -123,6 +123,7 @@ SHUFFLE_CEILING = {
     # side's text is scanned once and the broadcast weight table is
     # buckets-sized
     "dsir": 10,
+    "char_entropy": 0,  # Arrow kernel + codegen ratios, pure scan
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
