@@ -395,6 +395,40 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_pq_topk(spark, sf):
+    """ADC+refine recall contract: PQ top-10 (m=16 x 64-center
+    codebooks, ADC shortlist k*4, exact L2 re-rank) scored against the
+    exact squared-L2 top-10. Bounds measured at every provided SF with
+    >=2x margin (per-query min 0.6, mean 0.8-0.95; PQ is fully
+    deterministic, so the values cannot drift run-to-run): every query
+    must keep recall@10 >= 0.3 and the panel mean >= 0.6. The oracle is
+    constant TRUE — the bound-holds booleans are the contract."""
+    from eventkit_spark.llm.cluster import pq_topk
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    adc = pq_topk(emb, q, k=10, m=16, ks=64, max_iter=3, refine=4)
+    exact = brute_force_topk(emb, q, k=10, metric="l2")
+    hit = adc.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    rec = hit.groupBy("query_id").agg((F.count("*") / 10.0).alias("recall"))
+    qs = q.select(F.col("vec_id").alias("query_id"))
+    per_q = qs.join(rec, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+    mean_tbl = per_q.agg(F.avg("recall").alias("mean_recall"))
+    return (
+        per_q.crossJoin(F.broadcast(mean_tbl))
+        .select(
+            "query_id",
+            (F.col("recall") >= 0.3).alias("recall_ok"),
+            (F.col("mean_recall") >= 0.6).alias("mean_ok"),
+        )
+    )
+
+
 def q_char_entropy(spark, sf):
     # zero-shuffle Arrow entropy kernel + codegen composition ratios;
     # the oracle pays the per-char explode this kernel avoids
@@ -1572,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "dsir": q_dsir,
         "char_entropy": q_char_entropy,
+        "pq_topk": q_pq_topk,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2812,6 +2847,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canonical) AS n_canonical,
                    count(*) - count(DISTINCT canonical) AS n_dup
             FROM c GROUP BY host""".format(url_canon=_URL_CANON_SQL),
+        # bounded contract (approx_agg pattern): PQ/ADC recall bounds
+        # hold per query and on the panel mean; oracle is constant TRUE
+        "pq_topk": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+            FROM embeddings WHERE vec_id < 10""",
         # char entropy: the oracle brute-forces the per-char explode the
         # engine's Arrow kernel avoids; ASCII digit/upper classes only
         # (portable regex semantics)

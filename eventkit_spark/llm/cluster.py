@@ -232,3 +232,132 @@ def pq_encode(
         F.round(F.col("e.recon_err2"), 6).alias("recon_err2"),
     )
     return codes, books_arr
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou et
+    al. 2011 §IV-A): encode the corpus once with ``pq_encode``, build a
+    per-query m x ks lookup table of partial squared distances to every
+    codebook center, and approximate
+
+        dist2(q, x) ≈ sum_j LUT[q][j][code_j(x)]
+
+    so scoring a vector costs ``m`` table lookups instead of a d-dim
+    product against the ORIGINAL floats — the billion-scale pattern
+    where only the codes table (m bytes/vector) stays hot.
+
+    Returns (query_id, neighbor_id, adc_dist2, rank<=k), self-matches
+    excluded, ties broken by neighbor id. Scale shape: the LUT stack is
+    nq x m x ks doubles (kilobytes) shipped in the kernel closure; each
+    Arrow batch scores ALL queries with m fancy-indexed adds and emits
+    only its LOCAL top-(k+1) per query, so the final exchange carries
+    ~nq*(k+1) rows per partition — never the corpus. ADC distances are
+    per-row deterministic (fixed j-order sums), so results don't depend
+    on partitioning.
+
+    ``refine=r`` (r>1) adds the standard re-rank stage (IVFADC+R,
+    Jégou et al. 2011 §V): take the ADC top-(k*r) shortlist, fetch the
+    TRUE vectors for just those ~nq*k*r ids (an id equi-join against
+    the corpus — AQE broadcasts the tiny shortlist), and re-rank by
+    exact squared L2. Output column becomes ``dist2`` (exact); the
+    quantization error then only costs recall, never distance fidelity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codes, books = pq_encode(
+        corpus, m=m, ks=ks, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    sub = books.shape[2]
+    ks = books.shape[1]  # actual centers (kmeans clips at #corpus rows)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = [r["qid"] for r in qrows]
+    Q = np.stack([np.array(r["qv"]) for r in qrows])
+    nq = len(qids)
+    luts = np.empty((nq, m, ks))
+    for j in range(m):
+        C = books[j]
+        S = Q[:, j * sub:(j + 1) * sub]
+        luts[:, j, :] = (
+            (S * S).sum(axis=1, keepdims=True) - 2.0 * (S @ C.T) + (C * C).sum(axis=1)
+        )
+    k_short = k * refine if refine and refine > 1 else k
+    kk = k_short + 1  # survive self-match removal
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            D = np.zeros((nq, len(ids)))
+            for j in range(m):
+                D += luts[:, j, Cm[:, j]]
+            take = min(kk, len(ids))
+            part = np.argpartition(D, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                sel = part[qi]
+                out_q.extend([qids[qi]] * len(sel))
+                out_n.extend(ids[sel])
+                out_d.extend(D[qi, sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist2": out_d}
+            )
+
+    base = codes.select(F.col(id_col).alias("id"), "codes")
+    local = base.mapInPandas(
+        kern, "query_id long, neighbor_id long, adc_dist2 double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist2"), F.col("neighbor_id"))
+    short = (
+        local.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_short)
+    )
+    if not (refine and refine > 1):
+        return short.select(
+            "query_id", "neighbor_id",
+            F.round("adc_dist2", 6).alias("adc_dist2"), "rank",
+        )
+    # exact re-rank: true vectors fetched ONLY for the shortlist ids
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    lut_q = {int(qid): i for i, qid in enumerate(qids)}
+    qvec_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in Q[i]]) for i in range(nq)
+    ])
+    # query vectors as a literal nq x d array (kilobytes in the plan),
+    # indexed by a small map — avoids a second broadcast join
+    qidx = F.create_map(*[
+        x for qid, i in lut_q.items() for x in (F.lit(qid), F.lit(i))
+    ])
+    joined = short.select("query_id", "neighbor_id").join(vecs, "neighbor_id")
+    qv = F.element_at(qvec_lit, qidx[F.col("query_id")] + 1)
+    d2 = F.aggregate(
+        F.zip_with(qv, F.col("nv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("dist2"), F.col("neighbor_id"))
+    return (
+        joined.withColumn("dist2", d2)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rank")
+    )

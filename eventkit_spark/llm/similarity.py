@@ -67,12 +67,15 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+    """Exact top-k of ``corpus`` for each row of ``queries``.
 
-    Returns (query_id, neighbor_id, cos) with rank<=k per query,
-    excluding self-matches. Queries are broadcast; ties broken by
-    neighbor id for determinism.
+    ``metric="cosine"`` (default) returns (query_id, neighbor_id, cos)
+    ranked by descending cosine; ``metric="l2"`` returns (query_id,
+    neighbor_id, dist2) ranked by ascending squared L2 (the PQ/ADC
+    ground truth). rank<=k per query, self-matches excluded, ties
+    broken by neighbor id for determinism. Queries are broadcast.
     """
     from pyspark.sql import Window as W
 
@@ -82,15 +85,26 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    if metric == "cosine":
+        scored = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        val = "cos"
+    elif metric == "l2":
+        d2 = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = joined.withColumn("dist2", d2)
+        w = W.partitionBy("query_id").orderBy(F.col("dist2"), F.col("neighbor_id"))
+        val = "dist2"
+    else:
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+        .select("query_id", "neighbor_id", val, "rank")
     )
 
 

@@ -1046,3 +1046,39 @@ def test_char_entropy_known_values_and_no_shuffle(spark):
     assert got[2]["entropy"] == 0.0 and got[2]["n_chars"] == 0
     assert got[3]["digit_ratio"] == 0.25 and got[3]["upper_ratio"] == 0.25
     assert count_shuffles(out) == 0
+
+
+def test_pq_topk_lossless_when_codebook_covers_points(spark):
+    """With ks >= #distinct subvectors PQ is lossless (every subvector
+    IS a centroid), so pure-ADC top-k must EQUAL the exact squared-L2
+    top-k — the full-probe-style invariant that proves the LUT/argmin/
+    local-topk machinery without tolerating quantization error. The
+    refine path must additionally report EXACT distances."""
+    import math
+    import random
+
+    from eventkit_spark.llm.cluster import pq_topk
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["dist2"], 6))
+        for r in brute_force_topk(emb, q, k=5, metric="l2").collect()
+    }
+    adc = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["adc_dist2"], 6))
+        for r in pq_topk(emb, q, k=5, m=2, ks=32, max_iter=4).collect()
+    }
+    assert set(adc) == set(exact)
+    for key in exact:
+        assert adc[key][0] == exact[key][0]
+        assert math.isclose(adc[key][1], exact[key][1], abs_tol=1e-5)
+    refined = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dist2"])
+        for r in pq_topk(emb, q, k=5, m=2, ks=32, max_iter=4, refine=2).collect()
+    }
+    for key in exact:
+        assert refined[key] == exact[key]
