@@ -68,6 +68,11 @@ HEADLINE = [
     "tfidf_cosine",
     "dsir",
     "char_entropy",
+    "containment",
+    "rfm",
+    "novelty",
+    "tpch_q5",
+    "anomaly",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -432,6 +432,9 @@ class EventFrame:
     def rolling(self, seconds: float, min_periods: int = 1):
         return _timing.rolling(self, seconds, min_periods)
 
+    def anomaly(self, seconds: float, z: float = 3.0, min_periods: int = 2):
+        return _timing.anomaly(self, seconds, z, min_periods)
+
     def sample(self, timer: "EventFrame"):
         return _timing.sample(self, timer)
 

@@ -83,6 +83,21 @@ def ngram_jaccard_pairs(
     score, never promote a non-pair. Pick max_df >> expected duplicate
     group size so true near-dup pairs keep their discriminative shingles.
     """
+    inter = _pair_counts(docs, k, text_col, id_col, max_df)
+    return (
+        inter.withColumn(
+            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_counts(docs, k, text_col, id_col, max_df):
+    """Shared posting-list core: (id_a, id_b, na, nb, common) for every
+    document pair sharing >=1 (surviving) shingle — the intersection
+    table jaccard/containment scores are pure arithmetic over.
+    """
     from pyspark.sql import Window as W
 
     # Posting-list formulation: shingle the corpus ONCE (the regex pass
@@ -138,17 +153,46 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    inter = (
+    return (
         posts.select(F.explode(pairs).alias("p"))
         .groupBy("p.id_a", "p.id_b", "p.na", "p.nb")
         .agg(F.count("*").alias("common"))
     )
-    return (
-        inter.withColumn(
-            "jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (Broder 1997's containment
+    coefficient): c(A in B) = |A∩B| / |A|.
+
+    Catches what Jaccard structurally can't: a short document embedded
+    verbatim in a much longer one scores containment ~1 while its
+    Jaccard ~|A|/|B| vanishes — the quote/boilerplate/subset-dup case
+    in pretraining corpora. Emits (id_a, id_b, cont_ab, cont_ba) with
+    id_a < id_b for pairs where EITHER direction crosses ``threshold``
+    (both directions reported, rounded to 6 before the cut so engines
+    agree at the boundary).
+
+    Same posting-list plan as ``ngram_jaccard_pairs`` (shared core):
+    one shingle scan, df-pruning via ``max_df`` (prune only LOWERS
+    containment — set sizes are pre-prune), pair exchange carries
+    hashes + counts only.
+    """
+    inter = _pair_counts(docs, k, text_col, id_col, max_df)
+    out = inter.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("common") / F.col("na"), 6).alias("cont_ab"),
+        F.round(F.col("common") / F.col("nb"), 6).alias("cont_ba"),
+    )
+    return out.filter(
+        (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
     )
 
 
@@ -867,4 +911,51 @@ def jaccard_verify(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's distinct
+    word ``k``-grams whose FIRST corpus occurrence (min doc id) is this
+    doc — the marginal-new-content signal curation pipelines use to
+    down-rank shards that only restate earlier data (the doc-level twin
+    of ``substring_dedup``'s span view).
+
+    Returns (doc_id, n_shingles, novelty) with novelty in [0, 1]
+    rounded to 6 (1.0 = every shingle first seen here; the lowest-id
+    doc of any duplicate family scores 1 by construction).
+
+    Scale shape: ONE distinct (id, shingle-hash) exchange; first
+    occurrence is a min AGGREGATE on the shingle (map-side combined —
+    never a window over the shingle: boilerplate shingles are the
+    hottest keys in the corpus, the line_dedup lesson) joined back, and
+    the per-doc fraction is one id-keyed aggregate. Shuffles carry
+    64-bit hashes + ids only.
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+        )
+        .select("id", F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .select(F.col("id").alias(id_col), "n_shingles", "novelty")
     )

@@ -550,3 +550,42 @@ def histogram(
         )
         .withColumn("bin_lo", F.round(F.lit(float(lo)) + F.col("bin") * wd, 6))
     )
+
+
+def rfm(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation aggregate: per entity, Recency (seconds from
+    the entity's last event to the corpus's last event), Frequency
+    (event count) and Monetary (value sum) — the classic
+    behavioral-cohort primitive next to ``retention``/``funnel``.
+
+    Output: (key, recency_s, frequency, monetary) — recency as whole
+    seconds (integer micros difference, floor-divided, exact across
+    engines), monetary rounded to 6.
+
+    Scale shape: ONE partial-combined hash aggregate on the key (the
+    shuffle carries one cell per entity) plus a 1-row corpus-max
+    aggregate broadcast back — no windows, no event-stream sort. Scores
+    /quintiles are downstream composition (``histogram`` or ntile over
+    the ALREADY-AGGREGATED entity table, never the event stream).
+    """
+    t = _tnum(F.col(ts_col))
+    per = df.groupBy(F.col(by).alias("key")).agg(
+        F.max(t).alias("__last"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col(value_col)), 6).alias("monetary"),
+    )
+    corpus_max = df.agg(F.max(t).alias("__cmax"))
+    return (
+        per.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "key",
+            F.floor(F.col("__cmax") - F.col("__last")).cast("long").alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
+    )

@@ -308,3 +308,43 @@ def rolling(ef, seconds: float, min_periods: int = 1):
     )
     df = df.withColumn("roll_n", F.when(gate, F.col("roll_n")))
     return ef._with(df=df, value_cols=[*ef.value_cols, "roll_sum", "roll_n", "roll_mean"])
+
+
+def anomaly(ef, seconds: float, z: float = 3.0, min_periods: int = 2):
+    """Trailing-window z-score anomaly flags per key: each row scored
+    against the mean/population-std of its own trailing
+    ``[ts - seconds, ts]`` event-time window (current row included —
+    the streaming-monitor convention), flagged when |z| crosses ``z``.
+
+    Adds ``roll_n`` / ``zscore`` / ``is_anomaly``; zscore is NULL (and
+    the flag false) until the frame holds ``min_periods`` rows or while
+    the window is constant (std = 0). zscore is rounded to 6 BEFORE the
+    threshold compare so engines agree at the boundary.
+
+    Scale shape: ONE key shuffle with a sliding RANGE frame over
+    integer epoch micros (same exchange as ``rolling`` — Spark
+    maintains the frame incrementally per partition). No self-join, no
+    per-row rescan; fully parallel per key.
+
+    Reference analog: none (the reference's timing ops cut or thin the
+    stream); this is the event-analytics alarm primitive the batch/
+    streaming engine adds.
+    """
+    if not ef.ts_col:
+        raise ValueError("anomaly() needs an event-time column")
+    rng = int(round(seconds * 1e6))
+    w = wkey(ef).orderBy(ts_micros(F.col(ef.ts_col))).rangeBetween(-rng, 0)
+    v = F.col(ef.value_cols[0])
+    df = ef.df.withColumn("roll_n", F.count(v).over(w))
+    mean = F.avg(v).over(w)
+    std = F.stddev_pop(v).over(w)
+    zc = F.when(
+        (F.col("roll_n") >= int(min_periods)) & (std > 0),
+        F.round((v - mean) / std, 6),
+    )
+    df = df.withColumn("zscore", zc)
+    df = df.withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) >= float(z), F.lit(False)),
+    )
+    return ef._with(df=df, value_cols=[*ef.value_cols, "zscore", "is_anomaly"])

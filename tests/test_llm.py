@@ -1082,3 +1082,34 @@ def test_pq_topk_lossless_when_codebook_covers_points(spark):
     }
     for key in exact:
         assert refined[key] == exact[key]
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long doc: containment(A in B)
+    = 1.0 while jaccard is small — the asymmetric signal is the point."""
+    from eventkit_spark.llm.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    cont = ngram_containment_pairs(docs, k=3, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["cont_ab"] == 1.0
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert jac == []  # jaccard ~ |A|/|B| << 0.5 for the same pair
+
+
+def test_ngram_novelty_duplicate_family(spark):
+    """The lowest-id member of a duplicate family scores 1.0, an exact
+    copy scores 0.0, and a half-overlapping doc scores its fresh-shingle
+    fraction exactly."""
+    from eventkit_spark.llm.dedup import ngram_novelty
+
+    a = "one two three four five six"           # 4 shingles, all first
+    b = a                                        # copy: 0 novel
+    c = "one two three nine ten eleven twelve"  # shares 'one two three'
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, k=3).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_shingles"] == 4
+    assert got[2]["novelty"] == 0.0
+    # c: 5 shingles, 'one two three' seen in doc 1 -> 4/5 novel
+    assert got[3]["n_shingles"] == 5 and got[3]["novelty"] == 0.8

@@ -124,6 +124,13 @@ SHUFFLE_CEILING = {
     # buckets-sized
     "dsir": 10,
     "char_entropy": 0,  # Arrow kernel + codegen ratios, pure scan
+    "containment": 7,  # shared _pair_counts core — same shape as jaccard
+    "rfm": 3,  # key agg + 1-row corpus-max agg, no window
+    # distinct (id,hash) + shingle min-agg + join + id agg — agg-join
+    # form, no hot-shingle window (the line_dedup shape)
+    "novelty": 4,
+    "anomaly": 1,  # one key shuffle, sliding RANGE frame (rolling's twin)
+    "tpch_q5": 5,  # fact shuffles only; nation/region broadcast
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
@@ -299,3 +306,16 @@ def test_takeuntil_no_fact_reshuffle(spark):
     import __spark_entry__ as e
 
     assert_broadcast_join(e.q_takeuntil(spark, SF), execute=True)
+
+
+def test_tpch_q5_pushdown_and_broadcast(spark):
+    """Q5's date predicate must reach the orders parquet scan and the
+    nation/region dimensions must broadcast — the 6-table join's only
+    data-sized exchanges are the fact-side shuffles."""
+    import __spark_entry__ as e
+    from eventkit_spark.plans.audit import physical_plan
+
+    plan = physical_plan(e.q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert scan_lines, "date predicate not pushed to the orders scan"

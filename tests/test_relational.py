@@ -207,3 +207,24 @@ def test_collocations_pmi_ranking(spark):
     # adjacent-always pairs outrank pairs involving the stopword "the"
     pmi = {(r.w1, r.w2): r.pmi for r in out.itertuples()}
     assert pmi[("san", "francisco")] > pmi[("the", "san")]
+
+
+def test_rfm_known_values(spark):
+    """Closed-form RFM on a 2-user toy stream; plan = one key aggregate
+    + a broadcast 1-row corpus max (no event-stream window)."""
+    import datetime as dt
+
+    from eventkit_spark.operators.relational import rfm
+    from eventkit_spark.plans.audit import count_shuffles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0), (1, t0 + dt.timedelta(seconds=100), 5.5),
+        (2, t0 + dt.timedelta(seconds=40), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["key"]: r for r in rfm(df).collect()}
+    assert got[1]["recency_s"] == 0 and got[1]["frequency"] == 2 and got[1]["monetary"] == 15.5
+    assert got[2]["recency_s"] == 60 and got[2]["frequency"] == 1 and got[2]["monetary"] == 2.0
+    # key agg + the 1-row corpus-max agg (partial+final) — no window
+    assert count_shuffles(rfm(df)) <= 3

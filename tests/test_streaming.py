@@ -412,6 +412,15 @@ def test_streaming_llm_text_columns(spark, tmp_path_factory):
     assert sp3 == bp3 and len(sp3) == 500
     assert {v[1] for v in sp3.values()} == {0, 1}
 
+    # char_entropy: the Arrow entropy kernel is per-row stateless, so
+    # the same plan runs over the unbounded stream: streamed == batch
+    from eventkit_spark.llm.text import char_entropy
+
+    out4 = sf.run_available_now(sink_df=char_entropy(sf.df), name="ek_llm4")
+    sp4 = {r["doc_id"]: (r["entropy"], r["digit_ratio"]) for r in out4.collect()}
+    bp4 = {r["doc_id"]: (r["entropy"], r["digit_ratio"]) for r in char_entropy(docs).collect()}
+    assert sp4 == bp4 and len(sp4) == 500
+
 
 def test_streaming_gopher_and_url_columns(spark, tmp_path_factory):
     """gopher_rules and url_canonicalize are stateless projections, so

@@ -175,3 +175,23 @@ def test_rolling_time_window(spark):
     # min_periods gates early rows to NULL
     rows2 = ef.rolling(2.0, min_periods=2).df.orderBy("seq").collect()
     assert [r["roll_sum"] for r in rows2] == [None, 3, 7, None]
+
+
+def test_anomaly_known_spike(spark):
+    """A flat series with one spike: only the spike row is flagged; the
+    warm-up row (roll_n=1) and zero-variance rows stay NULL/false."""
+    import datetime as dt
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=10 * i), 1, float(v))
+            for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 50.0, 5.0])]
+    df = spark.createDataFrame(rows, ["seq", "ts", "k", "value"])
+    ef = from_dataframe(df, value_cols=["value"], seq_col="seq", ts_col="ts", key_cols=["k"])
+    got = {r["seq"]: r for r in ef.anomaly(1000.0, z=2.0).df.collect()}
+    assert got[0]["zscore"] is None and not got[0]["is_anomaly"]
+    assert got[1]["zscore"] is None  # zero variance -> no score
+    # closed form: mean=14, pop-std=18 -> z = (50-14)/18 = 2.0 exactly
+    assert got[4]["is_anomaly"] and got[4]["zscore"] == 2.0
+    assert not got[5]["is_anomaly"]  # spike inflates trailing std
