@@ -395,6 +395,19 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_ivfpq(spark, sf):
+    # IVFADC production form: partial probe (recall < 1 by design —
+    # rows-only, the embed_ivf convention; routing correctness is
+    # pinned by the full-probe == pq_topk unit equivalence)
+    from eventkit_spark.llm.cluster import ivfpq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=10, n_cells=16, nprobe=4, m=8, ks=32, max_iter=2, refine=4,
+    )
+
+
 def q_anomaly(spark, sf):
     # trailing 1h z-score alarms per user (RANGE frame over epoch
     # micros, same single key exchange as rolling_time); z cut on the
@@ -1710,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly weaker prior evidence; replica-verified this session,
         # rotates into the window next round
         "tpch_q5": q_tpch_q5,
+        "ivfpq": q_ivfpq,
         # rows-only residue with CURRENT r3 driver verdicts (their check
         # is rows-only, so the window slot buys little): moved out to
         # make room for the six r4 extension contracts above

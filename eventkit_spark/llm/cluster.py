@@ -361,3 +361,141 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ks: int = 64,
+    max_iter: int = 3,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): coarse IVF routing + PQ codes +
+    asymmetric-distance scoring — the billion-scale composition where
+    the index holds only (cell, m-byte code) per vector.
+
+    Stages: (1) coarse centroids = deterministic hash-seeded sample
+    (the `ivf_topk` seeding — distributed TakeOrderedAndProject, no
+    global window); (2) every vector assigned to its nearest coarse
+    cell (blocked-BLAS argmin per Arrow batch); (3) PQ codebooks fit
+    once on the corpus, codes stored per vector; (4) per query, probe
+    the ``nprobe`` nearest cells and ADC-score ONLY those cells' codes
+    via the m x ks lookup table; (5) optional exact re-rank of the
+    ADC top-(k*refine) shortlist (true vectors fetched by id join).
+
+    Scale shape: the probed-cell candidate join is an equi-join on the
+    cell id against a broadcast (query, cell) table — the corpus-side
+    scan prunes to nprobe/n_cells of the codes, and shuffles carry
+    codes (m small ints), never float vectors; the re-rank join touches
+    ~nq*k*refine ids. No full-corpus task, no global window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    codes, books = pq_encode(
+        corpus, m=m, ks=ks, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    sub = books.shape[2]
+    ks_eff = books.shape[1]
+    # coarse routing: hash-seeded centroids, L2 argmin (ADC scores L2)
+    cent = _seed_centroids(corpus, n_cells, id_col, vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    routed = base.withColumn("a", _assign_kernel(cent)(F.col("v"))).select(
+        "id", F.col("a.cluster").alias("cell")
+    )
+    coded = codes.select(F.col(id_col).alias("id"), "codes").join(routed, "id")
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = [int(r["qid"]) for r in qrows]
+    Q = np.stack([np.array(r["qv"]) for r in qrows])
+    nq = len(qids)
+    # per-query LUTs (nq x m x ks doubles, kernel closure)
+    luts = np.empty((nq, m, ks_eff))
+    for j in range(m):
+        C = books[j]
+        S = Q[:, j * sub:(j + 1) * sub]
+        luts[:, j, :] = (
+            (S * S).sum(axis=1, keepdims=True) - 2.0 * (S @ C.T) + (C * C).sum(axis=1)
+        )
+    # probe list: nprobe nearest coarse cells per query (driver-side —
+    # n_cells x d is kilobytes)
+    d2q = (
+        (Q * Q).sum(axis=1, keepdims=True) - 2.0 * (Q @ cent.T) + (cent * cent).sum(axis=1)
+    )
+    probe = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    probe_rows = [
+        (qids[i], int(c)) for i in range(nq) for c in probe[i]
+    ]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qpos = {qid: i for i, qid in enumerate(qids)}
+
+    cand = coded.join(F.broadcast(probe_df), "cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+    k_short = k * refine if refine and refine > 1 else k
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["id"].to_numpy()
+            qarr = pdf["query_id"].to_numpy()
+            qi = np.array([qpos[int(x)] for x in qarr])
+            # ADC distance of each (query, candidate) row: fancy-index
+            # the row's own query LUT at its code per subspace
+            D = np.zeros(len(ids))
+            for j in range(m):
+                D += luts[qi, j, Cm[:, j]]
+            yield pd.DataFrame(
+                {"query_id": qarr, "neighbor_id": ids, "adc_dist2": D}
+            )
+
+    local = cand.select("query_id", "id", "codes").mapInPandas(
+        kern, "query_id long, neighbor_id long, adc_dist2 double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist2"), F.col("neighbor_id"))
+    short = local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_short
+    )
+    if not (refine and refine > 1):
+        return short.select(
+            "query_id", "neighbor_id",
+            F.round("adc_dist2", 6).alias("adc_dist2"), "rank",
+        )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    qvec_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in Q[i]]) for i in range(nq)
+    ])
+    qidx = F.create_map(*[
+        x for qid, i in qpos.items() for x in (F.lit(qid), F.lit(i))
+    ])
+    joined = short.select("query_id", "neighbor_id").join(vecs, "neighbor_id")
+    qv = F.element_at(qvec_lit, qidx[F.col("query_id")] + 1)
+    d2 = F.aggregate(
+        F.zip_with(qv, F.col("nv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("dist2"), F.col("neighbor_id"))
+    return (
+        joined.withColumn("dist2", d2)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rank")
+    )

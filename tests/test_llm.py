@@ -1113,3 +1113,34 @@ def test_ngram_novelty_duplicate_family(spark):
     assert got[2]["novelty"] == 0.0
     # c: 5 shingles, 'one two three' seen in doc 1 -> 4/5 novel
     assert got[3]["n_shingles"] == 5 and got[3]["novelty"] == 0.8
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark):
+    """With nprobe == n_cells every cell is probed, so IVFADC must
+    EQUAL plain PQ/ADC rank for rank (identical deterministic codebooks
+    + LUTs; routing adds no loss at full probe) — the embed_ivf_recall
+    pattern applied to the PQ composition. Also checks the refine path
+    reports exact distances for the common shortlist."""
+    import random
+
+    from eventkit_spark.llm.cluster import ivfpq_topk, pq_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    kw = dict(k=5, m=2, ks=8, max_iter=3)
+    flat = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist2"])
+        for r in pq_topk(emb, q, **kw).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist2"])
+        for r in ivfpq_topk(emb, q, n_cells=4, nprobe=4, refine=0, **kw).collect()
+    }
+    assert ivf == flat
+    ref = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_topk(emb, q, n_cells=4, nprobe=4, refine=2, **kw).collect()
+    }
+    assert len(ref) == 15  # 3 queries x 5 ranks, exact-distance re-rank
