@@ -395,6 +395,15 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_cusum(spark, sf):
+    # two-sided CUSUM alarms per user (sequential-kernel lane; the
+    # oracle replays the clamped recurrence with a recursive CTE)
+    ev = _ev(spark, sf)
+    return ev.cusum(50.0, h=400.0, slack=15.0).df.select(
+        "user_id", "event_id", "cusum_hi", "cusum_lo", "alarm"
+    )
+
+
 def q_ivfpq(spark, sf):
     # IVFADC production form: partial probe (recall < 1 by design —
     # rows-only, the embed_ivf convention; routing correctness is
@@ -1633,8 +1642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only entries with CURRENT r3 verdicts (embed_rp_lsh /
     # throttle / embed_ivf — rows-only checks buy little window value)
     # moved to 51+, as did (d)'s pack_spans..pivot and all of (e)
-    # (r1/r2-green, replica-verified this session; tpch_q5, also new,
-    # leads the tail — the window is full of weaker-evidence claims).
+    # (r1/r2-green, replica-verified this session; cusum / tpch_q5 /
+    # ivfpq, also new, lead the tail — the window is full of
+    # weaker-evidence claims; all replica-verified at sf0.001+sf0.01).
     # COUNTED: the front-50 now ends at anomaly (position 50).
     # The tail is everything green in CORRECTNESS_r03 in its current
     # form; unit tests + the replica harness keep those honest.
@@ -1695,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm": q_rfm,
         "novelty": q_novelty,
         "anomaly": q_anomaly,
+        "cusum": q_cusum,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -2489,6 +2500,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
             WHERE common / (sa.n + sb.n - common) >= 0.3""",
+        # CUSUM: the clamped recurrence replayed row-by-row with a
+        # recursive CTE (recursion depth = max rows per key); emitted
+        # hi/lo are pre-reset, the carried state zeroes after an alarm
+        "cusum": """
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, event_id,
+                     greatest(0, (value - 50.0) - 15.0) AS hi,
+                     greatest(0, -(value - 50.0) - 15.0) AS lo
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.rn, b.event_id,
+                     greatest(0, CASE WHEN r.hi > 400.0 OR r.lo > 400.0
+                                      THEN 0 ELSE r.hi END
+                                 + (b.value - 50.0) - 15.0),
+                     greatest(0, CASE WHEN r.hi > 400.0 OR r.lo > 400.0
+                                      THEN 0 ELSE r.lo END
+                                 - (b.value - 50.0) - 15.0)
+              FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, event_id,
+                   round(hi, 6) AS cusum_hi, round(lo, 6) AS cusum_lo,
+                   (hi > 400.0 OR lo > 400.0) AS alarm
+            FROM r""",
         # trailing z-score alarms: identical RANGE frame over integer
         # epoch micros; the cut compares the ROUNDED score in both
         "anomaly": """

@@ -73,6 +73,7 @@ HEADLINE = [
     "novelty",
     "tpch_q5",
     "anomaly",
+    "cusum",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

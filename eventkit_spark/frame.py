@@ -476,6 +476,9 @@ class EventFrame:
         return _state.throttle(self, maximum, interval, cost, cost_expr, status,
                                limit_changes)
 
+    def cusum(self, target: float, h: float, slack: float = 0.0, reset: bool = True):
+        return _state.cusum(self, target, h, slack, reset)
+
     # -- error channel (SURVEY.md §2.7) -------------------------------
     def errors(self):
         return _misc.errors(self)

@@ -202,3 +202,74 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=N
         arranged = src.coalesce(1).sortWithinPartitions(seq_col)
     df = arranged.mapInPandas(kernel, schema=out_schema)
     return ef._with(df=df.select(*out_cols))
+
+
+def cusum(ef, target: float, h: float, slack: float = 0.0, reset: bool = True):
+    """Two-sided CUSUM control chart (Page 1954) per key: the classic
+    sequential change-point detector.
+
+        hi_i = max(0, hi_{i-1} + (x_i - target) - slack)
+        lo_i = max(0, lo_{i-1} - (x_i - target) - slack)
+        alarm_i = hi_i > h  or  lo_i > h
+
+    ``reset=True`` (the restart convention) zeroes both accumulators
+    after an alarm so each drift episode fires once. The clamped
+    recurrence is NOT linear (unlike EMA), so no closed-form window
+    scan exists — this is exactly the sequential-kernel lane
+    (SURVEY.md §4.2): one Arrow-batched linear pass per key partition,
+    fully parallel across keys, state carried across batch splits;
+    unkeyed degrades to a single task (the reference's own total-order
+    semantics). Adds ``cusum_hi`` / ``cusum_lo`` (rounded 6) and
+    ``alarm`` columns.
+
+    Reference analog: none (the reference cuts/thins streams; this is
+    the monitoring primitive the engine adds next to ``anomaly``).
+    """
+    import numpy as np
+
+    value_col = ef.value_cols[0]
+    seq_col = ef.seq_col
+    key_cols = list(ef.key_cols)
+    src = ef.df
+    kt = float(target)
+    kk = float(slack)
+    kh = float(h)
+
+    def kernel(batches):
+        state = {}  # key tuple -> (hi, lo); carries across batch splits
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf[value_col].to_numpy(dtype="float64")
+            if key_cols:
+                keys = list(zip(*[pdf[k].to_numpy() for k in key_cols]))
+            else:
+                keys = [()] * len(pdf)
+            hi = np.empty(len(x))
+            lo = np.empty(len(x))
+            al = np.empty(len(x), dtype=bool)
+            for i in range(len(x)):
+                ph, pl = state.get(keys[i], (0.0, 0.0))
+                nh = max(0.0, ph + (x[i] - kt) - kk)
+                nl = max(0.0, pl - (x[i] - kt) - kk)
+                a = nh > kh or nl > kh
+                hi[i], lo[i], al[i] = nh, nl, a
+                state[keys[i]] = (0.0, 0.0) if (a and reset) else (nh, nl)
+            out = pdf.copy()
+            out["cusum_hi"] = np.round(hi, 6)
+            out["cusum_lo"] = np.round(lo, 6)
+            out["alarm"] = al
+            yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", cusum_hi double, cusum_lo double, alarm boolean"
+    if key_cols:
+        arranged = src.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+            *key_cols, seq_col
+        )
+    else:
+        arranged = src.coalesce(1).sortWithinPartitions(seq_col)
+    df = arranged.mapInPandas(kernel, schema=out_schema)
+    return ef._with(df=df, value_cols=[*ef.value_cols, "cusum_hi", "cusum_lo", "alarm"])

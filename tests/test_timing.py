@@ -195,3 +195,23 @@ def test_anomaly_known_spike(spark):
     # closed form: mean=14, pop-std=18 -> z = (50-14)/18 = 2.0 exactly
     assert got[4]["is_anomaly"] and got[4]["zscore"] == 2.0
     assert not got[5]["is_anomaly"]  # spike inflates trailing std
+
+
+def test_cusum_known_recurrence_and_reset(spark):
+    """Closed-form CUSUM on a drift step: accumulators build exactly as
+    the recurrence says, the alarm fires once, and reset zeroes the
+    carried state so the next row starts fresh."""
+    import datetime as dt
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 16.0, 16.0, 16.0, 10.0]
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["seq", "ts", "k", "value"])
+    ef = from_dataframe(df, value_cols=["value"], seq_col="seq", ts_col="ts", key_cols=["k"])
+    # target 10, slack 1, h 9: hi = 0, 0, 5, 10(alarm -> state reset),
+    # 5 (fresh accumulation), 4 (on-target row decays by slack only)
+    got = {r["seq"]: r for r in ef.cusum(10.0, h=9.0, slack=1.0).df.collect()}
+    assert [got[i]["cusum_hi"] for i in range(6)] == [0.0, 0.0, 5.0, 10.0, 5.0, 4.0]
+    assert [got[i]["alarm"] for i in range(6)] == [False, False, False, True, False, False]
