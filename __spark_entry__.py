@@ -925,6 +925,27 @@ def q_tpch_q5(spark, sf):
     )
 
 
+def q_tpch_q6(spark, sf):
+    # forecasting-revenue-change: pure scan + partial-combined scalar
+    # aggregate; every predicate pushes to the parquet scan (the
+    # zero-shuffle end of the relational surface)
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def q_region_revenue(spark, sf):
     r = load_table(spark, sf, "region")
     n = load_table(spark, sf, "nation")
@@ -1734,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly weaker prior evidence; replica-verified this session,
         # rotates into the window next round
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "ivfpq": q_ivfpq,
         # rows-only residue with CURRENT r3 driver verdicts (their check
         # is rows-only, so the window slot buys little): moved out to
@@ -3021,6 +3043,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name""",
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24""",
         "rfm": """
             WITH per AS (
               SELECT user_id, max(epoch(ts)) AS last_s, count(*) AS frequency,

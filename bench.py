@@ -72,6 +72,7 @@ HEADLINE = [
     "rfm",
     "novelty",
     "tpch_q5",
+    "tpch_q6",
     "anomaly",
     "cusum",
     "asof_join_nearest",

@@ -130,7 +130,11 @@ SHUFFLE_CEILING = {
     # form, no hot-shingle window (the line_dedup shape)
     "novelty": 4,
     "anomaly": 1,  # one key shuffle, sliding RANGE frame (rolling's twin)
-    "tpch_q5": 5,  # fact shuffles only; nation/region broadcast
+    # fact-side shuffles + static-plan supplier join exchanges (AQE
+    # re-plans the small filtered sides at runtime); nation/region
+    # broadcast — plan-asserted in test_tpch_q5_pushdown_and_broadcast
+    "tpch_q5": 6,
+    "tpch_q6": 1,  # pure scan + scalar agg; all predicates pushed
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
