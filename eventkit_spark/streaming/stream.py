@@ -797,6 +797,52 @@ class StreamFrame:
         )
         return agg.select(*self.key_cols, "last_ts", "value")
 
+    def cusum(self, target: float, h: float, slack: float = 0.0,
+              reset: bool = True) -> DataFrame:
+        """Streaming CUSUM twin (state.py:cusum): the clamped two-sided
+        recurrence with (hi, lo) carried in the state store per key —
+        tick-for-tick equal to the batch kernel over the same rows
+        (parity-tested). Emits every row with its accumulators + alarm.
+        """
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
+            + "cusum_hi double, cusum_lo double, alarm boolean"
+        )
+        kt, kk, kh = float(target), float(slack), float(h)
+
+        def handler(key, pdfs, state: GroupState):
+            hi, lo = state.get if state.exists else (0.0, 0.0)
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    x = float(row[value_col])
+                    nh = max(0.0, hi + (x - kt) - kk)
+                    nl = max(0.0, lo - (x - kt) - kk)
+                    a = nh > kh or nl > kh
+                    outs.append({
+                        **{k: row[k] for k in keys}, ts_col: row[ts_col],
+                        "value": x, "cusum_hi": round(nh, 6),
+                        "cusum_lo": round(nl, 6), "alarm": a,
+                    })
+                    hi, lo = (0.0, 0.0) if (a and reset) else (nh, nl)
+            state.update((hi, lo))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="hi double, lo double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def unique_within_watermark(self, by: Sequence[str] | None = None) -> "StreamFrame":
         """Unique (select.py:115-130) under a watermark bound."""
         cols = list(by) if by else [*self.key_cols, *self.value_cols]

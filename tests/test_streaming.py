@@ -496,3 +496,26 @@ def test_streaming_resample_parity(spark, tmp_path_factory):
     a = out.toPandas().sort_values(["user_id", "ws"]).reset_index(drop=True)
     b = batch.toPandas().sort_values(["user_id", "ws"]).reset_index(drop=True)[a.columns]
     assert a.equals(b) and len(a) == 951
+
+
+def test_streaming_cusum(spark, stream_dir):
+    """Streaming CUSUM == batch CUSUM kernel on the same rows:
+    identical accumulators and alarms per (user, ts)."""
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(
+        sink_df=sf.cusum(50.0, h=150.0, slack=15.0), name="ek_cusum"
+    )
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    src = spark.read.parquet(stream_dir)
+    ef = from_dataframe(
+        src, value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    batch = ef.cusum(50.0, h=150.0, slack=15.0)
+    bp = {(r["user_id"], r["ts"]): (r["cusum_hi"], r["cusum_lo"], r["alarm"])
+          for r in batch.df.collect()}
+    sp = {(r["user_id"], r["ts"]): (r["cusum_hi"], r["cusum_lo"], r["alarm"])
+          for r in out.collect()}
+    assert sp == bp and len(sp) == 1000
+    assert any(v[2] for v in sp.values())  # the fixture actually alarms
