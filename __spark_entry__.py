@@ -395,6 +395,20 @@ def q_collocations(spark, sf):
     return top_collocations(load_table(spark, sf, "documents"), k=50, min_count=5)
 
 
+def q_contamination_report(spark, sf):
+    # heldout-side leak report: test split scored against the train
+    # split's distinct shingle-hash set (benchmark-compromise view)
+    from eventkit_spark.llm.dedup import contamination_report
+    from eventkit_spark.llm.sampling import split_by_hash
+
+    docs = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    return contamination_report(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        k=5,
+    )
+
+
 def q_cusum(spark, sf):
     # two-sided CUSUM alarms per user (sequential-kernel lane; the
     # oracle replays the clamped recurrence with a recursive CTE)
@@ -1756,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates into the window next round
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
         # rows-only residue with CURRENT r3 driver verdicts (their check
         # is rows-only, so the window slot buys little): moved out to
@@ -2800,6 +2815,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
             )
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+        # heldout-side leak report: same shingle form as decontaminate,
+        # train reduced to a distinct shingle set, per-test-doc fractions
+        "contamination_report": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 800 THEN 'train'
+                          WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 900 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ), words AS (
+              SELECT doc_id, split, regexp_split_to_array(lower(trim(text)), '\s+') w FROM base
+            ), sh AS (
+              SELECT doc_id, split, unnest(CASE WHEN len(w) >= 5
+                  THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), train AS (
+              SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+            ), held AS (
+              SELECT DISTINCT doc_id, shingle FROM sh WHERE split = 'test'
+            ), leaked AS (
+              SELECT h.doc_id, count(*) AS n_leaked
+              FROM held h SEMI JOIN train USING (shingle)
+              GROUP BY h.doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_shingles FROM held GROUP BY doc_id
+            )
+            SELECT tot.doc_id, n_shingles,
+                   coalesce(n_leaked, 0) AS n_leaked,
+                   round(coalesce(n_leaked, 0) / n_shingles, 6) AS leak_frac
+            FROM tot LEFT JOIN leaked ON tot.doc_id = leaked.doc_id""",
         "decontaminate": r"""
             WITH base AS (
               SELECT doc_id, text,

@@ -75,6 +75,7 @@ HEADLINE = [
     "tpch_q6",
     "anomaly",
     "cusum",
+    "contamination_report",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

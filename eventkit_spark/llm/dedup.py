@@ -959,3 +959,56 @@ def ngram_novelty(
         )
         .select(F.col("id").alias(id_col), "n_shingles", "novelty")
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    heldout: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The heldout-side view of decontamination: for every BENCHMARK
+    document, what fraction of its distinct word ``k``-grams also
+    appears anywhere in the training corpus — the "is my eval already
+    compromised" report (GPT-3 appendix C measures this direction;
+    ``contamination`` flags the train side to drop).
+
+    Returns (doc_id, n_shingles, n_leaked, leak_frac) per heldout doc,
+    leak_frac rounded to 6.
+
+    Scale shape: the train side is reduced to DISTINCT shingle hashes
+    with NO doc ids (one hash-aggregate exchange — the only
+    corpus-sized shuffle, 8 bytes/row); the heldout side is benchmark-
+    sized. The semi-join marks leaked shingles, one id aggregate builds
+    the report. AQE broadcasts the heldout side against the train hash
+    table.
+    """
+    held = (
+        heldout.select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+        )
+        .select("id", F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    train = (
+        docs.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    leaked = held.join(train, "shingle", "left_semi").groupBy("id").agg(
+        F.count("*").alias("n_leaked")
+    )
+    totals = held.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(leaked, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.round(F.coalesce("n_leaked", F.lit(0)) / F.col("n_shingles"), 6).alias(
+                "leak_frac"
+            ),
+        )
+    )

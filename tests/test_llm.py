@@ -1144,3 +1144,24 @@ def test_ivfpq_full_probe_equals_pq_topk(spark):
         for r in ivfpq_topk(emb, q, n_cells=4, nprobe=4, refine=2, **kw).collect()
     }
     assert len(ref) == 15  # 3 queries x 5 ranks, exact-distance re-rank
+
+
+def test_contamination_report_directions_agree(spark):
+    """A heldout doc fully copied from the corpus reports leak_frac 1.0
+    and an unseen doc 0.0; the train side of the same pair is what
+    `contamination` flags — the two directions must agree on overlap."""
+    from eventkit_spark.llm.dedup import contamination, contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    held = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+         (101, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    rep = {r["doc_id"]: r for r in contamination_report(train, held, k=5).collect()}
+    assert rep[100]["leak_frac"] == 1.0
+    assert rep[101]["leak_frac"] == 0.0 and rep[101]["n_leaked"] == 0
+    flagged = contamination(train, held, k=5, min_overlap=1).collect()
+    assert [r["doc_id"] for r in flagged] == [1]

@@ -135,6 +135,10 @@ SHUFFLE_CEILING = {
     # broadcast — plan-asserted in test_tpch_q5_pushdown_and_broadcast
     "tpch_q5": 6,
     "tpch_q6": 1,  # pure scan + scalar agg; all predicates pushed
+    # train distinct-hash agg + heldout distinct + semi-join + leak/total
+    # id aggs + the totals-leaked outer join — the only corpus-sized
+    # exchange carries 8-byte hashes
+    "contamination_report": 7,
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
