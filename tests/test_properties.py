@@ -341,3 +341,56 @@ def test_asof_join_keyed_model(spark, lts, rts):
         prior = [rt for rt in rts if ("k" if rt % 3 else "j") == key and rt <= t]
         exp = max(prior) * 10.0 if prior else None
         assert got[i] == exp, (i, t, key, got[i], exp)
+
+
+@given(
+    xs=st.lists(st.integers(-30, 30), min_size=1, max_size=20),
+    target=st.integers(-10, 10),
+    h=st.integers(5, 40),
+    slack=st.integers(0, 5),
+)
+@SET
+def test_cusum_model(spark, xs, target, h, slack):
+    """CUSUM kernel vs the recurrence replayed in pure Python
+    (reset-on-alarm convention, emitted values pre-reset)."""
+    hi = lo = 0.0
+    exp = []
+    for x in xs:
+        nh = max(0.0, hi + (x - target) - slack)
+        nl = max(0.0, lo - (x - target) - slack)
+        a = nh > h or nl > h
+        exp.append((round(nh, 6), round(nl, 6), a))
+        hi, lo = (0.0, 0.0) if a else (nh, nl)
+    ef = _seq(spark, xs).cusum(float(target), h=float(h), slack=float(slack))
+    rows = ef.df.orderBy("seq").collect()
+    got = [(r["cusum_hi"], r["cusum_lo"], r["alarm"]) for r in rows]
+    assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@SET
+def test_novelty_model(spark, docs):
+    """ngram_novelty (k=1: unigram shingles) vs a pure first-seen-set
+    model over doc ids in order."""
+    from eventkit_spark.llm.dedup import ngram_novelty
+
+    seen = set()
+    exp = {}
+    for i, d in enumerate(docs):
+        toks = set(d.split())
+        fresh = toks - seen
+        exp[i] = (len(toks), round(len(fresh) / len(toks), 6))
+        seen |= toks
+    sdf = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["novelty"])
+        for r in ngram_novelty(sdf, k=1).collect()
+    }
+    assert got == exp
