@@ -843,6 +843,72 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def anomaly(self, seconds: float, z: float = 3.0,
+                min_periods: int = 2) -> DataFrame:
+        """Streaming trailing z-score twin (operators/timing.py:anomaly):
+        the per-key state is the trailing ``[t - seconds, t]`` buffer of
+        (epoch-micros, value) pairs; each row is scored against its own
+        window's mean/pop-std exactly like the batch RANGE frame
+        (inclusive lower bound, current row included). Parity-tested
+        row-for-row against the batch operator."""
+        import numpy as np
+
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
+            + "roll_n long, zscore double, alarm boolean"
+        )
+        rng = int(round(seconds * 1e6))
+        zcut = float(z)
+        mp = int(min_periods)
+
+        def handler(key, pdfs, state: GroupState):
+            if state.exists:
+                buf_t, buf_v = state.get
+                buf_t, buf_v = list(buf_t), list(buf_v)
+            else:
+                buf_t, buf_v = [], []
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                tus = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+                vals = pdf[value_col].to_numpy(dtype="float64")
+                for i in range(len(pdf)):
+                    t, x = int(tus[i]), float(vals[i])
+                    buf_t.append(t)
+                    buf_v.append(x)
+                    while buf_t and buf_t[0] < t - rng:
+                        buf_t.pop(0)
+                        buf_v.pop(0)
+                    arr = np.asarray(buf_v)
+                    n = len(arr)
+                    sd = float(arr.std())  # population std, ddof=0
+                    if n >= mp and sd > 0:
+                        zs = round((x - float(arr.mean())) / sd, 6)
+                        a = abs(zs) >= zcut
+                    else:
+                        zs, a = None, False
+                    row = pdf.iloc[i]
+                    outs.append({
+                        **{k: row[k] for k in keys}, ts_col: row[ts_col],
+                        "value": x, "roll_n": n, "zscore": zs, "alarm": a,
+                    })
+            state.update((buf_t, buf_v))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="bt array<long>, bv array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def unique_within_watermark(self, by: Sequence[str] | None = None) -> "StreamFrame":
         """Unique (select.py:115-130) under a watermark bound."""
         cols = list(by) if by else [*self.key_cols, *self.value_cols]

@@ -519,3 +519,34 @@ def test_streaming_cusum(spark, stream_dir):
           for r in out.collect()}
     assert sp == bp and len(sp) == 1000
     assert any(v[2] for v in sp.values())  # the fixture actually alarms
+
+
+def test_streaming_anomaly(spark, stream_dir):
+    """Streaming trailing z-score == batch RANGE-frame anomaly per
+    (user, ts). Rows sharing a (user, ts) are excluded: the batch RANGE
+    frame is value-inclusive over ties while the stream scores rows in
+    arrival order (documented divergence, collisions are rare)."""
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(
+        sink_df=sf.anomaly(86400.0, z=2.0), name="ek_anom"
+    )
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    src = spark.read.parquet(stream_dir)
+    ef = from_dataframe(
+        src, value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    batch = ef.anomaly(86400.0, z=2.0)
+    from collections import Counter
+
+    dup = {k for k, c in Counter(
+        (r["user_id"], r["ts"]) for r in src.select("user_id", "ts").collect()
+    ).items() if c > 1}
+    bp = {(r["user_id"], r["ts"]): (r["roll_n"], r["zscore"], r["is_anomaly"])
+          for r in batch.df.collect() if (r["user_id"], r["ts"]) not in dup}
+    sp = {(r["user_id"], r["ts"]): (r["roll_n"], r["zscore"], r["alarm"])
+          for r in out.collect() if (r["user_id"], r["ts"]) not in dup}
+    assert len(sp) >= 990  # collisions are rare in the fixture
+    assert sp == bp
+    assert any(v[2] for v in sp.values())
