@@ -1138,10 +1138,17 @@ def q_dedup_jaccard(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
+    # PORTABLE-oracle form since the r4 extension pass: the universal
+    # (A*h+B) mod P family over the 31-bit shingle fold lets DuckDB
+    # recompute every signature and band bit-for-bit, so the raw
+    # candidate set carries a FULL oracle (was rows-only; the xxhash64
+    # production form is unchanged and exercised by
+    # dedup_minhash_recall / fuzzy_dedup)
     from eventkit_spark.llm.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        load_table(spark, sf, "documents"), num_hashes=32, bands=8, k=3
+        load_table(spark, sf, "documents"), num_hashes=32, bands=8, k=3,
+        portable=True,
     )
 
 
@@ -3694,4 +3701,46 @@ def oracle_sql() -> dict[str, str]:
     }
     # bloom + exact-verify is value-identical to the join path by design
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
+    # dedup_minhash full oracle (portable universal family): DuckDB
+    # recomputes the 31-bit scrambled shingle fold, all 32 (A*h+B) mod P
+    # min-signatures, and the 8 band keys, then pairs docs sharing any
+    # band — generated here because the 32 min-aggregates and 8 band
+    # selects are mechanical expansions of the same constants the
+    # engine uses (llm/dedup._MH_A/_MH_B)
+    from eventkit_spark.llm.dedup import _MH_A, _MH_B, _MH_P
+
+    _mh_mins = ",\n                     ".join(
+        f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}) AS m{i}" for i in range(32)
+    )
+    _mh_bands = "\n              UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws(',', {cols}) AS key FROM sig".format(
+            b=b, cols=", ".join(f"m{b * 4 + j}" for j in range(4))
+        )
+        for b in range(8)
+    )
+    sqls["dedup_minhash"] = rf"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id AS id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), folded AS (
+              SELECT id,
+                     (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(shingle) + 1),
+                                      i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) * 2654435761)
+                     % 2147483648 AS h
+              FROM sh
+            ), sig AS (
+              SELECT id, {_mh_mins}
+              FROM folded GROUP BY id
+            ), bands AS (
+              {_mh_bands}
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id"""
     return sqls

@@ -202,31 +202,61 @@ def minhash_signatures(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, array<long> minhash signature). Hash family: xxhash64(shingle,
-    seed_i) — JVM-side, no UDF.
+    """(id, array<long> minhash signature). Hash family:
+    xxhash64(shingle, seed_i) — JVM-side, no UDF (default), or the
+    engine-portable universal family with ``portable=True``.
 
     Formulated as explode + num_hashes min-aggregates rather than
     higher-order array functions: HOFs run interpreted (no whole-stage
     codegen) and were ~10x slower; hash-aggregate gets codegen and
     map-side partial aggregation, so the shuffle carries one row per doc.
     """
-    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col)
+    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col, portable)
     sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
     return mh.select("id", sig.alias("signature"))
 
 
-def _minhash_cols(docs, num_hashes, k, text_col, id_col):
+# portable universal-hash family over a 31-bit shingle fold:
+# h_i = (A_i * h + B_i) mod P with P = 2^31 - 1 — every product fits
+# int64, the same arithmetic in ANSI SQL (the dedup_simhash trick
+# applied to minhash, which is what gives dedup_minhash a full oracle)
+_MH_P = (1 << 31) - 1
+_MH_A = [(2654435761 * (i + 1)) % _MH_P for i in range(64)]
+_MH_B = [(2246822519 * (i + 1)) % _MH_P for i in range(64)]
+
+
+def _minhash_cols(docs, num_hashes, k, text_col, id_col, portable=False):
     exploded = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), k)).alias("__sh"),
-    ).select("id", F.xxhash64("__sh").alias("__sh64"))
-    return exploded.groupBy("id").agg(
-        *[
+    )
+    if portable:
+        from .text import fingerprint
+
+        # fold DISTINCT shingles once and broadcast the hashes back
+        # (the simhash portable lesson: the per-char fold is an
+        # interpreted HOF — never run it per instance), then Knuth-
+        # scramble so short shingles don't leave high bits zero
+        sh_fold = (
+            (fingerprint(F.col("__sh"), base=31) * F.lit(2654435761)) % F.lit(1 << 31)
+        )
+        vocab = exploded.select("__sh").distinct().select("__sh", sh_fold.alias("__sh64"))
+        hashed = exploded.join(F.broadcast(vocab), "__sh").select("id", "__sh64")
+        mins = [
+            F.min(
+                (F.lit(_MH_A[i]) * F.col("__sh64") + F.lit(_MH_B[i])) % F.lit(_MH_P)
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hashed = exploded.select("id", F.xxhash64("__sh").alias("__sh64"))
+        mins = [
             F.min(F.xxhash64("__sh64", F.lit(i))).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
-    )
+    return hashed.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -237,6 +267,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any LSH band bucket.
 
@@ -251,9 +282,16 @@ def minhash_lsh_candidates(
     through exact_dedup first, which collapses them in one aggregate).
     Capping trades recall on mega-clusters for bounded executors —
     the same contract as jaccard's ``max_df``.
+
+    ``portable=True`` swaps the xxhash64 family for the universal
+    (A*h+B) mod P family over the 31-bit shingle fold — byte-identical
+    reproducible in ANSI SQL, which gives ``dedup_minhash`` a FULL
+    driver oracle (DuckDB recomputes every signature and band). Same
+    banding semantics; only the hash family differs (the dedup_simhash
+    pattern).
     """
     r = num_hashes // bands
-    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col)
+    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col, portable)
     banded = mh.select(
         "id",
         F.explode(

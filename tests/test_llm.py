@@ -1165,3 +1165,21 @@ def test_contamination_report_directions_agree(spark):
     assert rep[101]["leak_frac"] == 0.0 and rep[101]["n_leaked"] == 0
     flagged = contamination(train, held, k=5, min_overlap=1).collect()
     assert [r["doc_id"] for r in flagged] == [1]
+
+
+def test_minhash_portable_candidates_contain_planted_dups(spark):
+    """The portable universal-hash family must behave like a real LSH:
+    planted near-identical docs become candidates, disjoint docs do
+    not; and the portable signature table is deterministic."""
+    from eventkit_spark.llm.dedup import minhash_lsh_candidates, minhash_signatures
+
+    a = " ".join(f"tok{i}" for i in range(60))
+    b = a + " extra"                                # near-dup of a
+    c = " ".join(f"zzz{i}" for i in range(60))      # disjoint
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    cand = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(docs, portable=True).collect()}
+    assert (1, 2) in cand and (1, 3) not in cand and (2, 3) not in cand
+    s1 = minhash_signatures(docs, portable=True).orderBy("id").collect()
+    s2 = minhash_signatures(docs, portable=True).orderBy("id").collect()
+    assert [r["signature"] for r in s1] == [r["signature"] for r in s2]

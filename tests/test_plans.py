@@ -96,7 +96,10 @@ SHUFFLE_CEILING = {
     "asof_join": 2,  # right-side dedupe agg + the union window
     "zip": 3,
     "tpch_q3": 3,
-    "dedup_minhash": 3,
+    # the registered query is the PORTABLE-oracle form since the r4
+    # extension pass (+1 distinct vocab agg, +1 broadcast fold join —
+    # the dedup_simhash trade); the xxhash64 production form stays at 3
+    "dedup_minhash": 5,
     # the registered query is the PORTABLE-oracle form (r4): +1 distinct
     # agg and +1 broadcast exchange for the tiny vocab hash dimension;
     # the xxhash64 production form stays at 3 (pinned below in
