@@ -1495,10 +1495,17 @@ def q_embed_rp_lsh_recall(spark, sf):
 
 
 def q_embed_rp_lsh_topk(spark, sf):
+    # FULL oracle since the r4 extension pass: the hyperplanes are a
+    # public LCG (deterministic doubles), so DuckDB replays the sign
+    # bits, buckets, candidate join and in-bucket cosine rank exactly;
+    # cos rounded to 6 (absorbs BLAS-vs-sequential-fold last-bit drift)
     from eventkit_spark.llm.similarity import rp_lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
-    return rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, bits=6, tables=3)
+    out = rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, bits=6, tables=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
 
 
 def q_embed_ivf(spark, sf):
@@ -3743,4 +3750,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.id < b.id"""
+    # embed_rp_lsh full oracle: replay the LCG hyperplanes (literal
+    # doubles survive repr round-trip exactly), sign-bit buckets per
+    # table, candidate bucket join, in-bucket cosine rank — the same
+    # pipeline the engine runs, sequential-fold instead of BLAS (round-6
+    # cos absorbs the last-bit difference; sign flips would need a dot
+    # within ~1e-15 of zero)
+    from eventkit_spark.llm.similarity import _planes as _rp_planes
+
+    _rp_bits_n, _rp_tables = 6, 3
+    _plane_rows = ",\n                ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in pl)}])"
+        for t in range(_rp_tables)
+        for b, pl in enumerate(_rp_planes(64, _rp_bits_n, t))
+    )
+    sqls["embed_rp_lsh"] = f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve
+              FROM embeddings
+            ), planes(tbl, bit, pl) AS (
+              VALUES {_plane_rows}
+            ), dots AS (
+              SELECT v.vec_id, p.tbl, p.bit,
+                     list_reduce(list_transform(range(1, 65),
+                                                i -> v.ve[i] * p.pl[i]),
+                                 (a, b) -> a + b) AS d
+              FROM v CROSS JOIN planes p
+            ), buck AS (
+              SELECT vec_id, tbl,
+                     sum(CASE WHEN d >= 0
+                         THEN power(2, {_rp_bits_n - 1} - bit) ELSE 0 END)::BIGINT AS bucket
+              FROM dots GROUP BY 1, 2
+            ), cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+              WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            ), scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_reduce(list_transform(range(1, 65),
+                                                i -> a.ve[i] * b.ve[i]),
+                                 (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_transform(range(1, 65),
+                                                        i -> a.ve[i] * a.ve[i]),
+                                         (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(range(1, 65),
+                                                        i -> b.ve[i] * b.ve[i]),
+                                         (x, y) -> x + y))) AS cos
+              FROM cand
+              JOIN v a ON a.vec_id = cand.query_id
+              JOIN v b ON b.vec_id = cand.neighbor_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5"""
     return sqls
