@@ -1110,8 +1110,14 @@ def q_concatmap(spark, sf):
 
 
 def q_throttle(spark, sf):
-    # sequential re-timestamping kernel (state.py): rows-only check —
-    # the sliding-budget recurrence has no SQL form
+    # sequential re-timestamping kernel (state.py). FULL oracle since
+    # the r4 extension pass: with unit costs the sliding-budget
+    # recurrence closes to emit_i = max(ts_i, emit_{i-1},
+    # emit_{i-max} + interval), which a recursive CTE replays carrying
+    # the last `maximum` emit times — INCLUDING the kernel's own
+    # float-seconds arithmetic (int64 ns -> double /1e9, +interval,
+    # round to micros), reproduced op-for-op so the doubles agree
+    # bit-for-bit
     ef = _ev(spark, sf).throttle(maximum=5, interval=3600.0)
     return ef.df.select("event_id", "user_id", F.col("ts").alias("emit_ts"))
 
@@ -2551,6 +2557,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
             WHERE common / (sa.n + sb.n - common) >= 0.3""",
+        # throttle: unit-cost sliding budget closes to
+        # emit_i = max(ts_i, emit_{i-1}, emit_{i-5} + 3600); the CTE
+        # carries the last 5 emits and mirrors the kernel's float-
+        # seconds arithmetic exactly (ns->double/1e9, +3600.0,
+        # round-to-micros)
+        "throttle": """
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id,
+                     (epoch_us(ts)::DOUBLE * 1000.0) / 1e9 AS ts_s,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, event_id, ts_s AS emit, [ts_s] AS lastk
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.rn, b.event_id,
+                     greatest(b.ts_s, r.lastk[len(r.lastk)],
+                              CASE WHEN len(r.lastk) >= 5
+                                   THEN r.lastk[1] + 3600.0 ELSE b.ts_s END) AS emit,
+                     list_slice(
+                       list_append(r.lastk,
+                         greatest(b.ts_s, r.lastk[len(r.lastk)],
+                                  CASE WHEN len(r.lastk) >= 5
+                                       THEN r.lastk[1] + 3600.0 ELSE b.ts_s END)),
+                       greatest(1, len(r.lastk) + 1 - 4), len(r.lastk) + 1) AS lastk
+              FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT event_id, user_id,
+                   make_timestamp(round(emit * 1e6)::BIGINT) AS emit_ts
+            FROM r""",
         # CUSUM: the clamped recurrence replayed row-by-row with a
         # recursive CTE (recursion depth = max rows per key); emitted
         # hi/lo are pre-reset, the carried state zeroes after an alarm
