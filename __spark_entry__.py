@@ -939,6 +939,29 @@ def q_tpch_q5(spark, sf):
     )
 
 
+def q_percentiles(spark, sf):
+    # exact interpolated percentiles per group (Spark percentile ==
+    # SQL-standard percentile_cont == DuckDB quantile_cont), one
+    # partial-combined sort-based aggregate; round-6 both engines
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_group_corr(spark, sf):
+    # Pearson correlation + sample covariance per group: co-moment
+    # merge aggregates (one exchange of constant-size cells)
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qp"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_tpch_q6(spark, sf):
     # forecasting-revenue-change: pure scan + partial-combined scalar
     # aggregate; every predicate pushes to the parquet scan (the
@@ -1790,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates into the window next round
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "percentiles": q_percentiles,
+        "group_corr": q_group_corr,
         "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
         # rows-only residue with CURRENT r3 driver verdicts (their check
@@ -3139,6 +3164,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name""",
+        "percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+            FROM orders GROUP BY o_orderpriority""",
+        "group_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
             FROM lineitem

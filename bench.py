@@ -76,6 +76,8 @@ HEADLINE = [
     "anomaly",
     "cusum",
     "contamination_report",
+    "percentiles",
+    "group_corr",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -142,6 +142,8 @@ SHUFFLE_CEILING = {
     # id aggs + the totals-leaked outer join — the only corpus-sized
     # exchange carries 8-byte hashes
     "contamination_report": 7,
+    "percentiles": 1,  # one sort-based percentile agg, partial-combined
+    "group_corr": 1,  # co-moment merge cells only
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
