@@ -227,7 +227,11 @@ def test_dedup_pair_queries_scan_budget(spark):
     import __spark_entry__ as e
     from eventkit_spark.plans.audit import physical_plan
 
-    budgets = {e.q_dedup_jaccard: 2, e.q_dedup_simhash: 2, e.q_dedup_minhash: 1}
+    # q_dedup_minhash is the portable-ORACLE form since the r4 extension
+    # pass: like simhash, its distinct-shingle fold dimension pays one
+    # extra column-pruned scan; the xxhash64 production form is pinned
+    # single-scan below
+    budgets = {e.q_dedup_jaccard: 2, e.q_dedup_simhash: 2, e.q_dedup_minhash: 2}
     for q, budget in budgets.items():
         plan = physical_plan(q(spark, SF))
         n = plan.count("FileScan")
@@ -244,6 +248,12 @@ def test_dedup_pair_queries_scan_budget(spark):
     plan = physical_plan(prod)
     assert plan.count("FileScan") <= 1
     assert count_shuffles(prod) <= 3
+    # same pin for the xxhash64 production minhash: one scan, 3 exchanges
+    from eventkit_spark.llm.dedup import minhash_lsh_candidates
+
+    prod_mh = minhash_lsh_candidates(load_table(spark, SF, "documents"))
+    assert physical_plan(prod_mh).count("FileScan") <= 1
+    assert count_shuffles(prod_mh) <= 3
 
 
 def test_embed_neardup_prefilter_buckets_once(spark):
