@@ -394,3 +394,45 @@ def test_novelty_model(spark, docs):
         for r in ngram_novelty(sdf, k=1).collect()
     }
     assert got == exp
+
+
+@given(
+    gaps=st.lists(st.floats(0.0, 3.0, allow_nan=False), min_size=1, max_size=25),
+    m=st.integers(1, 4),
+    iv=st.floats(0.5, 5.0, allow_nan=False),
+)
+@SET
+def test_throttle_unit_cost_closed_form(spark, gaps, m, iv):
+    """The recursive-CTE oracle rests on the closed form
+    emit_i = max(ts_i, emit_{i-1}, emit_{i-m} + interval) for unit
+    costs; prove it against the deque kernel on adversarial bursts
+    (zero gaps, duplicate times, varying budget/interval)."""
+    import datetime as dt
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    t0 = dt.datetime(2024, 1, 1)
+    times, acc = [], 0.0
+    for g in gaps:
+        acc += g
+        times.append(acc)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s), 1, float(i)) for i, s in enumerate(times)
+    ]
+    df = spark.createDataFrame(rows, ["seq", "ts", "k", "value"])
+    ef = from_dataframe(df, value_cols=["value"], seq_col="seq", ts_col="ts", key_cols=["k"])
+    out = ef.throttle(maximum=m, interval=iv)
+    got = [
+        (r["ts"] - t0).total_seconds()
+        for r in out.df.orderBy("seq").collect()
+    ]
+    emits = []
+    for i, t in enumerate(times):
+        e = t
+        if emits:
+            e = max(e, emits[-1])
+        if len(emits) >= m:
+            e = max(e, emits[-m] + iv)
+        emits.append(e)
+    for g, e in zip(got, emits):
+        assert abs(g - e) < 2e-6, (got, emits)
