@@ -6,6 +6,6 @@ global windows; the one driver-side loop is dedup_clusters' Pregel
 iteration, O(graph diameter) rounds of one distributed join each).
 """
 
-from . import dedup, multimodal, sampling, similarity, text
+from . import cluster, dedup, multimodal, sampling, similarity, text, web
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["cluster", "dedup", "multimodal", "sampling", "similarity", "text", "web"]
