@@ -37,6 +37,7 @@ def write_dataset(
     mode: str = "overwrite",
     fmt: str = "parquet",
     sample_rows: int = 1000,
+    salt: int = 0,
 ) -> dict:
     """Write a size-targeted dataset without a full pre-count.
 
@@ -46,13 +47,43 @@ def write_dataset(
     data is hash-repartitioned on them first so each partition value is
     written by as few tasks as possible (otherwise every task writes a
     sliver into every partition directory — tasks x values files).
+    ``salt > 1`` splits each partition VALUE across that many write
+    tasks (repartition on the columns plus a row-hash bucket): the cure
+    when one hot value — one language, one source domain — would
+    otherwise funnel through a single task while 999 executors idle.
+    File sizes stay bounded by ``maxRecordsPerFile`` either way.
+
     Returns the write plan actually used ({rows_per_file, est_row_bytes})
     for observability.
     """
+    from pyspark.sql import functions as F
+
     est = estimate_row_bytes(df, sample_rows)
     rows_per_file = max(1, math.ceil(target_mb * 1024 * 1024 / est))
     out = df
-    writer_df = out.repartition(*partition_by) if partition_by else out
+    if partition_by:
+        if salt and salt > 1:
+            # explicit-count RANGE partitioning on (cols..., bucket):
+            # each (value, bucket) pair owns a partition, so a hot value
+            # fans out across exactly `salt` write tasks. The explicit
+            # numPartitions survives AQE coalescing (a hash repartition
+            # of a small-looking shuffle gets merged back to one task —
+            # which is precisely the skew being cured). The distinct
+            # count of the partition columns is one tiny aggregate next
+            # to the write itself.
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(salt))
+            ).alias("__ek_salt")
+            nvals = out.select(*partition_by).distinct().count()
+            writer_df = out.repartitionByRange(
+                int(salt) * max(1, nvals),
+                *[F.col(c) for c in partition_by],
+                bucket,
+            )
+        else:
+            writer_df = out.repartition(*partition_by)
+    else:
+        writer_df = out
     w = (
         writer_df.write.mode(mode)
         .option("maxRecordsPerFile", rows_per_file)
