@@ -110,4 +110,7 @@ def test_write_dataset_salted_hot_partition(spark, tmp_path):
     assert len(files) >= 2
     back = spark.read.parquet(out)
     assert back.count() == 1000
-    assert back.agg(F.sum("value")).first()[0] == ev.agg(F.sum("value")).first()[0]
+    # sum associativity differs across partitionings — tolerance compare
+    assert abs(
+        back.agg(F.sum("value")).first()[0] - ev.agg(F.sum("value")).first()[0]
+    ) < 1e-6
