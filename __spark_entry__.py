@@ -939,6 +939,21 @@ def q_tpch_q5(spark, sf):
     )
 
 
+def q_unpivot(spark, sf):
+    # wide->long reshape (Spark-native unpivot == ANSI UNPIVOT): the
+    # relational melt the reference's positional streams never needed;
+    # zero shuffles, a pure Expand projection
+    li = load_table(spark, sf, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("val", 6).alias("val")
+    )
+
+
 def q_percentiles(spark, sf):
     # exact interpolated percentiles per group (Spark percentile ==
     # SQL-standard percentile_cont == DuckDB quantile_cont), one
@@ -1815,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "percentiles": q_percentiles,
         "group_corr": q_group_corr,
+        "unpivot": q_unpivot,
         "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
         # rows-only residue with CURRENT r3 driver verdicts (their check
@@ -3164,6 +3180,13 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name""",
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, measure, round(val, 6) AS val
+            FROM (
+              UNPIVOT lineitem
+              ON l_quantity, l_discount, l_tax
+              INTO NAME measure VALUE val
+            )""",
         "percentiles": """
             SELECT o_orderpriority,
                    round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
