@@ -1,0 +1,77 @@
+"""Event-stream analytics walkthrough on eventkit_spark.
+
+The keyed-stream side of the engine: reference-style stream operators
+(ema / unique / throttle) next to the event-time analytics the engine
+adds (sessionize -> funnel -> retention -> OHLC resample -> trailing
+z-score + CUSUM alarms -> RFM segments), all over the same events
+table, all driver-contract-verified operators.
+
+Run:  python examples/event_analytics.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def run(spark, sf_dir: str, report=print) -> dict:
+    from eventkit_spark.operators.relational import funnel, retention, rfm
+    from eventkit_spark.sources.tables import load_events, load_table
+
+    out = {}
+    ev = load_events(spark, sf_dir)
+
+    # reference-surface stream ops: smoothed values, change stream
+    smoothed = ev.ema(n=10)
+    out["ema_rows"] = smoothed.df.count()
+
+    # sessionize by 30-minute inactivity, then a session count per user
+    sess = ev.sessionize(1800.0)
+    out["sessions"] = (
+        sess.df.select("user_id", "session").distinct().count()
+    )
+
+    # k-step conversion funnel click -> view -> purchase within 1 day
+    fun = funnel(
+        load_table(spark, sf_dir, "events"),
+        steps=[
+            "event_type = 'view'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+        within=86400.0,
+    )
+    out["funnel_entered"] = fun.count()
+    out["funnel_converted"] = fun.filter("converted").count()
+
+    # daily cohort retention (offset 0 = cohort sizes)
+    ret = retention(load_table(spark, sf_dir, "events"), period=86400.0)
+    out["cohorts"] = ret.filter(F.col("offset") == 0).count()
+
+    # OHLC rollup into 6h bars
+    bars = ev.resample(21600.0)
+    out["bars"] = bars.count()
+
+    # alarms: trailing z-score and CUSUM drift detection
+    out["z_alarms"] = ev.anomaly(86400.0, z=2.0).df.filter("is_anomaly").count()
+    out["cusum_alarms"] = ev.cusum(50.0, h=150.0, slack=15.0).df.filter("alarm").count()
+
+    # RFM segmentation table
+    out["rfm_rows"] = rfm(load_table(spark, sf_dir, "events")).count()
+
+    for k, v in out.items():
+        report(f"  {k}: {v}")
+    return out
+
+
+if __name__ == "__main__":
+    from eventkit_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    print(f"event analytics over {sf}:")
+    run(get_spark("event-analytics-example"), sf)

@@ -27,3 +27,13 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     n = back.count()
     ranks = [r["rank"] for r in back.select("rank").collect()]
     assert sorted(ranks) == list(range(n))  # dense seeded train order
+
+
+def test_event_analytics_example(spark):
+    import event_analytics
+
+    out = event_analytics.run(spark, "/root/testdata/sf0.001", report=lambda *_: None)
+    assert out["ema_rows"] == 1000
+    assert out["funnel_converted"] <= out["funnel_entered"] <= out["rfm_rows"]
+    assert out["bars"] > 0 and out["sessions"] > 0
+    assert out["z_alarms"] > 0 and out["cusum_alarms"] > 0
