@@ -939,6 +939,61 @@ def q_tpch_q5(spark, sf):
     )
 
 
+def q_group_regression(spark, sf):
+    # least-squares fit per group (regr_* co-moment aggregates — the
+    # same constant-size-cell exchange as group_corr)
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+def q_event_transitions(spark, sf):
+    # first-order Markov transition matrix over event types per user
+    # stream: one lag window on the key exchange + one count aggregate,
+    # row-normalized by the source state's outdegree
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = W.partitionBy("prev")
+    return pairs.select(
+        "prev",
+        F.col("event_type").alias("next"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def q_session_stats(spark, sf):
+    # sessionize (30-min inactivity gap) then per-session rollup: the
+    # composition query — session labels from the engine, aggregates
+    # over (user, session)
+    ev = _ev(spark, sf)
+    sess = ev.sessionize(1800.0)
+    return (
+        sess.df.groupBy("user_id", "session")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("v_sum"),
+            F.round(
+                ts_seconds_expr(F.max("ts")) - ts_seconds_expr(F.min("ts")), 6
+            ).alias("duration_s"),
+        )
+    )
+
+
+def ts_seconds_expr(col):
+    return col.cast("timestamp").cast("double")
+
+
 def q_unpivot(spark, sf):
     # wide->long reshape (Spark-native unpivot == ANSI UNPIVOT): the
     # relational melt the reference's positional streams never needed;
@@ -1831,6 +1886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "group_corr": q_group_corr,
         "unpivot": q_unpivot,
+        "group_regression": q_group_regression,
+        "event_transitions": q_event_transitions,
+        "session_stats": q_session_stats,
         "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
         # rows-only residue with CURRENT r3 driver verdicts (their check
@@ -3180,6 +3238,46 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name""",
+        "group_regression": """
+            SELECT l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   regr_count(l_extendedprice, l_quantity) AS n
+            FROM lineitem GROUP BY l_returnflag""",
+        "event_transitions": """
+            WITH p AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+                     event_type AS next
+              FROM events
+            ), c AS (
+              SELECT prev, next, count(*) AS n FROM p WHERE prev IS NOT NULL
+              GROUP BY prev, next
+            )
+            SELECT prev, next, n,
+                   round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+            FROM c""",
+        # sessionize replayed in SQL: epoch micros / 1e6 doubles (the
+        # engine's ts_seconds), strict > gap starts a session
+        "session_stats": """
+            WITH b AS (
+              SELECT user_id, event_id, value,
+                     epoch_us(ts) / 1000000.0 AS t
+              FROM events
+            ), g AS (
+              SELECT *, CASE WHEN t - lag(t) OVER w IS NULL
+                             OR t - lag(t) OVER w > 1800.0
+                        THEN 1 ELSE 0 END AS new_s
+              FROM b WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), s AS (
+              SELECT *, (sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session
+              FROM g
+            )
+            SELECT user_id, session, count(*) AS n_events,
+                   round(sum(value), 6) AS v_sum,
+                   round(max(t) - min(t), 6) AS duration_s
+            FROM s GROUP BY user_id, session""",
         "unpivot": """
             SELECT l_orderkey, l_linenumber, measure, round(val, 6) AS val
             FROM (

@@ -78,6 +78,9 @@ HEADLINE = [
     "contamination_report",
     "percentiles",
     "group_corr",
+    "group_regression",
+    "event_transitions",
+    "session_stats",
     "asof_join_nearest",
     "overlap_join",
     "topk_per_group",

@@ -144,6 +144,11 @@ SHUFFLE_CEILING = {
     "contamination_report": 7,
     "percentiles": 1,  # one sort-based percentile agg, partial-combined
     "group_corr": 1,  # co-moment merge cells only
+    "group_regression": 1,  # same co-moment shape as group_corr
+    # lag window on the key exchange + count agg + outdegree window
+    # over the tiny (prev,next) table
+    "event_transitions": 3,
+    "session_stats": 2,  # sessionize's one key shuffle + session agg
     "quality_classifier": 3,  # tf agg + norm window + score agg; no join
     "sessionize": 1,  # two windows on ONE key shuffle
     "interval_join": 1,  # event-bin shuffle; interval side AQE-broadcasts
