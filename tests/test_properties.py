@@ -436,3 +436,47 @@ def test_throttle_unit_cost_closed_form(spark, gaps, m, iv):
         emits.append(e)
     for g, e in zip(got, emits):
         assert abs(g - e) < 2e-6, (got, emits)
+
+
+@given(
+    gaps=st.lists(st.integers(1, 2000), min_size=2, max_size=18),
+    vals=st.lists(st.integers(-20, 20), min_size=18, max_size=18),
+    win=st.integers(100, 3000),
+)
+@SET
+def test_anomaly_model(spark, gaps, vals, win):
+    """anomaly() vs a pure-Python trailing-window z-score model
+    (inclusive [t-win, t] bounds, population std, round-6 cut)."""
+    import datetime as dt
+    import math
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    t0 = dt.datetime(2024, 1, 1)
+    times, acc = [], 0
+    for g in gaps:
+        acc += g
+        times.append(acc)
+    vals = vals[: len(times)]
+    rows = [(i, t0 + dt.timedelta(seconds=s), 1, float(v))
+            for i, (s, v) in enumerate(zip(times, vals))]
+    df = spark.createDataFrame(rows, ["seq", "ts", "k", "value"])
+    ef = from_dataframe(df, value_cols=["value"], seq_col="seq", ts_col="ts", key_cols=["k"])
+    got = {r["seq"]: (r["roll_n"], r["zscore"], r["is_anomaly"])
+           for r in ef.anomaly(float(win), z=1.5).df.collect()}
+    for i, (t, x) in enumerate(zip(times, vals)):
+        wnd = [v for s, v in zip(times, vals) if t - win <= s <= t]
+        n = len(wnd)
+        mean = sum(wnd) / n
+        sd = math.sqrt(sum((v - mean) ** 2 for v in wnd) / n)
+        if n >= 2 and sd > 0:
+            z = round((x - mean) / sd, 6)
+            exp = (n, z, abs(z) >= 1.5)
+        else:
+            exp = (n, None, False)
+        gn, gz, ga = got[i]
+        assert gn == exp[0] and ga == exp[2]
+        if exp[1] is None:
+            assert gz is None
+        else:
+            assert abs(gz - exp[1]) <= 2e-6
