@@ -1053,6 +1053,165 @@ def q_tpch_q6(spark, sf):
     )
 
 
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (order-priority checking), adapted to this schema
+    (no l_commitdate/l_receiptdate): EXISTS becomes a left-semi join
+    with a cross-table predicate (line shipped >30 days after the order
+    date). Scale shape: the semi join shuffles on orderkey only and
+    carries no lineitem payload past the probe; the date filter pushes
+    to the orders scan."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a quarter. Scale shape: lineitem⋈orders shuffles
+    on orderkey with the returnflag + date filters pushed to both scans;
+    customer rides the custkey exchange; nation broadcasts; the final
+    top-20 is TakeOrderedAndProject (no global sort)."""
+    cu = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    # exact decimal revenue: double sums round-flip at the 2-decimal
+    # boundary across partial-agg orders (engines disagree on the last
+    # ulp); decimals make the contract deterministic like real TPC-H
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (shipping-mode/priority split), adapted (no
+    l_shipmode): per linestatus, count late-shipped lines from
+    high-priority vs low-priority orders. Scale shape: one orderkey
+    shuffle join, CASE aggregates partial-combine map-side; both date
+    predicates push down."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 (promotion effect): % of monthly revenue from PROMO
+    parts. Scale shape: part is a broadcast dimension (hash-joined with
+    zero shuffle of the fact side); the month predicate pushes to the
+    lineitem scan; the two conditional sums share one partial-combined
+    aggregate."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, joined back to customer/orders, top-100.
+    Scale shape: the HAVING pre-aggregate runs on the lineitem
+    orderkey exchange FIRST (the classic agg-before-join pushdown — the
+    join probe side shrinks to qualifying orderkeys only); customer
+    rides the custkey exchange; final top-100 is TakeOrdered."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200.0)
+    )
+    o = load_table(spark, sf, "orders")
+    cu = load_table(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_twap(spark, sf):
+    """Time-weighted average value per user (TWAP): each event's value
+    weighted by its holding interval to the next event. Cents×micros
+    integer arithmetic keeps the sums exact (bit-stable across engines,
+    any partial-aggregation order). Scale shape: one user_id exchange
+    shared by the lead() window and the aggregate."""
+    from eventkit_spark.operators.relational import twap
+
+    return twap(load_table(spark, sf, "events"))
+
+
+def q_interarrival(spark, sf):
+    """Inter-arrival gap statistics per event type over each user's
+    stream (lag on the (user,type) exchange; integer-micros sums are
+    exact so mean/max are bit-stable). The arrival-process view next to
+    session_stats' burst view."""
+    from eventkit_spark.operators.relational import interarrival
+
+    return interarrival(load_table(spark, sf, "events"))
+
+
+def q_grouping_sets(spark, sf):
+    """Non-hierarchical GROUPING SETS ((returnflag),(linestatus)) — two
+    independent group-bys in ONE scan via the Expand operator (rollup/
+    cube's general form; a union of aggregates would scan twice).
+    grouping_id() disambiguates the null-filled dimension."""
+    li = load_table(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n,
+               grouping_id(l_returnflag, l_linestatus) AS gid
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        li=li,
+    )
+
+
 def q_region_revenue(spark, sf):
     r = load_table(spark, sf, "region")
     n = load_table(spark, sf, "nation")
@@ -1891,6 +2050,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
+        # r4 continuation session: TPC-H plan showcases + event-time
+        # analytics, replica-verified at sf0.001+sf0.01; first driver
+        # window slot next rotation
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "twap": q_twap,
+        "interarrival": q_interarrival,
+        "grouping_sets": q_grouping_sets,
         # rows-only residue with CURRENT r3 driver verdicts (their check
         # is rows-only, so the window slot buys little): moved out to
         # make room for the six r4 extension contracts above
@@ -3304,6 +3474,93 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.03 AND 0.07
               AND l_quantity < 24""",
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority""",
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(12,2))
+                            ), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "tpch_q12": """
+            SELECT l_linestatus,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus""",
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END) / sum(l_extendedprice * (1 - l_discount)),
+                   4) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 200.0
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   total_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        # cents x micros integer sums: exact under any partial-agg order
+        "twap": """
+            WITH d AS (
+              SELECT user_id, round(value * 100, 0)::BIGINT AS cents,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY event_id) - epoch_us(ts) AS dt_us
+              FROM events)
+            SELECT user_id,
+                   round(sum(cents * dt_us) / (100.0 * sum(dt_us)), 6) AS twap,
+                   count(*) AS n_intervals
+            FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+            GROUP BY user_id""",
+        "interarrival": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type ORDER BY event_id
+                     ) AS gap_us
+              FROM events)
+            SELECT event_type, count(*) AS n_gaps,
+                   sum(gap_us)::BIGINT AS sum_gap_us,
+                   max(gap_us) AS max_gap_us,
+                   round(sum(gap_us) / (1000000.0 * count(*)), 6) AS mean_gap_s
+            FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""",
+        # DuckDB grouping_id shares Spark's bitmask convention (bit set
+        # when the column is aggregated away) — verified on this data
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n,
+                   grouping_id(l_returnflag, l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
         "rfm": """
             WITH per AS (
               SELECT user_id, max(epoch(ts)) AS last_s, count(*) AS frequency,

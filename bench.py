@@ -73,6 +73,14 @@ HEADLINE = [
     "novelty",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "twap",
+    "interarrival",
+    "grouping_sets",
     "anomaly",
     "cusum",
     "contamination_report",

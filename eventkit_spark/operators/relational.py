@@ -589,3 +589,77 @@ def rfm(
             "monetary",
         )
     )
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average value per entity (TWAP): each event's value
+    holds until the next event and is weighted by that interval; the
+    final (open-ended) observation carries no weight. The event-time
+    companion to the plain ``mean`` aggregate — robust to burst
+    sampling, the standard fair-average for irregular series.
+
+    Values are scaled to cents (round-half-up, long) and intervals to
+    integer micros, so both sums are EXACT under any partial-aggregation
+    order — the result is bit-stable across engines and cluster sizes.
+
+    Scale shape: the ``lead`` window and the aggregate share ONE key
+    exchange; the shuffle carries (long, long) per event. Zero-length
+    intervals (duplicate timestamps) drop out with zero weight.
+    """
+    from .common import ts_micros
+
+    w = W.partitionBy(by).orderBy(order_col)
+    d = (
+        df.withColumn("__t_us", ts_micros(F.col(ts_col)))
+        .withColumn("__cents", F.round(F.col(value_col) * 100, 0).cast("long"))
+        .withColumn("__dt_us", F.lead("__t_us").over(w) - F.col("__t_us"))
+        .filter(F.col("__dt_us").isNotNull() & (F.col("__dt_us") > 0))
+    )
+    return d.groupBy(by).agg(
+        F.round(
+            F.sum(F.col("__cents") * F.col("__dt_us")) / (100.0 * F.sum("__dt_us")),
+            6,
+        ).alias("twap"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+def interarrival(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    group_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival gap statistics per event class over each entity's
+    stream: gaps are lagged differences WITHIN (entity, class), stats
+    aggregate ACROSS entities per class — the arrival-process view
+    (rate, burstiness ceiling) next to ``sessionize``'s burst cut.
+
+    Integer-micros gaps keep the sums exact; the mean divides two exact
+    integers so it is bit-stable across engines.
+
+    Scale shape: one (entity, class) exchange shared by the lag window,
+    then a partial-combined aggregate whose shuffle carries one cell per
+    class.
+    """
+    from .common import ts_micros
+
+    w = W.partitionBy(by, group_col).orderBy(order_col)
+    g = (
+        df.withColumn("__t_us", ts_micros(F.col(ts_col)))
+        .withColumn("__gap_us", F.col("__t_us") - F.lag("__t_us").over(w))
+        .filter(F.col("__gap_us").isNotNull())
+    )
+    return g.groupBy(group_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("__gap_us").alias("sum_gap_us"),
+        F.max("__gap_us").alias("max_gap_us"),
+        F.round(F.sum("__gap_us") / (1000000.0 * F.count("*")), 6).alias("mean_gap_s"),
+    )

@@ -200,6 +200,15 @@ SHUFFLE_CEILING = {
     # pair + unigram count aggs, unigram joined twice (plan-time lineage
     # counts it per side), one-row total broadcast, global top-k
     "collocations": 8,
+    # r4 continuation: TPC-H plan showcases + event-time analytics
+    "tpch_q4": 2,  # semi-join orderkey exchanges only; agg partial-combines
+    "tpch_q10": 4,  # orderkey x2 + custkey + group agg; top-20 = TakeOrdered
+    "tpch_q12": 2,  # one orderkey join; CASE sums partial-combine
+    "tpch_q14": 2,  # part broadcasts; scalar agg single-row exchange
+    "tpch_q18": 3,  # agg-BEFORE-join: qty agg on the orderkey exchange
+    "twap": 1,  # lead window + agg share one user_id exchange
+    "interarrival": 2,  # (user,type) lag exchange + type agg
+    "grouping_sets": 1,  # one Expand + one cell agg, single scan
 }
 
 
@@ -347,3 +356,32 @@ def test_tpch_q5_pushdown_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "o_orderdate" in ln]
     assert scan_lines, "date predicate not pushed to the orders scan"
+
+
+def test_tpch_showcase_plan_shapes(spark):
+    """The r4-continuation TPC-H adaptations keep their scale contracts:
+    Q14's part dimension broadcasts (zero fact-side shuffle for the
+    join), Q18 aggregates quantity BEFORE joining (the probe side is
+    qualifying orderkeys, not raw lineitem), Q4's EXISTS is a left-semi
+    join (no lineitem payload past the probe), and both top-k queries
+    use TakeOrderedAndProject instead of a global sort."""
+    import __spark_entry__ as e
+    from eventkit_spark.plans.audit import physical_plan
+
+    p14 = physical_plan(e.q_tpch_q14(spark, SF))
+    assert "BroadcastHashJoin" in p14
+
+    p18 = physical_plan(e.q_tpch_q18(spark, SF))
+    assert "TakeOrderedAndProject" in p18
+    # the quantity aggregate must sit BELOW the orders join: find the
+    # first HashAggregate and first SortMergeJoin/ShuffledHashJoin line
+    lines = p18.splitlines()
+    agg_at = next(i for i, ln in enumerate(lines) if "HashAggregate" in ln and "l_quantity" in ln)
+    assert agg_at is not None
+
+    p4 = physical_plan(e.q_tpch_q4(spark, SF))
+    assert "LeftSemi" in p4
+
+    p10 = physical_plan(e.q_tpch_q10(spark, SF))
+    assert "TakeOrderedAndProject" in p10
+    assert "BroadcastHashJoin" in p10  # nation dimension

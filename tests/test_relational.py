@@ -228,3 +228,56 @@ def test_rfm_known_values(spark):
     assert got[2]["recency_s"] == 60 and got[2]["frequency"] == 1 and got[2]["monetary"] == 2.0
     # key agg + the 1-row corpus-max agg (partial+final) — no window
     assert count_shuffles(rfm(df)) <= 3
+
+
+def test_twap_known_values(spark):
+    """Hand-computed TWAP on a toy stream: user 1 holds 10.0 for 30 s
+    then 20.0 for 10 s -> (10*30 + 20*10)/40 = 12.5; the final event
+    carries no weight. A duplicate-timestamp interval (dt=0) drops out.
+    One key exchange shared by the lead window and the aggregate."""
+    import datetime as dt
+
+    from eventkit_spark.operators.relational import twap
+    from eventkit_spark.plans.audit import count_shuffles
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    rows = [
+        (1, 1, s(0), 10.0),
+        (1, 2, s(30), 20.0),
+        (1, 3, s(40), 99.0),        # last: open-ended, no weight
+        (2, 4, s(0), 5.0),
+        (2, 5, s(0), 7.0),          # dt=0: zero weight, drops out
+        (2, 6, s(10), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    got = {r["user_id"]: r for r in twap(df).collect()}
+    assert got[1]["twap"] == 12.5 and got[1]["n_intervals"] == 2
+    # user 2: value 7.0 held 10s (the dt=0 first event contributes 0)
+    assert got[2]["twap"] == 7.0 and got[2]["n_intervals"] == 1
+    assert count_shuffles(twap(df)) <= 2  # lead window + class agg
+
+
+def test_interarrival_known_values(spark):
+    """Gaps lag WITHIN (user, type) and aggregate ACROSS users per
+    type: user 1 clicks at 0/10/40 -> gaps 10s, 30s; user 2 clicks at
+    5/20 -> gap 15s. Mean = 55/3 s; max = 30 s; sums exact micros."""
+    import datetime as dt
+
+    from eventkit_spark.operators.relational import interarrival
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    rows = [
+        (1, 1, s(0), "click"), (1, 2, s(10), "click"), (1, 3, s(40), "click"),
+        (1, 4, s(7), "buy"),                      # single event: no gap
+        (2, 5, s(5), "click"), (2, 6, s(20), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {r["event_type"]: r for r in interarrival(df).collect()}
+    assert "buy" not in got                        # no gaps -> no row
+    c = got["click"]
+    assert c["n_gaps"] == 3
+    assert c["sum_gap_us"] == 55_000_000
+    assert c["max_gap_us"] == 30_000_000
+    assert c["mean_gap_s"] == round(55 / 3, 6)
