@@ -1212,6 +1212,106 @@ def q_grouping_sets(spark, sf):
     )
 
 
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by ship year. Scale shape: the fact-fact lineitem⋈orders join
+    shuffles on orderkey; customer/supplier ride their key exchanges
+    with the nation filter SEMI-PUSHED as broadcast joins against the
+    2-row filtered nation dim (so non-qualifying customers/suppliers
+    drop before the fact join); exact decimal revenue."""
+    pair = ("NATION_11", "NATION_12")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name").isin(*pair))
+    cu = load_table(spark, sf, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): supplier(s) with max revenue in a
+    quarter. Scale shape: ONE lineitem aggregate on suppkey, a 1-row
+    broadcast max joined back (no second fact scan, no global sort),
+    then the small supplier dim joins the ≤#suppliers winner rows.
+    Decimal-exact revenue makes the max-equality tie-safe across
+    engines."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    top = per.crossJoin(F.broadcast(per.agg(F.max("__rev").alias("__mx")))).filter(
+        F.col("__rev") == F.col("__mx")
+    )
+    s = load_table(spark, sf, "supplier")
+    return (
+        top.join(s, top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_dau(spark, sf):
+    """Daily active users + event volume per day: the engagement
+    rollup every event pipeline ships. Scale shape: count(DISTINCT)
+    expands to a two-level aggregate — partial distinct on (day, user)
+    then the day rollup; both exchanges carry int pairs only."""
+    ev = load_table(spark, sf, "events")
+    day = F.floor(ts_seconds_expr(F.col("ts")) / 86400).cast("long").alias("day")
+    return ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_pct_change(spark, sf):
+    """Per-user percent change between consecutive event values (the
+    ratio twin of `changes`/`pairwise`): one lag window on the key
+    exchange; zero-denominator rows drop. Emitted as parts-per-million
+    via floor of an identically-constructed integer-ratio double —
+    round() at scale 6 flips between engines when the exact rational
+    lands on a half (e.g. 8.0046875), floor of the SAME IEEE double
+    cannot."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = (
+        ev.withColumn("c", cents)
+        .withColumn("prev_c", F.lag("c").over(w))
+        .filter(F.col("prev_c").isNotNull() & (F.col("prev_c") != 0))
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.floor(
+            ((F.col("c") - F.col("prev_c")) * 1000000) / F.col("prev_c")
+        ).alias("pct_change_ppm"),
+    )
+
+
 def q_region_revenue(spark, sf):
     r = load_table(spark, sf, "region")
     n = load_table(spark, sf, "nation")
@@ -2061,6 +2161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "interarrival": q_interarrival,
         "grouping_sets": q_grouping_sets,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q15": q_tpch_q15,
+        "dau": q_dau,
+        "pct_change": q_pct_change,
         # rows-only residue with CURRENT r3 driver verdicts (their check
         # is rows-only, so the window slot buys little): moved out to
         # make room for the six r4 extension contracts above
@@ -3552,6 +3656,52 @@ def oracle_sql() -> dict[str, str]:
                    max(gap_us) AS max_gap_us,
                    round(sum(gap_us) / (1000000.0 * count(*)), 6) AS mean_gap_s
             FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""",
+        "tpch_q7": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(12,2))
+                            ), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE cn.n_name IN ('NATION_11','NATION_12')
+              AND sn.n_name IN ('NATION_11','NATION_12')
+              AND cn.n_name <> sn.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3""",
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(12,2))) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, round(r, 2)::DOUBLE AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = (SELECT max(r) FROM rev)""",
+        "dau": """
+            SELECT floor(epoch_us(ts) / 1000000.0 / 86400)::BIGINT AS day,
+                   count(DISTINCT user_id) AS dau,
+                   count(*) AS n_events
+            FROM events GROUP BY 1""",
+        "pct_change": """
+            WITH d AS (
+              SELECT event_id, user_id,
+                     round(value * 100, 0)::BIGINT AS c,
+                     lag(round(value * 100, 0)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS prev_c
+              FROM events)
+            SELECT event_id, user_id,
+                   floor(((c - prev_c) * 1000000) / prev_c)::BIGINT
+                     AS pct_change_ppm
+            FROM d WHERE prev_c IS NOT NULL AND prev_c <> 0""",
         # DuckDB grouping_id shares Spark's bitmask convention (bit set
         # when the column is aggregated away) — verified on this data
         "grouping_sets": """

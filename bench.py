@@ -81,6 +81,10 @@ HEADLINE = [
     "twap",
     "interarrival",
     "grouping_sets",
+    "tpch_q7",
+    "tpch_q15",
+    "dau",
+    "pct_change",
     "anomaly",
     "cusum",
     "contamination_report",

@@ -209,6 +209,14 @@ SHUFFLE_CEILING = {
     "twap": 1,  # lead window + agg share one user_id exchange
     "interarrival": 2,  # (user,type) lag exchange + type agg
     "grouping_sets": 1,  # one Expand + one cell agg, single scan
+    # fact exchanges; nation + nation-filtered cust/supp dims broadcast
+    "tpch_q7": 6,
+    # suppkey agg lineage counted on BOTH the winner and 1-row-max
+    # sides at plan time (runtime reuses the month-filtered scan); no
+    # global sort anywhere
+    "tpch_q15": 5,
+    "dau": 2,  # two-level distinct expand: (day,user) partial + day rollup
+    "pct_change": 1,  # one lag window on the key exchange
 }
 
 
