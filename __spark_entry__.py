@@ -1274,6 +1274,202 @@ def q_tpch_q15(spark, sf):
     )
 
 
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share; partsupp-free adaptation):
+    NATION_1 suppliers' share of AMERICA-region customers' PROMO-part
+    order volume per year. Scale shape: part filter broadcast-SEMI-joins
+    the lineitem scan FIRST (the most selective cut), the fact-fact
+    lineitem⋈orders join shuffles on orderkey, the region-filtered
+    customer set and the 25-row supplier→nation map broadcast. Share is
+    emitted as floor-ppm of an identically-constructed IEEE ratio of two
+    decimal-exact sums (round() at 6 can flip on exact halves; floor of
+    the same double cannot)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    cu = (
+        load_table(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)).alias("__nat"),
+            F.sum(vol).alias("__tot"),
+        )
+    )
+    return per.select(
+        "o_year",
+        F.floor(
+            F.coalesce(F.col("__nat"), F.lit(0)).cast("double")
+            / F.col("__tot").cast("double")
+            * 1e6
+        ).cast("long").alias("mkt_share_ppm"),
+    )
+
+
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers survive with c_count=0. Scale shape: the outer
+    join and the per-customer count share ONE custkey exchange (partial
+    counts map-side); the distribution rollup is a second tiny exchange
+    of (count, 1) pairs. All-integer outputs — exact across engines.
+    The real Q13's o_comment NOT LIKE filter maps to o_orderpriority
+    (the slimmed schema has no comments)."""
+    cu = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    `l_quantity < 0.2 * avg(l_quantity) per part` subquery DECORRELATED
+    into a per-part aggregate joined back — the canonical rewrite a
+    100 TB plan needs (no per-row re-scan). Scale shape: brand filter
+    broadcasts against the fact scan; the avg table and the probe share
+    one partkey exchange. avg of integral double quantities is exact
+    (sum < 2^53), so the threshold compare is engine-identical; revenue
+    sums integer cents and floors the /7.0 in IEEE doubles."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 5)
+    )
+    lim = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__lim")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(lim, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__lim"))
+    )
+    return j.agg(
+        F.floor(F.sum(cents).cast("double") / 7.0).cast("long").alias("avg_yearly_cents")
+    )
+
+
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    brand/size/quantity OR-arms as a residual filter over ONE broadcast
+    equi-join on partkey — the plan lesson is that the disjunction must
+    NOT become three scans or a nested-loop join; Catalyst keeps the
+    single hash join and evaluates the OR in codegen. Decimal-exact
+    revenue."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    arm = lambda brand, sz, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, sz))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    cond = arm("Brand#12", 5, 1, 11) | arm("Brand#13", 10, 10, 20) | arm("Brand#14", 15, 20, 30)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting; receipt-date-free
+    adaptation): in finished ('F') multi-supplier orders, find the SOLE
+    supplier whose lines were returned ('R') — the EXISTS / NOT EXISTS
+    pair DECORRELATED into one per-order aggregate (distinct suppliers,
+    distinct returning suppliers) instead of two correlated fact
+    re-scans. Scale shape: ONE orderkey exchange feeds the per-order
+    aggregate AND the probe join; the orders status filter semi-joins
+    the culprit rows; supplier dim broadcasts. All-integer counts."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "__n_ret"
+        ),
+    )
+    culprit = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_ret") == 1)),
+            li.l_orderkey == F.col("__ok"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf, "supplier")
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 (global sales opportunity; phone-prefix-free
+    adaptation): customers in seven nations with above-average positive
+    balance and no URGENT orders (this dataset's order density gives
+    every customer some order, so the anti-join cuts on the urgent
+    subset to stay non-trivial). Scale shape: the scalar avg subquery
+    is a 1-row broadcast (crossJoin of an aggregate, not a correlated
+    re-scan); the no-urgent-orders test is a LEFT ANTI join shuffling
+    custkey only. Balances compare in integer cents against an IEEE
+    ratio of exact longs — engine-identical."""
+    nk = [1, 3, 5, 7, 9, 11, 13]
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cu = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_nationkey").isin(nk))
+        .withColumn("__bal_c", cents)
+    )
+    avg_ = cu.filter(F.col("__bal_c") > 0).agg(
+        (F.sum("__bal_c").cast("double") / F.count("*")).alias("__avg")
+    )
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    res = (
+        cu.crossJoin(F.broadcast(avg_))
+        .filter(F.col("__bal_c") > F.col("__avg"))
+        .join(o, cu.c_custkey == o.o_custkey, "left_anti")
+    )
+    return res.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum("__bal_c").alias("totacctbal_cents"),
+    )
+
+
 def q_dau(spark, sf):
     """Daily active users + event volume per day: the engagement
     rollup every event pipeline ships. Scale shape: count(DISTINCT)
@@ -2163,6 +2359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "dau": q_dau,
         "pct_change": q_pct_change,
         # rows-only residue with CURRENT r3 driver verdicts (their check
@@ -3686,6 +3888,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, round(r, 2)::DOUBLE AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE r = (SELECT max(r) FROM rev)""",
+        "tpch_q8": """
+            WITH vol AS (
+              SELECT year(o_orderdate)::BIGINT AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(12,2)) AS v,
+                     sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region   ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   floor(coalesce(sum(CASE WHEN supp_nation = 'NATION_1'
+                                           THEN v END), 0)::DOUBLE
+                         / sum(v)::DOUBLE * 1e6)::BIGINT AS mkt_share_ppm
+            FROM vol GROUP BY o_year""",
+        "tpch_q13": """
+            WITH per AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count""",
+        "tpch_q17": """
+            SELECT floor(sum(round(l_extendedprice * 100, 0)::BIGINT)::DOUBLE
+                         / 7.0)::BIGINT AS avg_yearly_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#11' AND p_size <= 5
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = lineitem.l_partkey)""",
+        "tpch_q19": """
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(12,2))
+                            ), 2)::DOUBLE AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "tpch_q21": """
+            WITH culprit AS (
+              SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+                         AND o_orderstatus = 'F'
+              WHERE l1.l_returnflag = 'R'
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_returnflag = 'R'))
+            SELECT s_name, count(*) AS numwait
+            FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20""",
+        "tpch_q22": """
+            WITH cu AS (
+              SELECT c_custkey, c_nationkey,
+                     round(c_acctbal * 100, 0)::BIGINT AS bal_c
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            a AS (SELECT sum(bal_c)::DOUBLE / count(*) AS av
+                  FROM cu WHERE bal_c > 0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   sum(bal_c)::BIGINT AS totacctbal_cents
+            FROM cu, a
+            WHERE bal_c > av
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey""",
         "dau": """
             SELECT floor(epoch_us(ts) / 1000000.0 / 86400)::BIGINT AS day,
                    count(DISTINCT user_id) AS dau,

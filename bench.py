@@ -83,6 +83,12 @@ HEADLINE = [
     "grouping_sets",
     "tpch_q7",
     "tpch_q15",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
     "dau",
     "pct_change",
     "anomaly",
