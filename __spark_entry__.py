@@ -2218,6 +2218,44 @@ def q_mm_video_features(spark, sf):
     )
 
 
+def q_heavy_hitters(spark, sf):
+    """Misra–Gries heavy hitters over the corpus token stream: the
+    sketch-prefiltered exact top set (llm/sketch.py). The MG superset
+    guarantee + exact recount makes a SKETCH op fully value-checkable:
+    output == the true `count*k > n` token set."""
+    from eventkit_spark.llm.sketch import heavy_hitters
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", k=200).select(
+        F.col("item").alias("token"), "cnt"
+    )
+
+
+def q_weighted_sample(spark, sf):
+    """Efraimidis–Spirakis PPS-without-replacement draw of 500 docs,
+    weight = n_chars (llm/sampling.py). Deterministic hash-derived
+    uniforms make the draw engine-replayable; the global top-n plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from eventkit_spark.llm.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample(docs, 500, "n_chars", "doc_id").select("doc_id", "n_chars")
+
+
+def q_weighted_sample_grouped(spark, sf):
+    """Per-language A-ES draw (100 docs per lang): one row_number window
+    on the lang exchange — the stratified twin of weighted_sample."""
+    from eventkit_spark.llm.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample(docs, 100, "n_chars", "doc_id", group_col="lang").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
@@ -2365,6 +2403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "heavy_hitters": q_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
         "dau": q_dau,
         "pct_change": q_pct_change,
         # rows-only residue with CURRENT r3 driver verdicts (their check
@@ -3971,6 +4012,34 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey""",
+        "heavy_hitters": r"""
+            WITH t AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS token
+              FROM documents)
+            SELECT token, count(*) AS cnt
+            FROM t WHERE token <> ''
+            GROUP BY token
+            HAVING count(*) * 200 > (SELECT count(*) FROM t WHERE token <> '')""",
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars > 0
+            ORDER BY round(-ln(((((doc_id * 2654435761) % 2147483648)
+                                 % 1048576) + 0.5) / 1048576.0)
+                           / n_chars::DOUBLE, 12),
+                     doc_id
+            LIMIT 500""",
+        "weighted_sample_grouped": """
+            WITH s AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY round(-ln(((((doc_id * 2654435761)
+                                             % 2147483648) % 1048576) + 0.5)
+                                          / 1048576.0) / n_chars::DOUBLE, 12),
+                                doc_id) AS rn
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, lang, n_chars FROM s WHERE rn <= 100""",
         "dau": """
             SELECT floor(epoch_us(ts) / 1000000.0 / 86400)::BIGINT AS day,
                    count(DISTINCT user_id) AS dau,

@@ -89,6 +89,9 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q21",
     "tpch_q22",
+    "heavy_hitters",
+    "weighted_sample",
+    "weighted_sample_grouped",
     "dau",
     "pct_change",
     "anomaly",

@@ -114,6 +114,48 @@ def reservoir_per_key(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    Inf. Proc. Letters 2006): draw ``n`` rows with inclusion probability
+    proportional to ``weight_col`` by keeping the n smallest exponential
+    race scores ``-ln(u_i) / w_i`` — the one-pass, order-free PPS scheme
+    (u uniform in (0,1)).  The length-proportional document draw every
+    data-mixing recipe needs.
+
+    u_i comes from the portable multiplicative hash of ``key_col`` (not
+    rand()), so the draw is deterministic, reproducible across runs and
+    engines, and exactly verifiable by the SQL oracle.  Scores are
+    rounded to 12 decimals before ranking with the key as tiebreak:
+    ln() may differ by 1 ulp between libm implementations, and the
+    round+tiebreak makes the selected SET identical regardless.
+
+    Scale shape: global draw (``group_col=None``) plans as
+    TakeOrderedAndProject — per-partition top-n heaps merged on the
+    driver, no global sort, no single-task window.  Per-group draw is
+    one row_number window on the group-key exchange.  Zero/negative
+    weights are excluded (their inclusion probability is 0).
+    """
+    m = 1 << 20
+    u = (portable_hash(F.col(key_col), m) + F.lit(0.5)) / F.lit(float(m))
+    w = F.col(weight_col).cast("double")
+    score = F.round(-F.log(u) / w, 12)
+    out = df.filter(w > 0).withColumn("__score", score)
+    if group_col is None:
+        return out.orderBy(F.col("__score"), F.col(key_col)).limit(n).drop("__score")
+    wspec = W.partitionBy(group_col).orderBy(F.col("__score"), F.col(key_col))
+    return (
+        out.withColumn("__wrn", F.row_number().over(wspec))
+        .filter(F.col("__wrn") <= n)
+        .drop("__wrn", "__score")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,

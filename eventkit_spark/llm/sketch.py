@@ -1,0 +1,104 @@
+"""Frequency sketches for 100 TB streams: Misra–Gries heavy hitters.
+
+The exact answer to "which items appear more than n/k times" is a full
+groupBy over every distinct item — at 100 TB that exchange carries the
+whole vocabulary (URLs, tokens, user ids), most of which is long-tail
+noise that can never qualify.  The Misra–Gries summary bounds the
+shuffle instead: each input partition keeps at most ``k - 1`` counters
+(one Arrow-batched pass, no sort), and the union of surviving keys is a
+GUARANTEED superset of every item with true count > n/k (Misra & Gries
+1982; the merge property is Agarwal et al. 2013, "Mergeable summaries").
+An exact recount restricted to that candidate set (broadcast semi join)
+then makes the final answer EXACT — so the two-phase plan is fully
+oracle-checkable while shuffling only #partitions·(k-1) candidate rows
+plus the recount of qualifying keys.
+
+Scale shape: scan → mapInPandas MG kernel (state = one dict of ≤ k-1
+counters per partition, constant memory) → tiny distinct → broadcast
+back against a second scan → one hash aggregate whose input was
+pre-filtered to candidates.  Two scans of the column total; the
+exchange never carries the long tail.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_kernel(k: int, col: str):
+    """Per-partition Misra–Gries summary: ≤ k-1 counters."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            vals = pdf[col]
+            n_seen += len(vals)
+            # vectorized pre-aggregation: count the batch first (one
+            # pandas value_counts), then run MG on (item, weight) pairs
+            # — identical summary, ~batch-size/#distinct fewer dict ops
+            for item, wt in vals.value_counts().items():
+                if item in counters:
+                    counters[item] += int(wt)
+                elif len(counters) < k - 1:
+                    counters[item] = int(wt)
+                else:
+                    # decrement-all by the largest amount that keeps
+                    # every counter >= 0 (batched decrement: min of the
+                    # incoming weight and the smallest counter)
+                    dec = min(int(wt), min(counters.values()))
+                    counters = {
+                        it: c - dec for it, c in counters.items() if c > dec
+                    }
+                    if wt > dec and len(counters) < k - 1:
+                        counters[item] = int(wt) - dec
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "n_part": [n_seen] * len(counters)}
+        )
+
+    return kernel
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Items with exact count > n/k, found with a Misra–Gries prefilter.
+
+    Phase 1: per-partition MG summaries (mapInPandas, ≤ k-1 counters
+    each) emit candidate items; any item with global count > n/k is
+    guaranteed present in at least one partition summary, because MG
+    only drops an item after n_part/k same-partition decrements and the
+    per-partition thresholds sum to n/k across the whole input.
+    Phase 2: exact recount restricted to the candidates (broadcast
+    isin-join) and the `> n/k` cut with n the exact total row count —
+    the output is therefore EXACTLY the true heavy-hitter set, which is
+    what lets the DuckDB oracle verify this sketch op value-for-value.
+
+    Returns (item, cnt) with cnt the exact count.  String or integral
+    item columns; NULLs are ignored (they cannot be 'an item').
+    """
+    if k < 2:
+        raise ValueError("heavy_hitters needs k >= 2")
+    src = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
+    item_t = src.schema["item"].dataType.simpleString()
+    cand = (
+        src.mapInPandas(
+            _mg_kernel(k, "item"), schema=f"item {item_t}, n_part long"
+        )
+        .select("item")
+        .distinct()
+    )
+    # exact recount of candidates only: the broadcast semi join keeps the
+    # aggregate's input at candidate rows; n is one scalar count
+    total = src.count()
+    counts = (
+        src.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.filter(F.col("cnt") * k > F.lit(total)).select("item", "cnt")

@@ -1183,3 +1183,97 @@ def test_minhash_portable_candidates_contain_planted_dups(spark):
     s1 = minhash_signatures(docs, portable=True).orderBy("id").collect()
     s2 = minhash_signatures(docs, portable=True).orderBy("id").collect()
     assert [r["signature"] for r in s1] == [r["signature"] for r in s2]
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """The MG sketch + recount pipeline must EQUAL the exact
+    `count*k > n` set — on a Zipf-ish stream AND on an adversarial
+    near-uniform stream where MG decrements churn the counter table.
+    Candidate-set size (pre-recount) must respect the #partitions*(k-1)
+    bound that makes the shuffle scale-safe."""
+    from eventkit_spark.llm.sketch import heavy_hitters
+
+    rows = []
+    for i in range(2000):
+        rows.append((f"hot{i % 3}",))          # 3 heavy items
+    for i in range(3000):
+        rows.append((f"tail{i % 997}",))       # near-uniform long tail
+    df = spark.createDataFrame(rows, ["item"]).repartition(7)
+    for k in (4, 50):
+        got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", k=k).collect()}
+        exact = {
+            (r["item"], r["cnt"])
+            for r in df.groupBy("item").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * k > df.count())
+            .collect()
+        }
+        assert got == exact
+        assert len(got) > 0 or k == 4  # k=50 must surface the hot items
+    # k=4: only items with count > 5000/4 qualify -> none (hot0 has ~667)
+    # k=50: threshold 100 -> exactly the 3 hot items
+    got50 = {r["item"] for r in heavy_hitters(df, "item", k=50).collect()}
+    assert got50 == {"hot0", "hot1", "hot2"}
+
+
+def test_heavy_hitters_weighted_batch_kernel_model(spark):
+    """The batched-decrement MG kernel must match a textbook 1-by-1
+    Misra-Gries on the same partition content (superset property is
+    engine-independent; this pins the kernel's weighted shortcut)."""
+    import pandas as pd
+
+    from eventkit_spark.llm.sketch import _mg_kernel
+
+    vals = [f"v{i % 13}" for i in range(400)] + ["big"] * 150
+    k = 7
+    # kernel output (single partition, two arrow batches)
+    out = list(
+        _mg_kernel(k, "item")(
+            iter([pd.DataFrame({"item": vals[:300]}), pd.DataFrame({"item": vals[300:]})])
+        )
+    )[0]
+    survivors = set(out["item"])
+    # textbook MG: any item with count > n/k must survive
+    n = len(vals)
+    from collections import Counter
+
+    for item, cnt in Counter(vals).items():
+        if cnt * k > n:
+            assert item in survivors, f"{item} ({cnt} > {n}/{k}) dropped"
+    assert len(survivors) <= k - 1
+    assert out["n_part"].iloc[0] == n
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES draw: (a) identical across runs and across partitionings,
+    (b) heavier rows oversampled (statistical sanity: mean weight of
+    the sample exceeds the population mean), (c) global draw plans as
+    TakeOrderedAndProject (no global sort, no single-task window)."""
+    from eventkit_spark.llm.sampling import weighted_sample
+
+    rows = [(i, 1 + (i % 10) * 10) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    a = {r["id"] for r in weighted_sample(df, 400, "w", "id").collect()}
+    b = {r["id"] for r in weighted_sample(df.repartition(13), 400, "w", "id").collect()}
+    assert a == b and len(a) == 400
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    samp_mean = sum(1 + (i % 10) * 10 for i in a) / len(a)
+    assert samp_mean > pop_mean * 1.2  # strongly length-biased
+    plan = physical_plan(weighted_sample(df, 400, "w", "id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_weighted_sample_grouped_matches_global_per_group(spark):
+    """Per-group draw == running the global draw inside each group
+    (the window path and the TakeOrdered path share one scoring
+    definition)."""
+    from eventkit_spark.llm.sampling import weighted_sample
+
+    rows = [(i, 1 + i % 7, "g%d" % (i % 3)) for i in range(900)]
+    df = spark.createDataFrame(rows, ["id", "w", "g"])
+    grouped = weighted_sample(df, 50, "w", "id", group_col="g")
+    for g in ("g0", "g1", "g2"):
+        sub = weighted_sample(df.filter(F.col("g") == g), 50, "w", "id")
+        assert {r["id"] for r in grouped.filter(F.col("g") == g).collect()} == {
+            r["id"] for r in sub.collect()
+        }
