@@ -387,6 +387,19 @@ def q_rolling_time(spark, sf):
     )
 
 
+def q_rollup_cascade(spark, sf):
+    # hour cells from the raw stream, day cells from the HOUR CELLS (one
+    # fact scan total — the continuous-aggregate cascade); cents longs
+    # keep every cell integer-exact across engines
+    ev = _ev(spark, sf)
+    ef = ev._with(
+        df=ev.df.withColumn("value", F.round(F.col("value") * 100, 0).cast("long"))
+    )
+    return ef.rollup_cascade(levels=(3600.0, 86400.0)).select(
+        "user_id", "level", "bucket", "open", "high", "low", "close", "n", "vsum"
+    )
+
+
 def q_collocations(spark, sf):
     # PMI-ranked adjacent-pair collocations (Church & Hanks): the
     # WordPiece-style merge score next to top_ngrams' raw-count BPE view
@@ -2330,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "histogram": q_histogram,
         "resample": q_resample,
+        "rollup_cascade": q_rollup_cascade,
         "rolling_time": q_rolling_time,
         "url_canonicalize": q_url_canonicalize,
         "host_stats": q_host_stats,
@@ -4097,6 +4111,35 @@ def oracle_sql() -> dict[str, str]:
               last(value ORDER BY epoch_us(ts), event_id) AS close,
               count(*) AS n, round(sum(value), 6) AS vsum
             FROM events GROUP BY 1, 2""",
+        "rollup_cascade": """
+            WITH h AS (
+              SELECT user_id,
+                floor(epoch_us(ts)/3600000000)::BIGINT AS bucket,
+                first(round(value*100,0)::BIGINT
+                      ORDER BY epoch_us(ts), event_id) AS open,
+                max(round(value*100,0)::BIGINT) AS high,
+                min(round(value*100,0)::BIGINT) AS low,
+                last(round(value*100,0)::BIGINT
+                     ORDER BY epoch_us(ts), event_id) AS close,
+                count(*) AS n,
+                sum(round(value*100,0)::BIGINT)::BIGINT AS vsum
+              FROM events GROUP BY 1, 2),
+            d AS (
+              SELECT user_id,
+                (CASE WHEN bucket >= 0 THEN bucket // 24
+                      ELSE -((-bucket + 23) // 24) END)::BIGINT AS pb,
+                first(open ORDER BY bucket) AS open,
+                max(high) AS high, min(low) AS low,
+                last(close ORDER BY bucket) AS close,
+                sum(n)::BIGINT AS n, sum(vsum)::BIGINT AS vsum
+              FROM h GROUP BY 1, 2)
+            SELECT user_id, 3600.0 AS level, bucket, open, high, low,
+                   close, n, vsum
+            FROM h
+            UNION ALL
+            SELECT user_id, 86400.0 AS level, pb AS bucket, open, high,
+                   low, close, n, vsum
+            FROM d""",
         "rolling_time": """
             SELECT event_id, user_id,
               (sum(value_c) OVER w)::BIGINT AS roll_sum,

@@ -108,6 +108,7 @@ HEADLINE = [
     "retention",
     "histogram",
     "resample",
+    "rollup_cascade",
     "rolling_time",
     "decontaminate",
     "repetition",

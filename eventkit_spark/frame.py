@@ -429,6 +429,13 @@ class EventFrame:
         plain DataFrame (the stream shape ends at the rollup)."""
         return _timing.resample(self, every, origin)
 
+    def rollup_cascade(
+        self, levels=(60.0, 3600.0, 86400.0), origin: float = 0.0, materialize: bool = True
+    ):
+        """DataFrame of nested OHLC cells at every level (see
+        operators.timing.rollup_cascade)."""
+        return _timing.rollup_cascade(self, levels, origin, materialize)
+
     def rolling(self, seconds: float, min_periods: int = 1):
         return _timing.rolling(self, seconds, min_periods)
 

@@ -274,6 +274,86 @@ def resample(ef, every: float, origin: float = 0.0):
     return out
 
 
+def rollup_cascade(
+    ef, levels=(60.0, 3600.0, 86400.0), origin: float = 0.0, materialize: bool = True
+):
+    """Multi-resolution OHLC rollup — the hypertable / continuous-
+    aggregate cascade: the FINEST level aggregates the raw stream once
+    (``resample``); every coarser level aggregates the PREVIOUS level's
+    cells, never the raw stream. Returns the union of all levels with a
+    ``level`` column (bucket width in seconds).
+
+    Scale shape: with ``materialize=True`` (default) each cell level is
+    ``persist()``-ed, so the 100 TB fact stream is scanned exactly once
+    and every coarser exchange carries only #cells rows (minute cells →
+    hour cells → day cells) — Catalyst does NOT reuse the finest
+    aggregate across the union's branches on its own (verified: the
+    lazy plan re-scans the fact table per level; the exchanges don't
+    canonicalize equal), and cells are metadata-sized, which is exactly
+    the case executor caching exists for. ``materialize=False`` keeps
+    the plan fully lazy at the cost of one fact scan per level.
+    open/close roll up exactly via min_by/max_by over child bucket ids;
+    n/vsum are associative sums — the same cell algebra that makes the
+    cascade incrementally maintainable under streaming (append-only
+    finest level, re-aggregate touched parents).
+
+    Levels must be ascending and each an integer multiple of the
+    previous (the cell lattice must nest). Reference analog: none — the
+    reference's timing ops cut or thin streams; this is the rollup
+    surface a Spark-native engine adds on top of ``resample``.
+
+    Retention: materialized cell levels stay cached for the session
+    (LRU-evictable, #cells-sized; release with ``df.unpersist()`` on
+    the returned frame's parents or ``spark.catalog.clearCache()``).
+    A side effect worth knowing: Spark's cache manager will serve any
+    LOGICALLY EQUAL sub-plan (e.g. a separate ``resample`` call at the
+    same width) from these cells — a free cross-query speedup.
+    """
+    levels = [float(x) for x in levels]
+    if len(levels) < 1 or any(b <= a for a, b in zip(levels, levels[1:])):
+        raise ValueError("levels must be ascending")
+    for a, b in zip(levels, levels[1:]):
+        ratio = b / a
+        if abs(ratio - round(ratio)) > 1e-9:
+            raise ValueError(f"level {b} is not a multiple of {a}")
+    cells = resample(ef, levels[0], origin)
+    if materialize and len(levels) > 1:
+        # persist AND build the cache now (one tiny count job): within a
+        # single action, union branches that both need an un-built cache
+        # RACE to compute it — each branch would re-scan the 100 TB fact
+        # table once (verified via BlockManager 'already exists' on the
+        # lazy variant). Forcing the finest level here pins the fact
+        # scan count to exactly one; everything above reads cells.
+        cells = cells.persist()
+        cells.count()
+    out = cells.withColumn("level", F.lit(levels[0]))
+    keys = [F.col(k) for k in ef.key_cols]
+    for prev, nxt in zip(levels, levels[1:]):
+        mult = int(round(nxt / prev))
+        parent = (
+            cells.groupBy(*keys, F.floor(F.col("bucket") / mult).alias("bucket"))
+            .agg(
+                F.min_by("open", F.col("bucket")).alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", F.col("bucket")).alias("close"),
+                F.sum("n").alias("n"),
+                F.round(F.sum("vsum"), 6).alias("vsum"),
+            )
+            .withColumn(
+                "bucket_ts",
+                F.timestamp_micros(
+                    (F.col("bucket") * int(round(nxt * 1e6)) + int(round(origin * 1e6))).cast("long")
+                ),
+            )
+        )
+        if materialize and nxt != levels[-1]:
+            parent = parent.persist()
+        out = out.unionByName(parent.withColumn("level", F.lit(nxt)))
+        cells = parent
+    return out
+
+
 def rolling(ef, seconds: float, min_periods: int = 1):
     """Trailing event-time window aggregates per key: for every row,
     the sum/count/mean of the value column over ``[ts - seconds, ts]``

@@ -215,3 +215,50 @@ def test_cusum_known_recurrence_and_reset(spark):
     got = {r["seq"]: r for r in ef.cusum(10.0, h=9.0, slack=1.0).df.collect()}
     assert [got[i]["cusum_hi"] for i in range(6)] == [0.0, 0.0, 5.0, 10.0, 5.0, 4.0]
     assert [got[i]["alarm"] for i in range(6)] == [False, False, False, True, False, False]
+
+
+def test_rollup_cascade_matches_direct_and_scans_once(spark):
+    """Day cells built FROM HOUR CELLS must equal day cells aggregated
+    directly from the raw stream (the OHLC cell algebra is lossless),
+    and the whole cascade must scan the fact source exactly once."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    ef = ev._with(
+        df=ev.df.withColumn("value", F.round(F.col("value") * 100, 0).cast("long"))
+    )
+    cascade = ef.rollup_cascade(levels=(3600.0, 86400.0))
+    day_from_hours = {
+        (r["user_id"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n"], r["vsum"])
+        for r in cascade.filter(F.col("level") == 86400.0).collect()
+    }
+    day_direct = {
+        (r["user_id"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n"], r["vsum"])
+        for r in ef.resample(86400.0).collect()
+    }
+    assert day_from_hours == day_direct and len(day_direct) > 0
+    # one fact scan at runtime: the finest cells persist, the day level
+    # re-aggregates the cached cells, not events (Catalyst does not
+    # reuse the aggregate across union branches by itself — verified)
+    cascade.write.mode("overwrite").format("noop").save()
+    executed = cascade._jdf.queryExecution().executedPlan().toString()
+    # both union branches read the SAME cached cell relation (the
+    # textual plan prints the InMemoryRelation's defining scan inline,
+    # so count InMemoryTableScans, not FileScan substrings)
+    assert executed.count("InMemoryTableScan") == 2
+    # fully-lazy variant trades that for one fact scan per level (clear
+    # the cache first: Spark's cache manager substitutes the persisted
+    # cells into ANY logically-matching plan, including this one)
+    spark.catalog.clearCache()
+    lazy = ef.rollup_cascade(levels=(3600.0, 86400.0), materialize=False)
+    lazy_plan = physical_plan(lazy)
+    assert "InMemoryTableScan" not in lazy_plan
+    assert lazy_plan.count("FileScan") >= 2
+    # nesting guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        ef.rollup_cascade(levels=(3600.0, 5000.0))
