@@ -2231,6 +2231,32 @@ def q_mm_video_features(spark, sf):
     )
 
 
+def q_window_funcs(spark, sf):
+    """The SQL analytic-function battery per key: rank / dense_rank /
+    percent_rank / cume_dist over the value peer-order, ntile + lag /
+    lead over the total order. ONE user_id exchange, two in-partition
+    sorts (peer order and tiebroken order) — no extra shuffle. Ratios
+    (percent_rank/cume_dist) are IEEE divisions of identical exact ints
+    in both engines, so the raw doubles compare bit-equal (rounding
+    would ADD boundary risk here, not remove it)."""
+    ev = load_table(spark, sf, "events")
+    df = ev.withColumn("c", F.round(F.col("value") * 100, 0).cast("long"))
+    wp = W.partitionBy("user_id").orderBy("c")
+    wt = W.partitionBy("user_id").orderBy("c", "event_id")
+    return df.select(
+        "event_id",
+        "user_id",
+        "c",
+        F.rank().over(wp).alias("rnk"),
+        F.dense_rank().over(wp).alias("drnk"),
+        F.percent_rank().over(wp).alias("prnk"),
+        F.cume_dist().over(wp).alias("cdist"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.lag("c").over(wt).alias("prev_c"),
+        F.lead("c").over(wt).alias("next_c"),
+    )
+
+
 def q_heavy_hitters(spark, sf):
     """Misra–Gries heavy hitters over the corpus token stream: the
     sketch-prefiltered exact top set (llm/sketch.py). The MG superset
@@ -2417,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "window_funcs": q_window_funcs,
         "heavy_hitters": q_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_grouped": q_weighted_sample_grouped,
@@ -4026,6 +4053,20 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey""",
+        "window_funcs": """
+            SELECT event_id, user_id, c,
+                   rank()         OVER wp AS rnk,
+                   dense_rank()   OVER wp AS drnk,
+                   percent_rank() OVER wp AS prnk,
+                   cume_dist()    OVER wp AS cdist,
+                   ntile(4)       OVER wt AS quartile,
+                   lag(c)         OVER wt AS prev_c,
+                   lead(c)        OVER wt AS next_c
+            FROM (SELECT event_id, user_id,
+                         round(value * 100, 0)::BIGINT AS c
+                  FROM events)
+            WINDOW wp AS (PARTITION BY user_id ORDER BY c),
+                   wt AS (PARTITION BY user_id ORDER BY c, event_id)""",
         "heavy_hitters": r"""
             WITH t AS (
               SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))

@@ -89,6 +89,7 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q21",
     "tpch_q22",
+    "window_funcs",
     "heavy_hitters",
     "weighted_sample",
     "weighted_sample_grouped",

@@ -480,3 +480,36 @@ def test_anomaly_model(spark, gaps, vals, win):
             assert gz is None
         else:
             assert abs(gz - exp[1]) <= 2e-6
+
+
+@given(
+    xs=st.lists(st.integers(0, 30), min_size=1, max_size=300),
+    k=st.integers(2, 12),
+    cuts=st.lists(st.integers(0, 300), max_size=3),
+)
+@SET
+def test_misra_gries_kernel_superset_property(xs, k, cuts):
+    """Kernel-level MG invariants on arbitrary streams and arbitrary
+    Arrow batch splits: (1) every item with count > n/k survives,
+    (2) never more than k-1 counters, (3) batch boundaries don't change
+    the guarantee (the kernel carries state across batches)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from eventkit_spark.llm.sketch import _mg_kernel
+
+    vals = [f"v{x}" for x in xs]
+    bounds = sorted({min(c, len(vals)) for c in cuts} | {0, len(vals)})
+    batches = [
+        pd.DataFrame({"item": vals[a:b]})
+        for a, b in zip(bounds, bounds[1:])
+        if b > a
+    ] or [pd.DataFrame({"item": vals})]
+    out = list(_mg_kernel(k, "item")(iter(batches)))[0]
+    survivors = set(out["item"])
+    assert len(survivors) <= k - 1
+    n = len(vals)
+    for item, cnt in Counter(vals).items():
+        if cnt * k > n:
+            assert item in survivors
