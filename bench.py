@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_clusters",
+    "pagerank",
     "fuzzy_dedup",
     "semantic_dedup",
     "quality_classifier",

@@ -6,9 +6,9 @@ global windows; the one driver-side loop is dedup_clusters' Pregel
 iteration, O(graph diameter) rounds of one distributed join each).
 """
 
-from . import cluster, dedup, multimodal, sampling, similarity, sketch, text, web
+from . import cluster, dedup, graph, multimodal, sampling, similarity, sketch, text, web
 
 __all__ = [
-    "cluster", "dedup", "multimodal", "sampling", "similarity", "sketch",
-    "text", "web",
+    "cluster", "dedup", "graph", "multimodal", "sampling", "similarity",
+    "sketch", "text", "web",
 ]

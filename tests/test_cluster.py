@@ -70,3 +70,31 @@ def test_pq_rejects_bad_subspaces(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(emb, m=7)
+
+
+def test_pagerank_star_graph_exact_integer_ranks(spark):
+    """Hand-computed 2-iteration ranks on an undirected star: the
+    integer recurrence (micro-units, 85/100 damping as integer div) is
+    bit-exact, and the hub outranks the leaves."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.graph import pagerank
+
+    und = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    # p1: hub = 150000 + 85%*(3*1000000//1) = 2700000
+    #     leaf = 150000 + 85%*(1000000//3)  = 433333
+    # p2: hub = 150000 + 85%*(3*(433333//1)) = 1254999
+    #     leaf = 150000 + 85%*(2700000//3)   = 915000
+    assert got == {0: 1254999, 1: 915000, 2: 915000, 3: 915000}
+    # isolated nodes (in the node universe, no edges) settle at base
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    got2 = {r["id"]: r["rank"] for r in pagerank(edges, nodes=nodes, iters=2).collect()}
+    assert got2[4] == 150000 and got2[0] == 1254999
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters"):
+        pagerank(edges, iters=0)
