@@ -1829,6 +1829,21 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_central_dedup(spark, sf):
+    """The composed curation flagship: components pick clusters,
+    PageRank picks the surviving hub per cluster (llm/graph.py
+    central_dedup). filter(keep) is the deduplicated corpus with
+    canonical (most-connected) representatives."""
+    from eventkit_spark.llm.dedup import ngram_jaccard_pairs
+    from eventkit_spark.llm.graph import central_dedup
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_df=64).select(
+        "id_a", "id_b"
+    )
+    return central_dedup(docs, pairs).select("doc_id", "cluster_id", "rank", "keep")
+
+
 def q_decontaminate(spark, sf):
     from eventkit_spark.llm.dedup import contamination
     from eventkit_spark.llm.sampling import split_by_hash
@@ -2537,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunkwith": q_chunkwith,
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
+        "central_dedup": q_central_dedup,
         "embed_neardup": q_embed_neardup,
         "approx_agg": q_approx_agg,
         "dedup_minhash_recall": q_dedup_minhash_recall,
@@ -3513,6 +3529,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
             FROM reach GROUP BY id""",
+        "central_dedup": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE common / (sa.n + sb.n - common) >= 0.3
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), clusters AS (
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), nodes AS (
+              SELECT doc_id AS id FROM documents
+            ), od AS (
+              SELECT src, count(*) AS od FROM edges GROUP BY src
+            ), p0 AS (
+              SELECT id, 1000000::BIGINT AS r FROM nodes
+            ), m1 AS (
+              SELECT e.dst AS id, sum(p0.r // od.od)::BIGINT AS s
+              FROM edges e JOIN od ON e.src = od.src JOIN p0 ON e.src = p0.id
+              GROUP BY e.dst
+            ), p1 AS (
+              SELECT n.id, (150000 + (coalesce(m1.s, 0) * 85) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN m1 ON n.id = m1.id
+            ), m2 AS (
+              SELECT e.dst AS id, sum(p1.r // od.od)::BIGINT AS s
+              FROM edges e JOIN od ON e.src = od.src JOIN p1 ON e.src = p1.id
+              GROUP BY e.dst
+            ), p2 AS (
+              SELECT n.id, (150000 + (coalesce(m2.s, 0) * 85) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN m2 ON n.id = m2.id
+            ), m3 AS (
+              SELECT e.dst AS id, sum(p2.r // od.od)::BIGINT AS s
+              FROM edges e JOIN od ON e.src = od.src JOIN p2 ON e.src = p2.id
+              GROUP BY e.dst
+            ), p3 AS (
+              SELECT n.id, (150000 + (coalesce(m3.s, 0) * 85) // 100)::BIGINT AS r
+              FROM nodes n LEFT JOIN m3 ON n.id = m3.id
+            ), j AS (
+              SELECT c.doc_id, c.cluster_id, p3.r AS rank
+              FROM clusters c JOIN p3 ON c.doc_id = p3.id
+            ), rep AS (
+              SELECT cluster_id, doc_id AS keep_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY rank DESC, doc_id) AS rn
+              FROM j
+            )
+            SELECT j.doc_id, j.cluster_id, j.rank,
+                   (j.doc_id = rep.keep_id) AS keep
+            FROM j JOIN rep ON j.cluster_id = rep.cluster_id AND rep.rn = 1""",
         "pagerank": r"""
             WITH words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents

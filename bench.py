@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "pagerank",
+    "central_dedup",
     "fuzzy_dedup",
     "semantic_dedup",
     "quality_classifier",

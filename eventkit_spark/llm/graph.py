@@ -33,6 +33,52 @@ _MASS = 1_000_000  # initial rank per node, micro-units
 _BASE = 150_000    # (1 - 0.85) * _MASS, written as the exact integer
 
 
+def central_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Fuzzy dedup with CENTRALITY-chosen representatives: connected
+    components over ``pairs`` pick the clusters (llm/dedup.py
+    dedup_clusters), PageRank over the same graph picks WHICH member
+    survives — the hub of each near-dup cluster (highest rank, doc id
+    as tiebreak) instead of the arbitrary smallest-id doc.  Satellites
+    of a template family are usually truncated/mutated copies; the hub
+    is the canonical text.
+
+    Returns one row per doc: (id_col, cluster_id, rank, keep) —
+    ``filter(keep)`` IS the deduplicated corpus.
+
+    Scale shape: the two graph passes share the symmetrized edge list;
+    representative election is ONE max_by aggregate on the cluster id
+    (constant-size cells, map-side combined) joined back — no window
+    over members.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranks = pagerank(
+        edges, nodes=docs.select(F.col(id_col).alias("__n")), iters=iters,
+        node_id="__n",
+    ).select(F.col("__n").alias(id_col), "rank")
+    j = clusters.join(ranks, id_col)
+    rep = j.groupBy("cluster_id").agg(
+        F.max_by(id_col, F.struct(F.col("rank"), -F.col(id_col))).alias("__keep_id")
+    )
+    return j.join(rep, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("rank"),
+        (F.col(id_col) == F.col("__keep_id")).alias("keep"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame | None = None,

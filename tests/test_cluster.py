@@ -98,3 +98,26 @@ def test_pagerank_star_graph_exact_integer_ranks(spark):
 
     with _pytest.raises(ValueError, match="iters"):
         pagerank(edges, iters=0)
+
+
+def test_central_dedup_keeps_hub_not_smallest_id(spark):
+    """A star-shaped near-dup family must keep the HUB even when it has
+    the largest doc id — the point of centrality-based representative
+    selection over the smallest-id convention."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.graph import central_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "hub"), (20, "lone")],
+        ["doc_id", "text"],
+    )
+    # hub 9 pairs with satellites 1,2,3; satellites not pairwise similar
+    pairs = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: r for r in central_dedup(docs, pairs).collect()}
+    assert rows[9]["keep"] and rows[9]["cluster_id"] == 1
+    assert not any(rows[i]["keep"] for i in (1, 2, 3))
+    assert rows[20]["keep"] and rows[20]["cluster_id"] == 20  # singleton
+    assert rows[9]["rank"] > rows[1]["rank"]
