@@ -28,6 +28,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def _mg_add(counters: dict, item, wt: int, k: int) -> dict:
+    """One weighted Misra–Gries update (shared by the batch kernel and
+    the streaming state handler).  Decrements are batched: k
+    participants (k-1 counters + the incoming weight) each lose
+    ``dec``, so total decrement mass stays ≤ n/k — the superset
+    guarantee's invariant."""
+    if item in counters:
+        counters[item] += int(wt)
+    elif len(counters) < k - 1:
+        counters[item] = int(wt)
+    else:
+        dec = min(int(wt), min(counters.values()))
+        counters = {it: c - dec for it, c in counters.items() if c > dec}
+        if wt > dec and len(counters) < k - 1:
+            counters[item] = int(wt) - dec
+    return counters
+
+
 def _mg_kernel(k: int, col: str):
     """Per-partition Misra–Gries summary: ≤ k-1 counters."""
 
@@ -41,20 +59,7 @@ def _mg_kernel(k: int, col: str):
             # pandas value_counts), then run MG on (item, weight) pairs
             # — identical summary, ~batch-size/#distinct fewer dict ops
             for item, wt in vals.value_counts().items():
-                if item in counters:
-                    counters[item] += int(wt)
-                elif len(counters) < k - 1:
-                    counters[item] = int(wt)
-                else:
-                    # decrement-all by the largest amount that keeps
-                    # every counter >= 0 (batched decrement: min of the
-                    # incoming weight and the smallest counter)
-                    dec = min(int(wt), min(counters.values()))
-                    counters = {
-                        it: c - dec for it, c in counters.items() if c > dec
-                    }
-                    if wt > dec and len(counters) < k - 1:
-                        counters[item] = int(wt) - dec
+                counters = _mg_add(counters, item, wt, k)
         yield pd.DataFrame(
             {"item": list(counters.keys()), "n_part": [n_seen] * len(counters)}
         )

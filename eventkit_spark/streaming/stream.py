@@ -909,6 +909,64 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def heavy_hitters(self, k: int = 100, by: str | None = None) -> DataFrame:
+        """Streaming Misra–Gries heavy-hitter summary per key
+        (llm/sketch.py twin): the state store carries the ≤ k-1 counter
+        table and the running row count; after every micro-batch the
+        CURRENT candidate summary is emitted as (item, est, n_seen)
+        rows — the snapshot with the largest n_seen per key is the
+        live answer.  The candidate set is a guaranteed superset of
+        every item with true frequency > n_seen/k over the whole
+        stream so far (the MG merge invariant survives incremental
+        state updates — each micro-batch is just more _mg_add calls);
+        ``est`` is the MG lower-bound count, within n_seen/k of truth.
+        The counted column rides the state store as strings (state
+        schemas are fixed); exact recount stays a batch concern
+        (llm/sketch.heavy_hitters)."""
+        from ..llm.sketch import _mg_add
+
+        if k < 2:
+            raise ValueError("heavy_hitters needs k >= 2")
+        col = by or self.value_cols[0]
+        keys = self.key_cols
+        ts_col = self.ts_col
+        out_schema = _keys_prefix(self.df, keys) + "item string, est long, n_seen long"
+
+        def handler(key, pdfs, state: GroupState):
+            if state.exists:
+                items, counts, n = state.get
+                ctr = dict(zip(items, counts))
+            else:
+                ctr, n = {}, 0
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                vals = pdf[col].astype(str)
+                n += len(vals)
+                for item, wt in vals.value_counts().items():
+                    ctr = _mg_add(ctr, item, int(wt), k)
+            state.update((list(ctr.keys()), [int(v) for v in ctr.values()], n))
+            if ctr:
+                yield pd.DataFrame(
+                    [
+                        {
+                            **dict(zip(keys, key)),
+                            "item": it,
+                            "est": int(c),
+                            "n_seen": n,
+                        }
+                        for it, c in ctr.items()
+                    ]
+                )
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="items array<string>, counts array<long>, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def unique_within_watermark(self, by: Sequence[str] | None = None) -> "StreamFrame":
         """Unique (select.py:115-130) under a watermark bound."""
         cols = list(by) if by else [*self.key_cols, *self.value_cols]

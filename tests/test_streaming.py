@@ -550,3 +550,41 @@ def test_streaming_anomaly(spark, stream_dir):
     assert len(sp) >= 990  # collisions are rare in the fixture
     assert sp == bp
     assert any(v[2] for v in sp.values())
+
+
+def test_streaming_heavy_hitters_guarantee(spark, stream_dir):
+    """Streaming MG summary per user: the latest snapshot's candidate
+    set must contain every event_type with true count > n/k, keep at
+    most k-1 counters, carry exact n_seen, and est must lower-bound the
+    true count within n/k (the MG error bound) — state carried across
+    micro-batches."""
+    from collections import Counter
+
+    k = 3
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(
+        sink_df=sf.heavy_hitters(k=k, by="event_type"), name="ek_hh"
+    ).collect()
+    latest = {}
+    for r in out:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_seen"] > cur[0]["n_seen"]:
+            latest[r["user_id"]] = [r]
+        elif r["n_seen"] == cur[0]["n_seen"]:
+            cur.append(r)
+    src = spark.read.parquet(stream_dir).select("user_id", "event_type").collect()
+    truth = {}
+    for r in src:
+        truth.setdefault(r["user_id"], Counter())[r["event_type"]] += 1
+    assert set(latest) == set(truth)
+    for uid, rows in latest.items():
+        n = sum(truth[uid].values())
+        assert rows[0]["n_seen"] == n
+        assert len(rows) <= k - 1
+        cand = {r["item"]: r["est"] for r in rows}
+        for item, cnt in truth[uid].items():
+            if cnt * k > n:
+                assert item in cand, f"user {uid}: {item} ({cnt} > {n}/{k}) missing"
+        for item, est in cand.items():
+            true_cnt = truth[uid][item]
+            assert est <= true_cnt <= est + n // k
