@@ -2268,6 +2268,29 @@ def q_mm_video_features(spark, sf):
     )
 
 
+def q_salted_join(spark, sf):
+    """Hot-key salted equi-join (relational.salted_join): result must
+    equal the plain join row-for-row — the oracle IS the plain join.
+    min_count is set low so the seeded-sample detector actually routes
+    keys through the salted branch at every SF."""
+    from eventkit_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_totalprice"
+    )
+    out = salted_join(li, o, "l_orderkey", salt=8, min_count=500)
+    return out.select(
+        "l_orderkey",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("qty"),
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
 def q_window_funcs(spark, sf):
     """The SQL analytic-function battery per key: rank / dense_rank /
     percent_rank / cume_dist over the value peer-order, ntile + lag /
@@ -2480,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "salted_join": q_salted_join,
         "window_funcs": q_window_funcs,
         "heavy_hitters": q_heavy_hitters,
         "weighted_sample": q_weighted_sample,
@@ -4218,6 +4242,12 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey""",
+        "salted_join": """
+            SELECT l_orderkey, l_partkey,
+                   round(l_quantity, 2) AS qty,
+                   o_orderpriority,
+                   round(o_totalprice, 2) AS total
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
         "window_funcs": """
             SELECT event_id, user_id, c,
                    rank()         OVER wp AS rnk,

@@ -91,6 +91,7 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q21",
     "tpch_q22",
+    "salted_join",
     "window_funcs",
     "heavy_hitters",
     "weighted_sample",

@@ -309,6 +309,67 @@ def interval_join(
     return joined.select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: DataFrame | None = None,
+    min_count: int = 1_000_000,
+    sample_fraction: float = 0.001,
+) -> DataFrame:
+    """Equi-join with explicit hot-key salting — the straggler/OOM fix
+    for skewed join keys at 100 TB.
+
+    Why not rely on AQE alone: AQE's skew-join splits oversized
+    SortMergeJoin partitions AFTER the shuffle files exist, which helps
+    with partition-level skew but still funnels each single key through
+    one mapper-side stream and does nothing for broadcast-ineligible
+    hash joins or for skew the stats miss.  Salting splits ONE key
+    across ``salt`` reducer tasks deterministically, bounded and
+    plan-visible.
+
+    Mechanics: hot keys (caller-supplied DataFrame, or detected from a
+    seeded sample when ``hot_keys=None`` — keys whose extrapolated
+    count ≥ ``min_count``) are broadcast.  Cold rows take the plain
+    equi-join.  Hot LEFT rows get a deterministic per-row salt
+    (xxhash64 of the row, so task retries re-derive the same salt — a
+    rand() salt breaks exactly-once under retry); the hot RIGHT slice
+    replicates ``salt``× via explode; the branches union.  Result ==
+    the plain join, row for row (the oracle checks exactly that), for
+    ``how`` in {'inner', 'left'}.
+
+    Cost model: replication is ``salt × |right ∩ hot|`` rows — keep the
+    hot set tight (it is the point: salt ONLY what skews).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in {'inner','left'}")
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    if hot_keys is None:
+        est = (
+            left.sample(fraction=sample_fraction, seed=7)
+            .groupBy(*on)
+            .agg((F.count("*") / sample_fraction).alias("__est"))
+        )
+        hot = est.filter(F.col("__est") >= min_count).select(*on)
+    else:
+        hot = hot_keys.select(*on)
+    hot = F.broadcast(hot.distinct())
+    left_cold = left.join(hot, on, "left_anti")
+    left_hot = left.join(hot, on, "left_semi")
+    cold = left_cold.join(right, on, how)
+    sid = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lh = left_hot.withColumn("__salt", sid)
+    rh = right.join(hot, on, "left_semi").withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    hotj = lh.join(rh, [*on, "__salt"], how).drop("__salt")
+    return cold.unionByName(hotj)
+
+
 def funnel(
     df: DataFrame,
     steps: list,

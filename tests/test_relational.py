@@ -281,3 +281,34 @@ def test_interarrival_known_values(spark):
     assert c["sum_gap_us"] == 55_000_000
     assert c["max_gap_us"] == 30_000_000
     assert c["mean_gap_s"] == round(55 / 3, 6)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted result == plain join for inner AND left joins, with an
+    explicit skewed hot key; the hot branch replicates the right slice
+    (explode visible in the plan) while cold keys take the plain path."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.operators.relational import salted_join
+    from eventkit_spark.plans.audit import physical_plan
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901), (4, 902)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (5, "miss")], ["k", "rv"]
+    )
+    hot = spark.createDataFrame([(1,)], ["k"])
+    for how in ("inner", "left"):
+        got = salted_join(left, right, "k", how=how, salt=4, hot_keys=hot)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = physical_plan(salted_join(left, right, "k", salt=4, hot_keys=hot))
+    assert "Generate explode" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(left, right, "k", salt=1)
+    with _pytest.raises(ValueError, match="how"):
+        salted_join(left, right, "k", how="full")
