@@ -1483,6 +1483,184 @@ def q_tpch_q22(spark, sf):
     )
 
 
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 (minimum-cost supplier; partsupp-free adaptation): the
+    slimmed schema has no partsupp, so lineitem is the part<->supplier
+    bridge and "cost" is the supplier's minimum sale price for the part
+    (integer cents — exact). For LARGE parts of size <= 10, among
+    EUROPE suppliers, return every (part, supplier) pair achieving the
+    per-part minimum — the original's correlated min-subquery
+    DECORRELATED into a per-part aggregate joined back. Scale shape:
+    region/nation/supplier dims broadcast into the fact scan; the
+    per-part min and the probe share ONE partkey exchange (partial
+    min map-side); no correlated re-scan."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    offers = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(cents).alias("min_cost_cents"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("min_cost_cents").alias("__best")
+    )
+    out = offers.join(
+        best,
+        (offers.l_partkey == F.col("__pk"))
+        & (offers.min_cost_cents == F.col("__best")),
+    )
+    return out.select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_name",
+        F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+        "n_name",
+        "min_cost_cents",
+    )
+
+
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 (product-type profit; partsupp-free adaptation): no
+    ps_supplycost, so cost is modeled as 50% of p_retailprice per unit.
+    Profit per (supplier nation, order year) over parts named 'red %'.
+    All arithmetic in integer cents (revenue = round(extprice*(1-disc)
+    *100), cost = qty * round(retail*50)) — exact longs, no float
+    accumulation drift. Scale shape: part filter broadcasts, supplier->
+    nation broadcast, orders join shuffles orderkey once; ONE hash
+    aggregate on (nation, year) with map-side partials."""
+    p = load_table(spark, sf, "part").filter(F.col("p_name").startswith("red "))
+    n = load_table(spark, sf, "nation")
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    cost_c = F.col("l_quantity").cast("long") * F.round(F.col("p_retailprice") * 50, 0).cast("long")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev_c - cost_c).alias("profit_cents"))
+    )
+
+
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 (important stock; partsupp-free adaptation): inventory
+    value per part = sum(l_quantity * p_retailprice) over lineitems
+    shipped by NATION_7 suppliers; keep parts holding > 0.1% of the
+    national total. The scalar-total subquery is a 1-row broadcast
+    (crossJoin of an aggregate, the same decorrelation the original
+    demands); the threshold compares EXACT longs (value*1000 > total)
+    — no float boundary. Scale shape: supplier dim broadcasts; per-part
+    aggregate is ONE partkey exchange with map-side partials; at real
+    scale the cents sums stay < 2^63 until ~1e14 rows (switch to
+    decimal(38,0) beyond)."""
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf, "lineitem")
+    val_c = F.col("l_quantity").cast("long") * F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val_c).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 (parts/supplier relationship; partsupp-free
+    adaptation): distinct suppliers per (brand, type, size) via the
+    lineitem bridge, excluding Brand#11, PROMO type, sizes outside the
+    original's square list, and negative-balance suppliers (the
+    'complaints' analog). Scale shape: the supplier exclusion and part
+    dim broadcast; countDistinct expands to a two-level aggregate —
+    partial distinct on (brand,type,size,suppkey) then the rollup;
+    both exchanges carry small tuples. All-integer output."""
+    sizes = [1, 4, 9, 16, 25, 36, 49]
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(sizes)
+    )
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 (excess-inventory suppliers; availqty-free
+    adaptation): suppliers in EUROPE whose 1996 shipped quantity of
+    some 'blue %' part exceeds half their lifetime volume of that part
+    — the original's correlated half-of-shipped subquery DECORRELATED
+    into ONE per-(supplier, part) aggregate with a conditional sum
+    (2*qty_1996 > qty_total compares exact longs). Scale shape: part
+    filter + region suppliers broadcast; one (suppkey,partkey)
+    exchange; the supplier projection is a final broadcast semi-join."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf, "supplier").join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").startswith("blue "))
+    li = load_table(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    in96 = F.year("l_shipdate") == 1996
+    per = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("__q96"),
+            F.sum(qty).alias("__qtot"),
+        )
+        .filter(F.col("__q96") * 2 > F.col("__qtot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(per, s.s_suppkey == F.col("l_suppkey"))
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+    )
+
+
 def q_dau(spark, sf):
     """Daily active users + event volume per day: the engagement
     rollup every event pipeline ships. Scale shape: count(DISTINCT)
@@ -2503,6 +2681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "salted_join": q_salted_join,
         "window_funcs": q_window_funcs,
         "heavy_hitters": q_heavy_hitters,
@@ -4181,6 +4364,86 @@ def oracle_sql() -> dict[str, str]:
                                            THEN v END), 0)::DOUBLE
                          / sum(v)::DOUBLE * 1e6)::BIGINT AS mkt_share_ppm
             FROM vol GROUP BY o_year""",
+        "tpch_q2": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            offers AS (
+              SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                     min(round(l_extendedprice * 100, 0)::BIGINT)
+                       AS min_cost_cents
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN eu   ON l_suppkey = s_suppkey
+              WHERE p_type = 'LARGE' AND p_size <= 10
+              GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name)
+            SELECT l_partkey AS p_partkey, s_name,
+                   round(s_acctbal, 2) AS s_acctbal, n_name, min_cost_cents
+            FROM offers o
+            WHERE min_cost_cents = (SELECT min(min_cost_cents) FROM offers o2
+                                    WHERE o2.l_partkey = o.l_partkey)""",
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   year(o_orderdate)::BIGINT AS o_year,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT
+                       - l_quantity::BIGINT
+                         * round(p_retailprice * 50, 0)::BIGINT)::BIGINT
+                     AS profit_cents
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE 'red %'
+            GROUP BY n_name, year(o_orderdate)""",
+        "tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(l_quantity::BIGINT
+                         * round(p_retailprice * 100, 0)::BIGINT)::BIGINT
+                       AS value_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN part     ON l_partkey = p_partkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY l_partkey)
+            SELECT l_partkey AS p_partkey, value_cents
+            FROM per_part
+            WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)""",
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size""",
+        "tpch_q20": """
+            WITH per AS (
+              SELECT l_suppkey,
+                     sum(CASE WHEN year(l_shipdate) = 1996
+                              THEN l_quantity::BIGINT ELSE 0 END) AS q96,
+                     sum(l_quantity::BIGINT) AS qtot
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_name LIKE 'blue %' AND r_name = 'EUROPE'
+              GROUP BY l_suppkey, l_partkey)
+            SELECT DISTINCT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (SELECT l_suppkey FROM per
+                                WHERE q96 * 2 > qtot)""",
         "tpch_q13": """
             WITH per AS (
               SELECT c_custkey, count(o_orderkey) AS c_count

@@ -91,6 +91,11 @@ HEADLINE = [
     "tpch_q19",
     "tpch_q21",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
     "salted_join",
     "window_funcs",
     "heavy_hitters",

@@ -217,6 +217,16 @@ SHUFFLE_CEILING = {
     "tpch_q15": 5,
     "dau": 2,  # two-level distinct expand: (day,user) partial + day rollup
     "pct_change": 1,  # one lag window on the key exchange
+    # r4 battery completion (q2/q9/q11/q16/q20, partsupp-free
+    # adaptations): counts include BroadcastExchange nodes and plan-time
+    # lineage duplication where an aggregate feeds both sides of its own
+    # probe join (q2 offers/best, q11 per-part/total) — the fact table
+    # is scanned once per branch, dims always broadcast
+    "tpch_q2": 13,  # 8 broadcasts; offers agg + per-part min + probe
+    "tpch_q9": 5,  # 4 broadcasts; one orderkey join + (nation,year) agg
+    "tpch_q11": 10,  # 6 broadcasts; per-part agg on both total/probe branches
+    "tpch_q16": 4,  # 2 broadcasts; two-level distinct expand
+    "tpch_q20": 9,  # 6 broadcasts; one (supp,part) agg + supplier semi-join
 }
 
 
