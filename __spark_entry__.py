@@ -199,6 +199,49 @@ def q_funnel(spark, sf):
     return out.select("user_id", "t1", "t2", "t3", "steps_completed", "converted")
 
 
+def q_skew_report(spark, sf):
+    """Hot-key diagnostic (plans/audit.py skew_report): top-10 heaviest
+    users with integer-exact corpus share (ppm) and size vs the mean
+    group (percent). One key aggregate + 1-row totals broadcast +
+    TakeOrdered top-k — the pre-flight check before salting a join."""
+    from eventkit_spark.plans.audit import skew_report
+
+    return skew_report(load_table(spark, sf, "events"), ["user_id"], top=10)
+
+
+def q_zorder_key(spark, sf):
+    """Z-order (Morton) clustering key over (user_id, value-bucket)
+    (sources/layout.py zorder_key): the multi-dimensional data-layout
+    primitive — write_zordered range-partitions + sorts on this key so
+    parquet min/max stats prune BOTH dimensions. Pure integer
+    shift/mask Column expression, zero shuffles; the oracle replays
+    the 32-term interleave bit-for-bit."""
+    from eventkit_spark.sources.layout import zorder_key
+
+    ev = load_table(spark, sf, "events")
+    vb = F.greatest(F.floor(F.col("value")).cast("long"), F.lit(0))
+    z = zorder_key([F.col("user_id").cast("long"), vb], bits=16)
+    return ev.select("event_id", z.cast("long").alias("zkey"))
+
+
+def q_attribution(spark, sf):
+    """Last-touch attribution (click -> purchase, 7-day lookback): the
+    most recent prior click per user credited to each purchase, NULL
+    when no click falls in the window. ONE scan + ONE key shuffle +
+    ONE running-last window (operators/relational.py attribution) —
+    the naive range self-join is quadratic per hot key. Oracle:
+    per-conversion arg_max over the bounded range join."""
+    from eventkit_spark.operators.relational import attribution
+
+    ev = load_table(spark, sf, "events")
+    return attribution(
+        ev,
+        touch=F.col("event_type") == "click",
+        conversion=F.col("event_type") == "purchase",
+        lookback=7 * 86400.0,
+    )
+
+
 def q_sessionize(spark, sf):
     # inactivity-gap sessionization (30 min) per user: lag-compare flags
     # session starts, cumulative sum numbers them — two windows on one
@@ -2007,6 +2050,24 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_triangles(spark, sf):
+    """Triangle/wedge census with the global clustering coefficient
+    over the near-dup similarity graph (llm/graph.py triangle_count):
+    degree-ordered compact-forward orientation, each triangle counted
+    once at its lowest-ranked apex, cc integer-exact in ppm. The
+    density diagnostic that tells template-heavy corpora (many closed
+    triangles) from isolated duplicate pairs. Oracle: the naive
+    3-way canonical-pair join (a<b<c) plus a degree aggregate."""
+    from eventkit_spark.llm.dedup import ngram_jaccard_pairs
+    from eventkit_spark.llm.graph import triangle_count
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_df=64).select(
+        "id_a", "id_b"
+    )
+    return triangle_count(pairs, src="id_a", dst="id_b")
+
+
 def q_central_dedup(spark, sf):
     """The composed curation flagship: components pick clusters,
     PageRank picks the surviving hub per cluster (llm/graph.py
@@ -2183,6 +2244,17 @@ def q_top_ngrams(spark, sf):
     from eventkit_spark.llm.text import top_ngrams
 
     return top_ngrams(load_table(spark, sf, "documents"), n=2, k=50)
+
+
+def q_phrase_search(spark, sf):
+    """Positional inverted-index phrase match (llm/text.py
+    phrase_search): docs containing 'slow hash batch' consecutively,
+    with occurrence counts. Single-pass anchor aggregation — the
+    posting-list prune drops every non-phrase token BEFORE the
+    exchange; no n-way join. Oracle: sliding-window trigram equality."""
+    from eventkit_spark.llm.text import phrase_search
+
+    return phrase_search(load_table(spark, sf, "documents"), "slow hash batch")
 
 
 def q_sliding_chunks(spark, sf):
@@ -2591,6 +2663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "attribution": q_attribution,
+        "zorder_key": q_zorder_key,
+        "skew_report": q_skew_report,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
         # (c) the r3 stale-green block (claimed checked, wasn't)
         "chunk": q_chunk,
@@ -2744,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "sliding_chunks": q_sliding_chunks,
         "top_ngrams": q_top_ngrams,
+        "phrase_search": q_phrase_search,
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
@@ -2759,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunkwith": q_chunkwith,
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
+        "triangles": q_triangles,
         "central_dedup": q_central_dedup,
         "embed_neardup": q_embed_neardup,
         "approx_agg": q_approx_agg,
@@ -2939,6 +3016,49 @@ def oracle_sql() -> dict[str, str]:
                    (t3 IS NOT NULL AND
                     epoch_us(t3) - epoch_us(t1) <= 604800000000) AS converted
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+        "skew_report": """
+            WITH per AS (
+              SELECT user_id, count(*)::BIGINT AS cnt
+              FROM events GROUP BY user_id
+            ), tot AS (
+              SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS nk FROM per
+            )
+            SELECT user_id, cnt,
+                   ((cnt * 1000000) // t)::BIGINT AS share_ppm,
+                   ((cnt * nk * 100) // t)::BIGINT AS vs_mean_pct,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
+                     AS rank
+            FROM per, tot ORDER BY cnt DESC, user_id LIMIT 10""",
+        "zorder_key": (
+            lambda terms: f"""
+            SELECT event_id, ({terms})::BIGINT AS zkey
+            FROM (SELECT event_id, user_id::BIGINT AS u,
+                         greatest(floor(value), 0)::BIGINT AS vb
+                  FROM events)"""
+        )(
+            " + ".join(
+                f"(((u >> {i}) & 1) << {2 * i}) + (((vb >> {i}) & 1) << {2 * i + 1})"
+                for i in range(16)
+            )
+        ),
+        "attribution": """
+            WITH t AS (
+              SELECT user_id, event_id AS tid, epoch_us(ts) AS tts
+              FROM events WHERE event_type = 'click'
+            ), c AS (
+              SELECT user_id, event_id AS cid, epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'purchase'
+            ), best AS (
+              SELECT cid, tid AS touch_id, tts FROM (
+                SELECT c.cid, t.tid, t.tts,
+                       row_number() OVER (PARTITION BY c.cid
+                          ORDER BY t.tts DESC, t.tid DESC) AS rn
+                FROM c JOIN t USING (user_id)
+                WHERE t.tts <= c.cts AND c.cts - t.tts <= 604800000000
+              ) WHERE rn = 1)
+            SELECT c.user_id, c.cid AS conv_id, best.touch_id,
+                   (c.cts - best.tts)::BIGINT AS delta_us
+            FROM c LEFT JOIN best USING (cid)""",
         "sessionize": f"""
             SELECT event_id, user_id,
                    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
@@ -3862,6 +3982,45 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN m3 ON n.id = m3.id
             )
             SELECT id AS doc_id, r AS rank FROM p3""",
+        "triangles": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE common / (sa.n + sb.n - common) >= 0.3
+            ), deg AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT id_a AS n FROM pairs
+                UNION ALL SELECT id_b FROM pairs) GROUP BY n
+            ), tri AS (
+              SELECT count(*)::BIGINT AS triangles
+              FROM pairs ab
+              JOIN pairs bc ON ab.id_b = bc.id_a
+              JOIN pairs ac ON ab.id_a = ac.id_a AND bc.id_b = ac.id_b
+            ), wed AS (
+              SELECT sum(d * (d - 1) // 2)::BIGINT AS wedges FROM deg
+            )
+            SELECT triangles, wedges,
+                   (CASE WHEN wedges > 0
+                         THEN (3 * triangles * 1000000) // wedges END)::BIGINT
+                     AS global_cc_ppm
+            FROM tri, wed""",
         "dedup_clusters": r"""
             WITH RECURSIVE words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
@@ -4932,6 +5091,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200000000 + (j + 1) * 2000000 AS BIGINT) AS t_us,
                    coalesce(vals, '') AS vals
             FROM range(0, 8) t(j) LEFT JOIN agg ON b = j""",
+        "phrase_search": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS g
+              FROM words
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM occ WHERE g = 'slow hash batch' GROUP BY doc_id""",
         "top_ngrams": r"""
             WITH joined AS (
               SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents

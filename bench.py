@@ -150,6 +150,11 @@ HEADLINE = [
     "mm_image_features",
     "fork_merge",
     "reduce_py",
+    "triangles",
+    "attribution",
+    "phrase_search",
+    "zorder_key",
+    "skew_report",
 ]
 
 

@@ -480,6 +480,64 @@ def top_ngrams(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-word phrase match via a positional inverted index —
+    the mini-search-engine primitive (find every document containing
+    the words of ``phrase`` consecutively, with occurrence counts).
+
+    Single-pass anchor aggregation instead of an n-way posting join:
+    posexplode the token stream, keep ONLY the phrase's terms (the
+    posting-list prune — at corpus scale this drops almost every
+    token before any shuffle), map each hit of phrase-term j at
+    position p to candidate anchor p - j, then one (doc, anchor)
+    aggregate: an anchor holding all n distinct term indexes is one
+    occurrence. Handles repeated words in the phrase (a hit fans out
+    to every index its word occupies) and overlapping occurrences.
+
+    Scale shape: one scan, the explode output is filtered to phrase
+    terms BEFORE the exchange, then two integer-keyed hash aggregates
+    ((doc, anchor) then doc) — no self-join, no window over the corpus.
+
+    Returns (id_col, n_matches) for documents with >= 1 occurrence.
+    """
+    words = phrase.lower().split()
+    if not words:
+        raise ValueError("phrase_search() needs a non-empty phrase")
+    n = len(words)
+    by_word: dict[str, list[int]] = {}
+    for j, w in enumerate(words):
+        by_word.setdefault(w, []).append(j)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "__p", "__w"
+        ),
+    ).filter(F.col("__w").isin(list(by_word)))
+    idx_map = F.create_map(
+        *[
+            c
+            for w, js in by_word.items()
+            for c in (F.lit(w), F.array(*[F.lit(j) for j in js]))
+        ]
+    )
+    hits = toks.select(
+        F.col(id_col),
+        F.col("__p"),
+        F.explode(idx_map[F.col("__w")]).alias("__j"),
+    )
+    anchors = (
+        hits.groupBy(F.col(id_col), (F.col("__p") - F.col("__j")).alias("__a"))
+        .agg(F.countDistinct("__j").alias("__k"))
+        .filter((F.col("__a") >= 0) & (F.col("__k") == n))
+    )
+    return anchors.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stats battery."""
     t = F.col(text_col)

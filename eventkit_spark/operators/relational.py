@@ -437,6 +437,76 @@ def funnel(
     return out
 
 
+def attribution(
+    df: DataFrame,
+    touch,
+    conversion,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    by: list[str] | str = "user_id",
+    lookback: float | None = None,
+) -> DataFrame:
+    """Last-touch attribution: attach to every conversion event the most
+    recent prior touch event by the same key (the marketing-analytics
+    primitive — "which click gets credit for this purchase").
+
+    ``touch`` / ``conversion`` are Column predicates (or SQL strings)
+    over the event rows. A touch at the conversion's exact timestamp
+    counts (the as-of <= convention); among same-timestamp touches the
+    highest ``seq_col`` wins — fully deterministic. With ``lookback``
+    seconds set, touches older than the window are not credited (the
+    conversion row survives with NULL credit).
+
+    Output: one row per conversion — key cols, ``conv_id``,
+    ``touch_id`` (NULL if unattributed), ``delta_us`` (conversion
+    minus touch time, integer micros, NULL if unattributed).
+
+    Scale shape: ONE scan (both predicates tag the same pass — no
+    per-predicate re-scan), ONE key shuffle, ONE running
+    last(ignorenulls) window — the same union-window shape as the
+    keyed as-of join, linear in events. The naive formulation is a
+    range self-join (quadratic per hot key); this is the one to run at
+    100 TB. Oracle: per-conversion arg_max over the bounded range join.
+    """
+    from .common import ts_micros
+
+    by = [by] if isinstance(by, str) else list(by)
+    tp = F.expr(touch) if isinstance(touch, str) else touch
+    cp = F.expr(conversion) if isinstance(conversion, str) else conversion
+    t_us = ts_micros(F.col(ts_col))
+    tag = F.when(tp, F.lit(0)).when(cp, F.lit(1))
+    tagged = (
+        df.withColumn("__tag", tag)
+        .filter(F.col("__tag").isNotNull())
+        .select(*by, F.col(seq_col).alias("__id"), t_us.alias("__t"), "__tag")
+    )
+    w = (
+        W.partitionBy(*by)
+        .orderBy("__t", "__tag", "__id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_touch = F.last(
+        F.when(F.col("__tag") == 0, F.struct(F.col("__t").alias("t"), F.col("__id").alias("i"))),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        tagged.withColumn("__lt", last_touch)
+        .filter(F.col("__tag") == 1)
+    )
+    delta = F.col("__t") - F.col("__lt.t")
+    credited = F.col("__lt").isNotNull() & (
+        F.lit(True)
+        if lookback is None
+        else (delta <= F.lit(int(round(lookback * 1e6))))
+    )
+    return conv.select(
+        *by,
+        F.col("__id").alias("conv_id"),
+        F.when(credited, F.col("__lt.i")).alias("touch_id"),
+        F.when(credited, delta).cast("long").alias("delta_us"),
+    )
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,

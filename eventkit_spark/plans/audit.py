@@ -46,6 +46,39 @@ def assert_broadcast_join(df: DataFrame, execute: bool = False) -> None:
         raise AssertionError(f"no broadcast join in plan:\n{plan}")
 
 
+def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Partition-skew diagnostic: the ``top`` heaviest key groups with
+    their corpus share (ppm) and size relative to the mean group
+    (percent) — the first thing to look at when one task runs long at
+    100 TB (then: salt the key, or let AQE skew-split the join).
+
+    Scale shape: ONE hash aggregate on the keys (map-side combined),
+    a 1-row totals aggregate broadcast back, and a TakeOrdered top-k —
+    no window over groups, no global sort. All-integer outputs
+    (integer-div ppm/percent) so any engine replays it exactly.
+    """
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    tot = per.agg(
+        F.sum("cnt").cast("long").alias("__tot"),
+        F.count("*").cast("long").alias("__nkeys"),
+    )
+    topk = per.orderBy(F.col("cnt").desc(), *keys).limit(top)
+    out = topk.crossJoin(F.broadcast(tot)).select(
+        *keys,
+        F.col("cnt"),
+        F.expr("cnt * 1000000 div __tot").cast("long").alias("share_ppm"),
+        F.expr("cnt * __nkeys * 100 div __tot").cast("long").alias("vs_mean_pct"),
+    )
+    from pyspark.sql import Window as W
+
+    return out.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), *[F.col(k) for k in keys])),
+    )
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of exchanges in the physical plan (lower = better for the
     same result; windows/joins/aggregations each justify at most one)."""

@@ -121,3 +121,26 @@ def test_central_dedup_keeps_hub_not_smallest_id(spark):
     assert not any(rows[i]["keep"] for i in (1, 2, 3))
     assert rows[20]["keep"] and rows[20]["cluster_id"] == 20  # singleton
     assert rows[9]["rank"] > rows[1]["rank"]
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles / 12 wedges / cc=1e6 ppm; a path graph has
+    none; the count is orientation-independent (duplicate + reversed
+    input edges collapse)."""
+    from eventkit_spark.llm.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # feed duplicates and reversed edges — canonicalization must absorb
+    edges = spark.createDataFrame(k4 + [(b, a) for a, b in k4], ["src", "dst"])
+    row = triangle_count(edges).collect()[0]
+    assert (row["triangles"], row["wedges"], row["global_cc_ppm"]) == (4, 12, 1000000)
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    row = triangle_count(path).collect()[0]
+    assert row["triangles"] == 0 and row["wedges"] == 2
+    assert row["global_cc_ppm"] == 0
+
+    # hub + one closing edge: star K1,3 plus (1,2) -> exactly 1 triangle
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (1, 2)], ["src", "dst"])
+    row = triangle_count(star).collect()[0]
+    assert row["triangles"] == 1

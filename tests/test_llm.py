@@ -1277,3 +1277,33 @@ def test_weighted_sample_grouped_matches_global_per_group(spark):
         assert {r["id"] for r in grouped.filter(F.col("g") == g).collect()} == {
             r["id"] for r in sub.collect()
         }
+
+
+def test_phrase_search_overlaps_and_repeats(spark):
+    """Overlapping matches of a repeated-word phrase all count ('a a'
+    occurs twice in 'a a a'); multi-doc counts and absent phrases are
+    exact."""
+    from eventkit_spark.llm.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),             # 'a a' twice (overlapping)
+            (2, "x a a y a a"),       # twice, non-adjacent
+            (3, "a b a"),             # never consecutively
+            (4, "b b"),               # phrase words absent entirely
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, "a a").collect()}
+    assert got == {1: 2, 2: 2}
+
+    got3 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "x a a").collect()
+    }
+    assert got3 == {2: 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        phrase_search(docs, "   ")

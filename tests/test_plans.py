@@ -227,6 +227,13 @@ SHUFFLE_CEILING = {
     "tpch_q11": 10,  # 6 broadcasts; per-part agg on both total/probe branches
     "tpch_q16": 4,  # 2 broadcasts; two-level distinct expand
     "tpch_q20": 9,  # 6 broadcasts; one (supp,part) agg + supplier semi-join
+    # r4 session-2 additions ("triangles" is excluded: its persisted
+    # edge/orientation pins repeat the cached child plan per scan in the
+    # plan STRING — see test_triangle_count_plan_pins_edges instead)
+    "attribution": 1,  # one tagged scan + one key-window exchange
+    "phrase_search": 3,  # posting prune before (doc,anchor) + doc aggs
+    "zorder_key": 0,  # pure codegen projection
+    "skew_report": 4,  # key agg + 1-row totals + TakeOrdered top-k
 }
 
 
@@ -403,3 +410,19 @@ def test_tpch_showcase_plan_shapes(spark):
     p10 = physical_plan(e.q_tpch_q10(spark, SF))
     assert "TakeOrderedAndProject" in p10
     assert "BroadcastHashJoin" in p10  # nation dimension
+
+
+def test_triangle_count_plan_pins_edges(spark):
+    """The triangle census must read its six graph branches from the
+    persisted canonical-edge / orientation caches — without the pin,
+    every branch replays the full upstream pair-building pipeline
+    (x6 corpus scans on a similarity-graph input)."""
+    import __spark_entry__ as e
+    from eventkit_spark.plans.audit import physical_plan
+
+    spark.catalog.clearCache()
+    try:
+        plan = physical_plan(e.queries()["triangles"](spark, SF))
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()

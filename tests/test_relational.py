@@ -312,3 +312,49 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, "k", salt=1)
     with _pytest.raises(ValueError, match="how"):
         salted_join(left, right, "k", how="full")
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Same-ts touch credits (as-of <=), highest-seq wins among ties,
+    lookback excludes stale touches, unattributed conversions survive
+    with NULLs."""
+    from datetime import datetime
+
+    from eventkit_spark.operators.relational import attribution
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: touch at 1s and two ties at 3s; conversions at 3s, 10s
+        (1, 1, T(1), "click"),
+        (2, 1, T(3), "click"),
+        (3, 1, T(3), "click"),   # tie: higher event_id wins
+        (4, 1, T(3), "purchase"),  # same-ts touch counts
+        (5, 1, T(10), "purchase"),
+        # user 2: touch far outside lookback, then conversion
+        (6, 2, T(1), "click"),
+        (7, 2, T(50), "purchase"),
+        # user 3: conversion with no touch at all
+        (8, 3, T(5), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {
+        r["conv_id"]: r
+        for r in attribution(
+            ev,
+            touch="event_type = 'click'",
+            conversion="event_type = 'purchase'",
+            lookback=20.0,
+        ).collect()
+    }
+    assert out[4]["touch_id"] == 3 and out[4]["delta_us"] == 0
+    assert out[5]["touch_id"] == 3 and out[5]["delta_us"] == 7_000_000
+    assert out[7]["touch_id"] is None and out[7]["delta_us"] is None  # 49s > 20s
+    assert out[8]["touch_id"] is None
+    # no lookback: user 2's stale click now credits
+    out2 = {
+        r["conv_id"]: r
+        for r in attribution(
+            ev, touch="event_type = 'click'", conversion="event_type = 'purchase'"
+        ).collect()
+    }
+    assert out2[7]["touch_id"] == 6 and out2[7]["delta_us"] == 49_000_000

@@ -114,3 +114,62 @@ def test_write_dataset_salted_hot_partition(spark, tmp_path):
     assert abs(
         back.agg(F.sum("value")).first()[0] - ev.agg(F.sum("value")).first()[0]
     ) < 1e-6
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The Column expression reproduces the reference Morton interleave
+    bit-for-bit, including masking past `bits` and negative clamping."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.sources.layout import zorder_key
+
+    def z_ref(x, y, bits=16):
+        x, y = max(x, 0), max(y, 0)
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (70000, 2), (-4, 7)]
+    df = spark.createDataFrame(vals, ["x", "y"])
+    got = [
+        r["z"]
+        for r in df.select(zorder_key(["x", "y"]).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    want = [z_ref(x, y) for x, y in sorted(vals)]
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        zorder_key(["x"])
+    with _pytest.raises(ValueError, match="exceeds a long"):
+        zorder_key(["x", "y"], bits=32)
+
+
+def test_write_zordered_files_cover_narrow_zranges(spark, tmp_path):
+    """Each output file's z-span must be far narrower than the global
+    z-span — the min/max-stat tightness that lets multi-dim predicates
+    skip files. (A hash layout gives every file ~the full span.)"""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.sources.layout import write_zordered, zorder_key
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    out = str(tmp_path / "zo")
+    write_zordered(df, ["x", "y"], out, partitions=8)
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        pdf = spark.read.parquet(f).select(zorder_key(["x", "y"]).alias("z")).toPandas()
+        spans.append(int(pdf.z.max()) - int(pdf.z.min()))
+    assert len(spans) >= 4
+    global_span = 4095  # z of (63,63) for this grid
+    # every file holds a contiguous z-slice: span ~ global/nfiles
+    assert max(spans) < global_span / 2
