@@ -2050,6 +2050,47 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (llm/dedup.py): candidate pairs
+    within rank distance 3 under the first-16-chars-of-text blocking
+    key. Deterministic two-phase global rank (quantile buckets +
+    per-bucket row_number + offset prefix sum — no single-task window,
+    no checkpoint) and a block-equi self-join for neighbors. Oracle:
+    the naive global row_number + bounded rank-range join."""
+    from eventkit_spark.llm.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf, "documents")
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 16)
+    return sorted_neighborhood_pairs(docs, key, window=3)
+
+
+def q_corpus_diff(spark, sf):
+    """Snapshot diff (llm/dedup.py corpus_diff): documents vs a
+    synthetically-evolved snapshot (every 13th doc dropped, every 7th
+    edited, every 17th re-added under a new id) labeled added/removed/
+    changed/unchanged. One full-outer id join carrying (id, hash)
+    pairs only — text never crosses the exchange. Oracle compares the
+    texts directly (hash equality == text equality)."""
+    from eventkit_spark.llm.dedup import corpus_diff
+
+    docs = load_table(spark, sf, "documents")
+    newsnap = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, newsnap)
+
+
 def q_triangles(spark, sf):
     """Triangle/wedge census with the global clustering coefficient
     over the near-dup similarity graph (llm/graph.py triangle_count):
@@ -2836,6 +2877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "corpus_diff": q_corpus_diff,
         "central_dedup": q_central_dedup,
         "embed_neardup": q_embed_neardup,
         "approx_agg": q_approx_agg,
@@ -3982,6 +4025,32 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN m3 ON n.id = m3.id
             )
             SELECT id AS doc_id, r AS rank FROM p3""",
+        "sorted_neighborhood": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY substr(lower(trim(text)), 1, 16), doc_id
+                     ) - 1 AS rk
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (b.rk - a.rk)::BIGINT AS dist
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3""",
+        "corpus_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 17 = 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM documents o FULL OUTER JOIN newsnap n
+              ON o.doc_id = n.doc_id""",
         "triangles": r"""
             WITH words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents

@@ -155,6 +155,8 @@ HEADLINE = [
     "phrase_search",
     "zorder_key",
     "skew_report",
+    "sorted_neighborhood",
+    "corpus_diff",
 ]
 
 

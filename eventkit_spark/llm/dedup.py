@@ -1050,3 +1050,127 @@ def contamination_report(
             ),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    key,
+    window: int = 2,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo 1995): order the
+    corpus by a blocking key and emit every pair within ``window``
+    positions of each other as a dedup/linkage candidate — the classic
+    alternative to LSH when a domain key (normalized name, sort-ready
+    prefix) clusters duplicates adjacently. O(n * window) candidates
+    instead of all-pairs.
+
+    ``key`` is a Column or column name; string keys are ordered by an
+    ASCII assumption (see below), numeric keys natively. Pair order is
+    total and deterministic: (key, id) ascending, ties broken by id.
+
+    Scale shape — a global row_number would serialize the corpus
+    through one window task, so the rank is the deterministic two-phase
+    form (the unkeyed as-of join's discipline): ONE driver-side
+    approxQuantile sketch over an order-preserving numeric surrogate
+    (first 8 ASCII chars base-256 for strings — monotone w.r.t. string
+    order for ASCII keys; equal prefixes fall in one bucket and sort by
+    the full key inside it) fixes bucket boundaries; the bucket id is a
+    pure broadcast-literal expression (no checkpoint, recompute-safe);
+    per-bucket row_numbers plus a #buckets-row offset prefix sum give
+    the global rank. Neighbor pairs are ONE block-equi self-join (rank
+    div window, probing own + next block) — never a cross join.
+
+    Returns (id_a, id_b, dist) with dist = rank distance in [1, window].
+    Note: calling this runs the quantile sketch eagerly (one cheap
+    driver action), like the unkeyed as-of join.
+    """
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs() needs window >= 1")
+    k = F.col(key) if isinstance(key, str) else key
+    from pyspark.sql.types import NumericType
+
+    probe = docs.select(k.alias("__k"), F.col(id_col).alias("id"))
+    if isinstance(probe.schema["__k"].dataType, NumericType):
+        sur = F.col("__k").cast("double")
+    else:
+        ks = F.coalesce(F.col("__k").cast("string"), F.lit(""))
+        sur = sum(
+            F.coalesce(F.ascii(F.substring(ks, i + 1, 1)), F.lit(0)).cast("double")
+            * float(256 ** (7 - i))
+            for i in range(8)
+        )
+    t = probe.withColumn("__sur", sur)
+    spark = docs.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    probs = [i / p for i in range(1, p)]
+    bounds = sorted(set(t.stat.approxQuantile("__sur", probs, 0.001))) if p > 1 else []
+    bucket = F.lit(0)
+    for bnd in bounds:
+        bucket = bucket + (F.col("__sur") > F.lit(bnd)).cast("int")
+    t = t.withColumn("__bkt", bucket)
+    offs = (
+        t.groupBy("__bkt")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__bkt",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("__bkt").orderBy("__k", "id"))
+    ranked = (
+        t.join(F.broadcast(offs), "__bkt")
+        .select("id", (F.col("__off") + rn - 1).cast("long").alias("__r"))
+    )
+    blk = lambda c: F.expr(f"{c} div {int(window)}")
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("__r").alias("__ra"), blk("__r").alias("__blk")
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"), F.col("__r").alias("__rb"), blk("__r").alias("__b0")
+    )
+    b2 = b.select("id_b", "__rb", F.explode(F.array(F.col("__b0"), F.col("__b0") - 1)).alias("__blk"))
+    return (
+        a.join(b2, "__blk")
+        .filter((F.col("__rb") > F.col("__ra")) & (F.col("__rb") <= F.col("__ra") + window))
+        .select(
+            "id_a", "id_b", (F.col("__rb") - F.col("__ra")).cast("long").alias("dist")
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc id
+    present in either, labeled ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the audit step between pipeline runs (what did the
+    recrawl/refilter actually touch?).
+
+    Content comparison is by 64-bit content hash, never by shipping
+    text across the join: ONE full-outer id-keyed join whose exchanges
+    carry (id, hash) pairs only. Output: (id_col, status).
+    """
+    ho = old.select(
+        F.col(id_col).alias("id"), F.xxhash64(F.col(text_col)).alias("__ho")
+    )
+    hn = new.select(
+        F.col(id_col).alias("id"), F.xxhash64(F.col(text_col)).alias("__hn")
+    )
+    j = ho.join(hn, "id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("id").alias(id_col), status.alias("status"))

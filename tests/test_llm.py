@@ -1307,3 +1307,49 @@ def test_phrase_search_overlaps_and_repeats(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         phrase_search(docs, "   ")
+
+
+def test_sorted_neighborhood_matches_naive_rank_join(spark):
+    """The two-phase distributed rank must reproduce the naive global
+    row_number blocking exactly — string keys (ASCII), ties on key
+    broken by id, window edges inclusive."""
+    from eventkit_spark.llm.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "apple pie"), (2, "apple tart"), (3, "banana"), (4, "apple pie"),
+        (5, "cherry"), (6, "banana split"), (7, "apfel"), (8, "date"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in sorted_neighborhood_pairs(
+            docs, F.col("text"), window=2, partitions=3
+        ).collect()
+    }
+    order = [i for i, _ in sorted(rows, key=lambda x: (x[1], x[0]))]
+    want = {}
+    for i, a in enumerate(order):
+        for d in (1, 2):
+            if i + d < len(order):
+                want[(a, order[i + d])] = d
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(docs, F.col("text"), window=0)
+
+
+def test_corpus_diff_statuses(spark):
+    from eventkit_spark.llm.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

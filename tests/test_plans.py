@@ -234,6 +234,10 @@ SHUFFLE_CEILING = {
     "phrase_search": 3,  # posting prune before (doc,anchor) + doc aggs
     "zorder_key": 0,  # pure codegen projection
     "skew_report": 4,  # key agg + 1-row totals + TakeOrdered top-k
+    # bucket-count agg + tiny offsets window + rank join + both
+    # self-join sides (plan-time lineage counts the ranked table twice)
+    "sorted_neighborhood": 9,
+    "corpus_diff": 2,  # one (id,hash) exchange per snapshot side
 }
 
 
