@@ -50,13 +50,19 @@ def central_dedup(
     Returns one row per doc: (id_col, cluster_id, rank, keep) —
     ``filter(keep)`` IS the deduplicated corpus.
 
-    Scale shape: the two graph passes share the symmetrized edge list;
+    Scale shape: the two graph passes share ONE materialization of the
+    pair list (persist + eager build below — without it, components
+    and PageRank each replay the full upstream pair-building pipeline:
+    a similarity-graph input re-runs its posting-list scans twice);
     representative election is ONE max_by aggregate on the cluster id
     (constant-size cells, map-side combined) joined back — no window
-    over members.
+    over members. Pairs are id-tuples — metadata-sized; release with
+    ``spark.catalog.clearCache()``.
     """
     from .dedup import dedup_clusters
 
+    pairs = pairs.persist()
+    pairs.count()
     clusters = dedup_clusters(docs, pairs, id_col=id_col)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

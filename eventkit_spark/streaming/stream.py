@@ -967,6 +967,42 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def attribution(
+        self,
+        touch: str,
+        conversion: str,
+        lookback: float | None = None,
+    ) -> DataFrame:
+        """Streaming last-touch attribution (the batch
+        operators/relational.py ``attribution``): conversions carry the
+        latest at-or-before touch per key, credits older than
+        ``lookback`` seconds are NULLed. Composes the stateful as-of
+        kernel — state is one (ts, value) per key — then a stateless
+        credit projection; ties at equal event time credit the touch
+        (touch-before-conversion delivery, the batch <= convention).
+
+        Output: key cols, ``ts``, ``value`` (the conversion's),
+        ``touch_ts`` / ``delta_us`` (NULL when unattributed).
+        """
+        conv = self.filter(conversion)
+        tch = self.filter(touch)
+        j = conv.asof_join(tch)
+        delta = F.unix_micros(F.col(self.ts_col).cast("timestamp")) - F.unix_micros(
+            F.col("ts_r").cast("timestamp")
+        )
+        credited = F.col("ts_r").isNotNull() & (
+            F.lit(True)
+            if lookback is None
+            else (delta <= F.lit(int(round(lookback * 1e6))))
+        )
+        return j.select(
+            *self.key_cols,
+            F.col(self.ts_col),
+            F.col("value"),
+            F.when(credited, F.col("ts_r")).alias("touch_ts"),
+            F.when(credited, delta).cast("long").alias("delta_us"),
+        )
+
     def unique_within_watermark(self, by: Sequence[str] | None = None) -> "StreamFrame":
         """Unique (select.py:115-130) under a watermark bound."""
         cols = list(by) if by else [*self.key_cols, *self.value_cols]

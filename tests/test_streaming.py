@@ -588,3 +588,40 @@ def test_streaming_heavy_hitters_guarantee(spark, stream_dir):
         for item, est in cand.items():
             true_cnt = truth[uid][item]
             assert est <= true_cnt <= est + n // k
+
+
+def test_streaming_attribution_parity(spark, stream_dir):
+    """Streaming last-touch attribution == batch attribution row-for-row
+    (click credits purchase, 1-hour lookback NULLs stale credits)."""
+    s = _stream(spark, stream_dir)
+    out = s.run_available_now(
+        sink_df=s.attribution(
+            "event_type = 'click'", "event_type = 'purchase'", lookback=3600.0
+        ),
+        name="ek_attr",
+    )
+
+    from eventkit_spark.operators.relational import attribution
+
+    src = spark.read.parquet(stream_dir)
+    batch = attribution(
+        src,
+        touch="event_type = 'click'",
+        conversion="event_type = 'purchase'",
+        lookback=3600.0,
+    )
+    # key streaming rows by (user, conversion ts); batch by conv_id -> ts
+    ts_of = {
+        r["event_id"]: r["ts"]
+        for r in src.filter("event_type = 'purchase'").collect()
+    }
+    sp = {
+        (r["user_id"], r["ts"]): r["delta_us"] for r in out.collect()
+    }
+    bp = {
+        (r["user_id"], ts_of[r["conv_id"]]): r["delta_us"]
+        for r in batch.collect()
+    }
+    assert sp == bp and len(sp) > 0
+    assert any(v is not None for v in sp.values())
+    assert any(v is None for v in sp.values())  # lookback actually cuts
