@@ -1028,6 +1028,40 @@ def q_event_transitions(spark, sf):
     )
 
 
+def q_event_paths(spark, sf):
+    """Top-20 depth-3 event-type journeys across user streams (the
+    depth-2 extension of event_transitions): two lag windows riding ONE
+    key exchange + one path aggregate + TakeOrdered top-k. The
+    path-mining primitive behind 'what do users do before purchasing'."""
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("a", F.lag("event_type", 2).over(w))
+        .withColumn("b", F.lag("event_type", 1).over(w))
+        .filter(F.col("a").isNotNull())
+        .groupBy("a", "b", F.col("event_type").alias("c"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(20)
+    )
+    return paths.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("n").desc(), "a", "b", "c")
+        ),
+    )
+
+
+def q_bm25_search(spark, sf):
+    """BM25 ranked retrieval for the query 'spark hash join'
+    (llm/sampling.py bm25_search): token stream pruned to the query's
+    terms BEFORE any exchange, row-wise doc length (no full-token
+    shuffle), TakeOrdered top-10. The ranked twin of phrase_search."""
+    from eventkit_spark.llm.sampling import bm25_search
+
+    return bm25_search(load_table(spark, sf, "documents"), "spark hash join", k=10)
+
+
 def q_session_stats(spark, sf):
     # sessionize (30-min inactivity gap) then per-session rollup: the
     # composition query — session labels from the engine, aggregates
@@ -2775,6 +2809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "group_regression": q_group_regression,
         "event_transitions": q_event_transitions,
+        "event_paths": q_event_paths,
+        "bm25_search": q_bm25_search,
         "session_stats": q_session_stats,
         "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
@@ -4403,6 +4439,49 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
                    regr_count(l_extendedprice, l_quantity) AS n
             FROM lineitem GROUP BY l_returnflag""",
+        "event_paths": """
+            WITH lagged AS (
+              SELECT user_id,
+                     lag(event_type, 2) OVER w AS a,
+                     lag(event_type, 1) OVER w AS b,
+                     event_type AS c
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), cnt AS (
+              SELECT a, b, c, count(*)::BIGINT AS n FROM lagged
+              WHERE a IS NOT NULL GROUP BY a, b, c
+            )
+            SELECT a, b, c, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, a, b, c) AS INT)
+                     AS rank
+            FROM cnt ORDER BY n DESC, a, b, c LIMIT 20""",
+        "bm25_search": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM tok
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2, 3
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS tot FROM d
+            ), dfx AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+              GROUP BY term
+            ), sc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+                     sum( ln(1 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * (1.2 + 1.0))
+                          / (tf + 1.2 * ((1 - 0.75)
+                                         + 0.75 * (dl * n / tot))) ) AS s
+              FROM tf JOIN dfx USING (term), tot
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms_matched, round(s, 6) AS score,
+                   CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+                     AS rank
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10""",
         "event_transitions": """
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,

@@ -157,6 +157,8 @@ HEADLINE = [
     "skew_report",
     "sorted_neighborhood",
     "corpus_diff",
+    "event_paths",
+    "bm25_search",
 ]
 
 

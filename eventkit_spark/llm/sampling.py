@@ -519,6 +519,74 @@ def bm25_top_terms(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval for a free-text ``query``: the top-``k``
+    documents by summed per-term BM25 (Lucene's non-negative idf form,
+    matching ``bm25_top_terms``) — the ranked-search twin of
+    ``phrase_search``'s exact matcher.
+
+    Scale shape: the token stream is pruned to the QUERY'S terms before
+    any exchange (the posting-list prune — at corpus scale nearly every
+    token drops at the scan), with doc length computed row-wise from
+    the same split (no full-corpus token shuffle for dl, unlike the
+    per-doc top-terms pass which needs every term). df per query term
+    is a tiny aggregate; N / total_tokens are ONE driver-side exact
+    count; the final top-k is TakeOrderedAndProject. Ranks order by
+    un-rounded score with doc id tie-break; scores round to 6 for
+    engine-stable comparison.
+
+    Returns (id_col, n_terms_matched, score, rank).
+    """
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("bm25_search() needs a non-empty query")
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(arr).alias("dl"),
+        F.explode(arr).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = base.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    totals = docs.select(
+        F.count("*").alias("n"), F.sum(F.size(arr)).alias("tot")
+    ).collect()[0]
+    n_docs, total_tokens = int(totals["n"]), int(totals["tot"])
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        (1.0 - b)
+        + b * (F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_tokens)))
+    )
+    per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum(per_term).alias("__score"),
+        )
+        .orderBy(F.col("__score").desc(), F.col("id"))
+        .limit(k)
+    )
+    w = W.orderBy(F.col("__score").desc(), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col),
+        "n_terms_matched",
+        F.round("__score", 6).alias("score"),
+        "rank",
+    )
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.3,

@@ -1353,3 +1353,30 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_bm25_search_ranks_by_relevance(spark):
+    """A doc stuffed with the query terms must outrank a doc with one
+    mention; docs without any query term never appear."""
+    from eventkit_spark.llm.sampling import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join spark"),
+            (2, "spark and other words here totally unrelated"),
+            (3, "nothing relevant at all"),
+            (4, "join join"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(docs, "spark join", k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids
+    assert ids[0] == 1 and rows[0]["rank"] == 1
+    assert rows[0]["n_terms_matched"] == 2
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_search(docs, "  ")

@@ -238,6 +238,8 @@ SHUFFLE_CEILING = {
     # self-join sides (plan-time lineage counts the ranked table twice)
     "sorted_neighborhood": 9,
     "corpus_diff": 2,  # one (id,hash) exchange per snapshot side
+    "event_paths": 2,  # two lags on one key exchange + path agg
+    "bm25_search": 5,  # pruned tf agg + tiny df agg + top-k
 }
 
 
