@@ -209,6 +209,24 @@ def q_skew_report(spark, sf):
     return skew_report(load_table(spark, sf, "events"), ["user_id"], top=10)
 
 
+def q_multi_touch(spark, sf):
+    """Multi-touch linear attribution (operators/relational.py
+    multi_touch): every click in the 7-day window before a purchase
+    shares integer-ppm credit (remainder on the last touch — credits
+    sum to exactly 1e6 per conversion). Pair space via the binned
+    interval join; positions/counts ride one conv-id window over the
+    bounded pair table. Oracle: naive range join + count window."""
+    from eventkit_spark.operators.relational import multi_touch
+
+    ev = load_table(spark, sf, "events")
+    return multi_touch(
+        ev,
+        touch=F.col("event_type") == "click",
+        conversion=F.col("event_type") == "purchase",
+        lookback=7 * 86400.0,
+    )
+
+
 def q_zorder_key(spark, sf):
     """Z-order (Morton) clustering key over (user_id, value-bucket)
     (sources/layout.py zorder_key): the multi-dimensional data-layout
@@ -2739,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "funnel": q_funnel,
         "attribution": q_attribution,
+        "multi_touch": q_multi_touch,
         "zorder_key": q_zorder_key,
         "skew_report": q_skew_report,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
@@ -3095,6 +3114,30 @@ def oracle_sql() -> dict[str, str]:
                    (t3 IS NOT NULL AND
                     epoch_us(t3) - epoch_us(t1) <= 604800000000) AS converted
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+        "multi_touch": """
+            WITH t AS (
+              SELECT user_id, event_id AS tid, epoch_us(ts) AS tts
+              FROM events WHERE event_type = 'click'
+            ), c AS (
+              SELECT user_id, event_id AS cid, epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'purchase'
+            ), p AS (
+              SELECT c.user_id, cid, tid, cts - tts AS delta_us, tts
+              FROM c JOIN t USING (user_id)
+              WHERE tts >= cts - 604800000000 AND tts <= cts
+            ), n AS (
+              SELECT *, count(*) OVER (PARTITION BY cid) AS nt,
+                     row_number() OVER (PARTITION BY cid
+                                        ORDER BY tts, tid) AS pos
+              FROM p)
+            SELECT user_id, cid AS conv_id, tid AS touch_id,
+                   delta_us::BIGINT AS delta_us,
+                   nt::BIGINT AS n_touches,
+                   (CASE WHEN pos = nt
+                         THEN 1000000 - (1000000 // nt) * (nt - 1)
+                         ELSE 1000000 // nt END)::BIGINT AS credit_ppm,
+                   pos = 1 AS is_first, pos = nt AS is_last
+            FROM n""",
         "skew_report": """
             WITH per AS (
               SELECT user_id, count(*)::BIGINT AS cnt

@@ -159,6 +159,7 @@ HEADLINE = [
     "corpus_diff",
     "event_paths",
     "bm25_search",
+    "multi_touch",
 ]
 
 

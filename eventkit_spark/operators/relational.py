@@ -230,8 +230,21 @@ def asof_join(
 
 def _tnum(col: F.Column) -> F.Column:
     """Orderable numeric surrogate for a time-ish column: timestamps
-    (either flavor) become epoch seconds, numerics cast to double."""
-    return col.cast("timestamp").cast("double")
+    (either flavor) become epoch seconds, numerics cast to double.
+
+    The numeric branch is detected FIRST, via a string hop (numerics
+    render as parseable numbers, timestamps don't): routing numerics
+    through ``cast(timestamp)`` instead would interpret epoch-micros
+    longs as epoch SECONDS and SATURATE at the timestamp range limit
+    (collapsing every large value to one constant and breaking range
+    filters — the multi_touch interval-join regression; try_cast
+    saturates the same way rather than yielding NULL). Timestamps of
+    either flavor fall through to the epoch-seconds cast, which is
+    legal for NTZ only via the timestamp hop (common.py)."""
+    return F.coalesce(
+        col.cast("string").try_cast("double"),
+        col.cast("timestamp").cast("double"),
+    )
 
 
 def interval_join(
@@ -505,6 +518,83 @@ def attribution(
         F.when(credited, F.col("__lt.i")).alias("touch_id"),
         F.when(credited, delta).cast("long").alias("delta_us"),
     )
+
+
+def multi_touch(
+    df: DataFrame,
+    touch,
+    conversion,
+    lookback: float,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    by: list[str] | str = "user_id",
+) -> DataFrame:
+    """Multi-touch (linear) attribution: EVERY touch inside the
+    conversion's ``lookback`` window shares the credit equally — the
+    companion to ``attribution``'s winner-take-all last-touch view.
+    Credits are integer ppm (``1e6 div n`` with the remainder on the
+    LAST touch, so each conversion's credits sum to exactly 1e6 — no
+    float split to drift).
+
+    Output: one row per (conversion, touch) pair — key cols,
+    ``conv_id``, ``touch_id``, ``delta_us``, ``n_touches``,
+    ``credit_ppm``, plus ``is_first`` / ``is_last`` position flags
+    (position-based models reweight on these).
+
+    Scale shape: the pair space is the binned interval join
+    (``interval_join``'s bucket trick — each conversion is a
+    ``lookback``-long interval, each touch lands in one bin), so the
+    join is an EQUI-join on (key, bin), never an inequality nested
+    loop; the per-conversion counts/positions are one window over the
+    conversion-id exchange of the (bounded) pair table.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    tp = F.expr(touch) if isinstance(touch, str) else touch
+    cp = F.expr(conversion) if isinstance(conversion, str) else conversion
+    from .common import ts_micros
+
+    t_us = ts_micros(F.col(ts_col))
+    touches = df.filter(tp).select(
+        *by, F.col(seq_col).alias("touch_id"), t_us.alias("ts")
+    )
+    lb = int(round(lookback * 1e6))
+    convs = df.filter(cp).select(
+        *by,
+        F.col(seq_col).alias("conv_id"),
+        (t_us - F.lit(lb)).alias("start"),
+        t_us.alias("end"),
+    )
+    pairs = interval_join(
+        touches,
+        convs,
+        ts_col="ts",
+        by=by,
+        bucket_width=float(lb),
+        right_cols=["conv_id", "end"],
+    )
+    w = W.partitionBy("conv_id")
+    wo = w.orderBy(F.col("ts"), F.col("touch_id"))
+    n = F.count("*").over(w)
+    pos = F.row_number().over(wo)
+    base = F.expr("1000000 div __n")
+    out = (
+        pairs.withColumn("__n", n)
+        .withColumn("__pos", pos)
+        .select(
+            *by,
+            "conv_id",
+            "touch_id",
+            (F.col("end") - F.col("ts")).cast("long").alias("delta_us"),
+            F.col("__n").cast("long").alias("n_touches"),
+            F.when(F.col("__pos") == F.col("__n"), F.lit(1000000) - base * (F.col("__n") - 1))
+            .otherwise(base)
+            .cast("long")
+            .alias("credit_ppm"),
+            (F.col("__pos") == 1).alias("is_first"),
+            (F.col("__pos") == F.col("__n")).alias("is_last"),
+        )
+    )
+    return out
 
 
 def overlap_join(

@@ -144,3 +144,36 @@ def test_triangle_count_known_graphs(spark):
     star = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (1, 2)], ["src", "dst"])
     row = triangle_count(star).collect()[0]
     assert row["triangles"] == 1
+
+
+def test_triangle_count_matches_naive_on_random_graphs(spark):
+    """Seeded Erdos-Renyi graphs: the oriented-wedge census equals the
+    brute-force itertools triple count, and wedges equal sum C(deg,2)."""
+    import itertools
+    import random
+
+    from eventkit_spark.llm.graph import triangle_count
+
+    rng = random.Random(7)
+    for n, p in [(12, 0.3), (18, 0.2), (10, 0.6)]:
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < p
+        ]
+        if not edges:
+            continue
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want_t = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        want_w = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        row = triangle_count(df, materialize=False).collect()[0]
+        assert (row["triangles"], row["wedges"]) == (want_t, want_w), (n, p)

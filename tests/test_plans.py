@@ -240,6 +240,7 @@ SHUFFLE_CEILING = {
     "corpus_diff": 2,  # one (id,hash) exchange per snapshot side
     "event_paths": 2,  # two lags on one key exchange + path agg
     "bm25_search": 5,  # pruned tf agg + tiny df agg + top-k
+    "multi_touch": 2,  # binned (key,bin) equi-join + conv-id window
 }
 
 

@@ -358,3 +358,42 @@ def test_attribution_last_touch_semantics(spark):
         ).collect()
     }
     assert out2[7]["touch_id"] == 6 and out2[7]["delta_us"] == 49_000_000
+
+
+def test_multi_touch_credits_sum_to_unit(spark):
+    """Every conversion's credits sum to exactly 1e6 ppm (remainder on
+    the last touch); positions flag first/last; out-of-window touches
+    never appear."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.operators.relational import multi_touch
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, 1, T(1), "click"),
+        (2, 1, T(2), "click"),
+        (3, 1, T(3), "click"),
+        (4, 1, T(4), "purchase"),   # 3 touches -> 333333/333333/333334
+        (5, 2, T(1), "click"),
+        (6, 2, T(40), "purchase"),  # touch outside 20s window
+        (7, 3, T(10), "click"),
+        (8, 3, T(11), "purchase"),  # single touch -> 1000000
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = multi_touch(
+        ev, "event_type = 'click'", "event_type = 'purchase'", lookback=20.0
+    )
+    rowsb = out.collect()
+    by_conv = {}
+    for r in rowsb:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert set(by_conv) == {4, 8}  # conversion 6 has no in-window touch
+    c4 = sorted(by_conv[4], key=lambda r: r["touch_id"])
+    assert [r["credit_ppm"] for r in c4] == [333333, 333333, 333334]
+    assert sum(r["credit_ppm"] for r in c4) == 1_000_000
+    assert c4[0]["is_first"] and not c4[0]["is_last"]
+    assert c4[2]["is_last"] and c4[2]["n_touches"] == 3
+    assert by_conv[8][0]["credit_ppm"] == 1_000_000
+    assert by_conv[8][0]["delta_us"] == 1_000_000  # 1s gap
