@@ -397,3 +397,30 @@ def test_multi_touch_credits_sum_to_unit(spark):
     assert c4[2]["is_last"] and c4[2]["n_touches"] == 3
     assert by_conv[8][0]["credit_ppm"] == 1_000_000
     assert by_conv[8][0]["delta_us"] == 1_000_000  # 1s gap
+
+
+def test_tnum_four_flavors(spark):
+    """_tnum must be identity for numerics (including epoch-micros longs
+    far past the timestamp range — cast(timestamp) saturates there) and
+    epoch seconds for timestamps of either flavor."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.operators.relational import _tnum
+
+    df = spark.createDataFrame(
+        [(5.0, 1_700_000_000_000_000, datetime(2024, 1, 2, 3, 4, 5, 123456))],
+        ["small", "micros", "ts"],
+    )
+    df = df.withColumn("ntz", F.col("ts").cast("timestamp_ntz"))
+    r = df.select(
+        _tnum(F.col("small")).alias("a"),
+        _tnum(F.col("micros")).alias("b"),
+        _tnum(F.col("ts")).alias("c"),
+        _tnum(F.col("ntz")).alias("d"),
+    ).collect()[0]
+    assert r["a"] == 5.0
+    assert r["b"] == 1.7e15  # NOT the saturated timestamp max
+    assert abs(r["c"] - 1704164645.123456) < 1e-5
+    assert r["c"] == r["d"]
