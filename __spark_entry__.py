@@ -492,6 +492,16 @@ def q_cusum(spark, sf):
     )
 
 
+def q_holt(spark, sf):
+    # Holt double-exponential smoothing per user (level + trend, the
+    # coupled two-state recurrence of the sequential-kernel lane; the
+    # oracle replays it with a recursive CTE in the same float-op order)
+    ev = _ev(spark, sf)
+    return ev.holt(alpha=0.5, beta=0.3).df.select(
+        "user_id", "event_id", "level", "trend", "forecast"
+    )
+
+
 def q_ivfpq(spark, sf):
     # IVFADC production form: partial probe (recall < 1 by design —
     # rows-only, the embed_ivf convention; routing correctness is
@@ -2794,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": q_novelty,
         "anomaly": q_anomaly,
         "cusum": q_cusum,
+        "holt": q_holt,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -3735,6 +3746,26 @@ def oracle_sql() -> dict[str, str]:
         # CUSUM: the clamped recurrence replayed row-by-row with a
         # recursive CTE (recursion depth = max rows per key); emitted
         # hi/lo are pre-reset, the carried state zeroes after an alarm
+        "holt": """
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, event_id,
+                     value::DOUBLE AS l, 0.0::DOUBLE AS t
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.rn, b.event_id,
+                     0.5 * b.value + (1 - 0.5) * (r.l + r.t),
+                     0.3 * ((0.5 * b.value + (1 - 0.5) * (r.l + r.t)) - r.l)
+                       + (1 - 0.3) * r.t
+              FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, event_id,
+                   round(l, 6) AS level, round(t, 6) AS trend,
+                   round(l + t, 6) AS forecast
+            FROM r""",
         "cusum": """
             WITH RECURSIVE b AS (
               SELECT user_id, event_id, value,

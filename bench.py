@@ -160,6 +160,7 @@ HEADLINE = [
     "event_paths",
     "bm25_search",
     "multi_touch",
+    "holt",
 ]
 
 

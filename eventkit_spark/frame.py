@@ -486,6 +486,9 @@ class EventFrame:
     def cusum(self, target: float, h: float, slack: float = 0.0, reset: bool = True):
         return _state.cusum(self, target, h, slack, reset)
 
+    def holt(self, alpha: float = 0.5, beta: float = 0.3):
+        return _state.holt(self, alpha, beta)
+
     # -- error channel (SURVEY.md §2.7) -------------------------------
     def errors(self):
         return _misc.errors(self)

@@ -204,6 +204,17 @@ def throttle(ef, maximum: float, interval: float, cost: float = 1.0, cost_expr=N
     return ef._with(df=df.select(*out_cols))
 
 
+def _round6(arr):
+    """Round to 6 decimals with HALF-AWAY-FROM-ZERO ties on the scaled
+    double — the semantics DuckDB's round(DOUBLE, n) and Spark's
+    F.round share. np.round is half-EVEN: a recurrence landing exactly
+    on a 5e-7 boundary (holt hit one at sf0.01) flips the last digit
+    between engines."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr) / 1e6
+
+
 def cusum(ef, target: float, h: float, slack: float = 0.0, reset: bool = True):
     """Two-sided CUSUM control chart (Page 1954) per key: the classic
     sequential change-point detector.
@@ -237,6 +248,10 @@ def cusum(ef, target: float, h: float, slack: float = 0.0, reset: bool = True):
 
     def kernel(batches):
         state = {}  # key tuple -> (hi, lo); carries across batch splits
+        # local copy of _round6: the closure must stay self-contained —
+        # executors can't import eventkit_spark when the driver runs
+        # outside the repo (path-based package, not installed)
+        r6 = lambda arr: np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr) / 1e6
 
         for pdf in batches:
             if not len(pdf):
@@ -257,8 +272,8 @@ def cusum(ef, target: float, h: float, slack: float = 0.0, reset: bool = True):
                 hi[i], lo[i], al[i] = nh, nl, a
                 state[keys[i]] = (0.0, 0.0) if (a and reset) else (nh, nl)
             out = pdf.copy()
-            out["cusum_hi"] = np.round(hi, 6)
-            out["cusum_lo"] = np.round(lo, 6)
+            out["cusum_hi"] = r6(hi)
+            out["cusum_lo"] = r6(lo)
             out["alarm"] = al
             yield out
 
@@ -273,3 +288,77 @@ def cusum(ef, target: float, h: float, slack: float = 0.0, reset: bool = True):
         arranged = src.coalesce(1).sortWithinPartitions(seq_col)
     df = arranged.mapInPandas(kernel, schema=out_schema)
     return ef._with(df=df, value_cols=[*ef.value_cols, "cusum_hi", "cusum_lo", "alarm"])
+
+
+def holt(ef, alpha: float = 0.5, beta: float = 0.3):
+    """Holt double-exponential smoothing per key (level + trend — the
+    classic short-horizon forecasting primitive next to ``ema``):
+
+        level_i = alpha*x_i + (1-alpha)*(level_{i-1} + trend_{i-1})
+        trend_i = beta*(level_i - level_{i-1}) + (1-beta)*trend_{i-1}
+
+    seeded level_1 = x_1, trend_1 = 0. Adds ``level`` / ``trend`` /
+    ``forecast`` (= level + trend, the one-step-ahead prediction),
+    each rounded to 6.
+
+    The COUPLED two-state recurrence has no single-column window form
+    (EMA's trick scans one state), so it runs in the sequential-kernel
+    lane (SURVEY.md §4.2): one Arrow-batched linear pass per key
+    partition, state carried across batch splits, fully parallel
+    across keys; unkeyed degrades to a single task. The float ops are
+    written in one fixed order (and ``1-alpha`` / ``1-beta`` derived
+    the same way in the oracle) so a recursive-CTE replay is
+    bit-identical.
+    """
+    import numpy as np
+
+    value_col = ef.value_cols[0]
+    seq_col = ef.seq_col
+    key_cols = list(ef.key_cols)
+    src = ef.df
+    a = float(alpha)
+    b = float(beta)
+    one_a = 1.0 - a
+    one_b = 1.0 - b
+
+    def kernel(batches):
+        state = {}  # key tuple -> (level, trend)
+        r6 = lambda arr: np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr) / 1e6
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf[value_col].to_numpy(dtype="float64")
+            if key_cols:
+                keys = list(zip(*[pdf[k].to_numpy() for k in key_cols]))
+            else:
+                keys = [()] * len(pdf)
+            lv = np.empty(len(x))
+            tr = np.empty(len(x))
+            for i in range(len(x)):
+                prev = state.get(keys[i])
+                if prev is None:
+                    nl, nt = x[i], 0.0
+                else:
+                    pl, pt = prev
+                    nl = a * x[i] + one_a * (pl + pt)
+                    nt = b * (nl - pl) + one_b * pt
+                lv[i], tr[i] = nl, nt
+                state[keys[i]] = (nl, nt)
+            out = pdf.copy()
+            out["level"] = r6(lv)
+            out["trend"] = r6(tr)
+            out["forecast"] = r6(lv + tr)
+            yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", level double, trend double, forecast double"
+    if key_cols:
+        arranged = src.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+            *key_cols, seq_col
+        )
+    else:
+        arranged = src.coalesce(1).sortWithinPartitions(seq_col)
+    df = arranged.mapInPandas(kernel, schema=out_schema)
+    return ef._with(df=df, value_cols=[*ef.value_cols, "level", "trend", "forecast"])

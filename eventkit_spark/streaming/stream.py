@@ -843,6 +843,63 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def holt(self, alpha: float = 0.5, beta: float = 0.3) -> DataFrame:
+        """Streaming Holt smoothing twin (state.py:holt): the coupled
+        (level, trend) recurrence carried in the state store per key —
+        tick-for-tick equal to the batch kernel over the same rows
+        (parity-tested). First row per key seeds level=x, trend=0.
+        """
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
+            + "level double, trend double, forecast double"
+        )
+        a, b = float(alpha), float(beta)
+        one_a, one_b = 1.0 - a, 1.0 - b
+
+        def handler(key, pdfs, state: GroupState):
+            lvl, tr = state.get if state.exists else (None, None)
+            # self-contained rounder (executors can't import the repo
+            # package when the driver runs outside it)
+            import math
+
+            def _r6(x):
+                return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    x = float(row[value_col])
+                    if lvl is None:
+                        nl, nt = x, 0.0
+                    else:
+                        nl = a * x + one_a * (lvl + tr)
+                        nt = b * (nl - lvl) + one_b * tr
+                    outs.append({
+                        **{k: row[k] for k in keys}, ts_col: row[ts_col],
+                        "value": x, "level": _r6(nl),
+                        "trend": _r6(nt),
+                        "forecast": _r6(nl + nt),
+                    })
+                    lvl, tr = nl, nt
+            if lvl is not None:
+                state.update((lvl, tr))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="l double, t double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def anomaly(self, seconds: float, z: float = 3.0,
                 min_periods: int = 2) -> DataFrame:
         """Streaming trailing z-score twin (operators/timing.py:anomaly):

@@ -513,3 +513,68 @@ def test_misra_gries_kernel_superset_property(xs, k, cuts):
     for item, cnt in Counter(vals).items():
         if cnt * k > n:
             assert item in survivors
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 59),           # second offset
+            st.sampled_from(["t", "c"]),  # touch / conversion
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    lookback=st.integers(1, 40),
+)
+@SET
+def test_attribution_model(spark, evs, lookback):
+    """Last-touch attribution vs a pure-Python replay: for each
+    conversion, the max-(ts, id) touch with ts <= conv ts within the
+    lookback window, per user."""
+    from datetime import datetime
+
+    from eventkit_spark.operators.relational import attribution
+
+    rows = [
+        (i, u, datetime(2024, 1, 1, 0, 0, s), kind)
+        for i, (u, s, kind) in enumerate(evs)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "k"])
+    got = {
+        r["conv_id"]: r["touch_id"]
+        for r in attribution(
+            df, "k = 't'", "k = 'c'", lookback=float(lookback)
+        ).collect()
+    }
+    want = {}
+    for i, (u, s, kind) in enumerate(evs):
+        if kind != "c":
+            continue
+        cands = [
+            (s2, j)
+            for j, (u2, s2, k2) in enumerate(evs)
+            if k2 == "t" and u2 == u and s2 <= s and s - s2 <= lookback
+        ]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20),
+    phrase=st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=3),
+)
+@SET
+def test_phrase_search_model(spark, toks, phrase):
+    """phrase_search vs naive sliding-window comparison on random
+    token streams (repeats and overlaps included)."""
+    from eventkit_spark.llm.text import phrase_search
+
+    text = " ".join(toks) if toks else ""
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, " ".join(phrase)).collect()}
+    n = len(phrase)
+    want = sum(1 for i in range(len(toks) - n + 1) if toks[i : i + n] == phrase)
+    assert got.get(1, 0) == want

@@ -625,3 +625,25 @@ def test_streaming_attribution_parity(spark, stream_dir):
     assert sp == bp and len(sp) > 0
     assert any(v is not None for v in sp.values())
     assert any(v is None for v in sp.values())  # lookback actually cuts
+
+
+def test_streaming_holt(spark, stream_dir):
+    """Streaming Holt smoothing == batch holt kernel on the same rows:
+    identical level/trend/forecast per (user, ts)."""
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(
+        sink_df=sf.holt(alpha=0.5, beta=0.3), name="ek_holt"
+    )
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    src = spark.read.parquet(stream_dir)
+    ef = from_dataframe(
+        src, value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    batch = ef.holt(alpha=0.5, beta=0.3)
+    bp = {(r["user_id"], r["ts"]): (r["level"], r["trend"], r["forecast"])
+          for r in batch.df.collect()}
+    sp = {(r["user_id"], r["ts"]): (r["level"], r["trend"], r["forecast"])
+          for r in out.collect()}
+    assert sp == bp and len(sp) == 1000

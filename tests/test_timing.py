@@ -262,3 +262,39 @@ def test_rollup_cascade_matches_direct_and_scans_once(spark):
 
     with _pytest.raises(ValueError, match="multiple"):
         ef.rollup_cascade(levels=(3600.0, 5000.0))
+
+
+def test_holt_recurrence_model(spark):
+    """Batch holt vs a pure-Python replay of the coupled recurrence,
+    including the level=x/trend=0 seed and multi-key independence."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    rows = []
+    vals = {0: [10.0, 12.0, 11.0, 15.0, 14.5], 1: [100.0, 90.0, 80.0]}
+    i = 0
+    for u, xs in vals.items():
+        for x in xs:
+            rows.append((i, u, x))
+            i += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    ef = from_dataframe(df, value_cols=["value"], seq_col="event_id",
+                        ts_col=None, key_cols=["user_id"])
+    got = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["forecast"])
+        for r in ef.holt(alpha=0.5, beta=0.3).df.collect()
+    }
+    a, b = 0.5, 0.3
+    i = 0
+    for u, xs in vals.items():
+        l = t = None
+        for x in xs:
+            if l is None:
+                l, t = x, 0.0
+            else:
+                nl = a * x + (1.0 - a) * (l + t)
+                t = b * (nl - l) + (1.0 - b) * t
+                l = nl
+            lv, tr, fc = got[(u, i)]
+            assert abs(lv - l) < 1e-6 and abs(tr - t) < 1e-6
+            assert abs(fc - (l + t)) < 1e-6
+            i += 1
