@@ -502,6 +502,16 @@ def q_holt(spark, sf):
     )
 
 
+def q_kalman(spark, sf):
+    # 1-D Kalman filter per user (random-walk state; the gain division
+    # makes the recurrence nonlinear — sequential-kernel lane; the
+    # oracle replays predict/gain/update in the same float-op order)
+    ev = _ev(spark, sf)
+    return ev.kalman1d(q=0.01, r=1.0, p0=1.0).df.select(
+        "user_id", "event_id", "kf_x", "kf_p", "kf_gain"
+    )
+
+
 def q_ivfpq(spark, sf):
     # IVFADC production form: partial probe (recall < 1 by design —
     # rows-only, the embed_ivf convention; routing correctness is
@@ -2805,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly": q_anomaly,
         "cusum": q_cusum,
         "holt": q_holt,
+        "kalman": q_kalman,
         # (d) unchecked since r2
         "pack_spans": q_pack_spans,
         "source_quota": q_source_quota,
@@ -3746,6 +3757,28 @@ def oracle_sql() -> dict[str, str]:
         # CUSUM: the clamped recurrence replayed row-by-row with a
         # recursive CTE (recursion depth = max rows per key); emitted
         # hi/lo are pre-reset, the carried state zeroes after an alarm
+        "kalman": """
+            WITH RECURSIVE b AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ), r AS (
+              SELECT user_id, rn, event_id,
+                     value::DOUBLE AS x, 1.0::DOUBLE AS p, 0.0::DOUBLE AS k
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.rn, b.event_id,
+                     r.x + ((r.p + 0.01) / ((r.p + 0.01) + 1.0))
+                           * (b.value - r.x),
+                     (1 - ((r.p + 0.01) / ((r.p + 0.01) + 1.0)))
+                       * (r.p + 0.01),
+                     (r.p + 0.01) / ((r.p + 0.01) + 1.0)
+              FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, event_id,
+                   round(x, 6) AS kf_x, round(p, 6) AS kf_p,
+                   round(k, 6) AS kf_gain
+            FROM r""",
         "holt": """
             WITH RECURSIVE b AS (
               SELECT user_id, event_id, value,

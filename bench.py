@@ -161,6 +161,7 @@ HEADLINE = [
     "bm25_search",
     "multi_touch",
     "holt",
+    "kalman",
 ]
 
 

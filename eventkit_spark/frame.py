@@ -489,6 +489,9 @@ class EventFrame:
     def holt(self, alpha: float = 0.5, beta: float = 0.3):
         return _state.holt(self, alpha, beta)
 
+    def kalman1d(self, q: float = 0.01, r: float = 1.0, p0: float = 1.0):
+        return _state.kalman1d(self, q, r, p0)
+
     # -- error channel (SURVEY.md §2.7) -------------------------------
     def errors(self):
         return _misc.errors(self)

@@ -362,3 +362,75 @@ def holt(ef, alpha: float = 0.5, beta: float = 0.3):
         arranged = src.coalesce(1).sortWithinPartitions(seq_col)
     df = arranged.mapInPandas(kernel, schema=out_schema)
     return ef._with(df=df, value_cols=[*ef.value_cols, "level", "trend", "forecast"])
+
+
+def kalman1d(ef, q: float = 0.01, r: float = 1.0, p0: float = 1.0):
+    """1-D Kalman filter per key (random-walk state, direct noisy
+    observation — the classic smoother/tracker next to ``ema``/``holt``):
+
+        p_i^-  = p_{i-1} + q          (predict variance)
+        k_i    = p_i^- / (p_i^- + r)  (gain)
+        x_i    = x_{i-1} + k_i*(z_i - x_{i-1})
+        p_i    = (1 - k_i) * p_i^-
+
+    seeded x_1 = z_1, p_1 = p0. ``q`` is process noise, ``r``
+    observation noise. Adds ``kf_x`` (the filtered estimate), ``kf_p``
+    (posterior variance) and ``kf_gain`` — each rounded half-away to 6.
+
+    The gain makes the recurrence nonlinear in state (a division), so
+    no window form exists: sequential-kernel lane, one Arrow pass per
+    key partition, cross-batch state carry, recursive-CTE oracle in
+    the same float-op order.
+    """
+    import numpy as np
+
+    value_col = ef.value_cols[0]
+    seq_col = ef.seq_col
+    key_cols = list(ef.key_cols)
+    src = ef.df
+    kq, kr, kp0 = float(q), float(r), float(p0)
+
+    def kernel(batches):
+        state = {}  # key tuple -> (x, p)
+        r6 = lambda arr: np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr) / 1e6
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            z = pdf[value_col].to_numpy(dtype="float64")
+            if key_cols:
+                keys = list(zip(*[pdf[k].to_numpy() for k in key_cols]))
+            else:
+                keys = [()] * len(pdf)
+            xs = np.empty(len(z))
+            ps = np.empty(len(z))
+            ks = np.empty(len(z))
+            for i in range(len(z)):
+                prev = state.get(keys[i])
+                if prev is None:
+                    nx, np_, nk = z[i], kp0, 0.0
+                else:
+                    px, pp = prev
+                    pm = pp + kq
+                    nk = pm / (pm + kr)
+                    nx = px + nk * (z[i] - px)
+                    np_ = (1.0 - nk) * pm
+                xs[i], ps[i], ks[i] = nx, np_, nk
+                state[keys[i]] = (nx, np_)
+            out = pdf.copy()
+            out["kf_x"] = r6(xs)
+            out["kf_p"] = r6(ps)
+            out["kf_gain"] = r6(ks)
+            yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", kf_x double, kf_p double, kf_gain double"
+    if key_cols:
+        arranged = src.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+            *key_cols, seq_col
+        )
+    else:
+        arranged = src.coalesce(1).sortWithinPartitions(seq_col)
+    df = arranged.mapInPandas(kernel, schema=out_schema)
+    return ef._with(df=df, value_cols=[*ef.value_cols, "kf_x", "kf_p", "kf_gain"])

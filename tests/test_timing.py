@@ -298,3 +298,41 @@ def test_holt_recurrence_model(spark):
             assert abs(lv - l) < 1e-6 and abs(tr - t) < 1e-6
             assert abs(fc - (l + t)) < 1e-6
             i += 1
+
+
+def test_kalman1d_model(spark):
+    """Batch kalman1d vs a pure-Python replay: converging gain, seeded
+    x=z/p=p0, per-key independence."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    rows = []
+    vals = {0: [10.0, 12.0, 9.0, 11.0, 30.0], 1: [5.0, 5.0, 5.0]}
+    i = 0
+    for u, xs in vals.items():
+        for x in xs:
+            rows.append((i, u, x))
+            i += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    ef = from_dataframe(df, value_cols=["value"], seq_col="event_id",
+                        ts_col=None, key_cols=["user_id"])
+    got = {
+        (r["user_id"], r["event_id"]): (r["kf_x"], r["kf_p"], r["kf_gain"])
+        for r in ef.kalman1d(q=0.01, r=1.0, p0=1.0).df.collect()
+    }
+    i = 0
+    for u, xs in vals.items():
+        x = p = None
+        for z in xs:
+            if x is None:
+                x, p, k = z, 1.0, 0.0
+            else:
+                pm = p + 0.01
+                k = pm / (pm + 1.0)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pm
+            gx, gp, gk = got[(u, i)]
+            assert abs(gx - x) < 1e-6 and abs(gp - p) < 1e-6 and abs(gk - k) < 1e-6
+            i += 1
+    # gain decreases toward the steady state as variance shrinks
+    gains = [got[(0, j)][2] for j in range(1, 5)]
+    assert all(g > 0 for g in gains) and gains[0] > gains[-1]
