@@ -1149,6 +1149,19 @@ def q_percentiles(spark, sf):
     )
 
 
+def q_winsorize(spark, sf):
+    """Per-type winsorization of event values at exact [p05, p95]
+    (llm/sampling.py winsorize): one percentile aggregate broadcast
+    back + a codegen clamp — the outlier-capping step of feature
+    cleaning. Oracle: quantile_cont cuts joined and clamped."""
+    from eventkit_spark.llm.sampling import winsorize
+
+    ev = load_table(spark, sf, "events")
+    return winsorize(ev, "value", by="event_type", lo=0.05, hi=0.95).select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "value_w"
+    )
+
+
 def q_group_corr(spark, sf):
     # Pearson correlation + sample covariance per group: co-moment
     # merge aggregates (one exchange of constant-size cells)
@@ -2846,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "percentiles": q_percentiles,
+        "winsorize": q_winsorize,
         "group_corr": q_group_corr,
         "unpivot": q_unpivot,
         "group_regression": q_group_regression,
@@ -4629,6 +4643,16 @@ def oracle_sql() -> dict[str, str]:
               ON l_quantity, l_discount, l_tax
               INTO NAME measure VALUE val
             )""",
+        "winsorize": """
+            WITH cuts AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   round(value, 6) AS value,
+                   round(least(greatest(value, lo), hi), 6) AS value_w
+            FROM events e JOIN cuts USING (event_type)""",
         "percentiles": """
             SELECT o_orderpriority,
                    round(quantile_cont(o_totalprice, 0.5), 6) AS p50,

@@ -162,6 +162,7 @@ HEADLINE = [
     "multi_touch",
     "holt",
     "kalman",
+    "winsorize",
 ]
 
 

@@ -519,6 +519,48 @@ def bm25_top_terms(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize a numeric column at exact per-group percentiles — the
+    outlier-clamping step of feature/label cleaning (cap the top/bottom
+    tails instead of dropping rows).
+
+    Scale shape: ONE sort-based percentile aggregate per group
+    (partial-combined; the cuts table is #groups-sized) broadcast back
+    onto the stream, then a pure codegen clamp — no window over the
+    data, no second scan. Exact interpolated percentiles (Spark
+    ``percentile`` == SQL percentile_cont == DuckDB quantile_cont), so
+    the clamp bounds replay identically in any engine.
+
+    Adds ``out_col`` (default ``{value_col}_w``) rounded to 6; rows
+    keep their original value column.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got lo={lo}, hi={hi}")
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col)
+    cuts = (
+        df.groupBy(*[F.col(k) for k in by])
+        .agg(
+            F.expr(f"percentile({value_col}, {lo!r})").alias("__lo"),
+            F.expr(f"percentile({value_col}, {hi!r})").alias("__hi"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(cuts), on=by) if by else df.crossJoin(F.broadcast(cuts))
+    )
+    return joined.withColumn(
+        out_col, F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6)
+    ).drop("__lo", "__hi")
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,

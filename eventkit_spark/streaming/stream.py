@@ -900,6 +900,58 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def kalman1d(self, q: float = 0.01, r: float = 1.0, p0: float = 1.0) -> DataFrame:
+        """Streaming 1-D Kalman twin (state.py:kalman1d): (x, p) carried
+        in the state store per key — tick-for-tick equal to the batch
+        kernel (parity-tested). First row per key seeds x=z, p=p0."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
+            + "kf_x double, kf_p double, kf_gain double"
+        )
+        kq, kr, kp0 = float(q), float(r), float(p0)
+
+        def handler(key, pdfs, state: GroupState):
+            x, p = state.get if state.exists else (None, None)
+            import math
+
+            def _r6(v):
+                return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    z = float(row[value_col])
+                    if x is None:
+                        x, p, k = z, kp0, 0.0
+                    else:
+                        pm = p + kq
+                        k = pm / (pm + kr)
+                        x = x + k * (z - x)
+                        p = (1.0 - k) * pm
+                    outs.append({
+                        **{kk: row[kk] for kk in keys}, ts_col: row[ts_col],
+                        "value": z, "kf_x": _r6(x), "kf_p": _r6(p),
+                        "kf_gain": _r6(k),
+                    })
+            if x is not None:
+                state.update((x, p))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="x double, p double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def anomaly(self, seconds: float, z: float = 3.0,
                 min_periods: int = 2) -> DataFrame:
         """Streaming trailing z-score twin (operators/timing.py:anomaly):

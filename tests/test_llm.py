@@ -1380,3 +1380,24 @@ def test_bm25_search_ranks_by_relevance(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_search(docs, "  ")
+
+
+def test_winsorize_clamps_to_group_cuts(spark):
+    """Values clamp to per-group [p_lo, p_hi]; interior values pass
+    through; groups are independent; bad bounds raise."""
+    from eventkit_spark.llm.sampling import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 1000.0), ("b", 2000.0)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    out = winsorize(df, "value", by="g", lo=0.1, hi=0.9)
+    got = {(r["g"], r["value"]): r["value_w"] for r in out.collect()}
+    # group a: p10 = 1.9, p90 = 9.1 (linear interpolation over 1..10)
+    assert got[("a", 1.0)] == 1.9 and got[("a", 10.0)] == 9.1
+    assert got[("a", 5.0)] == 5.0
+    # group b's cuts come from b only
+    assert got[("b", 1000.0)] == 1100.0 and got[("b", 2000.0)] == 1900.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo"):
+        winsorize(df, "value", by="g", lo=0.9, hi=0.1)

@@ -241,6 +241,7 @@ SHUFFLE_CEILING = {
     "event_paths": 2,  # two lags on one key exchange + path agg
     "bm25_search": 5,  # pruned tf agg + tiny df agg + top-k
     "multi_touch": 2,  # binned (key,bin) equi-join + conv-id window
+    "winsorize": 2,  # percentile agg (+1 plan-time lineage) broadcast back
 }
 
 

@@ -647,3 +647,22 @@ def test_streaming_holt(spark, stream_dir):
     sp = {(r["user_id"], r["ts"]): (r["level"], r["trend"], r["forecast"])
           for r in out.collect()}
     assert sp == bp and len(sp) == 1000
+
+
+def test_streaming_kalman(spark, stream_dir):
+    """Streaming Kalman == batch kalman1d kernel on the same rows."""
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(sink_df=sf.kalman1d(), name="ek_kf")
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    src = spark.read.parquet(stream_dir)
+    ef = from_dataframe(
+        src, value_cols=["value"], seq_col="event_id", ts_col="ts", key_cols=["user_id"],
+    )
+    batch = ef.kalman1d()
+    bp = {(r["user_id"], r["ts"]): (r["kf_x"], r["kf_p"], r["kf_gain"])
+          for r in batch.df.collect()}
+    sp = {(r["user_id"], r["ts"]): (r["kf_x"], r["kf_p"], r["kf_gain"])
+          for r in out.collect()}
+    assert sp == bp and len(sp) == 1000
