@@ -64,6 +64,30 @@ def run(spark, sf_dir: str, report=print) -> dict:
     # RFM segmentation table
     out["rfm_rows"] = rfm(load_table(spark, sf_dir, "events")).count()
 
+    # marketing attribution: last-touch credit + linear multi-touch
+    from eventkit_spark.operators.relational import attribution, multi_touch
+
+    raw = load_table(spark, sf_dir, "events")
+    att = attribution(
+        raw, "event_type = 'click'", "event_type = 'purchase'",
+        lookback=7 * 86400.0,
+    )
+    out["attributed"] = att.filter("touch_id is not null").count()
+    mt = multi_touch(
+        raw, "event_type = 'click'", "event_type = 'purchase'",
+        lookback=7 * 86400.0,
+    )
+    out["touch_pairs"] = mt.count()
+
+    # forecasting/tracking trio over the smoothed stream
+    out["holt_rows"] = ev.holt(alpha=0.5, beta=0.3).df.count()
+    out["kalman_rows"] = ev.kalman1d().df.count()
+
+    # ops hygiene: which users dominate the stream?
+    from eventkit_spark.plans.audit import skew_report
+
+    out["hot_keys"] = skew_report(raw, ["user_id"], top=5).count()
+
     for k, v in out.items():
         report(f"  {k}: {v}")
     return out
