@@ -1,0 +1,127 @@
+"""Non-parquet dataset formats: CSV, JSON-lines, ORC.
+
+The engine's canonical storage is parquet (columnar, predicate
+pushdown, min/max stats — the 100 TB default). Real pipelines also
+ingest CSV/JSONL drops and hand results to systems that want them, so
+these wrappers make the other formats first-class while keeping the
+engine's determinism rules:
+
+- **Schemas are explicit.** Inference samples the data (an extra scan)
+  and can flip types between drops — a silent 100 TB hazard. Readers
+  take a DDL string / StructType; ``infer=True`` opts into sampling
+  explicitly.
+- **Timestamps normalize on load** like ``load_table``: TIMESTAMP_NTZ
+  is reinterpreted as LTZ in the pinned-UTC session so every
+  event-time expression sees one flavor.
+- **Writes bound file sizes** through the same sampled
+  ``maxRecordsPerFile`` budget as ``write_dataset`` (the small/huge
+  file failure modes don't care about the format).
+
+Scale notes per format: CSV/JSONL are row-major and splittable only
+when uncompressed (gzip members are not) — fine as an INGEST format,
+wrong as the working set; ORC keeps columnar pruning and vectorized
+reads (Spark's reader pushes filters like parquet). The loaders exist
+to get data INTO parquet-backed EventFrames, not to run the pipeline
+on CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType, TimestampNTZType
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, TimestampNTZType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
+    return df
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """CSV reader with an explicit schema (or explicit opt-in to
+    inference's sampling scan)."""
+    if schema is None and not infer:
+        raise ValueError(
+            "load_csv() needs an explicit schema (or infer=True to accept "
+            "a sampling scan and drop-to-drop type drift)"
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return _normalize_ntz(reader.csv(path))
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType | None = None,
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """JSON-lines reader (one object per line — the multiLine variant
+    is NOT splittable and single-tasks each file at scale)."""
+    if schema is None and not infer:
+        raise ValueError(
+            "load_jsonl() needs an explicit schema (or infer=True to accept "
+            "a sampling scan)"
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return _normalize_ntz(reader.json(path))
+
+
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    **options,
+) -> DataFrame:
+    """ORC reader — columnar like parquet (self-describing schema,
+    filter pushdown, vectorized), no inference scan needed."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _normalize_ntz(spark.read.options(**options).orc(path))
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: tuple[str, ...] | list[str] = (),
+    target_mb: int = 256,
+    mode: str = "overwrite",
+    **options,
+) -> dict:
+    """Format-generic export with the same bounded-file discipline as
+    ``write_dataset`` (sampled maxRecordsPerFile, partition dirs,
+    per-partition repartition so each value is written by few tasks)."""
+    import math
+
+    from .sinks import estimate_row_bytes
+
+    if fmt not in ("csv", "json", "orc", "parquet"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    est = estimate_row_bytes(df)
+    rows_per_file = max(1, math.ceil(target_mb * 1024 * 1024 / est))
+    out = df.repartition(*partition_by) if partition_by else df
+    w = (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .options(**options)
+        .format(fmt)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+    return {"rows_per_file": rows_per_file, "est_row_bytes": est}

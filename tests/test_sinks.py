@@ -173,3 +173,55 @@ def test_write_zordered_files_cover_narrow_zranges(spark, tmp_path):
     global_span = 4095  # z of (63,63) for this grid
     # every file holds a contiguous z-slice: span ~ global/nfiles
     assert max(spans) < global_span / 2
+
+
+def test_format_roundtrips_preserve_values(spark, tmp_path):
+    """CSV/JSONL/ORC write+read round-trips preserve every value and
+    the timestamp flavor (NTZ normalizes to LTZ on load); readers
+    refuse schema-less CSV/JSONL unless inference is opted into."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.sources.formats import (
+        load_csv, load_jsonl, load_orc, write_format,
+    )
+    from eventkit_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    want = {(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["value"])
+            for r in ev.collect()}
+    ddl = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+    p_csv = str(tmp_path / "csv")
+    write_format(ev, p_csv, "csv", header=True,
+                 timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+    back = load_csv(spark, p_csv, schema=ddl,
+                    timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+    got = {(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["value"])
+           for r in back.collect()}
+    assert got == want
+
+    p_json = str(tmp_path / "jsonl")
+    write_format(ev, p_json, "json",
+                 timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    back = load_jsonl(spark, p_json, schema=ddl,
+                      timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    got = {(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["value"])
+           for r in back.collect()}
+    assert got == want
+
+    p_orc = str(tmp_path / "orc")
+    write_format(ev, p_orc, "orc")
+    back = load_orc(spark, p_orc)
+    got = {(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["value"])
+           for r in back.collect()}
+    assert got == want
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        load_csv(spark, p_csv)
+    with _pytest.raises(ValueError, match="explicit schema"):
+        load_jsonl(spark, p_json)
+    with _pytest.raises(ValueError, match="unsupported"):
+        write_format(ev, str(tmp_path / "x"), "avro")
