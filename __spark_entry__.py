@@ -2383,6 +2383,16 @@ def q_phrase_search(spark, sf):
     return phrase_search(load_table(spark, sf, "documents"), "slow hash batch")
 
 
+def q_corpus_report(spark, sf):
+    """One-call corpus data card (llm/text.py corpus_report): sizes,
+    token/char volume, exact-dup rate (ppm), quality mean, token
+    percentiles, language mix — ONE corpus scan + one global aggregate
+    + a top-k language aggregate, tall (metric, value) rows."""
+    from eventkit_spark.llm.text import corpus_report
+
+    return corpus_report(load_table(spark, sf, "documents"), lang_col="lang")
+
+
 def q_sliding_chunks(spark, sf):
     # overlapping token windows (size 16, stride 12) — the RAG/embedding
     # chunker; the oracle replays the same slicing with list arithmetic
@@ -2952,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunks": q_sliding_chunks,
         "top_ngrams": q_top_ngrams,
         "phrase_search": q_phrase_search,
+        "corpus_report": q_corpus_report,
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
@@ -5370,6 +5381,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1704067200000000 + (j + 1) * 2000000 AS BIGINT) AS t_us,
                    coalesce(vals, '') AS vals
             FROM range(0, 8) t(j) LEFT JOIN agg ON b = j""",
+        "corpus_report": r"""
+            WITH t AS (
+              SELECT text, lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+                     length(text) AS chars,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), m AS (
+              SELECT *,
+                     CASE WHEN tok <= 0 THEN 0.0
+                          ELSE list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) END AS mwl,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) * 1.0 / length(text) END AS pr,
+                     CASE WHEN len(w) <= 0 THEN 0.0
+                          ELSE len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','for','with','a','an','it','on','as','at','by','be'], x))) * 1.0 / len(w) END AS sr
+              FROM t
+            ), q AS (
+              SELECT *,
+                     (CASE WHEN tok >= 10 AND tok <= 100000 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN sr >= 0.05 THEN 0.25 ELSE 0.0 END) AS qual
+              FROM m
+            ), card AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     sum(tok)::BIGINT AS total_tokens,
+                     sum(chars)::BIGINT AS total_chars,
+                     count(DISTINCT text)::BIGINT AS distinct_texts,
+                     round(avg(qual), 6) AS mean_quality,
+                     quantile_cont(tok, 0.5) AS p50_tokens,
+                     quantile_cont(tok, 0.95) AS p95_tokens
+              FROM q
+            ), tall AS (
+              SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM card
+              UNION ALL SELECT 'total_tokens', total_tokens::DOUBLE FROM card
+              UNION ALL SELECT 'total_chars', total_chars::DOUBLE FROM card
+              UNION ALL SELECT 'distinct_texts', distinct_texts::DOUBLE FROM card
+              UNION ALL SELECT 'dup_docs', (n_docs - distinct_texts)::DOUBLE FROM card
+              UNION ALL SELECT 'dup_ppm',
+                ((n_docs - distinct_texts) * 1000000 // n_docs)::DOUBLE FROM card
+              UNION ALL SELECT 'mean_quality', mean_quality FROM card
+              UNION ALL SELECT 'p50_tokens', round(p50_tokens, 6) FROM card
+              UNION ALL SELECT 'p95_tokens', round(p95_tokens, 6) FROM card
+            ), langs AS (
+              SELECT 'lang:' || lang AS metric, count(*)::DOUBLE AS value
+              FROM t GROUP BY lang
+              ORDER BY count(*) DESC, lang LIMIT 5
+            )
+            SELECT * FROM tall UNION ALL SELECT * FROM langs""",
         "phrase_search": r"""
             WITH words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w

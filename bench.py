@@ -163,6 +163,7 @@ HEADLINE = [
     "holt",
     "kalman",
     "winsorize",
+    "corpus_report",
 ]
 
 

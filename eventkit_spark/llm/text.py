@@ -858,3 +858,72 @@ def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.coalesce(F.length(F.regexp_replace(t, r"[^A-Z]", "")) / safe, F.lit(0.0)), 6
         ).alias("upper_ratio"),
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    top_langs: int = 5,
+) -> DataFrame:
+    """One-call corpus data card: the summary table every dataset
+    release ships (sizes, token/char volume, exact-dup rate, language
+    mix, quality/length distribution) as tall (metric, value) rows —
+    integers or round-6, engine-replayable.
+
+    Metrics: ``n_docs``, ``total_tokens`` (whitespace), ``total_chars``,
+    ``distinct_texts`` (by full-text hash), ``dup_docs``
+    (n_docs - distinct_texts), ``dup_ppm`` (integer-div parts per
+    million), ``mean_quality`` (the engine's quality_score, round 6),
+    ``p50_tokens`` / ``p95_tokens`` (exact interpolated percentiles),
+    and ``lang:<code>`` counts for the ``top_langs`` most common values
+    of ``lang_col`` (ties broken by code; pass ``lang_col=None`` to use
+    the engine's heuristic ``lang_id``).
+
+    Scale shape: ONE corpus scan computes every per-doc feature
+    (tokens, chars, quality, hash, lang) into a single projection; the
+    card is one global aggregate over it (map-side combined,
+    constant-size cells; percentiles are one sort-based aggregate) plus
+    a top-k language aggregate — no joins, no windows over the corpus.
+    """
+    t = F.col(text_col)
+    feats = docs.select(
+        whitespace_token_count(t).alias("__tok"),
+        F.length(t).alias("__chars"),
+        F.round(quality_score(t), 6).alias("__q"),
+        F.xxhash64(t).alias("__h"),
+        (F.col(lang_col) if lang_col else lang_id(t)).alias("__lang"),
+    )
+    card = feats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.sum("__chars").cast("long").alias("total_chars"),
+        F.countDistinct("__h").cast("long").alias("distinct_texts"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+        F.expr("percentile(__tok, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(__tok, 0.95)").alias("p95_tokens"),
+    ).withColumn("dup_docs", F.col("n_docs") - F.col("distinct_texts")).withColumn(
+        "dup_ppm", F.expr("dup_docs * 1000000 div n_docs")
+    )
+    tall = card.selectExpr(
+        "stack(9, "
+        "'n_docs', n_docs::double, "
+        "'total_tokens', total_tokens::double, "
+        "'total_chars', total_chars::double, "
+        "'distinct_texts', distinct_texts::double, "
+        "'dup_docs', dup_docs::double, "
+        "'dup_ppm', dup_ppm::double, "
+        "'mean_quality', mean_quality, "
+        "'p50_tokens', round(p50_tokens, 6), "
+        "'p95_tokens', round(p95_tokens, 6)"
+        ") AS (metric, value)"
+    )
+    langs = (
+        feats.groupBy("__lang")
+        .agg(F.count("*").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("__lang"))
+        .limit(top_langs)
+        .select(F.concat(F.lit("lang:"), F.col("__lang")).alias("metric"), "value")
+    )
+    return tall.unionByName(langs)

@@ -242,6 +242,7 @@ SHUFFLE_CEILING = {
     "bm25_search": 5,  # pruned tf agg + tiny df agg + top-k
     "multi_touch": 2,  # binned (key,bin) equi-join + conv-id window
     "winsorize": 2,  # percentile agg (+1 plan-time lineage) broadcast back
+    "corpus_report": 3,  # global card agg + top-k lang agg on one scan
 }
 
 
