@@ -1162,6 +1162,19 @@ def q_winsorize(spark, sf):
     )
 
 
+def q_quantile_bins(spark, sf):
+    """Per-type quartile binning of event values (llm/sampling.py
+    quantile_bins): one percentile aggregate broadcast back + a codegen
+    compare-sum — the scalable ntile (no data-exchange sort). Oracle:
+    quantile_cont cuts joined and compared with the same <= edges."""
+    from eventkit_spark.llm.sampling import quantile_bins
+
+    ev = load_table(spark, sf, "events")
+    return quantile_bins(ev, "value", k=4, by="event_type").select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "value_bin"
+    )
+
+
 def q_group_corr(spark, sf):
     # Pearson correlation + sample covariance per group: co-moment
     # merge aggregates (one exchange of constant-size cells)
@@ -2870,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "percentiles": q_percentiles,
         "winsorize": q_winsorize,
+        "quantile_bins": q_quantile_bins,
         "group_corr": q_group_corr,
         "unpivot": q_unpivot,
         "group_regression": q_group_regression,
@@ -4654,6 +4668,18 @@ def oracle_sql() -> dict[str, str]:
               ON l_quantity, l_discount, l_tax
               INTO NAME measure VALUE val
             )""",
+        "quantile_bins": """
+            WITH cuts AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS c0,
+                     quantile_cont(value, 0.5)  AS c1,
+                     quantile_cont(value, 0.75) AS c2
+              FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   round(value, 6) AS value,
+                   ((value > c0)::INT + (value > c1)::INT
+                    + (value > c2)::INT)::INT AS value_bin
+            FROM events e JOIN cuts USING (event_type)""",
         "winsorize": """
             WITH cuts AS (
               SELECT event_type,

@@ -164,6 +164,7 @@ HEADLINE = [
     "kalman",
     "winsorize",
     "corpus_report",
+    "quantile_bins",
 ]
 
 

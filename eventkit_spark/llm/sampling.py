@@ -561,6 +561,49 @@ def winsorize(
     ).drop("__lo", "__hi")
 
 
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    by: str | list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row its ``k``-tile
+    bucket (0..k-1) from exact per-group percentile cuts — winsorize's
+    sibling for feature binning.
+
+    This is the SCALABLE ntile: the window ntile sorts the whole data
+    exchange per group; here ONE sort-based percentile aggregate
+    produces a (#groups x k-1) cuts table that broadcasts back, and
+    bucket assignment is a pure codegen sum of compares
+    (``sum(value > cut_i)``). Rows equal to a cut go DOWN (the <=
+    convention), so bucket edges are deterministic and replay
+    identically in any engine computing the same interpolated cuts.
+
+    Adds ``out_col`` (default ``{value_col}_bin``, integer).
+    """
+    if k < 2:
+        raise ValueError(f"quantile_bins() needs k >= 2, got {k}")
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    out_col = out_col or f"{value_col}_bin"
+    probs = [i / k for i in range(1, k)]
+    cuts = df.groupBy(*[F.col(c) for c in by]).agg(
+        *[
+            F.expr(f"percentile({value_col}, {p!r})").alias(f"__c{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    joined = (
+        df.join(F.broadcast(cuts), on=by) if by else df.crossJoin(F.broadcast(cuts))
+    )
+    bucket = sum(
+        (F.col(value_col) > F.col(f"__c{i}")).cast("int") for i in range(k - 1)
+    )
+    return joined.withColumn(out_col, bucket.cast("int")).drop(
+        *[f"__c{i}" for i in range(k - 1)]
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,

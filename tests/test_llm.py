@@ -1401,3 +1401,21 @@ def test_winsorize_clamps_to_group_cuts(spark):
 
     with _pytest.raises(ValueError, match="lo"):
         winsorize(df, "value", by="g", lo=0.9, hi=0.1)
+
+
+def test_quantile_bins_matches_window_ntile_semantics(spark):
+    """Buckets are equal-frequency with <= edges: a 1..8 stream at k=4
+    lands exactly two per bucket; group independence; k<2 raises."""
+    from eventkit_spark.llm.sampling import quantile_bins
+
+    rows = [("a", float(v)) for v in range(1, 9)] + [("b", 100.0), ("b", 200.0)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    out = quantile_bins(df, "value", k=4, by="g")
+    got = {(r["g"], r["value"]): r["value_bin"] for r in out.collect()}
+    assert [got[("a", float(v))] for v in range(1, 9)] == [0, 0, 1, 1, 2, 2, 3, 3]
+    assert got[("b", 100.0)] == 0 and got[("b", 200.0)] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 2"):
+        quantile_bins(df, "value", k=1)

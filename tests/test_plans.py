@@ -243,6 +243,7 @@ SHUFFLE_CEILING = {
     "multi_touch": 2,  # binned (key,bin) equi-join + conv-id window
     "winsorize": 2,  # percentile agg (+1 plan-time lineage) broadcast back
     "corpus_report": 3,  # global card agg + top-k lang agg on one scan
+    "quantile_bins": 2,  # percentile agg (+1 plan-time lineage) broadcast back
 }
 
 
