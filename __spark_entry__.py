@@ -2232,6 +2232,24 @@ def q_decontaminate(spark, sf):
     return contamination(train, test, k=5, min_overlap=1)
 
 
+def q_fuzzy_decontaminate(spark, sf):
+    """FUZZY decontamination (llm/dedup.py cross_corpus_near_dups):
+    train docs whose 3-gram Jaccard >= 0.5 against a PERTURBED heldout
+    (every test text gets a token appended — exact-overlap checks lose
+    every shingle window that crosses the append, fuzzy set overlap
+    survives). Inverted-index R-S join; heldout side broadcasts.
+    Oracle: the naive cross jaccard in SQL."""
+    from eventkit_spark.llm.dedup import cross_corpus_near_dups
+    from eventkit_spark.llm.sampling import split_by_hash
+
+    docs = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    train = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    test = docs.filter(F.col("split") == "test").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" zz")).alias("text")
+    )
+    return cross_corpus_near_dups(train, test, k=3, threshold=0.5)
+
+
 def q_decontaminate_bloom(spark, sf):
     """Bloom-prefiltered decontamination (the 100 TB form): the corpus
     branch is a zero-exchange scan probing a broadcast bloom of heldout
@@ -2978,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "corpus_report": q_corpus_report,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
         "train_order": q_train_order,
@@ -4335,6 +4354,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_leaked, 0) AS n_leaked,
                    round(coalesce(n_leaked, 0) / n_shingles, 6) AS leak_frac
             FROM tot LEFT JOIN leaked ON tot.doc_id = leaked.doc_id""",
+        "fuzzy_decontaminate": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 800 THEN 'train'
+                          WHEN (doc_id * 2654435761) % 2147483648 % 1000 < 900 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            ), words AS (
+              SELECT doc_id, split,
+                     regexp_split_to_array(
+                       lower(trim(CASE WHEN split = 'test'
+                                       THEN text || ' zz' ELSE text END)),
+                       '\s+') w
+              FROM base WHERE split IN ('train', 'test')
+            ), sh AS (
+              SELECT doc_id, split, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sa AS (
+              SELECT DISTINCT doc_id AS id_a, shingle FROM sh WHERE split = 'train'
+            ), sb AS (
+              SELECT DISTINCT doc_id AS id_b, shingle FROM sh WHERE split = 'test'
+            ), na AS (SELECT id_a, count(*) n FROM sa GROUP BY id_a
+            ), nb AS (SELECT id_b, count(*) n FROM sb GROUP BY id_b
+            ), inter AS (
+              SELECT id_a, id_b, count(*) AS common
+              FROM sa JOIN sb USING (shingle) GROUP BY id_a, id_b
+            )
+            SELECT id_a AS doc_id, id_b AS match_id,
+                   round(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
+            FROM inter JOIN na USING (id_a) JOIN nb USING (id_b)
+            WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5""",
         "decontaminate": r"""
             WITH base AS (
               SELECT doc_id, text,

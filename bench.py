@@ -165,6 +165,7 @@ HEADLINE = [
     "winsorize",
     "corpus_report",
     "quantile_bins",
+    "fuzzy_decontaminate",
 ]
 
 

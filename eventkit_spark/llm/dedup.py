@@ -1174,3 +1174,75 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col("id").alias(id_col), status.alias("status"))
+
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY decontamination: corpus documents whose word-``k``-gram
+    Jaccard against some heldout document clears ``threshold`` — the
+    near-dup complement of ``contamination``'s exact-overlap test
+    (catches light rephrasings/appends that shift every exact shingle
+    window but leave the shingle SET mostly intact).
+
+    Exact by construction (no LSH recall question): the pair space is
+    an inverted-index R-S join on shingle hashes — each side reduces to
+    DISTINCT (id, hash) rows, the heldout side (benchmark-sized)
+    broadcasts, so corpus shingles never shuffle for the match; the
+    only exchange is the (corpus_id, heldout_id) intersection count
+    aggregate (map-side combined). ``max_df`` drops corpus-hot shingles
+    (boilerplate) from BOTH sides before pairing — the same monotone
+    guard as ``ngram_jaccard_pairs`` (sizes count pruned sets, so
+    pruned-set Jaccard stays consistent).
+
+    Returns (corpus id, heldout ``match_id``, jaccard round-6) — one
+    row per qualifying pair; anti-join the corpus against it to clean.
+    """
+    sa = (
+        corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+        )
+        .select("id_a", F.xxhash64("__s").alias("sh"))
+        .distinct()
+    )
+    sb = (
+        heldout.select(
+            F.col(id_col).alias("id_b"),
+            F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+        )
+        .select("id_b", F.xxhash64("__s").alias("sh"))
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            sa.groupBy("sh").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("sh")
+        )
+        sa = sa.join(hot, "sh", "left_anti")
+        sb = sb.join(F.broadcast(hot), "sh", "left_anti")
+    na = sa.groupBy("id_a").agg(F.count("*").alias("__na"))
+    nb = sb.groupBy("id_b").agg(F.count("*").alias("__nb"))
+    inter = (
+        sa.join(F.broadcast(sb), "sh")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
+    return (
+        inter.join(na, "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(jac >= threshold)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("match_id"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

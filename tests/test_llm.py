@@ -1419,3 +1419,33 @@ def test_quantile_bins_matches_window_ntile_semantics(spark):
 
     with _pytest.raises(ValueError, match="k >= 2"):
         quantile_bins(df, "value", k=1)
+
+
+def test_cross_corpus_near_dups_catches_rephrasings(spark):
+    """A lightly-edited heldout twin is caught while unrelated docs are
+    not; the hot-shingle prune keeps boilerplate from pairing."""
+    from eventkit_spark.llm.dedup import cross_corpus_near_dups
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different content about spark execution plans"),
+            (3, "shared boiler plate intro shared boiler plate intro"),
+        ],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame(
+        [
+            # doc 1 with one word appended — exact window overlap drops,
+            # set overlap survives
+            (100, "the quick brown fox jumps over the lazy dog tonight ok"),
+            (101, "unrelated benchmark question text here entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["match_id"]): r["jaccard"]
+        for r in cross_corpus_near_dups(corpus, heldout, k=3, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] > 0.7

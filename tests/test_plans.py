@@ -244,6 +244,9 @@ SHUFFLE_CEILING = {
     "winsorize": 2,  # percentile agg (+1 plan-time lineage) broadcast back
     "corpus_report": 3,  # global card agg + top-k lang agg on one scan
     "quantile_bins": 2,  # percentile agg (+1 plan-time lineage) broadcast back
+    # distinct (id,hash) per side + size aggs + intersection agg; the
+    # heldout side's exchanges are broadcast-bound and benchmark-sized
+    "fuzzy_decontaminate": 10,
 }
 
 
