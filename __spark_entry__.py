@@ -1162,6 +1162,19 @@ def q_winsorize(spark, sf):
     )
 
 
+def q_bootstrap_ci(spark, sf):
+    """Per-type mean with Poisson-bootstrap CIs (operators/relational.py
+    bootstrap_ci): 64 deterministic hash-weight replicas aggregated in
+    ONE groupBy pass (no resampling shuffle — the streaming-bootstrap
+    trick), exact-integer accumulators, explicit interpolation. Oracle
+    replays the mixer, weights, and CI cut with the same integer/float
+    ops."""
+    from eventkit_spark.operators.relational import bootstrap_ci
+
+    ev = load_table(spark, sf, "events")
+    return bootstrap_ci(ev, "value", by="event_type", replicas=64)
+
+
 def q_quantile_bins(spark, sf):
     """Per-type quartile binning of event values (llm/sampling.py
     quantile_bins): one percentile aggregate broadcast back + a codegen
@@ -2902,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
+        "bootstrap_ci": q_bootstrap_ci,
         "group_corr": q_group_corr,
         "unpivot": q_unpivot,
         "group_regression": q_group_regression,
@@ -4720,6 +4734,63 @@ def oracle_sql() -> dict[str, str]:
               ON l_quantity, l_discount, l_tax
               INTO NAME measure VALUE val
             )""",
+        "bootstrap_ci": """
+            WITH base AS (
+              SELECT event_type, event_id,
+                     round(value * 100, 0)::BIGINT AS cents
+              FROM events
+            ), rep AS (
+              SELECT event_type, cents, event_id, b
+              FROM base, range(64) t(b)
+            ), mixed AS (
+              SELECT event_type, cents, b,
+                     ((xor(((event_id * 64 + b) * 2654435761) % 2147483648 >> 15,
+                           ((event_id * 64 + b) * 2654435761) % 2147483648)
+                       * 2246822519) % 2147483648) % 1000000 AS u
+              FROM rep
+            ), wtd AS (
+              SELECT event_type, b,
+                     sum(CASE WHEN u < 367879 THEN 0
+                              WHEN u < 735759 THEN 1
+                              WHEN u < 919699 THEN 2
+                              WHEN u < 980980 THEN 3
+                              WHEN u < 996300 THEN 4
+                              WHEN u < 999406 THEN 5
+                              WHEN u < 999917 THEN 6
+                              ELSE 7 END * cents)::BIGINT AS ws,
+                     sum(CASE WHEN u < 367879 THEN 0
+                              WHEN u < 735759 THEN 1
+                              WHEN u < 919699 THEN 2
+                              WHEN u < 980980 THEN 3
+                              WHEN u < 996300 THEN 4
+                              WHEN u < 999406 THEN 5
+                              WHEN u < 999917 THEN 6
+                              ELSE 7 END)::BIGINT AS wn
+              FROM mixed GROUP BY event_type, b
+            ), ms AS (
+              SELECT event_type,
+                     list(ws::DOUBLE / wn ORDER BY ws::DOUBLE / wn) AS m
+              FROM wtd WHERE wn > 0 GROUP BY event_type
+            ), tot AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(cents)::BIGINT AS s0
+              FROM base GROUP BY event_type
+            )
+            SELECT t.event_type, n,
+                   round(s0::DOUBLE / n / 100.0, 6) AS mean,
+                   round((m[CAST(floor((len(m)-1)::DOUBLE * 0.025) AS INT) + 1]
+                          * (1 - ((len(m)-1)::DOUBLE * 0.025
+                                  - floor((len(m)-1)::DOUBLE * 0.025)))
+                        + m[least(CAST(floor((len(m)-1)::DOUBLE * 0.025) AS INT) + 2, len(m))]
+                          * ((len(m)-1)::DOUBLE * 0.025
+                             - floor((len(m)-1)::DOUBLE * 0.025))) / 100.0, 6) AS ci_lo,
+                   round((m[CAST(floor((len(m)-1)::DOUBLE * 0.975) AS INT) + 1]
+                          * (1 - ((len(m)-1)::DOUBLE * 0.975
+                                  - floor((len(m)-1)::DOUBLE * 0.975)))
+                        + m[least(CAST(floor((len(m)-1)::DOUBLE * 0.975) AS INT) + 2, len(m))]
+                          * ((len(m)-1)::DOUBLE * 0.975
+                             - floor((len(m)-1)::DOUBLE * 0.975))) / 100.0, 6) AS ci_hi
+            FROM tot t JOIN ms USING (event_type)""",
         "quantile_bins": """
             WITH cuts AS (
               SELECT event_type,

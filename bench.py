@@ -166,6 +166,7 @@ HEADLINE = [
     "corpus_report",
     "quantile_bins",
     "fuzzy_decontaminate",
+    "bootstrap_ci",
 ]
 
 

@@ -322,6 +322,102 @@ def interval_join(
     return joined.select(*out_cols)
 
 
+# Poisson(1) inverse-CDF thresholds scaled to the u ~ uniform[0, 1e6)
+# integer grid: weight k iff u < cum[k]*1e6 (cum = e^-1 * sum 1/j!).
+_POIS1_CUM = [367879, 735759, 919699, 980980, 996300, 999406, 999917]
+
+
+def _mix31(v):
+    """Nonlinear 31-bit mixer expressible in ANSI SQL: multiply, then
+    shift-xor, then multiply again (Wang-hash style) — pure */>>/xor/%
+    integer ops, byte-identical in Spark and DuckDB. Affine-only maps
+    (the plain Knuth multiply) leave per-row replicate streams with a
+    CONSTANT stride, which correlates bootstrap weights; the shift-xor
+    breaks the stride."""
+    a = (v.cast("long") * F.lit(2654435761)) % F.lit(1 << 31)
+    b = F.shiftright(a, 15).bitwiseXOR(a)
+    return (b * F.lit(2246822519)) % F.lit(1 << 31)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str],
+    seq_col: str = "event_id",
+    replicas: int = 64,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group mean with Poisson-bootstrap confidence intervals — the
+    A/B-testing uncertainty primitive done the 100 TB way: instead of
+    resampling rows (a shuffle per replica), every row carries
+    ``replicas`` deterministic Poisson(1) weights derived from a
+    nonlinear integer hash of (row id, replica, seed), so ALL replicas
+    aggregate in ONE groupBy pass (2R aggregate buffers, map-side
+    combined; the classic streaming-bootstrap trick used by large-scale
+    experimentation platforms — Chamandy et al. 2012).
+
+    Determinism contract: values aggregate in integer cents
+    (``sum(w * cents)`` is an exact long, so accumulation order cannot
+    drift between engines), replicate means are exact-int divisions,
+    and the CI cut is explicit linear interpolation over the sorted
+    replicate means — every step replays bit-identically in ANSI SQL.
+    Empty replicas (all weights 0 — possible in tiny groups) are
+    excluded from the quantile, matching the oracle.
+
+    Returns (by..., n, mean, ci_lo, ci_hi) — mean/CI rounded to 6.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    aggs = [
+        F.count("*").cast("long").alias("__n"),
+        F.sum(cents).alias("__s0"),
+    ]
+    for b in range(replicas):
+        u = _mix31(
+            F.col(seq_col).cast("long") * F.lit(replicas) + F.lit(b + replicas * seed)
+        ) % F.lit(1_000_000)
+        w = F.lit(len(_POIS1_CUM))
+        for k in reversed(range(len(_POIS1_CUM))):
+            w = F.when(u < _POIS1_CUM[k], k).otherwise(w)
+        aggs.append(F.sum(w * cents).alias(f"__ws{b}"))
+        aggs.append(F.sum(w).alias(f"__wn{b}"))
+    g = df.groupBy(*[F.col(k) for k in by]).agg(*aggs)
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"__wn{b}") > 0,
+                        F.col(f"__ws{b}").cast("double") / F.col(f"__wn{b}"),
+                    )
+                    for b in range(replicas)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    def interp(q):
+        n = F.size(means)
+        idx = (n - 1).cast("double") * F.lit(float(q))
+        i0 = F.floor(idx).cast("int")
+        frac = idx - i0
+        a = F.element_at(means, i0 + 1)
+        b_ = F.element_at(means, F.least(i0 + 2, n))
+        return a * (1 - frac) + b_ * frac
+
+    return g.select(
+        *[F.col(k) for k in by],
+        F.col("__n").alias("n"),
+        F.round(F.col("__s0").cast("double") / F.col("__n") / 100.0, 6).alias("mean"),
+        F.round(interp(lo) / 100.0, 6).alias("ci_lo"),
+        F.round(interp(hi) / 100.0, 6).alias("ci_hi"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

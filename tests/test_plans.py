@@ -247,6 +247,7 @@ SHUFFLE_CEILING = {
     # distinct (id,hash) per side + size aggs + intersection agg; the
     # heldout side's exchanges are broadcast-bound and benchmark-sized
     "fuzzy_decontaminate": 10,
+    "bootstrap_ci": 1,  # ONE groupBy pass carries all 64 replicas
 }
 
 

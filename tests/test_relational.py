@@ -424,3 +424,30 @@ def test_tnum_four_flavors(spark):
     assert r["b"] == 1.7e15  # NOT the saturated timestamp max
     assert abs(r["c"] - 1704164645.123456) < 1e-5
     assert r["c"] == r["d"]
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """CIs bracket the point mean, widen for noisier groups, and are
+    deterministic across invocations; bad quantile bounds raise."""
+    import random
+
+    from eventkit_spark.operators.relational import bootstrap_ci
+
+    rng = random.Random(3)
+    rows = [(i, "tight", 100.0 + rng.uniform(-1, 1)) for i in range(300)]
+    rows += [(1000 + i, "wide", 100.0 + rng.uniform(-50, 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["event_id", "g", "value"])
+    out = {r["g"]: r for r in bootstrap_ci(df, "value", by="g").collect()}
+    for g in ("tight", "wide"):
+        r = out[g]
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"], r
+    w_tight = out["tight"]["ci_hi"] - out["tight"]["ci_lo"]
+    w_wide = out["wide"]["ci_hi"] - out["wide"]["ci_lo"]
+    assert w_wide > 3 * w_tight
+    again = {r["g"]: r for r in bootstrap_ci(df, "value", by="g").collect()}
+    assert again == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo"):
+        bootstrap_ci(df, "value", by="g", lo=0.9, hi=0.1)
