@@ -1175,6 +1175,17 @@ def q_bootstrap_ci(spark, sf):
     return bootstrap_ci(ev, "value", by="event_type", replicas=64)
 
 
+def q_ab_lift(spark, sf):
+    """A/B readout with paired Poisson-bootstrap CI
+    (operators/relational.py ab_lift): purchase-vs-view value lift in
+    ONE global aggregate pass (paired replicas, exact-integer buffers).
+    Oracle replays arms, weights, and the paired-difference CI."""
+    from eventkit_spark.operators.relational import ab_lift
+
+    ev = load_table(spark, sf, "events")
+    return ab_lift(ev, "value", "event_type", treat="purchase", control="view")
+
+
 def q_quantile_bins(spark, sf):
     """Per-type quartile binning of event values (llm/sampling.py
     quantile_bins): one percentile aggregate broadcast back + a codegen
@@ -2916,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "bootstrap_ci": q_bootstrap_ci,
+        "ab_lift": q_ab_lift,
         "group_corr": q_group_corr,
         "unpivot": q_unpivot,
         "group_regression": q_group_regression,
@@ -4734,6 +4746,80 @@ def oracle_sql() -> dict[str, str]:
               ON l_quantity, l_discount, l_tax
               INTO NAME measure VALUE val
             )""",
+        "ab_lift": """
+            WITH base AS (
+              SELECT event_type, event_id,
+                     round(value * 100, 0)::BIGINT AS cents
+              FROM events WHERE event_type IN ('purchase', 'view')
+            ), rep AS (
+              SELECT event_type, cents, event_id, b
+              FROM base, range(64) t(b)
+            ), mixed AS (
+              SELECT event_type, cents, b,
+                     ((xor(((event_id * 64 + b) * 2654435761) % 2147483648 >> 15,
+                           ((event_id * 64 + b) * 2654435761) % 2147483648)
+                       * 2246822519) % 2147483648) % 1000000 AS u
+              FROM rep
+            ), w AS (
+              SELECT event_type, cents, b,
+                     CASE WHEN u < 367879 THEN 0
+                          WHEN u < 735759 THEN 1
+                          WHEN u < 919699 THEN 2
+                          WHEN u < 980980 THEN 3
+                          WHEN u < 996300 THEN 4
+                          WHEN u < 999406 THEN 5
+                          WHEN u < 999917 THEN 6
+                          ELSE 7 END AS wt
+              FROM mixed
+            ), arms AS (
+              SELECT b,
+                     sum(CASE WHEN event_type = 'purchase' THEN wt * cents ELSE 0 END)::BIGINT AS wst,
+                     sum(CASE WHEN event_type = 'purchase' THEN wt ELSE 0 END)::BIGINT AS wnt,
+                     sum(CASE WHEN event_type = 'view' THEN wt * cents ELSE 0 END)::BIGINT AS wsc,
+                     sum(CASE WHEN event_type = 'view' THEN wt ELSE 0 END)::BIGINT AS wnc
+              FROM w GROUP BY b
+            ), lifts AS (
+              SELECT list(wst::DOUBLE / wnt - wsc::DOUBLE / wnc
+                          ORDER BY wst::DOUBLE / wnt - wsc::DOUBLE / wnc) AS m
+              FROM arms WHERE wnt > 0 AND wnc > 0
+            ), tot AS (
+              SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nt,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS nc,
+                     sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)::BIGINT AS st,
+                     sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END)::BIGINT AS sc
+              FROM base
+            )
+            SELECT nt AS n_treat, nc AS n_control,
+                   round(st::DOUBLE / nt / 100.0, 6) AS mean_treat,
+                   round(sc::DOUBLE / nc / 100.0, 6) AS mean_control,
+                   round(st::DOUBLE / nt / 100.0 - sc::DOUBLE / nc / 100.0, 6) AS lift,
+                   round((m[CAST(floor((len(m)-1)::DOUBLE * 0.025) AS INT) + 1]
+                          * (1 - ((len(m)-1)::DOUBLE * 0.025
+                                  - floor((len(m)-1)::DOUBLE * 0.025)))
+                        + m[least(CAST(floor((len(m)-1)::DOUBLE * 0.025) AS INT) + 2, len(m))]
+                          * ((len(m)-1)::DOUBLE * 0.025
+                             - floor((len(m)-1)::DOUBLE * 0.025))) / 100.0, 6) AS ci_lo,
+                   round((m[CAST(floor((len(m)-1)::DOUBLE * 0.975) AS INT) + 1]
+                          * (1 - ((len(m)-1)::DOUBLE * 0.975
+                                  - floor((len(m)-1)::DOUBLE * 0.975)))
+                        + m[least(CAST(floor((len(m)-1)::DOUBLE * 0.975) AS INT) + 2, len(m))]
+                          * ((len(m)-1)::DOUBLE * 0.975
+                             - floor((len(m)-1)::DOUBLE * 0.975))) / 100.0, 6) AS ci_hi,
+                   ((m[CAST(floor((len(m)-1)::DOUBLE * 0.025) AS INT) + 1]
+                          * (1 - ((len(m)-1)::DOUBLE * 0.025
+                                  - floor((len(m)-1)::DOUBLE * 0.025)))
+                        + m[least(CAST(floor((len(m)-1)::DOUBLE * 0.025) AS INT) + 2, len(m))]
+                          * ((len(m)-1)::DOUBLE * 0.025
+                             - floor((len(m)-1)::DOUBLE * 0.025))) / 100.0 > 0
+                    OR
+                    (m[CAST(floor((len(m)-1)::DOUBLE * 0.975) AS INT) + 1]
+                          * (1 - ((len(m)-1)::DOUBLE * 0.975
+                                  - floor((len(m)-1)::DOUBLE * 0.975)))
+                        + m[least(CAST(floor((len(m)-1)::DOUBLE * 0.975) AS INT) + 2, len(m))]
+                          * ((len(m)-1)::DOUBLE * 0.975
+                             - floor((len(m)-1)::DOUBLE * 0.975))) / 100.0 < 0
+                   ) AS significant
+            FROM tot, lifts""",
         "bootstrap_ci": """
             WITH base AS (
               SELECT event_type, event_id,

@@ -167,6 +167,7 @@ HEADLINE = [
     "quantile_bins",
     "fuzzy_decontaminate",
     "bootstrap_ci",
+    "ab_lift",
 ]
 
 

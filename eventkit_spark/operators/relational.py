@@ -418,6 +418,100 @@ def bootstrap_ci(
     )
 
 
+def ab_lift(
+    df: DataFrame,
+    value_col: str,
+    variant_col: str,
+    treat,
+    control,
+    seq_col: str = "event_id",
+    replicas: int = 64,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 0,
+) -> DataFrame:
+    """A/B lift with a PAIRED Poisson-bootstrap CI on the
+    treatment-minus-control mean difference — the experiment readout
+    primitive on top of ``bootstrap_ci``'s machinery: both arms reuse
+    the SAME replica index per resample (paired replicates), the lift
+    distribution is the per-replica difference of arm means, and
+    ``significant`` is true when the CI excludes zero.
+
+    Scale shape: ONE global aggregate pass — each row contributes its
+    ``replicas`` deterministic weights to conditional (arm, replica)
+    sums, so the whole readout is a single map-side-combined aggregate
+    producing one row (4R + 4 exact-integer buffers; no shuffle of
+    data, no per-replica job). The same determinism contract as
+    bootstrap_ci: integer-cents accumulators, explicit interpolation,
+    ANSI-replayable mixer.
+
+    Returns ONE row: (n_treat, n_control, mean_treat, mean_control,
+    lift, ci_lo, ci_hi, significant) — means/lift/CI rounded to 6.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    v = F.col(variant_col)
+    sub = df.filter(v.isin([treat, control]))
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    is_t = v == F.lit(treat)
+    aggs = [
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("__nt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("__nc"),
+        F.sum(F.when(is_t, cents).otherwise(0)).alias("__st"),
+        F.sum(F.when(~is_t, cents).otherwise(0)).alias("__sc"),
+    ]
+    for b in range(replicas):
+        u = _mix31(
+            F.col(seq_col).cast("long") * F.lit(replicas) + F.lit(b + replicas * seed)
+        ) % F.lit(1_000_000)
+        w = F.lit(len(_POIS1_CUM))
+        for k in reversed(range(len(_POIS1_CUM))):
+            w = F.when(u < _POIS1_CUM[k], k).otherwise(w)
+        aggs.append(F.sum(F.when(is_t, w * cents).otherwise(0)).alias(f"__wst{b}"))
+        aggs.append(F.sum(F.when(is_t, w).otherwise(0)).alias(f"__wnt{b}"))
+        aggs.append(F.sum(F.when(~is_t, w * cents).otherwise(0)).alias(f"__wsc{b}"))
+        aggs.append(F.sum(F.when(~is_t, w).otherwise(0)).alias(f"__wnc{b}"))
+    g = sub.agg(*aggs)
+    lifts = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        (F.col(f"__wnt{b}") > 0) & (F.col(f"__wnc{b}") > 0),
+                        F.col(f"__wst{b}").cast("double") / F.col(f"__wnt{b}")
+                        - F.col(f"__wsc{b}").cast("double") / F.col(f"__wnc{b}"),
+                    )
+                    for b in range(replicas)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+    def interp(q):
+        n = F.size(lifts)
+        idx = (n - 1).cast("double") * F.lit(float(q))
+        i0 = F.floor(idx).cast("int")
+        frac = idx - i0
+        a = F.element_at(lifts, i0 + 1)
+        b_ = F.element_at(lifts, F.least(i0 + 2, n))
+        return a * (1 - frac) + b_ * frac
+
+    mt = F.col("__st").cast("double") / F.col("__nt") / 100.0
+    mc = F.col("__sc").cast("double") / F.col("__nc") / 100.0
+    cl, ch = interp(lo) / 100.0, interp(hi) / 100.0
+    return g.select(
+        F.col("__nt").alias("n_treat"),
+        F.col("__nc").alias("n_control"),
+        F.round(mt, 6).alias("mean_treat"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt - mc, 6).alias("lift"),
+        F.round(cl, 6).alias("ci_lo"),
+        F.round(ch, 6).alias("ci_hi"),
+        ((cl > 0) | (ch < 0)).alias("significant"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -248,6 +248,7 @@ SHUFFLE_CEILING = {
     # heldout side's exchanges are broadcast-bound and benchmark-sized
     "fuzzy_decontaminate": 10,
     "bootstrap_ci": 1,  # ONE groupBy pass carries all 64 replicas
+    "ab_lift": 1,  # one global aggregate, paired replicas in buffers
 }
 
 

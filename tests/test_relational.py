@@ -451,3 +451,26 @@ def test_bootstrap_ci_brackets_mean(spark):
 
     with _pytest.raises(ValueError, match="lo"):
         bootstrap_ci(df, "value", by="g", lo=0.9, hi=0.1)
+
+
+def test_ab_lift_detects_real_lift(spark):
+    """A +10 shift is flagged significant with CI bracketing the true
+    lift; identical arms are not significant."""
+    import random
+
+    from eventkit_spark.operators.relational import ab_lift
+
+    rng = random.Random(5)
+    rows = [(i, "t", 110.0 + rng.uniform(-5, 5)) for i in range(400)]
+    rows += [(1000 + i, "c", 100.0 + rng.uniform(-5, 5)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["event_id", "arm", "value"])
+    r = ab_lift(df, "value", "arm", treat="t", control="c").collect()[0]
+    assert r["significant"]
+    assert r["ci_lo"] <= r["lift"] <= r["ci_hi"]
+    assert 8.0 < r["lift"] < 12.0 and r["ci_lo"] > 5.0
+
+    # null experiment: both arms drawn from the same distribution
+    rows0 = [(i, "t" if i % 2 else "c", 100.0 + rng.uniform(-5, 5)) for i in range(800)]
+    df0 = spark.createDataFrame(rows0, ["event_id", "arm", "value"])
+    r0 = ab_lift(df0, "value", "arm", treat="t", control="c").collect()[0]
+    assert not r0["significant"]
