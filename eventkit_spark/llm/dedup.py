@@ -1184,6 +1184,7 @@ def cross_corpus_near_dups(
     max_df: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_heldout: bool = True,
 ) -> DataFrame:
     """FUZZY decontamination: corpus documents whose word-``k``-gram
     Jaccard against some heldout document clears ``threshold`` — the
@@ -1203,6 +1204,11 @@ def cross_corpus_near_dups(
 
     Returns (corpus id, heldout ``match_id``, jaccard round-6) — one
     row per qualifying pair; anti-join the corpus against it to clean.
+
+    ``broadcast_heldout=False`` drops the broadcast hints for a
+    corpus-vs-corpus run (two big sides): the match becomes a plain
+    shuffle join on the shingle hash — still posting-list-shaped, just
+    with both sides exchanged.
     """
     sa = (
         corpus.select(
@@ -1228,17 +1234,18 @@ def cross_corpus_near_dups(
         )
         sa = sa.join(hot, "sh", "left_anti")
         sb = sb.join(F.broadcast(hot), "sh", "left_anti")
+    maybe_bc = F.broadcast if broadcast_heldout else (lambda x: x)
     na = sa.groupBy("id_a").agg(F.count("*").alias("__na"))
     nb = sb.groupBy("id_b").agg(F.count("*").alias("__nb"))
     inter = (
-        sa.join(F.broadcast(sb), "sh")
+        sa.join(maybe_bc(sb), "sh")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__common"))
     )
     jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
     return (
         inter.join(na, "id_a")
-        .join(F.broadcast(nb), "id_b")
+        .join(maybe_bc(nb), "id_b")
         .filter(jac >= threshold)
         .select(
             F.col("id_a").alias(id_col),

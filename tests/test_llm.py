@@ -1449,3 +1449,20 @@ def test_cross_corpus_near_dups_catches_rephrasings(spark):
     }
     assert set(got) == {(1, 100)}
     assert got[(1, 100)] > 0.7
+
+
+def test_cross_corpus_near_dups_shuffle_path_equals_broadcast(spark):
+    """broadcast_heldout=False (the corpus-vs-corpus escape hatch)
+    returns the identical pair set through the shuffle join."""
+    from eventkit_spark.llm.dedup import cross_corpus_near_dups
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    b = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+    bc = {(r["doc_id"], r["match_id"], r["jaccard"])
+          for r in cross_corpus_near_dups(a, b, threshold=0.3).collect()}
+    sh = {(r["doc_id"], r["match_id"], r["jaccard"])
+          for r in cross_corpus_near_dups(a, b, threshold=0.3,
+                                          broadcast_heldout=False).collect()}
+    assert bc == sh and len(bc) > 0
