@@ -1175,6 +1175,32 @@ def q_bootstrap_ci(spark, sf):
     return bootstrap_ci(ev, "value", by="event_type", replicas=64)
 
 
+def q_cuped(spark, sf):
+    """CUPED-adjusted experiment readout (operators/relational.py
+    cuped): units = users, covariate x = pre-period (before Jan 16)
+    mean value in exact cents, metric y = post-period mean, synthetic
+    arms by user parity. Closed-form adjustment makes the WHOLE readout
+    one global aggregate. Oracle replays the moments and arithmetic;
+    round-6 masks summation-order noise (the group_corr convention)."""
+    from eventkit_spark.operators.relational import cuped
+
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.sum(F.when(pre, cents)).cast("double")
+             / F.count(F.when(pre, F.lit(1)))).alias("x"),
+            (F.sum(F.when(~pre, cents)).cast("double")
+             / F.count(F.when(~pre, F.lit(1)))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn("arm", F.when(F.col("user_id") % 2 == 0, "t").otherwise("c"))
+    )
+    return cuped(units, "y", "x", "arm", treat="t", control="c")
+
+
 def q_ab_lift(spark, sf):
     """A/B readout with paired Poisson-bootstrap CI
     (operators/relational.py ab_lift): purchase-vs-view value lift in
@@ -2928,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "bootstrap_ci": q_bootstrap_ci,
         "ab_lift": q_ab_lift,
+        "cuped": q_cuped,
         "group_corr": q_group_corr,
         "unpivot": q_unpivot,
         "group_regression": q_group_regression,
@@ -4746,6 +4773,52 @@ def oracle_sql() -> dict[str, str]:
               ON l_quantity, l_discount, l_tax
               INTO NAME measure VALUE val
             )""",
+        "cuped": """
+            WITH units AS (
+              SELECT user_id,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN round(value * 100, 0)::BIGINT END)::DOUBLE
+                       / count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+                       AS x,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN round(value * 100, 0)::BIGINT END)::DOUBLE
+                       / count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+                       AS y,
+                     CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS arm
+              FROM events GROUP BY user_id
+              HAVING x IS NOT NULL AND y IS NOT NULL
+            ), g AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+                     sum(CASE WHEN arm = 't' THEN 1 ELSE 0 END)::BIGINT AS nt,
+                     sum(CASE WHEN arm = 't' THEN x ELSE 0 END) AS sxt,
+                     sum(CASE WHEN arm = 't' THEN y ELSE 0 END) AS syt,
+                     sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END)::BIGINT AS nc,
+                     sum(CASE WHEN arm = 'c' THEN x ELSE 0 END) AS sxc,
+                     sum(CASE WHEN arm = 'c' THEN y ELSE 0 END) AS syc
+              FROM units
+            ), d AS (
+              SELECT *,
+                     sx / n AS mx,
+                     sxx / n - (sx / n) * (sx / n) AS var_x,
+                     sxy / n - (sx / n) * (sy / n) AS cov,
+                     syy / n - (sy / n) * (sy / n) AS var_y,
+                     CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                          THEN (sxy / n - (sx / n) * (sy / n))
+                               / (sxx / n - (sx / n) * (sx / n))
+                          ELSE 0.0 END AS theta
+              FROM g
+            )
+            SELECT nt AS n_treat, nc AS n_control,
+                   round(syt / nt - syc / nc, 6) AS lift_raw,
+                   round((syt / nt - theta * (sxt / nt - mx))
+                       - (syc / nc - theta * (sxc / nc - mx)), 6) AS lift_cuped,
+                   round(theta, 6) AS theta,
+                   round(CASE WHEN var_x > 0 AND var_y > 0
+                              THEN cov * cov / (var_x * var_y) * 100.0
+                              ELSE 0.0 END, 6) AS var_reduction_pct
+            FROM d""",
         "ab_lift": """
             WITH base AS (
               SELECT event_type, event_id,

@@ -168,6 +168,7 @@ HEADLINE = [
     "fuzzy_decontaminate",
     "bootstrap_ci",
     "ab_lift",
+    "cuped",
 ]
 
 

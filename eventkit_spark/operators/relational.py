@@ -512,6 +512,78 @@ def ab_lift(
     )
 
 
+def cuped(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    variant_col: str,
+    treat,
+    control,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust the
+    experiment metric ``y`` by its pre-period covariate ``x``
+    (``y_adj = y - theta (x - mean_x)``, theta = cov(x,y)/var(x)) and
+    report the raw vs adjusted lift plus the variance-reduction factor
+    — the standard trick that shrinks A/B confidence intervals without
+    more traffic.
+
+    Input is a UNIT-level table (one row per randomization unit with
+    its metric and covariate — aggregate events to users first).
+
+    Scale shape: because the adjusted arm mean expands in closed form
+    (``mean(y|arm) - theta (mean(x|arm) - mean_x)``), the WHOLE readout
+    is ONE map-side-combined global aggregate (global co-moments +
+    per-arm conditional sums) and pure driver-free arithmetic — no
+    second adjusted-data pass, no shuffle of units. Variance reduction
+    = corr(x,y)^2 (population moments).
+
+    Returns ONE row: (n_treat, n_control, lift_raw, lift_cuped, theta,
+    var_reduction_pct) — round 6; theta/adjustment degrade to 0 when
+    var(x) = 0.
+    """
+    v = F.col(variant_col)
+    sub = df.filter(v.isin([treat, control]))
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    is_t = v == F.lit(treat)
+    g = sub.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(is_t, x).otherwise(0.0)).alias("sxt"),
+        F.sum(F.when(is_t, y).otherwise(0.0)).alias("syt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(~is_t, x).otherwise(0.0)).alias("sxc"),
+        F.sum(F.when(~is_t, y).otherwise(0.0)).alias("syc"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx") / n
+    var_x = F.col("sxx") / n - mx * mx
+    cov = F.col("sxy") / n - mx * (F.col("sy") / n)
+    var_y = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    theta = F.when(var_x > 0, cov / var_x).otherwise(F.lit(0.0))
+    myt = F.col("syt") / F.col("nt")
+    myc = F.col("syc") / F.col("nc")
+    mxt = F.col("sxt") / F.col("nt")
+    mxc = F.col("sxc") / F.col("nc")
+    lift_raw = myt - myc
+    lift_cuped = (myt - theta * (mxt - mx)) - (myc - theta * (mxc - mx))
+    vr = F.when(
+        (var_x > 0) & (var_y > 0), (cov * cov) / (var_x * var_y) * 100.0
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        F.round(lift_raw, 6).alias("lift_raw"),
+        F.round(lift_cuped, 6).alias("lift_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(vr, 6).alias("var_reduction_pct"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

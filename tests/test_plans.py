@@ -249,6 +249,7 @@ SHUFFLE_CEILING = {
     "fuzzy_decontaminate": 10,
     "bootstrap_ci": 1,  # ONE groupBy pass carries all 64 replicas
     "ab_lift": 1,  # one global aggregate, paired replicas in buffers
+    "cuped": 2,  # unit rollup (user agg) + the one-row readout aggregate
 }
 
 

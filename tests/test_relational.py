@@ -474,3 +474,33 @@ def test_ab_lift_detects_real_lift(spark):
     df0 = spark.createDataFrame(rows0, ["event_id", "arm", "value"])
     r0 = ab_lift(df0, "value", "arm", treat="t", control="c").collect()[0]
     assert not r0["significant"]
+
+
+def test_cuped_reduces_variance_with_predictive_covariate(spark):
+    """With y = x + small noise + arm shift, CUPED recovers the true
+    lift, theta ~ 1, and variance reduction is near corr^2 ~ 100%;
+    a useless covariate leaves the estimate unadjusted."""
+    import random
+
+    from eventkit_spark.operators.relational import cuped
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(500):
+        x = rng.uniform(50, 150)
+        arm = "t" if i % 2 == 0 else "c"
+        y = x + rng.uniform(-1, 1) + (5.0 if arm == "t" else 0.0)
+        rows.append((i, arm, x, y))
+    df = spark.createDataFrame(rows, ["uid", "arm", "x", "y"])
+    r = cuped(df, "y", "x", "arm", treat="t", control="c").collect()[0]
+    assert 4.5 < r["lift_cuped"] < 5.5
+    assert 0.95 < r["theta"] < 1.05
+    assert r["var_reduction_pct"] > 95.0
+    # lift_raw is noisier but same expectation; both should be in range
+    assert 2.0 < r["lift_raw"] < 8.0
+
+    # zero-variance covariate: theta and reduction collapse to 0
+    df0 = df.withColumn("x", df.x * 0)
+    r0 = cuped(df0, "y", "x", "arm", treat="t", control="c").collect()[0]
+    assert r0["theta"] == 0.0 and r0["var_reduction_pct"] == 0.0
+    assert r0["lift_cuped"] == r0["lift_raw"]
