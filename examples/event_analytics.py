@@ -88,6 +88,29 @@ def run(spark, sf_dir: str, report=print) -> dict:
 
     out["hot_keys"] = skew_report(raw, ["user_id"], top=5).count()
 
+    # experimentation readouts: bootstrap CIs per segment, an A/B lift
+    # with a paired-bootstrap interval, and CUPED variance reduction
+    from eventkit_spark.operators.relational import ab_lift, bootstrap_ci, cuped
+
+    cis = bootstrap_ci(raw, "value", by="event_type")
+    out["ci_rows"] = cis.count()
+    lift = ab_lift(raw, "value", "event_type", treat="purchase", control="view")
+    out["ab_significant"] = int(lift.collect()[0]["significant"])
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    units = (
+        raw.groupBy("user_id")
+        .agg(
+            (F.sum(F.when(pre, cents)).cast("double")
+             / F.count(F.when(pre, F.lit(1)))).alias("x"),
+            (F.sum(F.when(~pre, cents)).cast("double")
+             / F.count(F.when(~pre, F.lit(1)))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn("arm", F.when(F.col("user_id") % 2 == 0, "t").otherwise("c"))
+    )
+    out["cuped_rows"] = cuped(units, "y", "x", "arm", "t", "c").count()
+
     for k, v in out.items():
         report(f"  {k}: {v}")
     return out
