@@ -247,8 +247,8 @@ SHUFFLE_CEILING = {
     # distinct (id,hash) per side + size aggs + intersection agg; the
     # heldout side's exchanges are broadcast-bound and benchmark-sized
     "fuzzy_decontaminate": 10,
-    "bootstrap_ci": 1,  # ONE groupBy pass carries all 64 replicas
-    "ab_lift": 1,  # one global aggregate, paired replicas in buffers
+    "bootstrap_ci": 2,  # (group,replica) cells then the group finisher
+    "ab_lift": 2,  # 64 replica cells then the one-row finisher
     "cuped": 2,  # unit rollup (user agg) + the one-row readout aggregate
 }
 
