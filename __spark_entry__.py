@@ -3280,7 +3280,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, cnt,
                    ((cnt * 1000000) // t)::BIGINT AS share_ppm,
-                   ((cnt * nk * 100) // t)::BIGINT AS vs_mean_pct,
+                   ((cnt * 100) // (t // nk))::BIGINT AS vs_mean_pct,
                    CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
                      AS rank
             FROM per, tot ORDER BY cnt DESC, user_id LIMIT 10""",

@@ -1093,7 +1093,11 @@ def sorted_neighborhood_pairs(
 
     probe = docs.select(k.alias("__k"), F.col(id_col).alias("id"))
     if isinstance(probe.schema["__k"].dataType, NumericType):
-        sur = F.col("__k").cast("double")
+        # NULL keys would make the surrogate (and thus __bkt) NULL and
+        # silently fall out of the bucket equi-join; pin them to -inf so
+        # they land in bucket 0 and sort first — matching Spark's
+        # NULLS FIRST ascending order used by the in-bucket row_number.
+        sur = F.coalesce(F.col("__k").cast("double"), F.lit(float("-inf")))
     else:
         ks = F.coalesce(F.col("__k").cast("string"), F.lit(""))
         sur = sum(

@@ -21,8 +21,14 @@ KNUTH = 2654435761
 
 def portable_hash(key, buckets: int = 1_000_000):
     """Deterministic per-key bucket in [0, buckets): (key*2654435761)
-    mod 2^31 mod buckets — same arithmetic in Spark and ANSI SQL."""
-    return ((key.cast("long") * F.lit(KNUTH)) % F.lit(2**31)) % F.lit(buckets)
+    mod 2^31 mod buckets — same arithmetic in Spark and ANSI SQL.
+
+    The key folds to 31 bits before the multiply ((k mod 2^31)*c mod
+    2^31 == k*c mod 2^31 — value unchanged) so the product stays under
+    2^62: the bare multiply raises ARITHMETIC_OVERFLOW under ANSI mode
+    once keys pass ~3.47e9, i.e. precisely corpus-scale ids."""
+    k31 = key.cast("long") % F.lit(2**31)
+    return ((k31 * F.lit(KNUTH)) % F.lit(2**31)) % F.lit(buckets)
 
 
 def split_by_hash(
@@ -519,6 +525,27 @@ def bm25_top_terms(
     )
 
 
+def _join_cuts_null_safe(df: DataFrame, cuts: DataFrame, by: list[str]) -> DataFrame:
+    """Broadcast-join a per-group cuts table back onto the stream with
+    NULL-SAFE key equality: groupBy emits a cuts row for the NULL group,
+    but a plain equi-join never matches NULL = NULL, so rows with NULL
+    group keys would silently vanish from a clamping/binning transform —
+    a row-loss hazard. eqNullSafe (`<=>`) is still an equi-join
+    condition to the planner, so the broadcast hash join is preserved."""
+    if not by:
+        return df.crossJoin(F.broadcast(cuts))
+    cuts = cuts.select(
+        *[F.col(k).alias(f"__k_{k}") for k in by],
+        *[F.col(c) for c in cuts.columns if c not in by],
+    )
+    cond = F.col(by[0]).eqNullSafe(F.col(f"__k_{by[0]}"))
+    for k in by[1:]:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+    return df.join(F.broadcast(cuts), cond, "inner").drop(
+        *[f"__k_{k}" for k in by]
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,
@@ -553,9 +580,7 @@ def winsorize(
             F.expr(f"percentile({value_col}, {hi!r})").alias("__hi"),
         )
     )
-    joined = (
-        df.join(F.broadcast(cuts), on=by) if by else df.crossJoin(F.broadcast(cuts))
-    )
+    joined = _join_cuts_null_safe(df, cuts, by)
     return joined.withColumn(
         out_col, F.round(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6)
     ).drop("__lo", "__hi")
@@ -593,9 +618,7 @@ def quantile_bins(
             for i, p in enumerate(probs)
         ]
     )
-    joined = (
-        df.join(F.broadcast(cuts), on=by) if by else df.crossJoin(F.broadcast(cuts))
-    )
+    joined = _join_cuts_null_safe(df, cuts, by)
     bucket = sum(
         (F.col(value_col) > F.col(f"__c{i}")).cast("int") for i in range(k - 1)
     )

@@ -333,8 +333,16 @@ def _mix31(v):
     integer ops, byte-identical in Spark and DuckDB. Affine-only maps
     (the plain Knuth multiply) leave per-row replicate streams with a
     CONSTANT stride, which correlates bootstrap weights; the shift-xor
-    breaks the stride."""
-    a = (v.cast("long") * F.lit(2654435761)) % F.lit(1 << 31)
+    breaks the stride.
+
+    Overflow contract: the input folds to 31 bits BEFORE the first
+    multiply — (v mod 2^31) * c mod 2^31 == v * c mod 2^31, so the
+    value is unchanged, but every intermediate stays < 2^62 and the
+    mixer survives ANSI mode at any seq id (v*2654435761 alone would
+    raise ARITHMETIC_OVERFLOW once v >= ~3.47e9, i.e. seq ids >= ~54M
+    at replicas=64 — exactly the scale the bootstrap targets)."""
+    v31 = v.cast("long") % F.lit(1 << 31)
+    a = (v31 * F.lit(2654435761)) % F.lit(1 << 31)
     b = F.shiftright(a, 15).bitwiseXOR(a)
     return (b * F.lit(2246822519)) % F.lit(1 << 31)
 

@@ -56,6 +56,13 @@ def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     a 1-row totals aggregate broadcast back, and a TakeOrdered top-k —
     no window over groups, no global sort. All-integer outputs
     (integer-div ppm/percent) so any engine replays it exactly.
+
+    Overflow contract: vs_mean_pct divides by the floored mean group
+    size (``__tot div __nkeys``, always >= 1 since every key has >= 1
+    row) instead of forming ``cnt * __nkeys * 100`` — that triple
+    product exceeds int64 under ANSI mode at exactly the corpus scale
+    (cnt ~1e9 x ~1e8 keys) this diagnostic targets. Mean-first floor
+    rounding is part of the contract and replays identically in SQL.
     """
     from pyspark.sql import functions as F
 
@@ -69,7 +76,7 @@ def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
         *keys,
         F.col("cnt"),
         F.expr("cnt * 1000000 div __tot").cast("long").alias("share_ppm"),
-        F.expr("cnt * __nkeys * 100 div __tot").cast("long").alias("vs_mean_pct"),
+        F.expr("cnt * 100 div (__tot div __nkeys)").cast("long").alias("vs_mean_pct"),
     )
     from pyspark.sql import Window as W
 

@@ -1466,3 +1466,38 @@ def test_cross_corpus_near_dups_shuffle_path_equals_broadcast(spark):
           for r in cross_corpus_near_dups(a, b, threshold=0.3,
                                           broadcast_heldout=False).collect()}
     assert bc == sh and len(bc) > 0
+
+
+def test_winsorize_and_bins_keep_null_group_rows(spark):
+    """Rows whose group key is NULL must survive the cuts join (the
+    groupBy emits a NULL-key cuts row but a plain equi-join would drop
+    them — verified row loss before the eqNullSafe fix) and clamp/bin
+    against the NULL group's own cuts."""
+    from eventkit_spark.llm.sampling import quantile_bins, winsorize
+
+    rows = [("a", 1.0), ("a", 2.0), (None, 10.0), (None, 20.0), (None, 30.0)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    w = winsorize(df, "value", by="g", lo=0.0, hi=0.5)
+    assert w.count() == 5
+    got = {(r["g"], r["value"]): r["value_w"] for r in w.collect()}
+    # NULL group's median is 20 -> 30 clamps to 20, using ONLY null-group rows
+    assert got[(None, 30.0)] == 20.0 and got[(None, 10.0)] == 10.0
+    b = quantile_bins(df, "value", k=2, by="g")
+    assert b.count() == 5
+    gb = {(r["g"], r["value"]): r["value_bin"] for r in b.collect()}
+    assert gb[(None, 10.0)] == 0 and gb[(None, 30.0)] == 1
+
+
+def test_sorted_neighborhood_keeps_null_numeric_keys(spark):
+    """NULL numeric blocking keys sort first (NULLS FIRST, surrogate
+    pinned to -inf) instead of silently dropping out of the bucket
+    join and shrinking the candidate space."""
+    from eventkit_spark.llm.dedup import sorted_neighborhood_pairs
+
+    rows = [(1, None), (2, 5.0), (3, 6.0), (4, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "k"])
+    pairs = sorted_neighborhood_pairs(docs, "k", window=1, partitions=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # rank order: NULLs first by id (1, 4), then 5.0 (2), then 6.0 (3);
+    # id_a is the lower-RANK row, so the null/5.0 neighbor pair is (4, 2)
+    assert got == {(1, 4), (4, 2), (2, 3)}

@@ -504,3 +504,35 @@ def test_cuped_reduces_variance_with_predictive_covariate(spark):
     r0 = cuped(df0, "y", "x", "arm", treat="t", control="c").collect()[0]
     assert r0["theta"] == 0.0 and r0["var_reduction_pct"] == 0.0
     assert r0["lift_cuped"] == r0["lift_raw"]
+
+
+def test_bootstrap_mixer_survives_large_seq_ids(spark):
+    """ANSI-overflow regression: seq ids >= ~54M made the old mixer's
+    first multiply exceed int64 (v*2654435761 with v = id*64 + b),
+    raising ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode.
+    The 31-bit input fold keeps every intermediate < 2^62 with values
+    unchanged mod 2^31."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.operators.relational import _mix31, bootstrap_ci
+
+    df = spark.range(200).select(
+        (F.col("id") + F.lit(60_000_000)).alias("event_id"),
+        F.lit("g").alias("g"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    out = bootstrap_ci(df, "value", by="g", seq_col="event_id").collect()
+    assert len(out) == 1 and out[0]["ci_lo"] <= out[0]["mean"] <= out[0]["ci_hi"]
+    # the fold is value-preserving where the old form did not overflow
+    small = spark.range(1000).select(
+        _mix31(F.col("id")).alias("a"),
+        (
+            (
+                F.shiftright((F.col("id") * 2654435761) % F.lit(1 << 31), 15)
+                .bitwiseXOR((F.col("id") * 2654435761) % F.lit(1 << 31))
+                * 2246822519
+            )
+            % F.lit(1 << 31)
+        ).alias("b"),
+    )
+    assert small.filter("a <> b").count() == 0

@@ -107,3 +107,18 @@ def test_asof_unkeyed_deterministic_across_runs(spark):
     h2 = out.selectExpr("sum(hash(id, ts, q, ts_r)) as h", "count(*) as n").first()
     assert h1 == h2
     assert h1["n"] == n
+
+
+def test_skew_report_mean_first_arithmetic(spark):
+    """vs_mean_pct divides by the floored mean group size instead of
+    forming cnt*nkeys*100 (int64 overflow at corpus scale under ANSI).
+    Pin the mean-first contract values on a known distribution."""
+    from eventkit_spark.plans.audit import skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 3
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["k"]: r for r in skew_report(df, ["k"], top=3).collect()}
+    # tot=12, nkeys=3, mean=4 -> hot: 6*100 div 4 = 150
+    assert got["hot"]["vs_mean_pct"] == 150
+    assert got["hot"]["share_ppm"] == 500000
+    assert got["warm"]["vs_mean_pct"] == 75
