@@ -221,7 +221,23 @@ def main():
     if iters > 1:
         out["queries_cold"] = {n: runs[0][n] for n in ok if n in runs[0]}
         out["value_cold"] = round(sum(out["queries_cold"].values()), 3)
+    # Full per-query JSON first, then a COMPACT summary as the very
+    # last line: the driver captures a bounded tail of stdout, and a
+    # single huge JSON line gets its head (metric/value) truncated
+    # away (BENCH_r04 recorded parsed: null for exactly this reason).
     print(json.dumps(out))
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(ok),
+        "n_errors": len(errors),
+    }
+    if "value_cold" in out:
+        summary["value_cold"] = out["value_cold"]
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
