@@ -2580,10 +2580,22 @@ def q_embed_rp_lsh_topk(spark, sf):
 
 
 def q_embed_ivf(spark, sf):
+    # PARTIAL-probe production form, fully oracle-checked since r5:
+    # portable (Knuth-hash) seeding makes the centroid choice — and
+    # therefore the cell routing and probe list — replayable in ANSI
+    # SQL, so the oracle follows the identical route (seed rank = cell
+    # id, argmax-cosine assignment, top-nprobe probe, in-cell top-k)
+    # instead of settling for a rows-only check.
     from eventkit_spark.llm.similarity import ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=3)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=3,
+        centroids="portable",
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
 
 
 def q_embed_ivf_recall(spark, sf):
@@ -5844,6 +5856,60 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rank <= 5""",
         # full-probe IVF == brute force: identical SQL to embed_topk
+        # partial-probe IVF replayed route-for-route: seed rank = cell id
+        # (Knuth hash order), argmax-cosine assignment, top-nprobe probe
+        # list, exact cosine top-k inside the probed cells only.
+        "embed_ivf": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            ), cent AS (
+              SELECT row_number() OVER (
+                       ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id
+                     ) - 1 AS cell, ve AS cv
+              FROM v
+              ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id
+              LIMIT 8
+            ), centn AS (
+              SELECT cell,
+                     list_transform(cv, x -> x / sqrt(list_reduce(list_transform(cv, y -> y * y), (a, b) -> a + b))) AS cn
+              FROM cent
+            ), assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, t.cell,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_reduce(list_transform(range(1, 65), i -> c.ve[i] * t.cn[i]), (a, b) -> a + b) DESC,
+                                  t.cell
+                       ) AS rn
+                FROM v c, centn t
+              ) WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10
+            ), probe AS (
+              SELECT qid, cell FROM (
+                SELECT q.qid, t.cell,
+                       row_number() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY list_reduce(list_transform(range(1, 65), i -> q.qv[i] * t.cn[i]), (a, b) -> a + b) DESC,
+                                  t.cell
+                       ) AS rn
+                FROM q, centn t
+              ) WHERE rn <= 3
+            ), s AS (
+              SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+                     list_reduce(list_transform(range(1, 65), i -> q.qv[i] * c.ve[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i]), (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(range(1, 65), i -> c.ve[i] * c.ve[i]), (a, b) -> a + b))) AS cos
+              FROM probe p
+              JOIN q ON q.qid = p.qid
+              JOIN assign a ON a.cell = p.cell
+              JOIN v c ON c.vec_id = a.vec_id
+              WHERE a.vec_id <> q.qid
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 5""",
         "embed_ivf_recall": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings

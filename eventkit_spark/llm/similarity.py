@@ -220,7 +220,14 @@ def ivf_topk(
     distributed seeding of Bahmani et al.), giving balanced cells on
     clustered corpora at the cost of a few corpus passes; only the
     seeding differs — the assignment plumbing (broadcast argmin matmul,
-    cell equi-join) is identical.
+    cell equi-join) is identical. ``centroids="portable"`` is the
+    hash sample with the Knuth multiplicative hash
+    ((id mod 2^31) * 2654435761 mod 2^31, tie-broken by id) instead of
+    xxhash64 — same plan shape, but the seed choice replays in ANSI
+    SQL, making the PARTIAL-probe production form oracle-checkable
+    end-to-end (cell ids are the rank of the seed in (hash, id) order,
+    so the whole route — assignment, probe list, in-cell top-k — is
+    engine-independent up to float cosine ties).
     """
     from pyspark.sql import Window as W
 
@@ -236,18 +243,29 @@ def ivf_topk(
             k=n_cells, initMode="k-means||", maxIter=5, seed=7, featuresCol="features"
         ).fit(feats)
         cent_mat = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    else:
+    elif centroids in ("hash", "portable"):
+        if centroids == "portable":
+            h = (
+                (F.col(id_col).cast("long") % F.lit(1 << 31)) * F.lit(2654435761)
+            ) % F.lit(1 << 31)
+        else:
+            h = F.xxhash64(F.col(id_col))
         cent_rows = (
             corpus.select(
                 _as_double(F.col(vec_col)).alias("cv"),
-                F.xxhash64(F.col(id_col)).alias("__h"),
+                h.alias("__h"),
+                F.col(id_col).alias("__id"),
             )
-            .orderBy("__h")
+            .orderBy("__h", "__id")
             .limit(n_cells)
             .select("cv")
             .collect()  # tiny: n_cells rows
         )
         cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
+    else:
+        raise ValueError(
+            f"centroids must be 'hash', 'portable' or 'kmeans', got {centroids!r}"
+        )
     cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
     cell_ids = np.arange(len(cent_mat))
 
