@@ -513,15 +513,19 @@ def q_kalman(spark, sf):
 
 
 def q_ivfpq(spark, sf):
-    # IVFADC production form: partial probe (recall < 1 by design —
-    # rows-only, the embed_ivf convention; routing correctness is
-    # pinned by the full-probe == pq_topk unit equivalence)
+    # IVFADC production form: partial probe (recall < 1 by design).
+    # EXACT-REPLAY fixed-point mode since r5 (was rows-only): coarse
+    # routing, PQ codebooks/codes, LUTs, probe lists and the ADC
+    # shortlist are exact integers the oracle replays route-for-route;
+    # the refine re-rank is a sequential double fold, identical in both
+    # engines, rounded to 6.
     from eventkit_spark.llm.cluster import ivfpq_topk
 
     emb = load_table(spark, sf, "embeddings")
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 10),
         k=10, n_cells=16, nprobe=4, m=8, ks=32, max_iter=2, refine=4,
+        replay_scale=1_000_000,
     )
 
 
@@ -628,27 +632,32 @@ def q_tfidf_cosine(spark, sf):
 
 
 def q_kmeans(spark, sf):
-    # engine-native Lloyd's k-means over the embeddings table:
-    # hash-seeded (deterministic), blocked-BLAS argmin per Arrow batch,
-    # (cluster, dim) mean aggregate per iteration. Iterative — no SQL
-    # oracle (rows-only); tests/test_cluster.py pins purity/convergence/
-    # determinism.
+    # engine-native Lloyd's k-means in EXACT-REPLAY fixed-point mode
+    # (cluster.py kmeans replay_scale): integer micro-unit vectors,
+    # portable-hash seeds, floored integer means, fixed 5 iterations —
+    # every assignment and distance is an exact integer, so the oracle
+    # replays all five Lloyd iterations as chained CTEs bit-identically
+    # (the pagerank determinism trick; was rows-only through r4).
+    # tests/test_cluster.py still pins purity/convergence of the float
+    # BLAS production mode.
     from eventkit_spark.llm.cluster import kmeans
 
     emb = load_table(spark, sf, "embeddings")
-    assignments, _, _ = kmeans(emb, k=8, max_iter=5)
+    assignments, _, _ = kmeans(emb, k=8, max_iter=5, replay_scale=1_000_000)
     return assignments
 
 
 def q_pq_encode(spark, sf):
     # product quantization codes (Jégou et al. 2011): m=8 subspaces,
     # ks=16 centers each -> 256x compression of the vector column.
-    # Iterative codebook fit — rows-only; codes serialized as csv for
-    # the driver's hashable-cell canonicalizer.
+    # EXACT-REPLAY fixed-point mode since r5 (was rows-only): the
+    # 3-iteration codebook fit replays as chained CTEs, codes and the
+    # integer reconstruction error are bit-identical in DuckDB. Codes
+    # serialized as csv for the driver's hashable-cell canonicalizer.
     from eventkit_spark.llm.cluster import pq_encode
 
     emb = load_table(spark, sf, "embeddings")
-    codes, _ = pq_encode(emb, m=8, ks=16, max_iter=3)
+    codes, _ = pq_encode(emb, m=8, ks=16, max_iter=3, replay_scale=1_000_000)
     return codes.select(
         "vec_id",
         F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string"))).alias("codes_csv"),
@@ -3132,6 +3141,166 @@ _URL_CANON_SQL = r"""
         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
         '^[^@]*@', ''), ':[0-9]+$', '') AS host
     FROM s6"""
+
+
+def _int_kmeans_ctes(k: int, iters: int, m: int = 1, d: int = 64,
+                     scale: int = 1_000_000) -> tuple[str, str]:
+    """Chained-CTE DuckDB replay of cluster.py's exact-replay Lloyd's
+    (kmeans/pq_encode with replay_scale): integer fixed-point vectors
+    (floor(x*scale) — floor has no half-tie ambiguity), portable-hash
+    seed sample (seed rank = cluster id), FLOORED integer means
+    (floor(sum/n) == Python //; the sum is < 2^53 so the double divide
+    floors exactly), argmin ties to the lowest cluster, exactly
+    ``iters`` iterations. With m>1 the same chain fits every contiguous
+    subspace at once (PQ codebooks). Returns (cte_sql, final_cent_name);
+    cte_sql starts with 'WITH ' and exposes ``vex`` (id, sub, dim, x)
+    and ``cent{iters}`` (cluster, sub, dim, c)."""
+    sub = d // m
+    parts = [f"""vex AS (
+  SELECT vec_id AS id, CAST(t.n // {sub} AS INT) AS sub,
+         CAST(t.n % {sub} AS INT) AS dim,
+         CAST(floor(CAST(embedding[t.n + 1] AS DOUBLE) * {scale}) AS BIGINT) AS x
+  FROM embeddings, (SELECT unnest(range({d})) AS n) t
+), seeds AS (
+  SELECT id, row_number() OVER (
+           ORDER BY ((id % 2147483648) * 2654435761) % 2147483648, id
+         ) - 1 AS cluster
+  FROM (SELECT DISTINCT id FROM vex)
+  ORDER BY ((id % 2147483648) * 2654435761) % 2147483648, id LIMIT {k}
+), cent0 AS (
+  SELECT s.cluster, v.sub, v.dim, v.x AS c
+  FROM seeds s JOIN vex v ON v.id = s.id
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT id, sub, cluster FROM (
+    SELECT v.id, v.sub, c.cluster,
+           row_number() OVER (PARTITION BY v.id, v.sub
+             ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cluster) AS rn
+    FROM vex v JOIN cent{t - 1} c ON c.sub = v.sub AND c.dim = v.dim
+    GROUP BY v.id, v.sub, c.cluster
+  ) WHERE rn = 1
+), cent{t} AS (
+  SELECT p.cluster, p.sub, p.dim, coalesce(u.c, p.c) AS c
+  FROM cent{t - 1} p LEFT JOIN (
+    SELECT a.cluster, a.sub, v.dim,
+           CAST(floor(sum(v.x) / count(*)) AS BIGINT) AS c
+    FROM a{t} a JOIN vex v ON v.id = a.id AND v.sub = a.sub
+    GROUP BY a.cluster, a.sub, v.dim
+  ) u ON u.cluster = p.cluster AND u.sub = p.sub AND u.dim = p.dim
+)""")
+    return "WITH " + ", ".join(parts), f"cent{iters}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, cent = _int_kmeans_ctes(k=8, iters=5, m=1)
+    return f"""{ctes}
+, fin AS (
+  SELECT v.id, c.cluster,
+         CAST(sum((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS d2,
+         row_number() OVER (PARTITION BY v.id
+           ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cluster) AS rn
+  FROM vex v JOIN {cent} c ON c.sub = v.sub AND c.dim = v.dim
+  GROUP BY v.id, c.cluster
+)
+SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist2
+FROM fin WHERE rn = 1"""
+
+
+def _pq_encode_oracle() -> str:
+    ctes, cent = _int_kmeans_ctes(k=16, iters=3, m=8)
+    return f"""{ctes}
+, code AS (
+  SELECT id, sub, cluster AS cd, d2 FROM (
+    SELECT v.id, v.sub, c.cluster,
+           CAST(sum((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS d2,
+           row_number() OVER (PARTITION BY v.id, v.sub
+             ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cluster) AS rn
+    FROM vex v JOIN {cent} c ON c.sub = v.sub AND c.dim = v.dim
+    GROUP BY v.id, v.sub, c.cluster
+  ) WHERE rn = 1
+)
+SELECT id AS vec_id,
+       string_agg(cd::VARCHAR, ',' ORDER BY sub) AS codes_csv,
+       CAST(sum(d2) AS BIGINT) AS recon_err2
+FROM code GROUP BY id"""
+
+
+def _ivfpq_oracle() -> str:
+    # the ivfpq contract: m=8, ks=32, 2 iterations, 16 coarse cells,
+    # nprobe=4, k=10, refine=4 — every routing decision in exact
+    # integers, final re-rank on the original doubles (sequential fold,
+    # identical in both engines), rounded to 6.
+    ctes, cent = _int_kmeans_ctes(k=32, iters=2, m=8)
+    return f"""{ctes}
+, code AS (
+  SELECT id, sub, cluster AS cd FROM (
+    SELECT v.id, v.sub, c.cluster,
+           row_number() OVER (PARTITION BY v.id, v.sub
+             ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cluster) AS rn
+    FROM vex v JOIN {cent} c ON c.sub = v.sub AND c.dim = v.dim
+    GROUP BY v.id, v.sub, c.cluster
+  ) WHERE rn = 1
+), cseeds AS (
+  SELECT id, row_number() OVER (
+           ORDER BY ((id % 2147483648) * 2654435761) % 2147483648, id
+         ) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM vex)
+  ORDER BY ((id % 2147483648) * 2654435761) % 2147483648, id LIMIT 16
+), ccent AS (
+  SELECT s.cell, v.sub, v.dim, v.x AS c
+  FROM cseeds s JOIN vex v ON v.id = s.id
+), routed AS (
+  SELECT id, cell FROM (
+    SELECT v.id, c.cell,
+           row_number() OVER (PARTITION BY v.id
+             ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cell) AS rn
+    FROM vex v JOIN ccent c ON c.sub = v.sub AND c.dim = v.dim
+    GROUP BY v.id, c.cell
+  ) WHERE rn = 1
+), qv AS (
+  SELECT id AS qid, sub, dim, x FROM vex WHERE id < 10
+), probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY sum((q.x - c.c) * (q.x - c.c)), c.cell) AS rn
+    FROM qv q JOIN ccent c ON c.sub = q.sub AND c.dim = q.dim
+    GROUP BY q.qid, c.cell
+  ) WHERE rn <= 4
+), lut AS (
+  SELECT q.qid, c.cluster AS cd, c.sub,
+         sum((q.x - c.c) * (q.x - c.c)) AS pd2
+  FROM qv q JOIN {cent} c ON c.sub = q.sub AND c.dim = q.dim
+  GROUP BY q.qid, c.cluster, c.sub
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.qid AS query_id, r.id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY sum(l.pd2), r.id) AS rank
+    FROM probe p
+    JOIN routed r ON r.cell = p.cell AND r.id <> p.qid
+    JOIN code cd ON cd.id = r.id
+    JOIN lut l ON l.qid = p.qid AND l.sub = cd.sub AND l.cd = cd.cd
+    GROUP BY p.qid, r.id
+  ) WHERE rank <= 40
+), vf AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve
+  FROM embeddings
+), refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+             i -> (q.ve[i] - c.ve[i]) * (q.ve[i] - c.ve[i])),
+           (a, b) -> a + b) AS dist2
+  FROM shortlist s
+  JOIN vf q ON q.vec_id = s.query_id
+  JOIN vf c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, round(dist2, 6) AS dist2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dist2, neighbor_id) AS rank
+  FROM refined
+) WHERE rank <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5856,6 +6025,11 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rank <= 5""",
         # full-probe IVF == brute force: identical SQL to embed_topk
+        # exact-replay fixed-point clustering oracles (chained-CTE Lloyd
+        # replays; see _int_kmeans_ctes)
+        "kmeans": _kmeans_oracle(),
+        "pq_encode": _pq_encode_oracle(),
+        "ivfpq": _ivfpq_oracle(),
         # partial-probe IVF replayed route-for-route: seed rank = cell id
         # (Knuth hash order), argmax-cosine assignment, top-nprobe probe
         # list, exact cosine top-k inside the probed cells only.

@@ -20,23 +20,43 @@ from pyspark.sql import DataFrame, functions as F
 from .similarity import _as_double
 
 
-def _seed_centroids(corpus, n, id_col, vec_col):
+def _portable31(col):
+    """(id mod 2^31) * 2654435761 mod 2^31 — the Knuth multiplicative
+    hash, replayable in ANSI SQL and overflow-safe under ANSI mode (the
+    31-bit fold keeps the product < 2^62)."""
+    return ((col.cast("long") % F.lit(1 << 31)) * F.lit(2654435761)) % F.lit(1 << 31)
+
+
+def _int_units(vec, scale):
+    """array<float> -> array<long> in fixed-point units: floor(x*scale).
+    float->double widening and the double multiply are IEEE-identical in
+    any engine, and floor is unambiguous (unlike round-half ties), so
+    the integer vectors are bit-identical in Spark and SQL."""
+    return F.transform(
+        _as_double(vec), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
+    )
+
+
+def _seed_centroids(corpus, n, id_col, vec_col, portable=False, scale=None):
     """Deterministic pseudo-random seed sample: the ``n`` vectors with
     the smallest xxhash64(id) — a distributed TakeOrderedAndProject, no
-    global window, reproducible across runs/engines."""
+    global window, reproducible across runs/engines. ``portable=True``
+    orders by the Knuth 31-bit hash (id tie-break) instead, which an
+    ANSI-SQL oracle can replay; ``scale`` additionally returns the
+    vectors in integer fixed-point units (see ``_int_units``)."""
     import numpy as np
 
+    h = _portable31(F.col(id_col)) if portable else F.xxhash64(F.col(id_col))
+    cv = _int_units(F.col(vec_col), scale) if scale else _as_double(F.col(vec_col))
     rows = (
-        corpus.select(
-            _as_double(F.col(vec_col)).alias("cv"),
-            F.xxhash64(F.col(id_col)).alias("__h"),
-        )
-        .orderBy("__h")
+        corpus.select(cv.alias("cv"), h.alias("__h"), F.col(id_col).alias("__id"))
+        .orderBy("__h", "__id")
         .limit(n)
         .select("cv")
         .collect()
     )
-    return np.stack([np.array(r["cv"]) for r in rows])
+    dt = np.int64 if scale else np.float64
+    return np.stack([np.array(r["cv"], dtype=dt) for r in rows])
 
 
 def _assign_kernel(cent_mat):
@@ -97,6 +117,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "maximin",
+    replay_scale: int | None = None,
 ):
     """Lloyd's k-means over an ``array<float>`` column. Returns
     ``(assignments, centers, n_iter)``: assignments is a DataFrame
@@ -114,6 +135,18 @@ def kmeans(
     minimum of random seeding; ``init="hash"`` is the one-scan
     hash-sample (use for large k where k-1 passes add up).
 
+    ``replay_scale=S`` switches to EXACT-REPLAY fixed-point mode: the
+    vectors become integer units floor(x*S), seeding orders by the
+    Knuth 31-bit hash (SQL-replayable, unlike xxhash64), centroid
+    updates are FLOORED integer means (Python ``//`` == SQL
+    ``floor(sum/n)``), and exactly ``max_iter`` iterations run (``tol``
+    ignored — an early stop isn't expressible as a fixed CTE chain).
+    Every distance is then an exact integer (max |x|*S ~5e5 at S=1e6 ->
+    d2 < 2^47, exact even through the float64 BLAS path), so
+    assignments and dist2 replay BIT-IDENTICALLY in DuckDB as chained
+    CTEs — the pagerank integer-determinism trick applied to Lloyd's.
+    Returns dist2 as the exact integer distance (long), not a float.
+
     Reference analog: none (corpus op); pyspark.ml.KMeans is the
     JVM-estimator equivalent — this stays in the DataFrame/Arrow lane
     so it composes with the rest of the pipeline and its plan is
@@ -122,10 +155,17 @@ def kmeans(
     """
     import numpy as np
 
-    base = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    vexpr = (
+        _int_units(F.col(vec_col), replay_scale)
+        if replay_scale
+        else _as_double(F.col(vec_col))
     )
-    if init == "maximin":
+    base = corpus.select(F.col(id_col).alias("id"), vexpr.alias("v"))
+    if replay_scale:
+        cent = _seed_centroids(
+            corpus, k, id_col, vec_col, portable=True, scale=replay_scale
+        )
+    elif init == "maximin":
         cent = _maximin_seeds(base, k)
     elif init == "hash":
         cent = _seed_centroids(corpus, k, id_col, vec_col)
@@ -147,16 +187,25 @@ def kmeans(
         new_cent = cent.copy()
         counts = np.zeros(k)
         for r in sums:
-            new_cent[r["c"], r["dim"]] = r["s"] / r["n"]
+            # replay mode: FLOORED integer mean — Python // floors
+            # exactly like the oracle's floor(sum/n)
+            new_cent[r["c"], r["dim"]] = (
+                int(r["s"]) // int(r["n"]) if replay_scale else r["s"] / r["n"]
+            )
             counts[r["c"]] = r["n"]
         shift = float(((new_cent - cent) ** 2).sum(axis=1).max())
         cent = new_cent
-        if shift < tol:
+        if not replay_scale and shift < tol:
             break
+    dist_out = (
+        F.col("a.dist2").cast("long")
+        if replay_scale
+        else F.round(F.col("a.dist2"), 6)
+    )
     assignments = base.withColumn("a", _assign_kernel(cent)(F.col("v"))).select(
         F.col("id").alias(id_col),
         F.col("a.cluster").alias("cluster"),
-        F.round(F.col("a.dist2"), 6).alias("dist2"),
+        dist_out.alias("dist2"),
     )
     return assignments, cent, n_iter
 
@@ -168,6 +217,7 @@ def pq_encode(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    replay_scale: int | None = None,
 ):
     """Product quantization (Jégou et al. 2011): split each vector into
     ``m`` contiguous subvectors, k-means each subspace to ``ks``
@@ -183,6 +233,14 @@ def pq_encode(
     argmins fused into a single Arrow kernel. At 100 TB the codes table
     is what you keep hot for ANN — the float vectors page to cold
     storage.
+
+    ``replay_scale=S`` propagates kmeans' exact-replay fixed-point mode
+    to every subspace fit and to the encoder: codebooks, codes and
+    reconstruction errors become exact integers that an ANSI-SQL oracle
+    replays bit-identically (``recon_err2`` is then the exact integer
+    error, not a rounded float). The per-subspace seed sample hashes the
+    SAME ids for every subspace (hash is on id only) — a valid
+    deterministic choice the oracle mirrors.
     """
     import numpy as np
     import pandas as pd
@@ -202,7 +260,7 @@ def pq_encode(
         # dominate the fit, and PQ averages away subspace init noise
         _, cent, _ = kmeans(
             sliced, k=ks, max_iter=max_iter, id_col=id_col, vec_col="sv",
-            init="hash",
+            init="hash", replay_scale=replay_scale,
         )
         books.append(cent)
     books_arr = np.stack(books)  # m x ks x sub
@@ -225,11 +283,21 @@ def pq_encode(
         return pd.DataFrame({"codes": list(codes), "recon_err2": np.maximum(err, 0.0)})
 
     enc_udf = F.pandas_udf(enc, "codes array<int>, recon_err2 double")
-    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vexpr = (
+        _int_units(F.col(vec_col), replay_scale)
+        if replay_scale
+        else _as_double(F.col(vec_col))
+    )
+    err_out = (
+        F.col("e.recon_err2").cast("long")
+        if replay_scale
+        else F.round(F.col("e.recon_err2"), 6)
+    )
+    base = corpus.select(F.col(id_col), vexpr.alias("v"))
     codes = base.withColumn("e", enc_udf(F.col("v"))).select(
         F.col(id_col),
         F.col("e.codes").alias("codes"),
-        F.round(F.col("e.recon_err2"), 6).alias("recon_err2"),
+        err_out.alias("recon_err2"),
     )
     return codes, books_arr
 
@@ -375,6 +443,7 @@ def ivfpq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    replay_scale: int | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §V): coarse IVF routing + PQ codes +
     asymmetric-distance scoring — the billion-scale composition where
@@ -394,6 +463,14 @@ def ivfpq_topk(
     scan prunes to nprobe/n_cells of the codes, and shuffles carry
     codes (m small ints), never float vectors; the re-rank join touches
     ~nq*k*refine ids. No full-corpus task, no global window.
+
+    ``replay_scale=S`` switches every stage that decides WHICH rows
+    survive — coarse seeds/routing, PQ codebooks/codes, per-query LUTs,
+    probe lists, the ADC shortlist — to the exact-integer fixed-point
+    arithmetic of ``kmeans(replay_scale=...)``, so the full
+    partial-probe IVFADC route replays in ANSI SQL; only the final
+    refine re-rank stays on the original double vectors (sequential
+    fold, engine-identical, rounded to 6).
     """
     import numpy as np
     import pandas as pd
@@ -401,25 +478,35 @@ def ivfpq_topk(
     from pyspark.sql import Window as W
 
     codes, books = pq_encode(
-        corpus, m=m, ks=ks, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+        corpus, m=m, ks=ks, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+        replay_scale=replay_scale,
     )
     sub = books.shape[2]
     ks_eff = books.shape[1]
     # coarse routing: hash-seeded centroids, L2 argmin (ADC scores L2)
-    cent = _seed_centroids(corpus, n_cells, id_col, vec_col)
-    base = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    cent = _seed_centroids(
+        corpus, n_cells, id_col, vec_col,
+        portable=bool(replay_scale), scale=replay_scale,
     )
+    vexpr = (
+        _int_units(F.col(vec_col), replay_scale)
+        if replay_scale
+        else _as_double(F.col(vec_col))
+    )
+    base = corpus.select(F.col(id_col).alias("id"), vexpr.alias("v"))
     routed = base.withColumn("a", _assign_kernel(cent)(F.col("v"))).select(
         "id", F.col("a.cluster").alias("cell")
     )
     coded = codes.select(F.col(id_col).alias("id"), "codes").join(routed, "id")
 
     qrows = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("qid"),
+        vexpr.alias("qv"),
+        _as_double(F.col(vec_col)).alias("qf"),
     ).collect()
     qids = [int(r["qid"]) for r in qrows]
     Q = np.stack([np.array(r["qv"]) for r in qrows])
+    Qf = np.stack([np.array(r["qf"]) for r in qrows])
     nq = len(qids)
     # per-query LUTs (nq x m x ks doubles, kernel closure)
     luts = np.empty((nq, m, ks_eff))
@@ -480,7 +567,7 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
     qvec_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in Q[i]]) for i in range(nq)
+        F.array(*[F.lit(float(x)) for x in Qf[i]]) for i in range(nq)
     ])
     qidx = F.create_map(*[
         x for qid, i in qpos.items() for x in (F.lit(qid), F.lit(i))

@@ -177,3 +177,38 @@ def test_triangle_count_matches_naive_on_random_graphs(spark):
         df = spark.createDataFrame(edges, ["src", "dst"])
         row = triangle_count(df, materialize=False).collect()[0]
         assert (row["triangles"], row["wedges"]) == (want_t, want_w), (n, p)
+
+
+def test_replay_mode_exact_integers(spark):
+    """Exact-replay fixed-point mode: distances and errors are exact
+    integers, reruns are bit-identical, and the float production mode
+    is untouched (still returns rounded float dist2)."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.cluster import kmeans, pq_encode
+
+    emb = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.sin(F.col("id") * i).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    a1, c1, _ = kmeans(emb, k=4, max_iter=3, replay_scale=1_000_000)
+    a2, c2, _ = kmeans(emb, k=4, max_iter=3, replay_scale=1_000_000)
+    assert (c1 == c2).all() and c1.dtype.kind == "i"
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2
+    assert all(isinstance(r[2], int) for r in r1)  # exact long dist2
+    codes, books = pq_encode(emb, m=4, ks=4, max_iter=2, replay_scale=1_000_000)
+    assert books.dtype.kind == "i"
+    rows = codes.collect()
+    assert all(isinstance(r["recon_err2"], int) for r in rows)
+    # float mode unchanged: rounded double distances
+    af, cf, _ = kmeans(emb, k=4, max_iter=3)
+    assert cf.dtype.kind == "f"
+    assert all(isinstance(r["dist2"], float) for r in af.collect())
