@@ -471,14 +471,19 @@ def contamination(
     (id, shingle) ``distinct`` exchange.
 
     ``method="bloom"``: the 100 TB form. Heldout distinct shingle hashes
-    are collected once (bounded: heldout benchmarks are MBs) into a
-    Bloom filter sized for ``fpp``, broadcast, and probed per document
-    with a vectorized Arrow UDF over the in-place shingle-hash array —
-    the corpus branch is a pure scan with ZERO exchanges. Only the
-    flagged residue (true positives + ~fpp of the corpus) enters the
-    exact broadcast-join verify stage, so the result is IDENTICAL to
-    ``method="join"`` while the shuffle is bounded by the contaminated
-    fraction instead of the corpus size.
+    are packed into a Bloom filter sized for ``fpp`` BY A DISTRIBUTED
+    bit_or AGGREGATE (per-batch partial blooms OR-merged map-side; the
+    driver receives only the packed bitset it must broadcast anyway,
+    never the raw hash stream), broadcast, and probed per document with
+    a vectorized Arrow UDF over the in-place shingle-hash array — the
+    corpus branch is a pure scan with ZERO exchanges. Only the flagged
+    residue (true positives + ~fpp of the corpus) enters the exact
+    verify join against the distributed heldout hash frame (broadcast
+    hint), so the result is IDENTICAL to ``method="join"`` while the
+    shuffle is bounded by the contaminated fraction instead of the
+    corpus size. Note: constructing the operator runs the sizing count
+    and the bloom-build job eagerly (the bitset must exist to ship in
+    the probe closure).
 
     Filter training data with an anti-join on the result. No reference
     analog — standard practice from public LLM-data pipelines (e.g.
@@ -535,18 +540,69 @@ def _bloom_build(hashes, fpp: float):
     return words, m_bits, n_probes
 
 
+def _bloom_build_distributed(held, fpp: float):
+    """Distributed twin of ``_bloom_build``: ``held`` is a DataFrame of
+    distinct 64-bit hashes (column ``shingle``). Each Arrow batch
+    computes its probe positions and OR-collapses them to sparse
+    (word_idx, word) partials; a map-side-combined ``bit_or`` aggregate
+    merges the partials and the driver receives only the packed nonzero
+    words — bounded by the bitset it must broadcast anyway, NEVER the
+    raw hash stream (the r4 form pulled every heldout hash through
+    toPandas, a driver bottleneck once heldout grows with the corpus).
+    Same double-hashed format, so the probe kernel is unchanged."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = held.count()
+    n_eff = max(n, 1)
+    m_bits = max(64, int(math.ceil(-n_eff * math.log(fpp) / (math.log(2) ** 2))))
+    n_probes = max(1, int(round(m_bits / n_eff * math.log(2))))
+    n_words = (m_bits + 63) // 64
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["shingle"].to_numpy(dtype="int64").view(np.uint64)
+            step = (h * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+            idx = np.concatenate(
+                [(h + np.uint64(i) * step) % np.uint64(m_bits) for i in range(n_probes)]
+            )
+            widx = (idx >> np.uint64(6)).astype(np.int64)
+            bits = (np.uint64(1) << (idx & np.uint64(63))).view(np.int64)
+            agg = (
+                pd.DataFrame({"idx": widx, "w": bits})
+                .groupby("idx")["w"]
+                .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+            )
+            yield pd.DataFrame({"idx": agg.index.to_numpy(), "w": agg.to_numpy()})
+
+    rows = (
+        held.mapInPandas(part, "idx long, w long")
+        .groupBy("idx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .collect()
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    if rows:
+        widx = np.array([r["idx"] for r in rows], dtype=np.int64)
+        ws = np.array([r["w"] for r in rows], dtype=np.int64).view(np.uint64)
+        words[widx] = ws
+    return words, m_bits, n_probes
+
+
 def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
     import pandas as pd
 
     spark = docs.sparkSession
-    held_hashes = (
+    held = (
         heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
-        .toPandas()["shingle"]
-        .to_numpy(dtype="int64")
     )
-    bloom = spark.sparkContext.broadcast(_bloom_build(held_hashes, fpp))
+    bloom = spark.sparkContext.broadcast(_bloom_build_distributed(held, fpp))
 
     def _bloom_hits(arrs):
         import numpy as np
@@ -586,10 +642,10 @@ def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
     )
     # Exact verify on the flagged residue: __hs is already distinct, so a
     # broadcast semi-count needs no distinct exchange; the groupBy
-    # shuffles only flagged ids.
-    held_df = F.broadcast(
-        spark.createDataFrame([(int(v),) for v in held_hashes], "shingle long")
-    )
+    # shuffles only flagged ids. The heldout side stays a DISTRIBUTED
+    # frame under a broadcast hint (Spark torrent-broadcasts the small
+    # side) — no createDataFrame from a driver-side hash list.
+    held_df = F.broadcast(held)
     # explode_outer, not explode: an inner explode lets Catalyst infer a
     # size(__hs)>0 constraint and push the WHOLE regex/shingle chain into
     # the scan filter, re-evaluating it for every corpus row. Outer

@@ -167,7 +167,9 @@ SHUFFLE_CEILING = {
     # broadcast; the vocab branch is persisted so its plan-time lineage
     # (counted here) runs once at runtime
     "unigram_logprob": 7,
-    "decontaminate_bloom": 2,  # flagged-residue agg + heldout broadcast
+    # flagged-residue agg + heldout distinct + heldout broadcast (the
+    # heldout side is distributed since r5 — no driver hash collection)
+    "decontaminate_bloom": 3,
     # slice-count agg (+tiny-table window) + data shuffle on slice + broadcast
     "train_order": 4,
     # plan-time lineage: the persisted doc-score table appears on both
@@ -330,9 +332,10 @@ def test_embed_neardup_prefilter_buckets_once(spark):
 def test_contamination_bloom_zero_shuffle_corpus(spark):
     """contamination(method='bloom') must keep the corpus branch a pure
     scan: shingle-hash arrays built in place (no explode), probed by ONE
-    Arrow UDF against the broadcast bloom; the only exchange is the
-    per-doc aggregate over the flagged residue, and the heldout side is
-    a pre-collected local relation (no second corpus FileScan)."""
+    Arrow UDF against the broadcast bloom. The heldout side is a
+    DISTRIBUTED frame (bloom built by a bit_or aggregate, verify side
+    broadcast by Spark) — no toPandas/createDataFrame materialization
+    proportional to heldout size anywhere (r4 VERDICT scale flag)."""
     from eventkit_spark.llm.dedup import contamination
     from eventkit_spark.plans.audit import count_shuffles, physical_plan
     from eventkit_spark.sources.tables import load_table
@@ -342,11 +345,13 @@ def test_contamination_bloom_zero_shuffle_corpus(spark):
     held = docs.filter(F.col("doc_id") % 5 == 0)
     out = contamination(train, held, method="bloom")
     plan = physical_plan(out)
-    assert plan.count("FileScan") == 1, "bloom path should scan the corpus once"
+    # corpus scanned once; heldout scanned once (its distinct hash frame
+    # replaces the r4 LocalTableScan of driver-collected hashes)
+    assert plan.count("FileScan") == 2, "corpus + heldout scans expected"
+    assert "LocalTableScan" not in plan, "heldout must stay distributed"
     assert plan.count("ArrowEvalPython") == 1, "one bloom-probe kernel"
-    # one hash exchange (flagged-residue aggregate); the broadcast
-    # exchange ships the collected heldout hashes, not corpus data
-    assert plan.count("Exchange hashpartitioning") == 1
+    # two hash exchanges: flagged-residue aggregate + heldout distinct
+    assert plan.count("Exchange hashpartitioning") == 2
     # the regex/shingle chain must not be inferred into the scan filter
     # (the explode_outer guard) — corpus rows pay it exactly once
     scan_filter = [ln for ln in plan.splitlines() if "PushedFilters" in ln or "DataFilters" in ln]
