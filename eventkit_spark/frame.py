@@ -278,15 +278,19 @@ class EventFrame:
 
         return _ma(self, coro_fn, return_type, timeout, ordered, task_limit, name)
 
-    def try_map_pandas(self, fn, return_type, name: str = "value"):
-        """map_pandas that routes exceptions to the error column."""
-        return _misc.try_map_pandas(self, fn, return_type, name)
+    def try_map_pandas(self, fn, return_type, name: str = "value",
+                       src: str | None = None):
+        """map_pandas that routes exceptions to the error column;
+        ``src`` tags the raising site into ``error_src``."""
+        return _misc.try_map_pandas(self, fn, return_type, name, src)
 
-    def try_map(self, fn, names=None, error_msg: str = "map failed"):
+    def try_map(self, fn, names=None, error_msg: str = "map failed",
+                src: str | None = None):
         """Column-expression map with error-channel semantics: NULL
         results from non-null inputs populate ``error`` (fallible pluck,
-        try_cast, try_divide, ...)."""
-        return _misc.try_map_cols(self, fn, names, error_msg)
+        try_cast, try_divide, ...); ``src`` tags the site into
+        ``error_src``."""
+        return _misc.try_map_cols(self, fn, names, error_msg, src)
 
     # -- aggregates (SURVEY.md §2.4) ----------------------------------
     def reduce(self, merge_expr, initializer=None, result_type="double"):

@@ -15,12 +15,16 @@ from .common import RN, meta_cols, wcum
 
 
 ERROR_COL = "error"
+ERROR_SRC_COL = "error_src"
 
 
-def try_map_pandas(ef, fn, return_type, name: str = "value"):
+def try_map_pandas(ef, fn, return_type, name: str = "value", src: str | None = None):
     """Arrow-batched map that captures per-row exceptions into the
     ``error`` column instead of failing the job (the reference emits
-    (source, exception) on error_event, eventkit/ops/op.py:29-33)."""
+    (source, exception) on error_event, eventkit/ops/op.py:29-33).
+    ``src`` tags WHICH map site raised — the reference pair's ``source``
+    half — into the ``error_src`` column (default: the callable's
+    name); a constant per site, zero runtime cost."""
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -41,17 +45,20 @@ def try_map_pandas(ef, fn, return_type, name: str = "value"):
 
     _udf = F.pandas_udf(_kernel, out_schema)
 
+    src = src or getattr(fn, "__name__", None) or "map"
     packed = _udf(*[F.col(c) for c in ef.value_cols])
     cols = [F.col(c) for c in meta_cols(ef)]
     df = ef.df.select(*cols, packed.alias("__ek_packed")).select(
         *[F.col(c) for c in meta_cols(ef)],
         F.col("__ek_packed.v").alias(name),
         F.col("__ek_packed.e").alias(ERROR_COL),
+        F.when(F.col("__ek_packed.e").isNotNull(), F.lit(src)).alias(ERROR_SRC_COL),
     )
     return ef._with(df=df, value_cols=[name])
 
 
-def try_map_cols(ef, fn, names=None, error_msg: str = "map failed"):
+def try_map_cols(ef, fn, names=None, error_msg: str = "map failed",
+                 src: str | None = None):
     """Fallible COLUMN-expression map with error-channel semantics.
 
     The reference propagates exceptions from every operator on
@@ -74,21 +81,43 @@ def try_map_cols(ef, fn, names=None, error_msg: str = "map failed"):
     failed = inputs_ok
     for o in out:
         failed = failed & o.isNull()
+    src = src or getattr(fn, "__name__", None) or "map"
     err = F.when(failed, F.lit(error_msg))
+    src_col = F.when(failed, F.lit(src))
     if ERROR_COL in ef.df.columns:
+        # a pre-existing error wins — keep ITS source tag too
+        prior_src = (
+            F.col(ERROR_SRC_COL)
+            if ERROR_SRC_COL in ef.df.columns
+            else F.when(F.col(ERROR_COL).isNotNull(), F.lit("upstream"))
+        )
+        src_col = F.coalesce(prior_src, src_col)
         err = F.coalesce(F.col(ERROR_COL), err)
     cols = [F.col(c) for c in meta_cols(ef)]
     cols += [o.alias(n) for o, n in zip(out, names)]
     cols.append(err.alias(ERROR_COL))
+    cols.append(src_col.alias(ERROR_SRC_COL))
     return ef._with(df=ef.df.select(*cols), value_cols=list(names))
 
 
 def errors(ef):
-    """The error side-channel as a stream (misc.py:5-15)."""
+    """The error side-channel as a stream (misc.py:5-15). The
+    reference emits (source, exception) PAIRS; the engine carries the
+    exception text as the stream value and the raising site as the
+    ``error_src`` column riding alongside (NULL when the error was
+    injected without a tag) — value semantics unchanged, the pair's
+    source half recoverable from the frame."""
     if ERROR_COL not in ef.df.columns:
         raise ValueError("stream has no error column; use try_map_pandas first")
+    src_col = (
+        F.col(ERROR_SRC_COL)
+        if ERROR_SRC_COL in ef.df.columns
+        else F.lit(None).cast("string")
+    )
     df = ef.df.filter(F.col(ERROR_COL).isNotNull()).select(
-        *[F.col(c) for c in meta_cols(ef)], F.col(ERROR_COL).alias("value")
+        *[F.col(c) for c in meta_cols(ef)],
+        F.col(ERROR_COL).alias("value"),
+        src_col.alias(ERROR_SRC_COL),
     )
     return ef._with(df=df, value_cols=["value"])
 

@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 
+# unkeyed as-of range boundaries, keyed by (plan semantic hash,
+# partitions) — repeat constructions skip the plan-time quantile job
+_ASOF_BOUNDS_CACHE: dict[tuple, list] = {}
+
 
 def asof_join(
     left: DataFrame,
@@ -67,6 +71,15 @@ def asof_join(
 
     ``partitions`` sizes the unkeyed range partitioning (default:
     ``spark.sql.shuffle.partitions``); ignored when ``by`` is given.
+
+    Plan-time note (unkeyed form only): the range boundaries come from
+    ONE driver-side ``approxQuantile`` sketch, which runs a cheap Spark
+    job when the join is CONSTRUCTED (not at first action) — the
+    literal boundaries are what make every branch that re-reads the
+    union recompute identical bucket ids with no checkpoint. Repeat
+    constructions over the same input plan hit a memo cache
+    (semantic-hash keyed), so building a pipeline twice triggers no
+    second job.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
@@ -133,11 +146,26 @@ def asof_join(
         )
         tnum = F.col(ts_col).cast("double")
         probs = [i / n_part for i in range(1, n_part)]
-        bounds = (
-            sorted(set(u.select(tnum.alias("__t")).approxQuantile("__t", probs, 0.001)))
-            if probs
-            else []
-        )
+        # memo the sketch by the semantic hash of the projected plan:
+        # constructing the same join twice (or fanning one join out to
+        # several downstream pipelines) must not re-run the plan-time
+        # quantile job
+        tproj = u.select(tnum.alias("__t"))
+        try:
+            key = (tproj._jdf.queryExecution().analyzed().semanticHash(), n_part)
+        except Exception:  # noqa: BLE001 — connect/mock sessions: skip memo
+            key = None
+        bounds = _ASOF_BOUNDS_CACHE.get(key) if key is not None else None
+        if bounds is None:
+            bounds = (
+                sorted(set(tproj.approxQuantile("__t", probs, 0.001)))
+                if probs
+                else []
+            )
+            if key is not None:
+                if len(_ASOF_BOUNDS_CACHE) > 64:
+                    _ASOF_BOUNDS_CACHE.clear()
+                _ASOF_BOUNDS_CACHE[key] = bounds
         if bounds:
             barr = F.array(*[F.lit(float(b)) for b in bounds])
             pid = F.size(F.filter(barr, lambda b: tnum > b))

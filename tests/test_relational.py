@@ -536,3 +536,26 @@ def test_bootstrap_mixer_survives_large_seq_ids(spark):
         ).alias("b"),
     )
     assert small.filter("a <> b").count() == 0
+
+
+def test_unkeyed_asof_bounds_memoized(spark):
+    """Re-constructing the same unkeyed as-of join must not re-run the
+    plan-time quantile job — the memo keys on the analyzed plan's
+    semantic hash, so pipeline fan-out builds pay the sketch once."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.operators import relational
+    from eventkit_spark.operators.relational import asof_join
+
+    left = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("ts"))
+    right = spark.range(50).select((F.col("id") * 4.0).alias("ts"), F.col("id").alias("q"))
+    relational._ASOF_BOUNDS_CACHE.clear()
+    tracker = spark.sparkContext.statusTracker()
+    out1 = asof_join(left, right, "ts", right_cols=["q"], partitions=4)
+    jobs_after_first = len(tracker.getJobIdsForGroup(None) or [])
+    assert len(relational._ASOF_BOUNDS_CACHE) == 1
+    out2 = asof_join(left, right, "ts", right_cols=["q"], partitions=4)
+    jobs_after_second = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after_second == jobs_after_first, "second construction ran a job"
+    # and the two constructions agree
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))

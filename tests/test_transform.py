@@ -103,3 +103,25 @@ def test_try_map_errors(ints):
     assert len(errs) == 4 and all("ZeroDivisionError" in e for e in errs)
     ok = ef.end_on_error()
     assert ok.to_list() == []  # first row already errors
+
+
+def test_error_src_tags_raising_site(spark, ints):
+    """errors() recovers the reference's (source, exception) pair: the
+    error_src column names which map site raised (eventkit/ops/
+    misc.py:5-15 emits the pair on error_event)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    def halve(v):
+        return 10 // (v % 3)
+
+    ef = ints.try_map_pandas(halve, T.LongType())
+    errs = ef.errors().df.select("value", "error_src").collect()
+    assert len(errs) > 0
+    assert all(r["error_src"] == "halve" for r in errs)
+    # explicit tag + column-expression path
+    d = ints.map(lambda v: v.cast("double")).try_map(
+        lambda v: F.try_divide(F.lit(8.0), v - 4), error_msg="div0", src="ratio"
+    )
+    rows = d.errors().df.select("value", "error_src").collect()
+    assert [(r["value"], r["error_src"]) for r in rows] == [("div0", "ratio")]
