@@ -13,6 +13,7 @@ semantics exist:
 | debounce (on_last)         | session window, last value per burst        |
 | unique                     | dropDuplicatesWithinWatermark               |
 | merge                      | unionByName (arrival order)                 |
+| concat / switch / chain    | keyed first-emit cut state machine          |
 | zip / ziplatest            | two-queue / two-slot keyed state            |
 | sample                     | union + stateful latest, emit on timer tag  |
 | throttle                   | sliding-budget deque in the state store     |
@@ -119,6 +120,189 @@ class StreamFrame:
         for o in others:
             df = df.unionByName(o.df, allowMissingColumns=True)
         return self._with(df=df)
+
+    def concat(self, *others: "StreamFrame") -> DataFrame:
+        """Streaming Concat combinator (batch operators/combine.py
+        concat; reference ``eventkit/ops/combine.py:142-174``): source
+        i's rows pass until the first emit of any later-listed source —
+        see ``_combine_cut``."""
+        return self._combine_cut(others, "concat")
+
+    def switch(self, *others: "StreamFrame") -> DataFrame:
+        """Streaming Switch combinator (batch operators/combine.py
+        switch; reference ``eventkit/ops/combine.py:105-139``): each
+        source is live from its first emit until the first emit of the
+        next source to start — see ``_combine_cut``."""
+        return self._combine_cut(others, "switch")
+
+    def chain(self, *others: "StreamFrame") -> DataFrame:
+        """Streaming Chain combinator (batch operators/combine.py
+        chain; reference ``eventkit/ops/combine.py:177-216``): all of
+        source 0, then source 1, ... — later sources BUFFER in the
+        state store until every earlier source has ended (the
+        NULL-value end marker), then flush in (source, arrival) order.
+        Output carries ``chain_no`` (source index * 2^40 + arrival seq)
+        for a total order the sink can sort on."""
+        return self._combine_cut(others, "chain")
+
+    def _combine_cut(self, others, discipline: str) -> DataFrame:
+        """Keyed cut state machine shared by the streaming
+        Concat/Switch/Chain combinators — the multi-STREAM siblings of
+        ``_emap_cut``'s higher-order disciplines.
+
+        The sources union with a ``tag`` (list index); per key the
+        handler tracks, per source: its first-emit key ``(ts, tag,
+        seq)``, its event-time clock (max ts seen — per source, rows
+        are assumed to arrive in event-time order, the same convention
+        every stateful twin here uses), an arrival counter (the batch
+        engine's per-source ``seq`` tie-break), and a done flag. A row
+        with a NULL value is the END MARKER for its source (the
+        streaming analog of ``_emap_rows``' NULL-child set_done row):
+        it advances that source's clock to +inf and emits nothing.
+
+        Verdicts mirror the batch cut exactly:
+        - concat: row ``rk`` of source i dies iff some source j>i has
+          first-emit <= rk; it is SAFE to emit once every later source
+          either emitted (kill known) or has clock >= rk.ts (a future
+          first emit would compare greater — tag j > i breaks the tie).
+        - switch: row dies iff rk >= the first first-emit after its own
+          source's; safe once no not-yet-started source could still
+          first-emit at or below rk.
+        - chain: nothing dies; source i flushes when all j<i are done.
+
+        Undecided rows wait in the state store; kill verdicts are
+        monotone (more firsts only add kills), so emitted rows are
+        final. Scale: state is per (key, source-list) — partition-
+        parallel across keys; pending size is bounded by the
+        cross-source event-time skew, not the stream length.
+        """
+        srcs = [self, *others]
+        n = len(srcs)
+        keys = list(self.key_cols)
+        vt = _sql_type(self.df, self.value_cols[0])
+        tagged = None
+        for i, s in enumerate(srcs):
+            d = s.df.select(
+                *keys,
+                F.col(s.ts_col).cast("timestamp").alias("ts"),
+                F.lit(i).alias("tag"),
+                F.col(s.value_cols[0]).cast(vt).alias("value"),
+            )
+            tagged = d if tagged is None else tagged.unionByName(d)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"ts timestamp, src int, chain_no long, value {vt}"
+        )
+        state_schema = (
+            f"pts array<long>, ptag array<long>, pseq array<long>, "
+            f"pval array<{vt}>, fts array<long>, fseq array<long>, "
+            f"clock array<long>, seqc array<long>"
+        )
+        kcols = list(keys)
+        NONE = 2**62
+
+        def handler(key, pdfs, state: GroupState):
+            if state.exists:
+                pts, ptag, pseq, pval, fts, fseq, clock, seqc = state.get
+                pending = [list(pts), list(ptag), list(pseq), list(pval)]
+                fts, fseq = list(fts), list(fseq)
+                clock, seqc = list(clock), list(seqc)
+            else:
+                pending = [[], [], [], []]
+                fts, fseq = [NONE] * n, [0] * n
+                clock, seqc = [-NONE] * n, [0] * n
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["ts", "tag"])
+                for r in pdf.itertuples():
+                    j = int(r.tag)
+                    if pd.isna(r.value):  # end marker for source j
+                        clock[j] = NONE
+                        continue
+                    t = int(pd.Timestamp(r.ts).value // 1000)
+                    s = seqc[j]
+                    seqc[j] += 1
+                    clock[j] = max(clock[j], t)
+                    if fts[j] == NONE or (t, s) < (fts[j], fseq[j]):
+                        fts[j], fseq[j] = t, s
+                    pending[0].append(t)
+                    pending[1].append(j)
+                    pending[2].append(s)
+                    pending[3].append(r.value)
+            firsts = {
+                j: (fts[j], j, fseq[j]) for j in range(n) if fts[j] != NONE
+            }
+
+            def verdict(rk, i):
+                if discipline == "chain":
+                    return (
+                        "keep"
+                        if all(clock[j] == NONE for j in range(i))
+                        else "wait"
+                    )
+                if discipline == "concat":
+                    for j in range(i + 1, n):
+                        if j in firsts and firsts[j] <= rk:
+                            return "kill"
+                    for j in range(i + 1, n):
+                        if j not in firsts and clock[j] < rk[0]:
+                            return "wait"
+                    return "keep"
+                # switch
+                fi = firsts[i]
+                nxt = min((f for f in firsts.values() if f > fi), default=None)
+                if nxt is not None and rk >= nxt:
+                    return "kill"
+                for j in range(n):
+                    if j == i or j in firsts or clock[j] == NONE:
+                        continue
+                    if (clock[j], j, 0) <= rk:
+                        return "wait"
+                return "keep"
+
+            outs, keep = [], [[], [], [], []]
+            order = sorted(
+                range(len(pending[0])),
+                key=lambda x: (pending[0][x], pending[1][x], pending[2][x]),
+            )
+            for x in order:
+                t, i, s, v = (
+                    pending[0][x], pending[1][x], pending[2][x], pending[3][x],
+                )
+                vd = verdict((t, i, s), i)
+                if vd == "kill":
+                    continue
+                if vd == "keep":
+                    outs.append({
+                        **dict(zip(kcols, key)),
+                        "ts": pd.Timestamp(t * 1000),
+                        "src": i,
+                        "chain_no": i * (1 << 40) + s,
+                        "value": v,
+                    })
+                else:
+                    keep[0].append(t)
+                    keep[1].append(i)
+                    keep[2].append(s)
+                    keep[3].append(v)
+            state.update((
+                keep[0], keep[1], keep[2], keep[3],
+                fts, fseq, clock, seqc,
+            ))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = (
+            tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
+        )
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
 
     # -- stateful running aggregates (emit one row per input row) -----
     def running_agg(self, kinds: Sequence[str] = ("sum",), ema_n: int = 10) -> DataFrame:

@@ -666,3 +666,63 @@ def test_streaming_kalman(spark, stream_dir):
     sp = {(r["user_id"], r["ts"]): (r["kf_x"], r["kf_p"], r["kf_gain"])
           for r in out.collect()}
     assert sp == bp and len(sp) == 1000
+
+
+def _combo_stream(spark, tmp_path_factory, times, values, tag):
+    """One combinator source: rows at epoch+times seconds plus a
+    trailing NULL-value end marker (the done row _combine_cut flushes
+    on), single key."""
+    import datetime as dt
+
+    import pandas as pd
+
+    path = str(tmp_path_factory.mktemp(f"combo_{tag}"))
+    epoch = dt.datetime(2024, 1, 1)
+    end = max(times) + 100.0
+    pdf = pd.DataFrame(
+        {
+            "ts": [epoch + dt.timedelta(seconds=t) for t in [*times, end]],
+            "user_id": [1] * (len(times) + 1),
+            "value": [float(v) for v in values] + [None],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    from eventkit_spark.streaming import file_stream
+
+    return file_stream(
+        spark,
+        path,
+        schema="ts timestamp, user_id long, value double",
+        value_cols=["value"],
+        ts_col="ts",
+        key_cols=["user_id"],
+    )
+
+
+def test_streaming_combinator_cuts(spark, tmp_path_factory):
+    """Streaming concat/switch/chain match the batch combinators on a
+    three-source first-emit-cut scenario (reference golden semantics:
+    concat kills earlier sources at a later source's first emit,
+    switch keeps each source live until the next one starts)."""
+    from eventkit_spark.sources.create import sequence
+
+    specs = [
+        ([0.0, 1.0, 2.0, 3.0, 4.0], [10, 11, 12, 13, 14]),
+        ([2.5, 3.5], [20, 21]),
+        ([3.2, 5.0], [30, 31]),
+    ]
+    batch = [
+        sequence(spark, [float(v) for v in vals], times=times)
+        for times, vals in specs
+    ]
+    for disc in ("concat", "switch", "chain"):
+        expect = getattr(batch[0], disc)(batch[1], batch[2]).to_list()
+        streams = [
+            _combo_stream(spark, tmp_path_factory, times, vals, f"{disc}{i}")
+            for i, (times, vals) in enumerate(specs)
+        ]
+        out = getattr(streams[0], disc)(streams[1], streams[2])
+        got_df = streams[0].run_available_now(sink_df=out, name=f"ek_cc_{disc}")
+        order = ["chain_no"] if disc == "chain" else ["ts", "src"]
+        got = [r["value"] for r in got_df.orderBy(*order).collect()]
+        assert got == expect, f"{disc}: {got} != {expect}"
