@@ -135,6 +135,24 @@ def q_running_sum(spark, sf):
     return ef.df.select("event_id", "user_id", F.round("value", 6).alias("rsum"))
 
 
+def q_running_sum_scaled(spark, sf):
+    # SURVEY §7.2 two-pass UNKEYED running sum (aggregate.running_scaled,
+    # new in r5): range buckets from a memoized seq quantile sketch,
+    # per-bucket cumulative windows in parallel, broadcast carry-ins —
+    # a totally ordered stream without the single-task global window.
+    # Integer cents keep bucket re-association value-identical, so the
+    # oracle is the plain sequential cumulative sum.
+    from eventkit_spark.sources.tables import from_dataframe
+
+    df = load_table(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ef = from_dataframe(df, value_cols=["cents"], seq_col="event_id", ts_col=None)
+    out = ef.sum(scaled=True)
+    return out.df.select("event_id", F.col("value").alias("rsum_cents"))
+
+
 def q_running_mean(spark, sf):
     # exact-integer formulation: values are 2-decimal doubles, so the
     # running mean in micro-units is (sum of cents * 10^4) div count —
@@ -3041,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise": q_pairwise,
         "json_pluck": q_json_pluck,
         "running_sum": q_running_sum,
+        "running_sum_scaled": q_running_sum_scaled,
         "array_std": q_array_std,
         "array_mean": q_array_mean,
         "chain": q_chain,
@@ -3386,6 +3405,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, round(epoch(ts), 6) AS epoch_s FROM events""",
         "running_sum": f"""
             SELECT event_id, user_id, round(sum(value) OVER ({_CUM}), 6) AS rsum FROM events""",
+        "running_sum_scaled": """
+            SELECT event_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                     ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rsum_cents
+            FROM events""",
         "running_mean": f"""
             SELECT event_id, user_id,
                    CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER ({_CUM}) * 10000)

@@ -296,25 +296,41 @@ class EventFrame:
     def reduce(self, merge_expr, initializer=None, result_type="double"):
         return _agg.reduce_(self, merge_expr, initializer, result_type)
 
-    def min(self):
+    def min(self, scaled: bool = False, partitions: int | None = None):
+        if scaled:
+            return _agg.running_scaled(self, "min", partitions=partitions)
         return _agg.min_(self)
 
-    def max(self):
+    def max(self, scaled: bool = False, partitions: int | None = None):
+        if scaled:
+            return _agg.running_scaled(self, "max", partitions=partitions)
         return _agg.max_(self)
 
-    def sum(self, start=0):
+    def sum(self, start=0, scaled: bool = False, partitions: int | None = None):
+        """Running sum. ``scaled=True`` (unkeyed streams only) switches
+        to the two-pass range-partitioned form — parallel at any length,
+        exact on integers; float sums re-associate (see
+        aggregate.running_scaled)."""
+        if scaled:
+            return _agg.running_scaled(self, "sum", start=start, partitions=partitions)
         return _agg.sum_(self, start)
 
     def product(self, start=1):
         return _agg.product(self, start)
 
-    def mean(self):
+    def mean(self, scaled: bool = False, partitions: int | None = None):
+        if scaled:
+            return _agg.running_scaled(self, "mean", partitions=partitions)
         return _agg.mean(self)
 
-    def any(self):
+    def any(self, scaled: bool = False, partitions: int | None = None):
+        if scaled:
+            return _agg.running_scaled(self, "any", partitions=partitions)
         return _agg.any_(self)
 
-    def all(self):
+    def all(self, scaled: bool = False, partitions: int | None = None):
+        if scaled:
+            return _agg.running_scaled(self, "all", partitions=partitions)
         return _agg.all_(self)
 
     def ema(self, n: int | None = None, weight: float | None = None):

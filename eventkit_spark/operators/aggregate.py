@@ -29,6 +29,122 @@ def _running(ef, agg_fn, name="value", frame=None):
     return ef._with(df=ef.df.select(*cols), value_cols=[name])
 
 
+# range boundaries for the scaled unkeyed path, memoized like the
+# unkeyed as-of join's (relational._ASOF_BOUNDS_CACHE pattern)
+_SEQ_BOUNDS_CACHE: dict[tuple, list] = {}
+
+
+def running_scaled(ef, kind: str, start=0, partitions: int | None = None,
+                   name: str = "value"):
+    """UNKEYED running aggregate without the single-task global window —
+    the SURVEY §7.2 two-pass for the associative kinds (``sum`` ``min``
+    ``max`` ``mean`` ``count`` ``any`` ``all``):
+
+    1. ONE memoized driver-side quantile sketch over ``seq`` fixes range
+       boundaries; the bucket id is a pure literal expression (the
+       unkeyed as-of join's discipline — recompute-safe, no checkpoint).
+    2. Per-bucket cumulative window, partition-parallel across buckets.
+    3. Bucket totals aggregate map-side into a #buckets-row table whose
+       EXCLUSIVE running roll-up (a tiny single-task window over buckets,
+       kilobytes) gives each bucket's carry-in, broadcast back and
+       combined with the local cumulative.
+
+    Exact for min/max/count/any/all on any type and for sum/mean on
+    integer payloads; FLOAT sums re-associate (bucket partials + carry
+    instead of a strict left fold), so results can differ in final ulps
+    from the sequential form — use the default single-task path when
+    bit-stable float folds matter. Keyed frames are already
+    partition-parallel; asking for the scaled path there is a misuse.
+    """
+    if ef.key_cols:
+        raise ValueError(
+            "running_scaled() is the UNKEYED scale path; keyed streams "
+            "are already partition-parallel — drop scaled=True"
+        )
+    kinds = ("sum", "min", "max", "mean", "count", "any", "all")
+    if kind not in kinds:
+        raise ValueError(f"kind must be one of {kinds}, got {kind!r}")
+    v = value_col(ef)
+    n_part = partitions or int(
+        ef.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    snum = F.col(ef.seq_col).cast("double")
+    tproj = ef.df.select(snum.alias("__t"))
+    try:
+        key = (tproj._jdf.queryExecution().analyzed().semanticHash(), n_part)
+    except Exception:  # noqa: BLE001 — connect/mock sessions: skip memo
+        key = None
+    bounds = _SEQ_BOUNDS_CACHE.get(key) if key is not None else None
+    if bounds is None:
+        probs = [i / n_part for i in range(1, n_part)]
+        bounds = (
+            sorted(set(tproj.approxQuantile("__t", probs, 0.001)))
+            if probs
+            else []
+        )
+        if key is not None:
+            if len(_SEQ_BOUNDS_CACHE) > 64:
+                _SEQ_BOUNDS_CACHE.clear()
+            _SEQ_BOUNDS_CACHE[key] = bounds
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: snum > b))
+    else:
+        pid = F.lit(0)
+    df = ef.df.withColumn("__pid", pid)
+    wloc = (
+        W.partitionBy("__pid")
+        .orderBy(F.col(ef.seq_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wcarry = (
+        W.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    vi = v.cast("boolean").cast("int") if kind in ("any", "all") else v
+    if kind == "mean":
+        local_s = F.sum(vi).over(wloc)
+        local_n = F.count(vi).over(wloc)
+        totals = df.groupBy("__pid").agg(
+            F.sum(vi).alias("__s"), F.count(vi).alias("__n")
+        )
+        carry = totals.select(
+            "__pid",
+            F.sum("__s").over(wcarry).alias("__cs"),
+            F.sum("__n").over(wcarry).alias("__cn"),
+        )
+        joined = df.join(F.broadcast(carry), "__pid")
+        out = (
+            (F.coalesce(F.col("__cs"), F.lit(0)) + local_s)
+            / (F.coalesce(F.col("__cn"), F.lit(0)) + local_n)
+        )
+    else:
+        agg = {
+            "sum": F.sum, "min": F.min, "max": F.max,
+            "count": F.count, "any": F.max, "all": F.min,
+        }[kind]
+        local = agg(vi).over(wloc)
+        totals = df.groupBy("__pid").agg(agg(vi).alias("__s"))
+        carry = totals.select(
+            "__pid", agg("__s").over(wcarry).alias("__c")
+        )
+        joined = df.join(F.broadcast(carry), "__pid")
+        c = F.col("__c")
+        if kind in ("sum", "count"):
+            out = F.coalesce(c, F.lit(0)) + local
+            if kind == "sum":
+                out = out + F.lit(start)
+        elif kind in ("min", "all"):
+            out = F.when(c.isNull(), local).otherwise(F.least(c, local))
+        else:  # max / any
+            out = F.when(c.isNull(), local).otherwise(F.greatest(c, local))
+        if kind in ("any", "all"):
+            out = out == 1
+    cols = [F.col(c_) for c_ in meta_cols(ef)] + [out.alias(name)]
+    return ef._with(df=joined.select(*cols), value_cols=[name])
+
+
 def min_(ef):
     """Running minimum (aggregate.py:39-43)."""
     return _running(ef, lambda v, w: F.min(v).over(w))

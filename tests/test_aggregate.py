@@ -163,3 +163,37 @@ def test_fork_zip(ints):
     got = ef.to_list()
     assert got[0] == (0, 0, 0)
     assert got[-1] == (0, 9, 45)
+
+
+def test_running_scaled_matches_sequential(spark):
+    """The two-pass unkeyed running aggregates (scaled=True) equal the
+    single-task window on integer payloads, and the plan partitions the
+    window by the range bucket (parallel) instead of a constant."""
+    import pyspark.sql.functions as F
+
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.create import sequence
+
+    vals = [((i * 37) % 19) - 9 for i in range(500)]
+    ef = sequence(spark, vals, interval=0.001)
+    for kind, kwargs in [
+        ("sum", {"start": 5}), ("min", {}), ("max", {}), ("mean", {}),
+        ("any", {}), ("all", {}),
+    ]:
+        seq_out = getattr(ef, kind)(**kwargs).to_list()
+        scaled = getattr(ef, kind)(scaled=True, partitions=4, **kwargs)
+        got = scaled.to_list()
+        if kind == "mean":
+            assert [round(a, 9) for a in got] == [round(a, 9) for a in seq_out]
+        else:
+            assert got == seq_out, kind
+    plan = physical_plan(ef.sum(scaled=True, partitions=4).df)
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("__pid" in ln for ln in win_lines), "window not bucket-partitioned"
+    # keyed streams must refuse the scaled path
+    import pytest as _pytest
+
+    keyed = ef._with()
+    keyed.key_cols = ["value"]
+    with _pytest.raises(ValueError, match="UNKEYED"):
+        keyed.sum(scaled=True)
