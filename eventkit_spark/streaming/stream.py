@@ -39,6 +39,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+def tws_available() -> bool:
+    """True when Spark's ``transformWithStateInPandas`` (Spark 4's
+    successor to applyInPandasWithState: timers, multiple state
+    variables, TTL) can actually RUN here: the API must exist AND the
+    protobuf package its state-server protocol needs must import — the
+    API being present does not imply the runtime dependency is (this
+    container ships pyspark 4.1 without protobuf, so the call crashes
+    the TWS driver worker). Kernels gate on this and keep
+    applyInPandasWithState as the portable path."""
+    try:
+        from pyspark.sql.group import GroupedData
+
+        if not hasattr(GroupedData, "transformWithStateInPandas"):
+            return False
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:  # noqa: BLE001 — any import/runtime gap: not available
+        return False
+
+
 def _sql_type(df: DataFrame, col: str) -> str:
     """DDL type of a column — stateful handlers derive their output and
     state schemas from the actual frame schema instead of hardcoding
@@ -305,7 +326,12 @@ class StreamFrame:
         )
 
     # -- stateful running aggregates (emit one row per input row) -----
-    def running_agg(self, kinds: Sequence[str] = ("sum",), ema_n: int = 10) -> DataFrame:
+    def running_agg(
+        self,
+        kinds: Sequence[str] = ("sum",),
+        ema_n: int = 10,
+        use_tws: bool | None = None,
+    ) -> DataFrame:
         """Per-key running aggregates as an applyInPandasWithState
         handler — the streaming twin of SURVEY §2.4's cumulative
         windows. Emits one output row per input row; state is
@@ -314,7 +340,18 @@ class StreamFrame:
         Rows are processed in ts order within each micro-batch; state
         carries across batches (exactly the reference's per-stream
         running state, keyed).
+
+        ``use_tws`` opts into the Spark 4 ``transformWithStateInPandas``
+        form (same semantics; timers/multi-state for future kernels) —
+        default auto-detects via ``tws_available()``: the API needs the
+        RocksDB state store AND the protobuf package for its state
+        protocol, neither guaranteed everywhere applyInPandasWithState
+        runs, so the classic handler stays the portable default.
         """
+        if use_tws is None:
+            use_tws = tws_available()
+        if use_tws:
+            return self._running_agg_tws(ema_n)
         value_col = self.value_cols[0]
         ts_col = self.ts_col
         keys = self.key_cols
@@ -367,6 +404,73 @@ class StreamFrame:
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def _running_agg_tws(self, ema_n: int) -> DataFrame:
+        """``transformWithStateInPandas`` form of ``running_agg`` — the
+        Spark 4 stateful API (ROADMAP migration item). Same semantics
+        and output schema; state is one ValueState tuple per key.
+        Requires ``tws_available()`` (RocksDB state store provider +
+        protobuf) — parity-tested where the runtime supports it
+        (tests/test_streaming.py::test_running_agg_tws_parity,
+        skipif-gated)."""
+        from pyspark.sql.streaming import StatefulProcessor
+
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = list(self.key_cols)
+        w = 2.0 / (ema_n + 1)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
+            + "rcount long, rsum double, rmin double, rmax double, ema double"
+        )
+        state_schema = "rcount long, rsum double, rmin double, rmax double, ema double"
+
+        class _Run(StatefulProcessor):
+            def init(self, handle):
+                self._st = handle.getValueState("agg", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._st.exists():
+                    cnt, s, mn, mx, ema = self._st.get()
+                else:
+                    cnt, s, mn, mx, ema = 0, 0.0, None, None, None
+                for pdf in rows:
+                    pdf = pdf.sort_values(ts_col)
+                    outs = []
+                    for _, row in pdf.iterrows():
+                        x = float(row[value_col])
+                        cnt += 1
+                        s += x
+                        mn = x if mn is None else min(mn, x)
+                        mx = x if mx is None else max(mx, x)
+                        ema = x if ema is None else (1 - w) * ema + w * x
+                        outs.append({
+                            **{k: row[k] for k in keys},
+                            ts_col: row[ts_col],
+                            "value": x,
+                            "rcount": cnt,
+                            "rsum": s,
+                            "rmin": mn,
+                            "rmax": mx,
+                            "ema": ema,
+                        })
+                    if outs:
+                        yield pd.DataFrame(outs)
+                self._st.update((cnt, s, mn, mx, ema))
+
+            def close(self):
+                pass
+
+        grouped = (
+            self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        )
+        return grouped.transformWithStateInPandas(
+            _Run(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
         )
 
     def changes(self) -> DataFrame:

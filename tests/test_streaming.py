@@ -726,3 +726,45 @@ def test_streaming_combinator_cuts(spark, tmp_path_factory):
         order = ["chain_no"] if disc == "chain" else ["ts", "src"]
         got = [r["value"] for r in got_df.orderBy(*order).collect()]
         assert got == expect, f"{disc}: {got} != {expect}"
+
+
+def test_tws_gate_detects_missing_protocol(spark):
+    """The transformWithState gate must be FALSE here: the API exists in
+    pyspark 4.1 but its protobuf state-protocol dependency is absent in
+    this container (the call crashes the TWS driver worker), so
+    running_agg must stay on applyInPandasWithState by default."""
+    from pyspark.sql.group import GroupedData
+
+    from eventkit_spark.streaming.stream import tws_available
+
+    assert hasattr(GroupedData, "transformWithStateInPandas")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    assert tws_available() == has_proto
+
+
+def test_running_agg_tws_parity(spark, stream_dir):
+    """transformWithStateInPandas twin of running_agg matches the
+    classic handler — runs only where the TWS runtime exists."""
+    from eventkit_spark.streaming.stream import tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas runtime (protobuf) not available")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sf = _stream(spark, stream_dir)
+    classic = sf.run_available_now(
+        sink_df=sf.running_agg(ema_n=10, use_tws=False), name="ek_tws_a"
+    )
+    tws = sf.run_available_now(
+        sink_df=sf.running_agg(ema_n=10, use_tws=True), name="ek_tws_b"
+    )
+    a = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in classic.collect()}
+    b = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in tws.collect()}
+    assert a == b
