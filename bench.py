@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "filter",
     "running_sum",
+    "running_sum_scaled",
     "running_mean",
     "ema",
     "deque",
