@@ -852,6 +852,21 @@ def q_list(spark, sf):
     return ef.df.select("user_id", _csv_cents(F.col("value")).alias("vals"))
 
 
+def q_variant_pluck(spark, sf):
+    # Spark 4 VARIANT lane (operators/transform.pluck_json): props
+    # parses ONCE per row into a binary VARIANT and every path reads it
+    # with try_variant_get — vs get_json_object re-tokenizing the JSON
+    # string per path — and the column is positioned for parquet VARIANT
+    # shredding (sub-path scan pruning) at 100 TB. Missing paths are
+    # NULL per the NO_VALUE convention.
+    from eventkit_spark.sources.tables import from_dataframe
+
+    df = load_table(spark, sf, "events").select("event_id", "props")
+    ef = from_dataframe(df, value_cols=["props"], seq_col="event_id", ts_col=None)
+    out = ef.pluck_json({"k": ("$.k", "long"), "missing": ("$.nope", "string")})
+    return out.df.select("event_id", "k", "missing")
+
+
 def q_json_pluck(spark, sf):
     # Pluck analog over the JSON props payload (nested projection)
     ef = _ev(spark, sf)
@@ -3058,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "previous": q_previous,
         "pairwise": q_pairwise,
         "json_pluck": q_json_pluck,
+        "variant_pluck": q_variant_pluck,
         "running_sum": q_running_sum,
         "running_sum_scaled": q_running_sum_scaled,
         "array_std": q_array_std,
@@ -3400,6 +3416,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id""",
         "json_pluck": """
             SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events""",
+        "variant_pluck": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   json_extract_string(props, '$.nope') AS missing
             FROM events""",
         "timestamp": """
             SELECT event_id, user_id, round(epoch(ts), 6) AS epoch_s FROM events""",
@@ -6291,11 +6312,12 @@ def oracle_sql() -> dict[str, str]:
     # bloom + exact-verify is value-identical to the join path by design
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
     # dedup_minhash full oracle (portable universal family): DuckDB
-    # recomputes the 31-bit scrambled shingle fold, all 32 (A*h+B) mod P
-    # min-signatures, and the 8 band keys, then pairs docs sharing any
-    # band — generated here because the 32 min-aggregates and 8 band
-    # selects are mechanical expansions of the same constants the
-    # engine uses (llm/dedup._MH_A/_MH_B)
+    # recomputes the md5-based 31-bit shingle fold (md5 is identical by
+    # definition in both engines; hex->int via conv/0x-cast), all 32
+    # (A*h+B) mod P min-signatures, and the 8 band keys, then pairs docs
+    # sharing any band — generated here because the 32 min-aggregates
+    # and 8 band selects are mechanical expansions of the same constants
+    # the engine uses (llm/dedup._MH_A/_MH_B)
     from eventkit_spark.llm.dedup import _MH_A, _MH_B, _MH_P
 
     _mh_mins = ",\n                     ".join(
@@ -6317,10 +6339,7 @@ def oracle_sql() -> dict[str, str]:
               FROM words
             ), folded AS (
               SELECT id,
-                     (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(shingle) + 1),
-                                      i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2147483647) * 2654435761)
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
                      % 2147483648 AS h
               FROM sh
             ), sig AS (

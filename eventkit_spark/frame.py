@@ -244,6 +244,12 @@ class EventFrame:
     def pluck(self, *selectors: str):
         return _transform.pluck(self, *selectors)
 
+    def pluck_json(self, paths, variant: bool = True):
+        """Schemaless pluck over a JSON payload: one VARIANT parse per
+        row, ``try_variant_get`` per path (Spark 4 scale path); see
+        operators/transform.pluck_json."""
+        return _transform.pluck_json(self, paths, variant)
+
     def previous(self, count: int = 1):
         return _transform.previous(self, count)
 

@@ -233,17 +233,18 @@ def _minhash_cols(docs, num_hashes, k, text_col, id_col, portable=False):
         F.explode(_shingles(F.col(text_col), k)).alias("__sh"),
     )
     if portable:
-        from .text import fingerprint
-
-        # fold DISTINCT shingles once and broadcast the hashes back
-        # (the simhash portable lesson: the per-char fold is an
-        # interpreted HOF — never run it per instance), then Knuth-
-        # scramble so short shingles don't leave high bits zero
+        # md5 is built into BOTH engines (identical by definition) and
+        # codegen'd JVM-side: fold the first 60 md5 bits to 31 via a
+        # hex->long conv — no interpreted per-char HOF, so no vocab
+        # distinct + broadcast join to amortize it (the r4 form's extra
+        # exchange put dedup_minhash at 1.8x its r1 cost; this rewrite
+        # makes the portable family a pure per-row projection like the
+        # xxhash64 production path)
         sh_fold = (
-            (fingerprint(F.col("__sh"), base=31) * F.lit(2654435761)) % F.lit(1 << 31)
+            F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("long")
+            % F.lit(1 << 31)
         )
-        vocab = exploded.select("__sh").distinct().select("__sh", sh_fold.alias("__sh64"))
-        hashed = exploded.join(F.broadcast(vocab), "__sh").select("id", "__sh64")
+        hashed = exploded.select("id", sh_fold.alias("__sh64"))
         mins = [
             F.min(
                 (F.lit(_MH_A[i]) * F.col("__sh64") + F.lit(_MH_B[i])) % F.lit(_MH_P)

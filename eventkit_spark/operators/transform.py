@@ -220,3 +220,34 @@ def map_pandas(ef, fn: Callable, return_type, name: str = "value"):
 
     out = _udf(*[F.col(c) for c in ef.value_cols])
     return _project(ef, [out], [name])
+
+
+def pluck_json(ef, paths, variant: bool = True):
+    """Pluck over a SEMI-STRUCTURED JSON payload column — the schemaless
+    sibling of ``pluck`` (reference Pluck, transform.py:98-127, applied
+    to dict-shaped events).
+
+    ``paths`` maps output name -> (json path, sql type), e.g.
+    ``{"k": ("$.k", "long")}``. With ``variant=True`` (default, Spark
+    4) the payload is parsed ONCE per row into a binary VARIANT and
+    every path reads it with ``try_variant_get`` — at 100 TB this beats
+    per-path ``get_json_object`` (which re-tokenizes the JSON string
+    for every path) and positions the column for parquet VARIANT
+    shredding, where sub-paths prune at the scan like struct fields.
+    ``variant=False`` keeps the classic string-path form. Missing paths
+    are NULL (the engine's NO_VALUE convention) in both modes.
+    """
+    from .common import meta_cols
+
+    if not paths:
+        raise ValueError("pluck_json() needs at least one path")
+    base = F.col(ef.value_cols[0])
+    cols = [F.col(c) for c in meta_cols(ef)]
+    if variant:
+        v = F.parse_json(base.cast("string"))
+        for name, (path, typ) in paths.items():
+            cols.append(F.try_variant_get(v, path, typ).alias(name))
+    else:
+        for name, (path, typ) in paths.items():
+            cols.append(F.get_json_object(base, path).cast(typ).alias(name))
+    return ef._with(df=ef.df.select(*cols), value_cols=list(paths))

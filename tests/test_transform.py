@@ -125,3 +125,26 @@ def test_error_src_tags_raising_site(spark, ints):
     )
     rows = d.errors().df.select("value", "error_src").collect()
     assert [(r["value"], r["error_src"]) for r in rows] == [("div0", "ratio")]
+
+
+def test_pluck_json_variant_matches_string_path(spark):
+    """pluck_json's VARIANT lane (parse once, try_variant_get per path)
+    agrees with the classic get_json_object form; missing paths are
+    NULL in both."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "s": "x"}'), (2, '{"s": "y"}'), (3, None)],
+        "seq long, props string",
+    )
+    ef = from_dataframe(df, value_cols=["props"], seq_col="seq", ts_col=None)
+    paths = {"k": ("$.k", "long"), "s": ("$.s", "string"), "nope": ("$.q", "long")}
+    a = sorted(map(tuple, ef.pluck_json(paths).df.collect()))
+    b = sorted(map(tuple, ef.pluck_json(paths, variant=False).df.collect()))
+    assert a == b
+    assert a[0][1] == 7 and a[1][1] is None and a[0][3] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        ef.pluck_json({})
