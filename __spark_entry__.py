@@ -2640,6 +2640,30 @@ def q_embed_ivf(spark, sf):
     )
 
 
+def q_ivf_index(spark, sf):
+    # persisted-index lifecycle (similarity.ivf_index_write/_topk):
+    # build the IVF index ONCE into a cell-partitioned parquet layout,
+    # then query it — the probed cells become a partition-pruned scan
+    # (PartitionFilters), reading ~nprobe/n_cells of the index bytes.
+    # Same portable seeds/params as embed_ivf, so its oracle applies
+    # verbatim (the index round-trip must not change a single row).
+    import hashlib
+    import tempfile
+
+    from eventkit_spark.llm.similarity import ivf_index_topk, ivf_index_write
+
+    emb = load_table(spark, sf, "embeddings")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_ivf_index_{tag}"
+    ivf_index_write(emb, path, n_cells=8, centroids="portable")
+    out = ivf_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
 def q_embed_ivf_recall(spark, sf):
     # FULL-PROBE contract: with nprobe == n_cells every cell is probed,
     # so IVF must EQUAL brute-force top-k exactly — verifying the whole
@@ -3055,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "throttle": q_throttle,
         "embed_ivf": q_embed_ivf,
+        "ivf_index": q_ivf_index,
         # (stale r1/r2 green, next rotation's (e))
         "unique": q_unique,
         "takeuntil": q_takeuntil,
@@ -6311,6 +6336,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # bloom + exact-verify is value-identical to the join path by design
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
+    # the persisted-index round trip must be row-identical to the
+    # in-memory IVF on the same portable seeds/params
+    sqls["ivf_index"] = sqls["embed_ivf"]
     # dedup_minhash full oracle (portable universal family): DuckDB
     # recomputes the md5-based 31-bit shingle fold (md5 is identical by
     # definition in both engines; hex->int via conv/0x-cast), all 32

@@ -197,6 +197,139 @@ def rp_lsh_topk(
     )
 
 
+def _ivf_centroids(corpus, n_cells, id_col, vec_col, centroids):
+    """Normalized IVF cell centroids (see ivf_topk's docstring for the
+    three seeding modes). Returns an n_cells x d float64 matrix."""
+    import numpy as np
+
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+        model = KMeans(
+            k=n_cells, initMode="k-means||", maxIter=5, seed=7, featuresCol="features"
+        ).fit(feats)
+        cent_mat = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    elif centroids in ("hash", "portable"):
+        if centroids == "portable":
+            h = (
+                (F.col(id_col).cast("long") % F.lit(1 << 31)) * F.lit(2654435761)
+            ) % F.lit(1 << 31)
+        else:
+            h = F.xxhash64(F.col(id_col))
+        cent_rows = (
+            corpus.select(
+                _as_double(F.col(vec_col)).alias("cv"),
+                h.alias("__h"),
+                F.col(id_col).alias("__id"),
+            )
+            .orderBy("__h", "__id")
+            .limit(n_cells)
+            .select("cv")
+            .collect()  # tiny: n_cells rows
+        )
+        cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
+    else:
+        raise ValueError(
+            f"centroids must be 'hash', 'portable' or 'kmeans', got {centroids!r}"
+        )
+    return cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+
+def _cell_assign_kernel(cent_mat, m):
+    """array<int>: the m nearest cells per vector (BLAS per Arrow batch,
+    stable ties to the lower cell id)."""
+    import numpy as np
+    import pandas as pd
+
+    cell_ids = np.arange(len(cent_mat))
+
+    def k(vs):
+        A = np.stack(vs.to_numpy())
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        S = A @ cent_mat.T
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :m]
+        return pd.Series(list(cell_ids[idx].astype(np.int32)))
+
+    return F.pandas_udf(k, "array<int>")
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "hash",
+) -> None:
+    """Build and PERSIST an IVF index: the build-once / query-many ANN
+    lifecycle (ivf_topk refits centroids and reassigns cells on every
+    call — right for exploration, wasteful in production).
+
+    Layout: ``{path}/cells`` holds (id, vector, cell) parquet
+    PARTITIONED BY cell — probing ``nprobe`` of ``n_cells`` cells at
+    query time is PARTITION-PRUNED I/O, reading ~nprobe/n_cells of the
+    index bytes (at 100 TB the scan never touches unprobed cells);
+    ``{path}/centroids`` holds the n_cells normalized centroid rows.
+    Writing the cells table is ONE scan + one partitioned write — no
+    shuffle beyond the write's own file layout.
+    """
+    cent_mat = _ivf_centroids(corpus, n_cells, id_col, vec_col, centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", F.element_at(_cell_assign_kernel(cent_mat, 1)(F.col("cv")), 1))
+    c.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    rows = [(int(i), [float(x) for x in cent_mat[i]]) for i in range(len(cent_mat))]
+    spark.createDataFrame(rows, "cell int, cv array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (``ivf_index_write``): load the tiny
+    centroid table, pick each query's ``nprobe`` cells, then scan ONLY
+    those cells' partitions of the index (the probed-cell set becomes a
+    literal IN filter on the partition column — static partition
+    pruning, visible as PartitionFilters in the scan) and rank by exact
+    cosine inside. Same semantics as ``ivf_topk`` on the same centroid
+    seeds — the contract query reuses embed_ivf's oracle verbatim.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id", "qv",
+        F.explode(_cell_assign_kernel(cent_mat, nprobe)(F.col("qv"))).alias("cell"),
+    )
+    probe_cells = sorted({int(r["cell"]) for r in q.select("cell").distinct().collect()})
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probe_cells))
+    cand = cells.join(F.broadcast(q), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", cosine_pandas(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -234,39 +367,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    if centroids == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        feats = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
-        model = KMeans(
-            k=n_cells, initMode="k-means||", maxIter=5, seed=7, featuresCol="features"
-        ).fit(feats)
-        cent_mat = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    elif centroids in ("hash", "portable"):
-        if centroids == "portable":
-            h = (
-                (F.col(id_col).cast("long") % F.lit(1 << 31)) * F.lit(2654435761)
-            ) % F.lit(1 << 31)
-        else:
-            h = F.xxhash64(F.col(id_col))
-        cent_rows = (
-            corpus.select(
-                _as_double(F.col(vec_col)).alias("cv"),
-                h.alias("__h"),
-                F.col(id_col).alias("__id"),
-            )
-            .orderBy("__h", "__id")
-            .limit(n_cells)
-            .select("cv")
-            .collect()  # tiny: n_cells rows
-        )
-        cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
-    else:
-        raise ValueError(
-            f"centroids must be 'hash', 'portable' or 'kmeans', got {centroids!r}"
-        )
-    cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_mat = _ivf_centroids(corpus, n_cells, id_col, vec_col, centroids)
     cell_ids = np.arange(len(cent_mat))
 
     def _nearest_kernel(m):

@@ -1501,3 +1501,28 @@ def test_sorted_neighborhood_keeps_null_numeric_keys(spark):
     # rank order: NULLs first by id (1, 4), then 5.0 (2), then 6.0 (3);
     # id_a is the lower-RANK row, so the null/5.0 neighbor pair is (4, 2)
     assert got == {(1, 4), (4, 2), (2, 3)}
+
+
+def test_ivf_index_roundtrip_matches_ivf_topk(spark, tmp_path):
+    """The persisted-index query path returns row-for-row what the
+    in-memory ivf_topk computes on the same seeds and parameters."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.similarity import (
+        ivf_index_topk, ivf_index_write, ivf_topk,
+    )
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    ivf_index_write(emb, path, n_cells=4, centroids="portable")
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in ivf_index_topk(spark, path, q, k=3, nprobe=2).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in ivf_topk(emb, q, k=3, n_cells=4, nprobe=2, centroids="portable").collect()
+    )
+    assert a == b and len(a) > 0

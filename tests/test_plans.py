@@ -96,10 +96,9 @@ SHUFFLE_CEILING = {
     "asof_join": 2,  # right-side dedupe agg + the union window
     "zip": 3,
     "tpch_q3": 3,
-    # the registered query is the PORTABLE-oracle form since the r4
-    # extension pass (+1 distinct vocab agg, +1 broadcast fold join —
-    # the dedup_simhash trade); the xxhash64 production form stays at 3
-    "dedup_minhash": 5,
+    # portable form == production shape since the r5 md5-fold rewrite
+    # (no vocab distinct, no broadcast fold join)
+    "dedup_minhash": 3,
     # the registered query is the PORTABLE-oracle form (r4): +1 distinct
     # agg and +1 broadcast exchange for the tiny vocab hash dimension;
     # the xxhash64 production form stays at 3 (pinned below in
@@ -447,3 +446,23 @@ def test_triangle_count_plan_pins_edges(spark):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_ivf_index_query_partition_prunes(spark, tmp_path):
+    """Querying a persisted IVF index must read ONLY the probed cells:
+    the cells table is written partitioned by cell and the probe set
+    becomes a PartitionFilters IN-list on the scan — at 100 TB the I/O
+    is ~nprobe/n_cells of the index, not the corpus."""
+    from eventkit_spark.llm.similarity import ivf_index_topk, ivf_index_write
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    ivf_index_write(emb, path, n_cells=8, centroids="portable")
+    out = ivf_index_topk(spark, path, emb.filter(F.col("vec_id") < 3), k=5, nprobe=2)
+    plan = physical_plan(out)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("cell" in ln and "IN" in ln.upper() for ln in scan), (
+        "probe set not pushed as a partition filter:\n" + plan
+    )
