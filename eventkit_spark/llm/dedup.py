@@ -400,7 +400,7 @@ def dedup_clusters(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
-    changed = 0
+    moving = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("cluster")
@@ -413,23 +413,33 @@ def dedup_clusters(
         lut = hopped.select(
             F.col("id").alias("__cid"), F.col("cluster").alias("__cc")
         )
+        stepped = hopped.join(lut, hopped.cluster == F.col("__cid"), "left").select(
+            "id", F.coalesce(F.col("__cc"), F.col("cluster")).alias("cluster")
+        )
+        # fuse the moved flag INTO the checkpointed frame: the old form
+        # ran a second shuffle join (new vs old labels) per round just
+        # to count movement; here the compare rides the same
+        # materialization and the convergence check is a filter-count
+        # over already-checkpointed partitions — one fewer exchange and
+        # one trivial job per round
         new_labels = (
-            hopped.join(lut, hopped.cluster == F.col("__cid"), "left")
+            stepped.alias("n")
+            .join(labels.select("id", F.col("cluster").alias("__oc")), "id")
             .select(
-                "id", F.coalesce(F.col("__cc"), F.col("cluster")).alias("cluster")
+                "id",
+                "cluster",
+                (F.col("cluster") != F.col("__oc")).cast("int").alias("__moved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # isEmpty (take-1 over checkpointed partitions) instead of a
+        # full count: the loop only needs a moved/settled bit
+        moving = not new_labels.filter(F.col("__moved") == 1).isEmpty()
+        labels = new_labels.select("id", "cluster")
+        if not moving:
             break
-    if changed != 0:
+    if moving:
+        changed = new_labels.filter(F.col("__moved") == 1).count()
         msg = (
             f"dedup_clusters did not converge in {max_iter} rounds "
             f"({changed} labels still moving) — clusters would be split; "
