@@ -2210,6 +2210,30 @@ def q_fuzzy_dedup(spark, sf):
     return fuzzy_dedup(load_table(spark, sf, "documents"))
 
 
+def q_dedup_incremental(spark, sf):
+    # persisted fingerprint-store lifecycle (llm/dedup.py
+    # exact_dedup_store_init/_incremental): seed the store from the
+    # even-id half of the corpus, then incrementally accept the odd
+    # half — survivors are odd docs whose text is new to BOTH the store
+    # and the batch (first occurrence by id). The store carries hash
+    # pairs only; the probe is one anti-join. Fresh store per call so
+    # the query is deterministic under re-runs.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from eventkit_spark.llm.dedup import (
+        exact_dedup_incremental, exact_dedup_store_init,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_dedup_store_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    exact_dedup_store_init(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return exact_dedup_incremental(docs.filter(F.col("doc_id") % 2 == 1), path)
+
+
 def q_dedup_clusters(spark, sf):
     from eventkit_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -3154,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "embed_ivf_recall": q_embed_ivf_recall,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
@@ -3903,6 +3928,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "dedup_incremental": """
+            WITH seen AS (
+              SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+            ), batch AS (
+              SELECT text, min(doc_id) AS doc_id,
+                     count(*) AS n_dups_in_batch
+              FROM documents WHERE doc_id % 2 = 1 GROUP BY text
+            )
+            SELECT b.doc_id, b.n_dups_in_batch
+            FROM batch b LEFT JOIN seen s ON s.text = b.text
+            WHERE s.text IS NULL""",
         "train_order": r"""
             SELECT doc_id,
                    row_number() OVER (

@@ -58,6 +58,63 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exact_dedup_store_init(
+    docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Initialize a PERSISTED exact-dedup fingerprint store from a seed
+    corpus: one (xxhash64, md5) row per distinct text (the exact_dedup
+    hash pair — 64-bit + 128-bit, so the store carries constant-width
+    fingerprints, never text). The store is the cross-batch state of
+    ``exact_dedup_incremental`` — the nightly-ingest lifecycle where
+    each new crawl slice dedups against everything already accepted."""
+    h = F.xxhash64(F.col(text_col)).alias("h")
+    h2 = F.md5(F.col(text_col)).alias("h2")
+    docs.select(h, h2).distinct().write.mode("overwrite").parquet(
+        f"{store_path}/hashes"
+    )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-incremental exact dedup: keep the rows of ``new_docs``
+    whose text was seen NEITHER in the persisted store NOR earlier in
+    this batch (lowest id is the batch's first occurrence), then COMMIT
+    the survivors' fingerprints back to the store — the accept-then-
+    commit pattern of production ingest (survivors are written before
+    the store append, so the returned frame re-reads a stable snapshot
+    and a recompute cannot double-filter against its own commit).
+
+    Returns (id_col, n_dups_in_batch) for the surviving rows. Scale
+    shape: the batch aggregates to one row per distinct hash (map-side
+    combined), the store probe is a LEFT ANTI join on the hash pair
+    (the store side is hashes-only, AQE broadcasts it while small,
+    shuffles when it outgrows that — both correct), and only survivor
+    fingerprints append. No text ever enters an exchange or the store.
+    """
+    spark = new_docs.sparkSession
+    h = F.xxhash64(F.col(text_col)).alias("h")
+    h2 = F.md5(F.col(text_col)).alias("h2")
+    batch = new_docs.select(h, h2, F.col(id_col)).groupBy("h", "h2").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_dups_in_batch")
+    )
+    try:
+        store = spark.read.parquet(f"{store_path}/hashes")
+        fresh = batch.join(store, ["h", "h2"], "left_anti")
+    except Exception:  # noqa: BLE001 — no store yet: everything is fresh
+        fresh = batch
+    fresh.write.mode("overwrite").parquet(f"{store_path}/last_batch")
+    accepted = spark.read.parquet(f"{store_path}/last_batch")
+    accepted.select("h", "h2").write.mode("append").parquet(f"{store_path}/hashes")
+    return accepted.select(id_col, "n_dups_in_batch")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,

@@ -1526,3 +1526,34 @@ def test_ivf_index_roundtrip_matches_ivf_topk(spark, tmp_path):
         for r in ivf_topk(emb, q, k=3, n_cells=4, nprobe=2, centroids="portable").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_incremental_dedup_store_lifecycle(spark, tmp_path):
+    """The fingerprint store carries state ACROSS batches: wave 2's
+    duplicates of wave-1 texts are rejected, new texts are accepted and
+    committed, and a third wave repeating wave-2 texts is fully
+    rejected. The returned frame is a stable snapshot (re-collect after
+    the commit does not change)."""
+    from eventkit_spark.llm.dedup import (
+        exact_dedup_incremental, exact_dedup_store_init,
+    )
+
+    path = str(tmp_path / "store")
+    w1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    exact_dedup_store_init(w1, path)
+    w2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out2 = exact_dedup_incremental(w2, path)
+    got = sorted(map(tuple, out2.collect()))
+    assert got == [(11, 2), (13, 1)]  # alpha rejected; gamma kept once
+    assert sorted(map(tuple, out2.collect())) == got  # stable snapshot
+    w3 = spark.createDataFrame(
+        [(20, "gamma"), (21, "delta"), (22, "epsilon")],
+        "doc_id long, text string",
+    )
+    out3 = exact_dedup_incremental(w3, path)
+    assert sorted(map(tuple, out3.collect())) == [(22, 1)]
