@@ -104,11 +104,14 @@ def exact_dedup_incremental(
     batch = new_docs.select(h, h2, F.col(id_col)).groupBy("h", "h2").agg(
         F.min(id_col).alias(id_col), F.count("*").alias("n_dups_in_batch")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         store = spark.read.parquet(f"{store_path}/hashes")
         fresh = batch.join(store, ["h", "h2"], "left_anti")
-    except Exception:  # noqa: BLE001 — no store yet: everything is fresh
-        fresh = batch
+    except AnalysisException:  # missing store = first batch; a CORRUPT
+        fresh = batch          # store still raises (silently treating it
+                               # as empty would re-accept duplicates)
     fresh.write.mode("overwrite").parquet(f"{store_path}/last_batch")
     accepted = spark.read.parquet(f"{store_path}/last_batch")
     accepted.select("h", "h2").write.mode("append").parquet(f"{store_path}/hashes")
