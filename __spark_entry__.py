@@ -2234,6 +2234,34 @@ def q_dedup_incremental(spark, sf):
     return exact_dedup_incremental(docs.filter(F.col("doc_id") % 2 == 1), path)
 
 
+def q_dedup_minhash_incremental(spark, sf):
+    # persisted LSH-bucket-store lifecycle (llm/dedup.py
+    # minhash_store_init/minhash_dedup_incremental): seed the store from
+    # docs with doc_id % 3 != 0, then incrementally near-dedup the
+    # % 3 == 0 slice against it — (doc_id, status) with
+    # dup_store/dup_batch/kept per the bucket-min rule. portable=True so
+    # DuckDB replays every signature, band key, store membership and
+    # batch competition bit-for-bit (the dedup_minhash oracle family).
+    # Fresh store per call so the query is deterministic under re-runs.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from eventkit_spark.llm.dedup import (
+        minhash_dedup_incremental, minhash_store_init,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_mh_store_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    minhash_store_init(
+        docs.filter(F.col("doc_id") % 3 != 0), path,
+        num_hashes=32, bands=8, k=3, portable=True,
+    )
+    return minhash_dedup_incremental(docs.filter(F.col("doc_id") % 3 == 0), path)
+
+
 def q_dedup_clusters(spark, sf):
     from eventkit_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -3179,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_recall": q_embed_ivf_recall,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
@@ -6393,7 +6422,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(8)
     )
-    sqls["dedup_minhash"] = rf"""
+    _mh_prefix = rf"""
             WITH words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
             ), sh AS (
@@ -6411,10 +6440,43 @@ def oracle_sql() -> dict[str, str]:
               FROM folded GROUP BY id
             ), bands AS (
               {_mh_bands}
-            )
+            )"""
+    sqls["dedup_minhash"] = (
+        _mh_prefix
+        + """
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.id < b.id"""
+    )
+    # incremental store replay: the store IS the seed slice's distinct
+    # (band, key) set; store_hit = batch docs touching an occupied
+    # bucket; the bucket-min competition replays among the store-clean
+    # remainder (engine compares xxhash64 of the key string, oracle the
+    # key itself — equal keys hash equal, the dedup_minhash convention)
+    sqls["dedup_minhash_incremental"] = (
+        _mh_prefix
+        + """
+            , seed AS (
+              SELECT DISTINCT band, key FROM bands WHERE id % 3 <> 0
+            ), batch AS (
+              SELECT band, key, id FROM bands WHERE id % 3 = 0
+            ), store_hit AS (
+              SELECT DISTINCT b.id FROM batch b
+              JOIN seed s ON s.band = b.band AND s.key = b.key
+            ), clean AS (
+              SELECT * FROM batch WHERE id NOT IN (SELECT id FROM store_hit)
+            ), bmin AS (
+              SELECT band, key, min(id) AS mi FROM clean GROUP BY 1, 2
+            ), batch_dup AS (
+              SELECT DISTINCT c.id FROM clean c
+              JOIN bmin m ON c.band = m.band AND c.key = m.key AND c.id > m.mi
+            )
+            SELECT d.doc_id AS doc_id,
+              CASE WHEN d.doc_id IN (SELECT id FROM store_hit) THEN 'dup_store'
+                   WHEN d.doc_id IN (SELECT id FROM batch_dup) THEN 'dup_batch'
+                   ELSE 'kept' END AS status
+            FROM documents d WHERE d.doc_id % 3 = 0"""
+    )
     # embed_rp_lsh full oracle: replay the LCG hyperplanes (literal
     # doubles survive repr round-trip exactly), sign-bit buckets per
     # table, candidate bucket join, in-bucket cosine rank — the same

@@ -320,6 +320,152 @@ def _minhash_cols(docs, num_hashes, k, text_col, id_col, portable=False):
     return hashed.groupBy("id").agg(*mins)
 
 
+def _band_buckets(docs, num_hashes, bands, k, text_col, id_col, portable=False):
+    """(id, band, bucket) LSH banding rows: bucket = xxhash64 of the
+    band's ``r = num_hashes/bands`` concatenated minhashes, so two docs
+    land in the same (band, bucket) iff that band's signatures agree
+    (modulo negligible 64-bit collisions). Shared by the pair expander
+    (``minhash_lsh_candidates``) and the persisted incremental store
+    (``minhash_store_init`` / ``minhash_dedup_incremental``)."""
+    r = num_hashes // bands
+    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col, portable)
+    return mh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col(f"__m{b * r + j}") for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_store_init(
+    docs: DataFrame,
+    store_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> None:
+    """Initialize a PERSISTED MinHash/LSH bucket store from a seed
+    corpus — the cross-batch state of ``minhash_dedup_incremental``
+    (the near-dup sibling of ``exact_dedup_store_init``): the
+    nightly-crawl lifecycle where each new slice near-dedups against
+    everything already accepted WITHOUT rescanning the accepted corpus.
+
+    The store carries only DISTINCT ``(band, bucket)`` rows (two 64-bit
+    ints per occupied bucket, never text or signatures), written
+    partitioned by band, plus a one-row ``meta`` table pinning the hash
+    family parameters — an incremental probe with mismatched params
+    would compare garbage, so probes read the params from the store
+    rather than trusting the caller to repeat them.
+    """
+    banded = _band_buckets(docs, num_hashes, bands, k, text_col, id_col, portable)
+    banded.select("band", "bucket").distinct().write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{store_path}/buckets")
+    meta = docs.sparkSession.createDataFrame(
+        [(num_hashes, bands, k, bool(portable))],
+        "num_hashes int, bands int, k int, portable boolean",
+    )
+    meta.write.mode("overwrite").parquet(f"{store_path}/meta")
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-incremental NEAR-dup dedup against a persisted LSH store
+    (init with ``minhash_store_init``). Returns one row per batch doc:
+    ``(id_col, status)`` with status
+
+    - ``dup_store``: some band bucket of the doc is already occupied in
+      the store — a near-dup of a previously accepted doc (LSH
+      candidate semantics: same recall/precision contract as
+      ``minhash_lsh_candidates``; run ``jaccard_verify`` over kept
+      pairs downstream if exact verification is required).
+    - ``dup_batch``: store-clean, but some bucket holds a SMALLER
+      store-clean batch id — the bucket-min rule: each bucket admits
+      only its minimum store-clean id, so a doc survives iff it is the
+      min in EVERY bucket it occupies. Deterministic and one-pass
+      (order-free), at the cost of over-dropping on bucket chains
+      a~b~c — the same transitive-collapse direction ``dedup_clusters``
+      applies deliberately.
+    - ``kept``: accepted; its buckets are COMMITTED back to the store.
+
+    Accept-then-commit: statuses are materialized to
+    ``{store}/last_batch`` BEFORE the survivors' buckets append, and
+    the returned frame re-reads that snapshot — a recompute of the
+    result cannot double-filter against its own commit (the
+    ``exact_dedup_incremental`` pattern).
+
+    Scale shape: one shingle+minhash pass over the batch (persisted and
+    reused across the probe/competition/commit consumers, then
+    unpersisted), store probe is a bucket equi-join (hashes only; AQE
+    broadcasts a small store, shuffles a grown one — both correct), the
+    bucket-min competition is a map-side-combinable min aggregate plus
+    an equi-join AQE skew-splits on pathological buckets, and only
+    survivors' distinct buckets append. No text ever enters an exchange
+    or the store.
+    """
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{store_path}/meta").first()
+    banded = _band_buckets(
+        new_docs, m.num_hashes, m.bands, m.k, text_col, id_col, m.portable
+    ).persist()
+    store = spark.read.parquet(f"{store_path}/buckets").select("band", "bucket")
+    hits = (
+        banded.join(store, ["band", "bucket"], "left_semi").select("id").distinct()
+    )
+    clean = banded.join(hits, "id", "left_anti")
+    bmin = clean.groupBy("band", "bucket").agg(F.min("id").alias("__minid"))
+    batch_dup = (
+        clean.join(bmin, ["band", "bucket"])
+        .filter(F.col("id") > F.col("__minid"))
+        .select("id")
+        .distinct()
+    )
+    res = (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(hits.withColumn("__hit", F.lit(1)), "id", "left")
+        .join(batch_dup.withColumn("__bdup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__hit") == 1, F.lit("dup_store"))
+            .when(F.col("__bdup") == 1, F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    res.write.mode("overwrite").parquet(f"{store_path}/last_batch")
+    accepted = spark.read.parquet(f"{store_path}/last_batch")
+    kept = accepted.filter(F.col("status") == "kept").select(
+        F.col(id_col).alias("id")
+    )
+    (
+        banded.join(kept, "id", "left_semi")
+        .select("band", "bucket")
+        .distinct()
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{store_path}/buckets")
+    )
+    banded.unpersist()
+    return accepted
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -351,24 +497,7 @@ def minhash_lsh_candidates(
     banding semantics; only the hash family differs (the dedup_simhash
     pattern).
     """
-    r = num_hashes // bands
-    mh = _minhash_cols(docs, num_hashes, k, text_col, id_col, portable)
-    banded = mh.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col(f"__m{b * r + j}") for j in range(r)])
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _band_buckets(docs, num_hashes, bands, k, text_col, id_col, portable)
     # posting-list pair expansion per (band, bucket): the banded a⋈b
     # self-join planned the shingle + minhash-aggregate pipeline TWICE
     # with no exchange reuse; grouping each bucket once halves the heavy

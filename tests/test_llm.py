@@ -1557,3 +1557,40 @@ def test_incremental_dedup_store_lifecycle(spark, tmp_path):
     )
     out3 = exact_dedup_incremental(w3, path)
     assert sorted(map(tuple, out3.collect())) == [(22, 1)]
+
+
+def test_minhash_incremental_store_lifecycle(spark, tmp_path):
+    """The LSH bucket store carries NEAR-dup state across batches: a
+    batch copy of a seed text is dup_store, the larger of two batch
+    copies is dup_batch (bucket-min rule), novel texts are kept and
+    their buckets committed — so re-running the same batch flips every
+    row to dup_store. The returned frame is a stable snapshot."""
+    from eventkit_spark.llm.dedup import (
+        minhash_dedup_incremental, minhash_store_init,
+    )
+
+    path = str(tmp_path / "mhstore")
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different sentence about distributed query engines")],
+        "doc_id long, text string",
+    )
+    minhash_store_init(seed, path, num_hashes=32, bands=8, k=3, portable=True)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "a totally novel document discussing oceanic tide patterns"),
+         (12, "a totally novel document discussing oceanic tide patterns"),
+         (13, "yet another unrelated passage on alpine meadow wildflowers")],
+        "doc_id long, text string",
+    )
+    out = minhash_dedup_incremental(batch, path)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (10, "dup_store"), (11, "kept"), (12, "dup_batch"), (13, "kept"),
+    ]
+    assert sorted(map(tuple, out.collect())) == got  # stable snapshot
+    rerun = minhash_dedup_incremental(batch, path)
+    assert sorted(map(tuple, rerun.collect())) == [
+        (10, "dup_store"), (11, "dup_store"),
+        (12, "dup_store"), (13, "dup_store"),
+    ]
