@@ -589,35 +589,40 @@ def dedup_clusters(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
+    ctype = dict(labels.dtypes)["cluster"]
     moving = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("cluster")
         )
+        # the round's OLD label rides the same min-aggregate as the hop:
+        # labels contributes exactly one row per id with __old set (prop
+        # rows carry NULL), so min(__old) IS the pre-round label and the
+        # convergence compare needs no separate labels join — the r4
+        # form paid a third shuffle join per round just to fetch it
         hopped = (
-            labels.union(prop).groupBy("id").agg(F.min("cluster").alias("cluster"))
+            labels.select("id", "cluster", F.col("cluster").alias("__old"))
+            .unionByName(
+                prop.withColumn("__old", F.lit(None).cast(ctype))
+            )
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"), F.min("__old").alias("__old"))
         )
         # pointer jump: cluster <- label(cluster). label(x) <= x always,
-        # so the left join misses only already-root labels (coalesce)
+        # so the left join misses only already-root labels (coalesce);
+        # the moved flag compares the POST-jump label against __old and
+        # rides the same checkpointed materialization, so the
+        # convergence check is a filter-isEmpty over local partitions
         lut = hopped.select(
             F.col("id").alias("__cid"), F.col("cluster").alias("__cc")
         )
-        stepped = hopped.join(lut, hopped.cluster == F.col("__cid"), "left").select(
-            "id", F.coalesce(F.col("__cc"), F.col("cluster")).alias("cluster")
-        )
-        # fuse the moved flag INTO the checkpointed frame: the old form
-        # ran a second shuffle join (new vs old labels) per round just
-        # to count movement; here the compare rides the same
-        # materialization and the convergence check is a filter-count
-        # over already-checkpointed partitions — one fewer exchange and
-        # one trivial job per round
+        stepped = F.coalesce(F.col("__cc"), F.col("cluster"))
         new_labels = (
-            stepped.alias("n")
-            .join(labels.select("id", F.col("cluster").alias("__oc")), "id")
+            hopped.join(lut, hopped.cluster == F.col("__cid"), "left")
             .select(
                 "id",
-                "cluster",
-                (F.col("cluster") != F.col("__oc")).cast("int").alias("__moved"),
+                stepped.alias("cluster"),
+                (stepped != F.col("__old")).cast("int").alias("__moved"),
             )
             .localCheckpoint()
         )
