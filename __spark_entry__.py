@@ -2376,6 +2376,32 @@ def q_decontaminate(spark, sf):
     return contamination(train, test, k=5, min_overlap=1)
 
 
+def q_decontaminate_store(spark, sf):
+    # persisted contamination-store lifecycle (llm/dedup.py
+    # contamination_store_init/decontaminate_incremental): the eval
+    # suite (test split) is persisted ONCE as hashes + bloom words; the
+    # train split probes the store. Exact-verify against the persisted
+    # hash set makes the result identical to contamination(join) on the
+    # same split, so this shares the decontaminate oracle verbatim.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from eventkit_spark.llm.dedup import (
+        contamination_store_init, decontaminate_incremental,
+    )
+    from eventkit_spark.llm.sampling import split_by_hash
+
+    docs = split_by_hash(load_table(spark, sf, "documents"), "doc_id")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_contam_store_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    contamination_store_init(docs.filter(F.col("split") == "test"), path, k=5)
+    return decontaminate_incremental(
+        docs.filter(F.col("split") == "train"), path, min_overlap=1
+    )
+
+
 def q_fuzzy_decontaminate(spark, sf):
     """FUZZY decontamination (llm/dedup.py cross_corpus_near_dups):
     train docs whose 3-gram Jaccard >= 0.5 against a PERTURBED heldout
@@ -3210,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate": q_decontaminate,
+        "decontaminate_store": q_decontaminate_store,
         "tfidf": q_tfidf,
         "text_embed": q_text_embed,
         "pipeline_corpus": q_pipeline_corpus,
@@ -6401,6 +6428,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # bloom + exact-verify is value-identical to the join path by design
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
+    # persisted-store probe exact-verifies against the stored hash set,
+    # so it is value-identical to the join form on the same split
+    sqls["decontaminate_store"] = sqls["decontaminate"]
     # the persisted-index round trip must be row-identical to the
     # in-memory IVF on the same portable seeds/params
     sqls["ivf_index"] = sqls["embed_ivf"]

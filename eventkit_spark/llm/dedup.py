@@ -799,15 +799,25 @@ def _bloom_build_distributed(held, fpp: float):
 
 
 def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
-    import pandas as pd
-
     spark = docs.sparkSession
     held = (
         heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
     )
-    bloom = spark.sparkContext.broadcast(_bloom_build_distributed(held, fpp))
+    bloom = _bloom_build_distributed(held, fpp)
+    return _bloom_probe(docs, bloom, held, k, min_overlap, text_col, id_col)
+
+
+def _bloom_probe(docs, bloom_tuple, held_df, k, min_overlap, text_col, id_col):
+    """Shared probe kernel: broadcast-bloom map-side prune of the corpus
+    (zero exchanges on the corpus branch), then exact verify of the
+    flagged residue against the distributed heldout hash frame. Used by
+    the in-memory bloom path and the persisted contamination store."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    bloom = spark.sparkContext.broadcast(bloom_tuple)
 
     def _bloom_hits(arrs):
         import numpy as np
@@ -850,7 +860,7 @@ def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
     # shuffles only flagged ids. The heldout side stays a DISTRIBUTED
     # frame under a broadcast hint (Spark torrent-broadcasts the small
     # side) — no createDataFrame from a driver-side hash list.
-    held_df = F.broadcast(held)
+    held_df = F.broadcast(held_df)
     # explode_outer, not explode: an inner explode lets Catalyst infer a
     # size(__hs)>0 constraint and push the WHOLE regex/shingle chain into
     # the scan filter, re-evaluating it for every corpus row. Outer
@@ -863,6 +873,82 @@ def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
         .select(F.col("id").alias(id_col), "n_shared")
+    )
+
+
+def contamination_store_init(
+    heldout: DataFrame,
+    store_path: str,
+    k: int = 5,
+    fpp: float = 0.001,
+    text_col: str = "text",
+) -> None:
+    """Persist the decontamination state of a benchmark/eval suite so
+    every future crawl batch probes it WITHOUT rescanning the suite —
+    the decontamination member of the persisted-store lifecycle family
+    (``exact_dedup_store_init`` / ``minhash_store_init`` /
+    ``ivf_index_build``):
+
+    - ``hashes/``: the suite's distinct 64-bit k-gram hashes (the exact
+      verify set — constant-width, never text),
+    - ``bloom/``: the packed bloom words as sparse (idx, word) rows,
+      built distributively FROM the persisted hashes so bloom and exact
+      set are the same snapshot,
+    - ``meta/``: (k, fpp, m_bits, n_probes) pinning the probe params.
+    """
+    import numpy as np
+
+    spark = heldout.sparkSession
+    (
+        heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/hashes")
+    )
+    held = spark.read.parquet(f"{store_path}/hashes")
+    words, m_bits, n_probes = _bloom_build_distributed(held, fpp)
+    nz = np.flatnonzero(words)
+    signed = words.view(np.int64)
+    spark.createDataFrame(
+        [(int(i), int(signed[i])) for i in nz] or [(0, 0)], "idx long, w long"
+    ).write.mode("overwrite").parquet(f"{store_path}/bloom")
+    spark.createDataFrame(
+        [(int(k), float(fpp), int(m_bits), int(n_probes))],
+        "k int, fpp double, m_bits long, n_probes int",
+    ).write.mode("overwrite").parquet(f"{store_path}/meta")
+
+
+def decontaminate_incremental(
+    docs: DataFrame,
+    store_path: str,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a persisted contamination store (init with
+    ``contamination_store_init``): load the packed bloom words (driver
+    read bounded by the FIXED bloom size chosen at init — the bitset
+    must live in the broadcast anyway), broadcast, map-side prune the
+    corpus with zero exchanges, then exact-verify the flagged residue
+    against the PERSISTED hash set — so the result is IDENTICAL to
+    ``contamination(docs, suite, method="join")``, with the suite never
+    rescanned and the shuffle bounded by the contaminated fraction.
+    """
+    import numpy as np
+
+    spark = docs.sparkSession
+    m = spark.read.parquet(f"{store_path}/meta").first()
+    rows = spark.read.parquet(f"{store_path}/bloom").collect()
+    words = np.zeros((m.m_bits + 63) // 64, dtype=np.uint64)
+    if rows:
+        widx = np.array([r["idx"] for r in rows], dtype=np.int64)
+        ws = np.array([r["w"] for r in rows], dtype=np.int64).view(np.uint64)
+        words[widx] |= ws
+    held = spark.read.parquet(f"{store_path}/hashes")
+    return _bloom_probe(
+        docs, (words, m.m_bits, m.n_probes), held, m.k, min_overlap,
+        text_col, id_col,
     )
 
 

@@ -1594,3 +1594,31 @@ def test_minhash_incremental_store_lifecycle(spark, tmp_path):
         (10, "dup_store"), (11, "dup_store"),
         (12, "dup_store"), (13, "dup_store"),
     ]
+
+
+def test_contamination_store_matches_join_form(spark, tmp_path):
+    """The persisted contamination store gives results identical to
+    contamination(method='join') against the same suite, across TWO
+    separate probe batches with the suite never rescanned (exact verify
+    runs against the persisted hash set, absorbing bloom FPs)."""
+    from eventkit_spark.llm.dedup import (
+        contamination, contamination_store_init, decontaminate_incremental,
+    )
+
+    path = str(tmp_path / "cstore")
+    suite = spark.createDataFrame(
+        [(100, "the held out benchmark question about gravity and light"),
+         (101, "another eval prompt concerning ocean currents and tides")],
+        "doc_id long, text string",
+    )
+    contamination_store_init(suite, path, k=5)
+    for batch_rows in (
+        [(1, "we discuss the held out benchmark question about gravity and light here"),
+         (2, "entirely clean training text with no overlap whatsoever present")],
+        [(3, "another eval prompt concerning ocean currents and tides verbatim copy"),
+         (4, "more clean text that shares nothing with the evaluation suite")],
+    ):
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        got = sorted(map(tuple, decontaminate_incremental(batch, path).collect()))
+        want = sorted(map(tuple, contamination(batch, suite, k=5).collect()))
+        assert got == want and len(got) == 1
