@@ -357,6 +357,33 @@ def test_contamination_bloom_zero_shuffle_corpus(spark):
     assert not any("regexp" in ln for ln in scan_filter), "shingle chain leaked into scan filter"
 
 
+def test_contamination_store_probe_zero_shuffle_corpus(spark, tmp_path):
+    """decontaminate_incremental must keep the same corpus-branch shape
+    as the in-memory bloom path: one corpus FileScan probed by ONE Arrow
+    bloom kernel, exact verify against the PERSISTED hash parquet (one
+    more FileScan), and only the flagged-residue aggregate + nothing
+    else shuffling corpus rows. The suite is never rescanned — no
+    documents-side second scan, no LocalTableScan."""
+    from eventkit_spark.llm.dedup import (
+        contamination_store_init, decontaminate_incremental,
+    )
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "cstore")
+    contamination_store_init(docs.filter(F.col("doc_id") % 5 == 0), path, k=5)
+    out = decontaminate_incremental(docs.filter(F.col("doc_id") % 5 != 0), path)
+    plan = physical_plan(out)
+    # corpus scanned once + the persisted hash set read once
+    assert plan.count("FileScan parquet") == 2, "corpus + stored hashes only"
+    assert "LocalTableScan" not in plan, "store must stay distributed"
+    assert plan.count("ArrowEvalPython") == 1, "one bloom-probe kernel"
+    # one hash exchange: the flagged-residue aggregate (stored hashes
+    # arrive pre-distinct, so the r4 heldout-distinct exchange is gone)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_bucketed_join_elides_shuffle(spark):
     """Two tables bucketed on the same key join AND aggregate with no
     shuffle exchange — the write-once pre-shuffle that makes repeated
