@@ -90,9 +90,18 @@ def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
     if width <= 0 or height <= 0:
         raise NotImplementedError("real decoder required for degenerate dims")
     s0 = _seed_of(payload)
-    j = np.arange(height * width * 3, dtype=np.int64)
-    flat = (s0 + j * _PIXEL_STEP) % 256
-    return flat.reshape(height, width, 3).astype(np.uint8)
+    flat = _ramp(s0, height * width * 3, _PIXEL_STEP, 256)
+    return flat.reshape(height, width, 3)
+
+
+def _ramp(s0: int, n: int, step: int, mod: int) -> np.ndarray:
+    """(s0 + j*step) % mod for j in [0, n) as uint8/int32 — int32 ramp
+    arithmetic (half the memory traffic of int64) unless n*step would
+    overflow it (absurd-dimension safety, not a realistic media size)."""
+    dt = np.int32 if n * step + mod < 2**31 else np.int64
+    j = np.arange(n, dtype=dt)
+    out = (s0 + j * step) % mod
+    return out.astype(np.uint8) if mod <= 256 else out
 
 
 def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
@@ -112,22 +121,26 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
+                # feature math stays on the decoded uint8 array with
+                # int64 ACCUMULATORS (sum dtype) instead of widening the
+                # whole image to int64 first — same exact integer sums,
+                # ~1.5x less memory traffic per image
                 img = _decode_image_bytes(
                     row["payload"], int(row["width"]), int(row["height"])
-                ).astype(np.int64)
+                )
                 n = img.shape[0] * img.shape[1]
-                luma3 = img.sum(axis=2)            # r+g+b, integer 0..765
-                s1 = int(luma3.sum())
-                s2 = int((luma3 * luma3).sum())
+                luma3 = img.sum(axis=2, dtype=np.int32)  # r+g+b, 0..765
+                s1 = int(luma3.sum(dtype=np.int64))
+                s2 = int((luma3 * luma3).sum(dtype=np.int64))
                 # var(luma) with luma = luma3/3, via exact integer sums
                 var = s2 / (n * 9.0) - (s1 / (n * 3.0)) * (s1 / (n * 3.0))
-                counts = np.bincount(luma3.ravel() // 96, minlength=8)
+                counts = np.bincount((luma3 // 96).ravel(), minlength=8)
                 rows.append(
                     {
                         "asset_id": row["asset_id"],
-                        "mean_r": int(img[:, :, 0].sum()) / n,
-                        "mean_g": int(img[:, :, 1].sum()) / n,
-                        "mean_b": int(img[:, :, 2].sum()) / n,
+                        "mean_r": int(img[:, :, 0].sum(dtype=np.int64)) / n,
+                        "mean_g": int(img[:, :, 1].sum(dtype=np.int64)) / n,
+                        "mean_b": int(img[:, :, 2].sum(dtype=np.int64)) / n,
                         "std_luma": math.sqrt(max(var, 0.0)),
                         "hist": [int(c) / n for c in counts],
                     }
@@ -148,8 +161,7 @@ def _decode_audio_bytes(payload: bytes, n_bytes: int) -> np.ndarray:
     if n_bytes <= 0:
         raise NotImplementedError("real decoder required for empty payloads")
     s0 = _seed_of(payload)
-    i = np.arange(max(1, n_bytes // 2), dtype=np.int64)
-    u = (s0 + i * _AUDIO_STEP) % 2001 - 1000
+    u = _ramp(s0, max(1, n_bytes // 2), _AUDIO_STEP, 2001) - 1000
     return (u / 1000.0).astype(np.float32)
 
 
@@ -157,8 +169,7 @@ def _audio_ints(payload: bytes, n_bytes: int) -> np.ndarray:
     """Integer milli-amplitudes behind ``_decode_audio_bytes`` — feature
     math runs on these exact ints so sums carry no float error."""
     s0 = _seed_of(payload)
-    i = np.arange(max(1, n_bytes // 2), dtype=np.int64)
-    return (s0 + i * _AUDIO_STEP) % 2001 - 1000
+    return _ramp(s0, max(1, n_bytes // 2), _AUDIO_STEP, 2001) - 1000
 
 
 def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
@@ -177,7 +188,7 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
             for _, row in pdf.iterrows():
                 u = _audio_ints(row["payload"], int(row["n_bytes"]))
                 n = int(u.size)
-                s2 = int((u * u).sum())
+                s2 = int((u * u).sum(dtype=np.int64))
                 neg = u < 0
                 zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
                 rows.append(
@@ -208,9 +219,8 @@ def _decode_video_frame(payload: bytes, frame_no: int, width: int, height: int) 
     if width <= 0 or height <= 0:
         raise NotImplementedError("real decoder required for degenerate dims")
     s0 = (_seed_of(payload) + _FRAME_STEP * frame_no) % 256
-    j = np.arange(height * width * 3, dtype=np.int64)
-    flat = (s0 + j * _PIXEL_STEP) % 256
-    return flat.reshape(height, width, 3).astype(np.uint8)
+    flat = _ramp(s0, height * width * 3, _PIXEL_STEP, 256)
+    return flat.reshape(height, width, 3)
 
 
 def video_frame_features(
@@ -239,11 +249,11 @@ def video_frame_features(
                 img = _decode_video_frame(
                     row["payload"], int(row["frame_no"]),
                     int(row["width"]), int(row["height"]),
-                ).astype(np.int64)
+                )
                 n = img.shape[0] * img.shape[1]
-                luma3 = img.sum(axis=2)
-                s1 = int(luma3.sum())
-                s2 = int((luma3 * luma3).sum())
+                luma3 = img.sum(axis=2, dtype=np.int32)
+                s1 = int(luma3.sum(dtype=np.int64))
+                s2 = int((luma3 * luma3).sum(dtype=np.int64))
                 var = s2 / (n * 9.0) - (s1 / (n * 3.0)) * (s1 / (n * 3.0))
                 rows.append(
                     {
