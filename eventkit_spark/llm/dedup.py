@@ -583,10 +583,14 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # init one hop ahead: label(id) = min(id, min neighbor) costs the
+    # same single aggregate as a distinct-ids init but starts the loop
+    # with round 1 already applied — pair/star clusters (the bulk of
+    # near-dup graphs) converge immediately and only pay the confirm
+    # round
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.col("src"), F.min("dst")).alias("cluster"))
         .localCheckpoint()
     )
     ctype = dict(labels.dtypes)["cluster"]
