@@ -768,3 +768,66 @@ def test_running_agg_tws_parity(spark, stream_dir):
     a = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in classic.collect()}
     b = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in tws.collect()}
     assert a == b
+
+
+def test_streaming_store_dedup_and_probe(spark, tmp_path_factory):
+    """The persisted-store lifecycle composes with Structured Streaming
+    two ways: (a) ingest dedup — foreachBatch feeds each micro-batch
+    through exact_dedup_incremental, so the store carries accept state
+    ACROSS batches; (b) a stateless stream-static LEFT ANTI join against
+    the store's fingerprint parquet drops already-accepted texts
+    in-stream (append-mode safe, no state store)."""
+    from eventkit_spark.llm.dedup import (
+        exact_dedup_incremental, exact_dedup_store_init,
+    )
+    from eventkit_spark.streaming import file_stream
+
+    base = tmp_path_factory.mktemp("store_stream")
+    store = str(base / "store")
+    seed = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    exact_dedup_store_init(seed, store)
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    src = str(base / "in")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+
+    # (a) ingest dedup via foreachBatch: survivors accumulate per batch
+    sf = file_stream(
+        spark, src, schema="doc_id long, text string",
+        value_cols=["text"], ts_col="doc_id",
+    )
+    accepted = []
+
+    def ingest(bdf, _bid):
+        accepted.extend(
+            map(tuple, exact_dedup_incremental(bdf, store).collect())
+        )
+
+    q = sf.foreach_batch(ingest, available_now=True)
+    q.awaitTermination(120)
+    assert sorted(accepted) == [(11, 2), (13, 1)]
+
+    # (b) stateless stream-static anti-join probe: only never-seen texts
+    # pass (gamma/delta are in the store now — committed by (a))
+    from pyspark.sql import functions as F
+
+    probe_rows = spark.createDataFrame(
+        [(20, "alpha"), (21, "gamma"), (22, "epsilon")],
+        "doc_id long, text string",
+    )
+    src2 = str(base / "in2")
+    probe_rows.coalesce(1).write.mode("overwrite").parquet(src2)
+    sf2 = file_stream(
+        spark, src2, schema="doc_id long, text string",
+        value_cols=["text"], ts_col="doc_id",
+    )
+    hashes = spark.read.parquet(f"{store}/hashes")
+    fresh = sf2.df.withColumn("h", F.xxhash64("text")).withColumn(
+        "h2", F.md5("text")
+    ).join(hashes, ["h", "h2"], "left_anti")
+    out = sf2.run_available_now(sink_df=fresh, name="ek_store_probe")
+    assert sorted(r["doc_id"] for r in out.collect()) == [22]
