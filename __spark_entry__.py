@@ -1439,6 +1439,30 @@ def q_interarrival(spark, sf):
     return interarrival(load_table(spark, sf, "events"))
 
 
+def q_rollup_ts(spark, sf):
+    """Multi-granularity time rollup (hour + day per event type) in ONE
+    scan: GROUPING SETS plans a single Expand + one partial-combined
+    aggregate instead of one fact-table scan per grain; exact-cents
+    sums make the result partial-aggregation-order-proof."""
+    from eventkit_spark.operators.relational import rollup_timeseries
+
+    return rollup_timeseries(
+        load_table(spark, sf, "events"), by="event_type", grains=("hour", "day")
+    )
+
+
+def q_pivot_agg(spark, sf):
+    """Declared-values pivot (no hidden DISTINCT discovery scan): one
+    conditional-aggregate pass keyed on user_id, exact-cents sums, plus
+    an n_other bucket so undeclared pivot values stay visible."""
+    from eventkit_spark.operators.relational import pivot_agg
+
+    return pivot_agg(
+        load_table(spark, sf, "events"),
+        "user_id", "event_type", ["click", "view", "purchase"],
+    )
+
+
 def q_grouping_sets(spark, sf):
     """Non-hierarchical GROUPING SETS ((returnflag),(linestatus)) — two
     independent group-bys in ONE scan via the Expand operator (rollup/
@@ -3130,6 +3154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "twap": q_twap,
         "interarrival": q_interarrival,
+        "rollup_ts": q_rollup_ts,
+        "pivot_agg": q_pivot_agg,
         "grouping_sets": q_grouping_sets,
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
@@ -5402,6 +5428,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_intervals
             FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
             GROUP BY user_id""",
+        "rollup_ts": """
+            WITH c AS (
+              SELECT event_type, ts, value,
+                     (CASE WHEN value < 0 THEN -1 ELSE 1 END
+                      * floor(abs(value) * 100 + 0.5))::BIGINT AS cents
+              FROM events)
+            SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+                   event_type, count(*) AS n,
+                   round(sum(cents) / 100.0, 2) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM c GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), event_type, count(*),
+                   round(sum(cents) / 100.0, 2),
+                   round(min(value), 6), round(max(value), 6)
+            FROM c GROUP BY 2, 3""",
+        "pivot_agg": """
+            WITH c AS (
+              SELECT user_id, event_type,
+                     (CASE WHEN value < 0 THEN -1 ELSE 1 END
+                      * floor(abs(value) * 100 + 0.5))::BIGINT AS cents
+              FROM events)
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click' THEN cents END)
+                         / 100.0, 2) AS event_type_click,
+                   round(sum(CASE WHEN event_type = 'view' THEN cents END)
+                         / 100.0, 2) AS event_type_view,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN cents END)
+                         / 100.0, 2) AS event_type_purchase,
+                   sum(CASE WHEN event_type NOT IN ('click','view','purchase')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_other
+            FROM c GROUP BY user_id""",
         "interarrival": """
             WITH g AS (
               SELECT event_type,

@@ -84,6 +84,8 @@ HEADLINE = [
     "twap",
     "interarrival",
     "grouping_sets",
+    "rollup_ts",
+    "pivot_agg",
     "tpch_q7",
     "tpch_q15",
     "tpch_q8",

@@ -109,9 +109,20 @@ def exact_dedup_incremental(
     try:
         store = spark.read.parquet(f"{store_path}/hashes")
         fresh = batch.join(store, ["h", "h2"], "left_anti")
-    except AnalysisException:  # missing store = first batch; a CORRUPT
-        fresh = batch          # store still raises (silently treating it
-                               # as empty would re-accept duplicates)
+    except AnalysisException as e:
+        # ONLY a missing store means "first batch". Any other analysis
+        # failure — an empty/corrupt store dir (UNABLE_TO_INFER_SCHEMA),
+        # a schema-drifted store breaking the join — must raise:
+        # silently treating it as empty would re-accept every duplicate
+        # of previously committed text.
+        cls = ""
+        try:
+            cls = e.getErrorClass() or ""
+        except Exception:  # noqa: BLE001 — older error objects
+            cls = ""
+        if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
+            raise
+        fresh = batch
     fresh.write.mode("overwrite").parquet(f"{store_path}/last_batch")
     accepted = spark.read.parquet(f"{store_path}/last_batch")
     accepted.select("h", "h2").write.mode("append").parquet(f"{store_path}/hashes")
@@ -803,11 +814,19 @@ def _bloom_build_distributed(held, fpp: float):
 
 
 def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
-    spark = docs.sparkSession
     held = (
         heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
+        # three consumers read this pipeline — the sizing count, the
+        # bloom-build job, and the exact-verify join at action time;
+        # persist so the heldout explode+distinct runs ONCE (the sizing
+        # count materializes the cache). No explicit unpersist: the
+        # result plan holds the cached relation, and the context
+        # cleaner drops it when the result is released — the persisted
+        # store path (contamination_store_init) is the
+        # rescan-never answer for long-lived suites.
+        .persist()
     )
     bloom = _bloom_build_distributed(held, fpp)
     return _bloom_probe(docs, bloom, held, k, min_overlap, text_col, id_col)

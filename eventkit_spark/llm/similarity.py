@@ -213,9 +213,9 @@ def _ivf_centroids(corpus, n_cells, id_col, vec_col, centroids):
         cent_mat = np.stack([np.asarray(c) for c in model.clusterCenters()])
     elif centroids in ("hash", "portable"):
         if centroids == "portable":
-            h = (
-                (F.col(id_col).cast("long") % F.lit(1 << 31)) * F.lit(2654435761)
-            ) % F.lit(1 << 31)
+            from .cluster import _portable31
+
+            h = _portable31(F.col(id_col))
         else:
             h = F.xxhash64(F.col(id_col))
         cent_rows = (
@@ -364,24 +364,11 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    import numpy as np
-    import pandas as pd
-
     cent_mat = _ivf_centroids(corpus, n_cells, id_col, vec_col, centroids)
-    cell_ids = np.arange(len(cent_mat))
-
-    def _nearest_kernel(m):
-        # one BLAS product against the (broadcast-closure) centroid
-        # matrix per Arrow batch — the per-centroid HOF cosine chain ran
-        # interpreted
-        def k(vs):
-            A = np.stack(vs.to_numpy())
-            A = A / np.linalg.norm(A, axis=1, keepdims=True)
-            S = A @ cent_mat.T
-            idx = np.argsort(-S, axis=1, kind="stable")[:, :m]
-            return pd.Series(list(cell_ids[idx].astype(np.int32)))
-
-        return F.pandas_udf(k, "array<int>")
+    # one BLAS product against the (broadcast-closure) centroid matrix
+    # per Arrow batch — the SAME kernel the persisted-index path uses
+    # (_cell_assign_kernel), so in-memory and index routing cannot drift
+    _nearest_kernel = lambda m: _cell_assign_kernel(cent_mat, m)  # noqa: E731
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")

@@ -18,7 +18,16 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from .common import RN, meta_cols, value_col, wcum, worder, wtrail
+from .common import (
+    RN,
+    memo_range_bounds,
+    meta_cols,
+    range_bucket_id,
+    value_col,
+    wcum,
+    worder,
+    wtrail,
+)
 
 
 def _running(ef, agg_fn, name="value", frame=None):
@@ -27,11 +36,6 @@ def _running(ef, agg_fn, name="value", frame=None):
     out = agg_fn(v, w)
     cols = [F.col(c) for c in meta_cols(ef)] + [out.alias(name)]
     return ef._with(df=ef.df.select(*cols), value_cols=[name])
-
-
-# range boundaries for the scaled unkeyed path, memoized like the
-# unkeyed as-of join's (relational._ASOF_BOUNDS_CACHE pattern)
-_SEQ_BOUNDS_CACHE: dict[tuple, list] = {}
 
 
 def running_scaled(ef, kind: str, start=0, partitions: int | None = None,
@@ -69,28 +73,8 @@ def running_scaled(ef, kind: str, start=0, partitions: int | None = None,
         ef.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     snum = F.col(ef.seq_col).cast("double")
-    tproj = ef.df.select(snum.alias("__t"))
-    try:
-        key = (tproj._jdf.queryExecution().analyzed().semanticHash(), n_part)
-    except Exception:  # noqa: BLE001 — connect/mock sessions: skip memo
-        key = None
-    bounds = _SEQ_BOUNDS_CACHE.get(key) if key is not None else None
-    if bounds is None:
-        probs = [i / n_part for i in range(1, n_part)]
-        bounds = (
-            sorted(set(tproj.approxQuantile("__t", probs, 0.001)))
-            if probs
-            else []
-        )
-        if key is not None:
-            if len(_SEQ_BOUNDS_CACHE) > 64:
-                _SEQ_BOUNDS_CACHE.clear()
-            _SEQ_BOUNDS_CACHE[key] = bounds
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        pid = F.size(F.filter(barr, lambda b: snum > b))
-    else:
-        pid = F.lit(0)
+    bounds = memo_range_bounds(ef.df.select(snum.alias("__t")), n_part)
+    pid = range_bucket_id(snum, bounds)
     df = ef.df.withColumn("__pid", pid)
     wloc = (
         W.partitionBy("__pid")

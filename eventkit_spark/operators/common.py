@@ -98,6 +98,55 @@ def as_column(predicate, ef) -> Column:
     raise TypeError(f"cannot build a Column from {predicate!r}")
 
 
+_RANGE_BOUNDS_CACHE: dict[tuple, list] = {}
+
+
+def memo_range_bounds(tproj, n_part: int) -> list:
+    """Driver-side quantile range boundaries for ``tproj`` (a one-column
+    DataFrame named ``__t``, numeric), memoized so re-constructing the
+    same plan triggers no Spark job.
+
+    Shared by the unkeyed as-of join and the scaled running aggregates
+    (both range-partition a totally ordered stream by literal
+    boundaries). The memo key combines the analyzed plan's semantic hash
+    with a fingerprint of the scan's file listing (``inputFiles``,
+    driver metadata only, no job): a file-backed plan re-read after new
+    data lands keeps its semantic hash but changes its file list, so
+    append-only ingest gets fresh boundaries instead of day-one
+    quantiles that would silently collapse bucket parallelism.
+    Non-file sources fingerprint as empty and memo on plan shape alone.
+    """
+    try:
+        sem = tproj._jdf.queryExecution().analyzed().semanticHash()
+        files = hash(tuple(sorted(tproj.inputFiles())))
+        key = (sem, files, n_part)
+    except Exception:  # noqa: BLE001 — connect/mock sessions: skip memo
+        key = None
+    bounds = _RANGE_BOUNDS_CACHE.get(key) if key is not None else None
+    if bounds is None:
+        probs = [i / n_part for i in range(1, n_part)]
+        bounds = (
+            sorted(set(tproj.approxQuantile("__t", probs, 0.001)))
+            if probs
+            else []
+        )
+        if key is not None:
+            if len(_RANGE_BOUNDS_CACHE) > 64:
+                _RANGE_BOUNDS_CACHE.clear()
+            _RANGE_BOUNDS_CACHE[key] = bounds
+    return bounds
+
+
+def range_bucket_id(tnum, bounds) -> Column:
+    """Literal-array bucket id for ``tnum`` given sorted ``bounds`` —
+    pure expression, so every plan branch recomputes identical ids
+    (no checkpoint / pinning needed)."""
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.size(F.filter(barr, lambda b: tnum > b))
+    return F.lit(0)
+
+
 def meta_cols(ef) -> list[str]:
     """seq/ts/key columns that ride along unchanged through payload ops."""
     cols = [ef.seq_col]

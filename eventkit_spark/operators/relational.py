@@ -29,9 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 
-# unkeyed as-of range boundaries, keyed by (plan semantic hash,
-# partitions) — repeat constructions skip the plan-time quantile job
-_ASOF_BOUNDS_CACHE: dict[tuple, list] = {}
+from .common import memo_range_bounds, range_bucket_id
 
 
 def asof_join(
@@ -145,32 +143,12 @@ def asof_join(
             u.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
         tnum = F.col(ts_col).cast("double")
-        probs = [i / n_part for i in range(1, n_part)]
         # memo the sketch by the semantic hash of the projected plan:
         # constructing the same join twice (or fanning one join out to
         # several downstream pipelines) must not re-run the plan-time
         # quantile job
-        tproj = u.select(tnum.alias("__t"))
-        try:
-            key = (tproj._jdf.queryExecution().analyzed().semanticHash(), n_part)
-        except Exception:  # noqa: BLE001 — connect/mock sessions: skip memo
-            key = None
-        bounds = _ASOF_BOUNDS_CACHE.get(key) if key is not None else None
-        if bounds is None:
-            bounds = (
-                sorted(set(tproj.approxQuantile("__t", probs, 0.001)))
-                if probs
-                else []
-            )
-            if key is not None:
-                if len(_ASOF_BOUNDS_CACHE) > 64:
-                    _ASOF_BOUNDS_CACHE.clear()
-                _ASOF_BOUNDS_CACHE[key] = bounds
-        if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            pid = F.size(F.filter(barr, lambda b: tnum > b))
-        else:
-            pid = F.lit(0)
+        bounds = memo_range_bounds(u.select(tnum.alias("__t")), n_part)
+        pid = range_bucket_id(tnum, bounds)
         u = u.withColumn("__pid", pid)
         pids = (
             u.sparkSession.range(len(bounds) + 1)
@@ -1205,3 +1183,111 @@ def interarrival(
         F.max("__gap_us").alias("max_gap_us"),
         F.round(F.sum("__gap_us") / (1000000.0 * F.count("*")), 6).alias("mean_gap_s"),
     )
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: list[str] | str | None = None,
+    grains: tuple[str, ...] = ("hour", "day"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-granularity time rollup — the hypertable "continuous
+    aggregate" shape — in ONE scan: per (grain, bucket, by...) emit
+    count / exact-cents sum / min / max of ``value_col``.
+
+    The naive form runs one aggregate job per grain (G scans of a
+    100 TB fact table). This uses GROUPING SETS: Catalyst plans a
+    single scan + Expand (one replica per grain, each carrying only its
+    truncated bucket) + ONE partial-combined hash aggregate, so the
+    shuffle carries at most sum over grains of #buckets x #groups cells
+    — aggregate-sized, never event-sized. Adding a grain adds an Expand
+    replica, not a scan.
+
+    Values sum in half-away-from-zero cents (long) so partial
+    aggregation order cannot change the result; ``sum_value`` is
+    returned at original scale rounded to 2. Grains are ``date_trunc``
+    units (year/quarter/month/week/day/hour/minute...). Output:
+    (grain string, bucket timestamp, by..., n, sum_value, min_value,
+    max_value).
+    """
+    from .common import as_ts
+
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    ts = as_ts(F.col(ts_col))
+    v = F.col(value_col)
+    cents = F.signum(v) * F.floor(F.abs(v) * 100 + F.lit(0.5))
+    staged = df.select(
+        *[F.col(c) for c in by],
+        cents.cast("long").alias("__cents"),
+        v.alias("__v"),
+        *[F.date_trunc(g, ts).alias(f"__g_{g}") for g in grains],
+    )
+    grouped = staged.groupingSets(
+        [[*by, f"__g_{g}"] for g in grains],
+        *[F.col(c) for c in by],
+        *[F.col(f"__g_{g}") for g in grains],
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("__cents") / 100.0, 2).alias("sum_value"),
+        F.round(F.min("__v"), 6).alias("min_value"),
+        F.round(F.max("__v"), 6).alias("max_value"),
+    )
+    grain_lbl = F.coalesce(
+        *[
+            F.when(F.col(f"__g_{g}").isNotNull(), F.lit(g))
+            for g in grains
+        ]
+    )
+    bucket = F.coalesce(*[F.col(f"__g_{g}") for g in grains])
+    return grouped.select(
+        grain_lbl.alias("grain"),
+        bucket.alias("bucket"),
+        *[F.col(c) for c in by],
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
+def pivot_agg(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str = "value",
+    agg: str = "sum",
+) -> DataFrame:
+    """Wide pivot: one row per ``key``, one column per DECLARED pivot
+    value (``{pivot_col}_{v}``) holding ``agg`` of ``value_col``
+    (sum/count/min/max/avg), plus ``n_other`` counting rows whose pivot
+    value is outside ``values`` (so nothing silently disappears).
+
+    ``values`` must be declared by the caller: Spark's ``pivot()``
+    without a value list runs a DISTINCT discovery job over the fact
+    table before planning — a hidden extra 100 TB scan. With declared
+    values this is a conditional-aggregate projection: ONE scan, ONE
+    partial-combined aggregate keyed on ``key``, the shuffle carrying
+    #values cells per key. Sums are exact-cents (long) rescaled, so
+    partial-aggregation order is immaterial.
+    """
+    aggs = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max, "avg": F.avg}
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    fn = aggs[agg]
+    v = F.col(value_col)
+    cents = (F.signum(v) * F.floor(F.abs(v) * 100 + F.lit(0.5))).cast("long")
+    cols = []
+    for val in values:
+        m = F.when(F.col(pivot_col) == val, cents if agg == "sum" else v)
+        out = fn(m)
+        if agg == "sum":
+            out = F.round(out / 100.0, 2)
+        elif agg == "avg":
+            out = F.round(out, 6)
+        cols.append(out.alias(f"{pivot_col}_{val}"))
+    other = F.sum(
+        F.when(~F.col(pivot_col).isin(*values), 1).otherwise(0)
+    ).alias("n_other")
+    return df.groupBy(F.col(key)).agg(*cols, other)

@@ -235,7 +235,10 @@ def pluck_json(ef, paths, variant: bool = True):
     for every path) and positions the column for parquet VARIANT
     shredding, where sub-paths prune at the scan like struct fields.
     ``variant=False`` keeps the classic string-path form. Missing paths
-    are NULL (the engine's NO_VALUE convention) in both modes.
+    AND malformed JSON rows are NULL (the engine's NO_VALUE convention)
+    in both modes — ``try_parse_json`` keeps the variant mode aligned
+    with ``get_json_object``'s NULL-on-garbage behavior, so one
+    truncated row cannot fail a corpus-wide job.
     """
     from .common import meta_cols
 
@@ -244,7 +247,7 @@ def pluck_json(ef, paths, variant: bool = True):
     base = F.col(ef.value_cols[0])
     cols = [F.col(c) for c in meta_cols(ef)]
     if variant:
-        v = F.parse_json(base.cast("string"))
+        v = F.try_parse_json(base.cast("string"))
         for name, (path, typ) in paths.items():
             cols.append(F.try_variant_get(v, path, typ).alias(name))
     else:

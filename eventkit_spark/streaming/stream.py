@@ -39,15 +39,25 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
-def tws_available() -> bool:
+def tws_available(spark: SparkSession | None = None) -> bool:
     """True when Spark's ``transformWithStateInPandas`` (Spark 4's
     successor to applyInPandasWithState: timers, multiple state
-    variables, TTL) can actually RUN here: the API must exist AND the
-    protobuf package its state-server protocol needs must import — the
-    API being present does not imply the runtime dependency is (this
-    container ships pyspark 4.1 without protobuf, so the call crashes
-    the TWS driver worker). Kernels gate on this and keep
-    applyInPandasWithState as the portable path."""
+    variables, TTL) can actually RUN here. Three independent runtime
+    requirements, none implied by the others:
+
+    - the API must exist on ``GroupedData``;
+    - the protobuf package its state-server protocol needs must import
+      (this container ships pyspark 4.1 without protobuf, so the call
+      crashes the TWS driver worker);
+    - the session's state store provider must be RocksDB — TWS refuses
+      the default HDFSBackedStateStoreProvider at query start, so a
+      protobuf-equipped environment with the default provider would
+      fail where the classic applyInPandasWithState path works.
+
+    Pass the session to check the provider; with ``spark=None`` the
+    active session is probed (no-session → provider unknown → False).
+    Kernels gate on this and keep applyInPandasWithState as the
+    portable path."""
     try:
         from pyspark.sql.group import GroupedData
 
@@ -55,7 +65,14 @@ def tws_available() -> bool:
             return False
         from google.protobuf import descriptor  # noqa: F401
 
-        return True
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        return "RocksDB" in (provider or "")
     except Exception:  # noqa: BLE001 — any import/runtime gap: not available
         return False
 
@@ -349,7 +366,7 @@ class StreamFrame:
         runs, so the classic handler stays the portable default.
         """
         if use_tws is None:
-            use_tws = tws_available()
+            use_tws = tws_available(self.df.sparkSession)
         if use_tws:
             return self._running_agg_tws(ema_n)
         value_col = self.value_cols[0]

@@ -544,16 +544,16 @@ def test_unkeyed_asof_bounds_memoized(spark):
     semantic hash, so pipeline fan-out builds pay the sketch once."""
     from pyspark.sql import functions as F
 
-    from eventkit_spark.operators import relational
+    from eventkit_spark.operators import common
     from eventkit_spark.operators.relational import asof_join
 
     left = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("ts"))
     right = spark.range(50).select((F.col("id") * 4.0).alias("ts"), F.col("id").alias("q"))
-    relational._ASOF_BOUNDS_CACHE.clear()
+    common._RANGE_BOUNDS_CACHE.clear()
     tracker = spark.sparkContext.statusTracker()
     out1 = asof_join(left, right, "ts", right_cols=["q"], partitions=4)
     jobs_after_first = len(tracker.getJobIdsForGroup(None) or [])
-    assert len(relational._ASOF_BOUNDS_CACHE) == 1
+    assert len(common._RANGE_BOUNDS_CACHE) == 1
     out2 = asof_join(left, right, "ts", right_cols=["q"], partitions=4)
     jobs_after_second = len(tracker.getJobIdsForGroup(None) or [])
     assert jobs_after_second == jobs_after_first, "second construction ran a job"

@@ -728,11 +728,15 @@ def test_streaming_combinator_cuts(spark, tmp_path_factory):
         assert got == expect, f"{disc}: {got} != {expect}"
 
 
-def test_tws_gate_detects_missing_protocol(spark):
-    """The transformWithState gate must be FALSE here: the API exists in
-    pyspark 4.1 but its protobuf state-protocol dependency is absent in
-    this container (the call crashes the TWS driver worker), so
-    running_agg must stay on applyInPandasWithState by default."""
+def test_tws_gate_detects_missing_runtime(spark):
+    """The transformWithState gate must be FALSE here unless ALL three
+    runtime requirements hold: the API exists in pyspark 4.1 but its
+    protobuf state-protocol dependency is absent in this container (the
+    call crashes the TWS driver worker), and the gate must ALSO refuse
+    a session whose state store provider is not RocksDB (TWS rejects
+    the default HDFS-backed provider at query start even where protobuf
+    imports fine), so running_agg must stay on applyInPandasWithState
+    by default."""
     from pyspark.sql.group import GroupedData
 
     from eventkit_spark.streaming.stream import tws_available
@@ -744,30 +748,48 @@ def test_tws_gate_detects_missing_protocol(spark):
         has_proto = True
     except ImportError:
         has_proto = False
-    assert tws_available() == has_proto
+    has_rocks = "RocksDB" in (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        or ""
+    )
+    assert tws_available(spark) == (has_proto and has_rocks)
+    # provider check alone must veto: default-provider session -> False
+    if not has_rocks:
+        assert not tws_available(spark)
+
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
 def test_running_agg_tws_parity(spark, stream_dir):
     """transformWithStateInPandas twin of running_agg matches the
-    classic handler — runs only where the TWS runtime exists."""
+    classic handler — runs only where the TWS runtime exists (RocksDB
+    provider set FIRST: it is part of the gate)."""
     from eventkit_spark.streaming.stream import tws_available
 
-    if not tws_available():
-        pytest.skip("transformWithStateInPandas runtime (protobuf) not available")
+    old = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    sf = _stream(spark, stream_dir)
-    classic = sf.run_available_now(
-        sink_df=sf.running_agg(ema_n=10, use_tws=False), name="ek_tws_a"
-    )
-    tws = sf.run_available_now(
-        sink_df=sf.running_agg(ema_n=10, use_tws=True), name="ek_tws_b"
-    )
-    a = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in classic.collect()}
-    b = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in tws.collect()}
-    assert a == b
+    try:
+        if not tws_available(spark):
+            pytest.skip("transformWithStateInPandas runtime (protobuf) not available")
+        sf = _stream(spark, stream_dir)
+        classic = sf.run_available_now(
+            sink_df=sf.running_agg(ema_n=10, use_tws=False), name="ek_tws_a"
+        )
+        tws = sf.run_available_now(
+            sink_df=sf.running_agg(ema_n=10, use_tws=True), name="ek_tws_b"
+        )
+        a = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in classic.collect()}
+        b = {(r["user_id"], r["rcount"]): (r["rsum"], round(r["ema"], 9)) for r in tws.collect()}
+        assert a == b
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
 
 
 def test_streaming_store_dedup_and_probe(spark, tmp_path_factory):
