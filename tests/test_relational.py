@@ -559,3 +559,31 @@ def test_unkeyed_asof_bounds_memoized(spark):
     assert jobs_after_second == jobs_after_first, "second construction ran a job"
     # and the two constructions agree
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_bounds_memo_invalidates_on_new_files(tmp_path, spark):
+    """Appending files to a parquet-backed stream must refresh the
+    memoized range boundaries: the analyzed plan's semantic hash does
+    not change when new files land at the same path, so the memo also
+    fingerprints the scan's file listing — otherwise a long-lived
+    session would range-partition tomorrow's (larger) seq domain with
+    day-one quantiles and silently collapse the scaled path's
+    parallelism."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.operators import common
+
+    p = str(tmp_path / "grow")
+    spark.range(0, 1000).select(F.col("id").cast("double").alias("__t")).write.parquet(p)
+    common._RANGE_BOUNDS_CACHE.clear()
+    b1 = common.memo_range_bounds(spark.read.parquet(p), 4)
+    assert len(common._RANGE_BOUNDS_CACHE) == 1
+    # same listing -> memo hit (no new entry, same object)
+    assert common.memo_range_bounds(spark.read.parquet(p), 4) is b1
+    # new file with a 100x larger domain -> new key, fresh quantiles
+    spark.range(1000, 100000).select(
+        F.col("id").cast("double").alias("__t")
+    ).write.mode("append").parquet(p)
+    b2 = common.memo_range_bounds(spark.read.parquet(p), 4)
+    assert len(common._RANGE_BOUNDS_CACHE) == 2
+    assert max(b2) > max(b1), "stale day-one boundaries survived ingest"
