@@ -548,12 +548,41 @@ def minhash_lsh_candidates(
     )
 
 
+def _cc_driver_labels(edges, spark, id_type: str):
+    """Vectorized driver-side union-find for SMALL edge sets: numpy
+    min-label propagation + pointer jumping over index arrays — the
+    same algorithm as the distributed loop, collapsed to O(E) numpy
+    passes with zero per-round Spark jobs. Returns the (id, cluster)
+    labels frame (edge-touched nodes only, like the loop)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], f"id {id_type}, cluster {id_type}")
+    ids = np.unique(pdf["src"].to_numpy())  # symmetrized: src covers all
+    s = np.searchsorted(ids, pdf["src"].to_numpy())
+    d = np.searchsorted(ids, pdf["dst"].to_numpy())
+    label = np.arange(len(ids))
+    while True:
+        m = label.copy()
+        np.minimum.at(m, d, label[s])  # one hop along every edge
+        m = m[m]                       # pointer jump (label composition)
+        if np.array_equal(m, label):
+            break
+        label = m
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "cluster": ids[label]})
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
     on_nonconverged: str = "raise",
+    driver_edges_max: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` -> (id, cluster_id).
 
@@ -594,6 +623,24 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # SMALL-GRAPH FAST PATH: the checkpoint just materialized the edge
+    # set, so its count is free — when the (already LSH-thinned,
+    # symmetrized) graph fits ``driver_edges_max`` rows (~32 MB of int
+    # pairs at the default), a vectorized driver union-find replaces the
+    # whole round loop: identical min-reachable-id labels, no per-round
+    # join/checkpoint jobs. Near-dup graphs are pair-table-sized, not
+    # corpus-sized (~1% of docs at sane thresholds), so even very large
+    # corpora often land here; past the cap the distributed
+    # pointer-jumping loop below is the scale path.
+    id_type = docs.schema[id_col].dataType.simpleString()
+    spark_s = docs.sparkSession
+    if edges.count() <= driver_edges_max:
+        labels = _cc_driver_labels(edges, spark_s, id_type)
+        ids = docs.select(F.col(id_col).alias("id"))
+        return ids.join(labels, "id", "left").select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("cluster"), F.col("id")).alias("cluster_id"),
+        )
     # init one hop ahead: label(id) = min(id, min neighbor) costs the
     # same single aggregate as a distinct-ids init but starts the loop
     # with round 1 already applied — pair/star clusters (the bulk of

@@ -225,18 +225,26 @@ def test_dedup_clusters_deep_chain_pointer_jump(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    out = dedup_clusters(docs, pairs, max_iter=14)
+    # driver_edges_max=0 forces the DISTRIBUTED loop (the small-graph
+    # union-find shortcut would solve this instantly and never iterate)
+    out = dedup_clusters(docs, pairs, max_iter=14, driver_edges_max=0)
     assert out.filter(F.col("cluster_id") != 0).count() == 0
 
+    # the driver fast path must agree with the loop exactly
+    fast = dedup_clusters(docs, pairs)
+    assert fast.filter(F.col("cluster_id") != 0).count() == 0
+
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(docs, pairs, max_iter=3)
+        dedup_clusters(docs, pairs, max_iter=3, driver_edges_max=0)
 
     # warn mode returns (possibly split) labels instead of raising
     import warnings
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        dedup_clusters(docs, pairs, max_iter=3, on_nonconverged="warn").count()
+        dedup_clusters(
+            docs, pairs, max_iter=3, on_nonconverged="warn", driver_edges_max=0
+        ).count()
     assert any("did not converge" in str(w.message) for w in caught)
 
 
