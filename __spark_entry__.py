@@ -2286,6 +2286,33 @@ def q_dedup_minhash_incremental(spark, sf):
     return minhash_dedup_incremental(docs.filter(F.col("doc_id") % 3 == 0), path)
 
 
+def q_dedup_simhash_incremental(spark, sf):
+    # persisted SimHash posting-store lifecycle (llm/dedup.py
+    # simhash_store_init/simhash_dedup_incremental): seed from
+    # doc_id % 3 != 0, probe the % 3 == 0 slice — (doc_id, status) with
+    # every status EXACT-popcount verified (the store carries full
+    # fingerprints, not just bucket occupancy). portable=True so DuckDB
+    # replays the fingerprints and brute-forces the same Hamming
+    # verdicts. Fresh store per call so re-runs are deterministic.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from eventkit_spark.llm.dedup import (
+        simhash_dedup_incremental, simhash_store_init,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_sh_store_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    simhash_store_init(
+        docs.filter(F.col("doc_id") % 3 != 0), path,
+        max_hamming=3, portable=True,
+    )
+    return simhash_dedup_incremental(docs.filter(F.col("doc_id") % 3 == 0), path)
+
+
 def q_dedup_clusters(spark, sf):
     from eventkit_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
 
@@ -3260,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate": q_decontaminate,
         "decontaminate_store": q_decontaminate_store,
@@ -6563,6 +6591,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS doc_id,
               CASE WHEN d.doc_id IN (SELECT id FROM store_hit) THEN 'dup_store'
                    WHEN d.doc_id IN (SELECT id FROM batch_dup) THEN 'dup_batch'
+                   ELSE 'kept' END AS status
+            FROM documents d WHERE d.doc_id % 3 = 0"""
+    )
+    # incremental SimHash store replay: fingerprints from the shared
+    # portable-fold CTE (the dedup_simhash oracle), store = seed-slice
+    # fps; every status is brute-force Hamming verified exactly like the
+    # engine's popcount verify (pigeonhole candidates are complete at
+    # hamming<=3, so candidate generation cannot change the verdict set)
+    _sh_fp = r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(term) + 1),
+                                      i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) * 2654435761) % 2147483648
+                     + ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, length(term) + 1),
+                                        i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))),
+                         (acc, c) -> (acc * 37 + c) % 2147483647) * 2246822519) % 2147483648) * 2147483648 AS h
+              FROM tok
+            ), bits AS (
+              SELECT doc_id, i.range AS i,
+                     CASE WHEN (h >> CAST(i.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS s
+              FROM h, range(62) i
+            ), sums AS (
+              SELECT doc_id, i, sum(s) AS v FROM bits GROUP BY doc_id, i
+            ), fpt AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS fp
+              FROM sums GROUP BY doc_id
+            )"""
+    sqls["dedup_simhash_incremental"] = (
+        _sh_fp
+        + """
+            , seed AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 3 <> 0)
+            , batch AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 3 = 0)
+            , store_hit AS (
+              SELECT DISTINCT b.doc_id FROM batch b
+              JOIN seed s ON bit_count(xor(b.fp, s.fp)) <= 3
+            ), clean AS (
+              SELECT * FROM batch
+              WHERE doc_id NOT IN (SELECT doc_id FROM store_hit)
+            ), batch_dup AS (
+              SELECT DISTINCT b.doc_id FROM clean b
+              JOIN clean a ON a.doc_id < b.doc_id
+                AND bit_count(xor(a.fp, b.fp)) <= 3
+            )
+            SELECT d.doc_id AS doc_id,
+              CASE WHEN d.doc_id IN (SELECT doc_id FROM store_hit) THEN 'dup_store'
+                   WHEN d.doc_id IN (SELECT doc_id FROM batch_dup) THEN 'dup_batch'
                    ELSE 'kept' END AS status
             FROM documents d WHERE d.doc_id % 3 = 0"""
     )

@@ -1092,6 +1092,31 @@ def simhash64(
     return v.select("id", fp.alias("simhash"))
 
 
+def _simhash_chunks(sh):
+    """(id, simhash, chunk, val): the 4 x 16-bit pigeonhole blocking
+    keys of each fingerprint — hamming <= 3 implies at least one chunk
+    matches exactly. Shared by the in-memory pair search and the
+    persisted-store probe so the blocking can never drift between them.
+    """
+    return sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -1120,23 +1145,7 @@ def simhash_near_dups(
     # Bucket sizes are ~n/2^16 for unrelated docs plus the near-dup
     # groups themselves.
     sh = simhash64(docs, text_col, id_col, portable=portable)
-    chunks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.val")
+    chunks = _simhash_chunks(sh)
     if max_bucket is not None:
         cw = W.partitionBy("chunk", "val")
         chunks = chunks.withColumn("__bn", F.count("*").over(cw)).filter(
@@ -1172,6 +1181,150 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_store_init(
+    docs: DataFrame,
+    store_path: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> None:
+    """Initialize a PERSISTED SimHash store from a seed corpus — the
+    Hamming-distance member of the persisted-store lifecycle family
+    (``exact_dedup_store_init`` / ``minhash_store_init`` /
+    ``contamination_store_init``): each nightly slice near-dedups
+    against everything accepted WITHOUT rescanning the accepted corpus.
+
+    The store carries one row per (chunk, val, simhash) posting of the
+    accepted fingerprints (three ints, never text), written partitioned
+    by chunk so a probe's equi-join prunes to the 4 chunk partitions,
+    plus a one-row ``meta`` table pinning (max_hamming, portable) — a
+    probe with mismatched params would compare garbage, so probes read
+    them from the store. Unlike the MinHash store (bucket-occupancy
+    candidates), carrying the full fingerprint lets every probe verify
+    EXACT Hamming distance, so statuses are true near-dup verdicts, not
+    LSH candidate verdicts.
+    """
+    sh = simhash64(docs, text_col, id_col, portable=portable)
+    (
+        _simhash_chunks(sh)
+        .select("chunk", "val", "simhash")
+        .distinct()
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(f"{store_path}/postings")
+    )
+    docs.sparkSession.createDataFrame(
+        [(int(max_hamming), bool(portable))], "max_hamming int, portable boolean"
+    ).write.mode("overwrite").parquet(f"{store_path}/meta")
+
+
+def simhash_dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-incremental near-dup dedup against a persisted SimHash
+    store (init with ``simhash_store_init``). Returns one row per batch
+    doc: ``(id_col, status)`` with status
+
+    - ``dup_store``: VERIFIED Hamming <= max_hamming to some accepted
+      fingerprint (pigeonhole candidates via the chunk equi-join, then
+      exact ``bit_count(xor)`` — no false positives, unlike the LSH
+      bucket-occupancy store),
+    - ``dup_batch``: store-clean but verified-near some SMALLER
+      store-clean batch id (greedy min-keeps; chains a~b~c over-drop in
+      the transitive-collapse direction ``dedup_clusters`` applies
+      deliberately),
+    - ``kept``: accepted; its postings are COMMITTED back to the store.
+
+    Accept-then-commit like the exact/minhash stores: statuses
+    materialize to ``{store}/last_batch`` BEFORE survivors' postings
+    append, so a recompute cannot double-filter against its own commit.
+
+    Scale shape: one fingerprint pass over the batch (persisted, reused
+    by probe/competition/commit, then unpersisted); the store probe is
+    a (chunk, val) equi-join carrying ints only (chunk partitioning
+    prunes the scan; AQE broadcasts a small store, shuffles a grown
+    one); batch competition reuses the posting-list pair expansion with
+    the Hamming filter BEFORE any exchange; only survivors' distinct
+    postings append. No text ever enters an exchange or the store.
+    """
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{store_path}/meta").first()
+    sh = simhash64(new_docs, text_col, id_col, portable=m.portable).persist()
+    chunks = _simhash_chunks(sh)
+    store = spark.read.parquet(f"{store_path}/postings")
+    hits = (
+        chunks.join(
+            store.withColumnRenamed("simhash", "__sfp"), ["chunk", "val"]
+        )
+        .filter(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("__sfp")))
+            <= m.max_hamming
+        )
+        .select("id")
+        .distinct()
+    )
+    clean = chunks.join(hits, "id", "left_anti")
+    posts = (
+        clean.groupBy("chunk", "val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("lst"))
+        .filter(F.size("lst") >= 2)
+    )
+    lst = F.col("lst")
+    pairs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + 2, F.greatest(F.size(lst), F.lit(1))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    x.getField("simhash").alias("ha"),
+                    y.getField("id").alias("id_b"),
+                    y.getField("simhash").alias("hb"),
+                ),
+            ),
+        )
+    )
+    batch_dup = (
+        posts.select(F.explode(pairs).alias("p"))
+        .filter(
+            F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))) <= m.max_hamming
+        )
+        .select(F.col("p.id_b").alias("id"))
+        .distinct()
+    )
+    res = (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(hits.withColumn("__hit", F.lit(1)), "id", "left")
+        .join(batch_dup.withColumn("__bdup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__hit") == 1, F.lit("dup_store"))
+            .when(F.col("__bdup") == 1, F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    res.write.mode("overwrite").parquet(f"{store_path}/last_batch")
+    accepted = spark.read.parquet(f"{store_path}/last_batch")
+    kept = accepted.filter(F.col("status") == "kept").select(
+        F.col(id_col).alias("id")
+    )
+    (
+        chunks.join(kept, "id", "left_semi")
+        .select("chunk", "val", "simhash")
+        .distinct()
+        .write.mode("append")
+        .partitionBy("chunk")
+        .parquet(f"{store_path}/postings")
+    )
+    sh.unpersist()
+    return accepted.select(id_col, "status")
 
 
 def substring_dedup(

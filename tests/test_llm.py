@@ -1604,6 +1604,53 @@ def test_minhash_incremental_store_lifecycle(spark, tmp_path):
     ]
 
 
+def test_simhash_incremental_store_lifecycle(spark, tmp_path):
+    """The SimHash posting store carries VERIFIED Hamming near-dup
+    state across batches: a batch doc within max_hamming of a seed
+    fingerprint is dup_store, the larger of two near-identical batch
+    docs is dup_batch (greedy min-keeps), novel texts are kept and
+    their postings committed — so re-running the same batch flips every
+    row to dup_store. Unlike the MinHash store's bucket-occupancy
+    candidates, every status here is exact-popcount verified."""
+    from eventkit_spark.llm.dedup import (
+        simhash_dedup_incremental, simhash_store_init, simhash64,
+    )
+
+    path = str(tmp_path / "shstore")
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different sentence about distributed query engines")],
+        "doc_id long, text string",
+    )
+    simhash_store_init(seed, path, max_hamming=3, portable=True)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "a totally novel document discussing oceanic tide patterns"),
+         (12, "a totally novel document discussing oceanic tide patterns"),
+         (13, "yet another unrelated passage on alpine meadow wildflowers")],
+        "doc_id long, text string",
+    )
+    out = simhash_dedup_incremental(batch, path)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (10, "dup_store"), (11, "kept"), (12, "dup_batch"), (13, "kept"),
+    ]
+    rerun = simhash_dedup_incremental(batch, path)
+    assert sorted(map(tuple, rerun.collect())) == [
+        (10, "dup_store"), (11, "dup_store"),
+        (12, "dup_store"), (13, "dup_store"),
+    ]
+    # the store statuses agree with brute-force Hamming over the union:
+    # doc 10's fingerprint must be within 3 of seed 1's, 11/13 within 3
+    # of nothing accepted earlier
+    fps = {r["id"]: r["simhash"]
+           for r in simhash64(seed.union(batch), portable=True).collect()}
+    assert bin(fps[10] ^ fps[1]).count("1") <= 3
+    assert all(
+        bin(fps[11] ^ fps[s]).count("1") > 3 for s in (1, 2)
+    )
+
+
 def test_contamination_store_matches_join_form(spark, tmp_path):
     """The persisted contamination store gives results identical to
     contamination(method='join') against the same suite, across TWO
