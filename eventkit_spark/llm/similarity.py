@@ -287,6 +287,33 @@ def ivf_index_write(
     ).parquet(f"{path}/centroids")
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED IVF index (``ivf_index_write``)
+    WITHOUT refitting: load the frozen centroid table (tiny), assign
+    each new vector its nearest cell with the same kernel every other
+    path uses, and append into the cell partitions — one scan of the
+    new batch, zero reads of the existing index. This is the nightly
+    embedding-ingest lifecycle: centroids stay fixed (queries keep
+    routing identically; results over old+new vectors equal a rebuilt
+    index AT THE SAME centroids), and a periodic ``ivf_index_write``
+    refit handles drift when cell balance degrades (inspect cell sizes
+    with a count over the partition column — metadata-only)."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", F.element_at(_cell_assign_kernel(cent_mat, 1)(F.col("cv")), 1))
+    c.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
 def ivf_index_topk(
     spark,
     path: str,

@@ -1536,6 +1536,58 @@ def test_ivf_index_roundtrip_matches_ivf_topk(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_ivf_index_append_equals_rebuild_at_same_centroids(spark, tmp_path):
+    """Appending a new vector slice to a persisted IVF index (frozen
+    centroids, no refit, no read of the existing cells) must answer
+    queries exactly like an index REBUILT over the union — the
+    assignment kernel and centroid table are shared, so the only
+    difference is which files hold each cell's rows."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.similarity import (
+        ivf_index_append, ivf_index_topk, ivf_index_write,
+    )
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    inc = str(tmp_path / "inc")
+    ivf_index_write(old, inc, n_cells=4, centroids="portable")
+    ivf_index_append(new, inc)
+
+    # rebuild over the union AT THE INCREMENTAL INDEX'S centroids: copy
+    # the frozen centroid table so only the cells differ
+    full = str(tmp_path / "full")
+    spark.read.parquet(f"{inc}/centroids").coalesce(1).write.parquet(
+        f"{full}/centroids"
+    )
+    import numpy as np
+
+    from eventkit_spark.llm.similarity import _as_double, _cell_assign_kernel
+
+    cent_rows = spark.read.parquet(f"{inc}/centroids").orderBy("cell").collect()
+    cent_mat = np.stack([np.array(r["cv"]) for r in cent_rows])
+    emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn(
+        "cell", F.element_at(_cell_assign_kernel(cent_mat, 1)(F.col("cv")), 1)
+    ).write.partitionBy("cell").parquet(f"{full}/cells")
+
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in ivf_index_topk(spark, inc, q, k=3, nprobe=2).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in ivf_index_topk(spark, full, q, k=3, nprobe=2).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_incremental_dedup_store_lifecycle(spark, tmp_path):
     """The fingerprint store carries state ACROSS batches: wave 2's
     duplicates of wave-1 texts are rejected, new texts are accepted and
