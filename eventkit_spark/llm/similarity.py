@@ -314,6 +314,27 @@ def ivf_index_append(
     c.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Cell-balance report for a persisted IVF index: (cell, n) plus
+    each cell's share in ppm — the drift signal for deciding when the
+    append-only lifecycle needs an ``ivf_index_write`` refit (a few
+    overfull cells mean probes re-rank oversized candidate lists). The
+    scan reads ONLY the partition column, so this is file-listing-cheap
+    even on a huge index."""
+    cells = spark.read.parquet(f"{path}/cells").select("cell")
+    tot = cells.groupBy().agg(F.count("*").alias("__t"))
+    return (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell", "n",
+            F.floor(F.col("n") * 1000000 / F.col("__t")).cast("long").alias("share_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

@@ -1729,3 +1729,24 @@ def test_contamination_store_matches_join_form(spark, tmp_path):
         got = sorted(map(tuple, decontaminate_incremental(batch, path).collect()))
         want = sorted(map(tuple, contamination(batch, suite, k=5).collect()))
         assert got == want and len(got) == 1
+
+
+def test_ivf_index_stats_reads_partition_column_only(spark, tmp_path):
+    """The cell-balance report must not read vector bytes: the scan's
+    ReadSchema is empty (partition-column-only), so the drift check is
+    file-listing-cheap on an index of any size."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.similarity import ivf_index_stats, ivf_index_write
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    ivf_index_write(emb, path, n_cells=4, centroids="portable")
+    out = ivf_index_stats(spark, path)
+    rows = out.collect()
+    assert [r["cell"] for r in rows] == [0, 1, 2, 3]
+    assert sum(r["n"] for r in rows) == emb.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("ReadSchema: struct<>" in ln for ln in scans)
