@@ -1142,6 +1142,31 @@ def q_bm25_search(spark, sf):
     return bm25_search(load_table(spark, sf, "documents"), "spark hash join", k=10)
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the BM25
+    top-10 for 'spark hash join' with a longest-docs top-10 (stand-in
+    for a second retriever; ANN cosine plugs in the same way). Integer
+    micro-unit contributions keep the fusion exact under any
+    aggregation order; the candidate union is lists-sized, so fusion
+    cost is independent of corpus size."""
+    from pyspark.sql import Window as W
+
+    from eventkit_spark.llm.sampling import bm25_search, rrf_fuse
+
+    docs = load_table(spark, sf, "documents")
+    lex = bm25_search(docs, "spark hash join", k=10)
+    # TakeOrdered top-10 first (distributed), then rank the 10 survivors
+    # with a tiny window — never a corpus-sized global row_number
+    top = docs.orderBy(F.col("n_chars").desc(), "doc_id").limit(10)
+    sem = top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), sem], k=60)
+
+
 def q_session_stats(spark, sf):
     # sessionize (30-min inactivity gap) then per-session rollup: the
     # composition query — session labels from the engine, aggregates
@@ -3168,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "event_paths": q_event_paths,
         "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
         "session_stats": q_session_stats,
         "contamination_report": q_contamination_report,
         "ivfpq": q_ivfpq,
@@ -5132,6 +5158,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
                      AS rank
             FROM sc ORDER BY s DESC, doc_id LIMIT 10""",
+        # RRF hybrid fusion: bm25_search's CTE chain verbatim as the
+        # lexical list, longest-docs top-10 as the second retriever,
+        # floor'd integer micro-unit contributions (exact in any engine)
+        "hybrid_rrf": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM tok
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2, 3
+            ), tot AS (
+              SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS tot FROM d
+            ), dfx AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+              GROUP BY term
+            ), sc AS (
+              SELECT doc_id,
+                     sum( ln(1 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * (1.2 + 1.0))
+                          / (tf + 1.2 * ((1 - 0.75)
+                                         + 0.75 * (dl * n / tot))) ) AS s
+              FROM tf JOIN dfx USING (term), tot
+              GROUP BY doc_id
+            ), lex AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT)
+                       AS rank
+              FROM sc ORDER BY s DESC, doc_id LIMIT 10
+            ), sem AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                            AS INT) AS rank
+                FROM documents) WHERE rank <= 10
+            ), u AS (
+              SELECT doc_id AS id,
+                     floor(1000000.0 / (60 + rank))::BIGINT AS c FROM lex
+              UNION ALL
+              SELECT doc_id, floor(1000000.0 / (60 + rank))::BIGINT FROM sem
+            ), f AS (
+              SELECT id, sum(c)::BIGINT AS rrf_micro,
+                     count(*)::BIGINT AS n_lists
+              FROM u GROUP BY id
+            )
+            SELECT id AS doc_id, rrf_micro, n_lists,
+                   CAST(row_number() OVER (ORDER BY rrf_micro DESC, id)
+                        AS INT) AS fused_rank
+            FROM f""",
         "event_transitions": """
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,

@@ -162,6 +162,7 @@ HEADLINE = [
     "corpus_diff",
     "event_paths",
     "bm25_search",
+    "hybrid_rrf",
     "multi_touch",
     "holt",
     "kalman",

@@ -861,3 +861,52 @@ def dsir_logratio(
         .agg(F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("logw"))
     )
     return out.select(F.col("id").alias(id_col), "logw")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topn: int | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) over N ranked lists
+    — the standard hybrid-retrieval combiner (BM25 ⊕ ANN cosine ⊕ ...):
+    ``rrf = sum over lists of 1e6 / (k + rank)``, in integer MICRO-units
+    so the per-id sum is exact under any aggregation order and replays
+    identically in any engine. Ids missing from a list simply contribute
+    nothing (the RRF convention — no imputed ranks).
+
+    Output: (id, rrf_micro, n_lists, fused_rank), fused_rank by
+    descending score with ascending-id tie-break. ``topn`` bounds the
+    result via one TakeOrdered pass.
+
+    Scale shape: a unionByName of the (id, rank) projections, ONE
+    partial-combined aggregate on id, then a top-n rank. The candidate
+    union is lists-sized (each list is already a top-k), never
+    corpus-sized — fusion cost is independent of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse() needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.floor(F.lit(1000000) / (F.lit(int(k)) + F.col(rank_col)))
+            .cast("long")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.sum("__c").alias("rrf_micro"), F.count("*").alias("n_lists")
+    )
+    w = W.orderBy(F.col("rrf_micro").desc(), F.col("id"))
+    out = fused.withColumn("fused_rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "rrf_micro", "n_lists", "fused_rank"
+    )
+    if topn is not None:
+        out = out.filter(F.col("fused_rank") <= int(topn))
+    return out

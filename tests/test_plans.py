@@ -166,9 +166,11 @@ SHUFFLE_CEILING = {
     # broadcast; the vocab branch is persisted so its plan-time lineage
     # (counted here) runs once at runtime
     "unigram_logprob": 7,
-    # flagged-residue agg + heldout distinct + heldout broadcast (the
-    # heldout side is distributed since r5 — no driver hash collection)
-    "decontaminate_bloom": 3,
+    # flagged-residue agg + heldout distinct + heldout broadcast; +1
+    # plan-text exchange since the heldout pipeline is PERSISTED (the
+    # cached plan's one-time materialization prints alongside the cache
+    # read — at runtime the distinct runs once, not twice)
+    "decontaminate_bloom": 4,
     # slice-count agg (+tiny-table window) + data shuffle on slice + broadcast
     "train_order": 4,
     # plan-time lineage: the persisted doc-score table appears on both
