@@ -683,6 +683,38 @@ def q_pq_encode(spark, sf):
     )
 
 
+def q_sq_encode(spark, sf):
+    # scalar quantization (FAISS SQ8 storage tier): per-dimension
+    # [min, max] grid codes, 4x compression of float32 vectors. The
+    # codes are exact integers from min/max + floor arithmetic only —
+    # no fixed-point replay mode needed, the oracle recomputes them
+    # bit-identically. Codes serialized as csv for the driver's
+    # hashable-cell canonicalizer; code_sum adds a second value check.
+    from eventkit_spark.llm.cluster import sq_encode
+
+    emb = load_table(spark, sf, "embeddings")
+    codes = sq_encode(emb, levels=256)
+    return codes.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+    )
+
+
+def q_sq_topk(spark, sf):
+    # symmetric SQ top-10: integer squared L2 in code space — ordering
+    # is exact (no float-sum associativity hazard), so the full ranking
+    # value-checks against the SQL replay.
+    from eventkit_spark.llm.cluster import sq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return sq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
 def _synth_urls(spark, sf):
     # the documents table has no URL column; both engines synthesize the
     # SAME messy URL deterministically from doc fields so every
@@ -3117,6 +3149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "skew_report": q_skew_report,
         "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
+        # (r5) new scalar-quantization family — first driver verdict
+        "sq_encode": q_sq_encode,
+        "sq_topk": q_sq_topk,
         # (c) the r3 stale-green block (claimed checked, wasn't)
         "chunk": q_chunk,
         "list": q_list,
@@ -6356,6 +6391,65 @@ def oracle_sql() -> dict[str, str]:
         # replays; see _int_kmeans_ctes)
         "kmeans": _kmeans_oracle(),
         "pq_encode": _pq_encode_oracle(),
+        # scalar quantization: per-dim min/max grid + floor — exact
+        # integer codes, replayed directly (no fixed-point mode needed)
+        "sq_encode": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve
+              FROM embeddings
+            ), dims AS (
+              SELECT CAST(range AS INT) AS i FROM range(1, 65)
+            ), per AS (
+              SELECT i, min(ve[i]) AS mn, max(ve[i]) AS mx
+              FROM v CROSS JOIN dims GROUP BY i
+            ), st AS (
+              SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM per
+            ), codes AS (
+              SELECT vec_id,
+                     list_transform(range(1, 65), i ->
+                       CAST(CASE WHEN mxs[i] - mns[i] > 0
+                            THEN LEAST(GREATEST(FLOOR((ve[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0), 0), 255)
+                            ELSE 0 END AS BIGINT)) AS c
+              FROM v CROSS JOIN st
+            )
+            SELECT vec_id,
+                   array_to_string(list_transform(c, x -> CAST(x AS VARCHAR)), ',') AS codes_csv,
+                   list_reduce(c, (a, b) -> a + b) AS code_sum
+            FROM codes
+        """,
+        "sq_topk": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve
+              FROM embeddings
+            ), dims AS (
+              SELECT CAST(range AS INT) AS i FROM range(1, 65)
+            ), per AS (
+              SELECT i, min(ve[i]) AS mn, max(ve[i]) AS mx
+              FROM v CROSS JOIN dims GROUP BY i
+            ), st AS (
+              SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM per
+            ), codes AS (
+              SELECT vec_id,
+                     list_transform(range(1, 65), i ->
+                       CAST(CASE WHEN mxs[i] - mns[i] > 0
+                            THEN LEAST(GREATEST(FLOOR((ve[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0), 0), 255)
+                            ELSE 0 END AS BIGINT)) AS c
+              FROM v CROSS JOIN st
+            ), q AS (
+              SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < 10
+            ), scored AS (
+              SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(
+                       list_transform(range(1, 65), i -> (q.qc[i] - c.c[i]) * (q.qc[i] - c.c[i])),
+                       (a, b) -> a + b) AS dist2_code
+              FROM codes c, q WHERE c.vec_id <> q.qid
+            )
+            SELECT query_id, neighbor_id, dist2_code, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, neighbor_id, dist2_code,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist2_code, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
         "ivfpq": _ivfpq_oracle(),
         # partial-probe IVF replayed route-for-route: seed rank = cell id
         # (Knuth hash order), argmax-cosine assignment, top-nprobe probe

@@ -586,3 +586,156 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rank")
     )
+
+
+def sq_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row DataFrame (``__mns``, ``__mxs``: array<double>) holding
+    the per-dimension min/max of ``vec_col`` — the trained state of
+    scalar quantization.
+
+    Scale shape: a posexplode + per-dimension min/max aggregate
+    (map-side combined to d rows per partition, the exchange carries
+    d rows total), then a 1-row collect_list fold — never a d-wide
+    aggregate buffer row (hundreds of buffers push past the codegen
+    field limit, the bootstrap_ci lesson). min/max involve no
+    summation, so the stats are EXACT doubles any engine reproduces
+    bit-identically — the whole SQ family needs no fixed-point replay
+    mode.
+    """
+    pe = corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("p", "x"))
+    per = pe.groupBy("p").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("mn")))),
+            lambda s: s["mn"],
+        ).alias("__mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("mx")))),
+            lambda s: s["mx"],
+        ).alias("__mxs"),
+    )
+
+
+def _sq_codes(vec, mns, mxs, levels: int):
+    """codes[i] = clamp(floor((x-mn)/(mx-mn) * (levels-1)), 0, levels-1);
+    degenerate dims (mx == mn) encode 0. Pure zip_with codegen — the
+    float ops are written division-first so an ANSI-SQL replay
+    (``FLOOR((x - mn) / rng * (levels-1))``) is IEEE-identical."""
+    top = F.lit(float(levels - 1))
+    shifted = F.zip_with(vec, mns, lambda x, mn: x - mn)
+    rngs = F.zip_with(mxs, mns, lambda a, b: a - b)
+    return F.zip_with(
+        shifted,
+        rngs,
+        lambda s, r: F.when(
+            r > 0,
+            F.least(F.greatest(F.floor(s / r * top), F.lit(0)), F.lit(levels - 1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Scalar quantization (SQ8 for ``levels=256``): encode each vector
+    dimension independently as its bucket on a uniform per-dimension
+    [min, max] grid — d floats -> d small ints (4x at 256 levels on
+    float32, the classic FAISS ``SQ8`` storage tier; coarser than PQ
+    but decode-free and train-cheap).
+
+    Returns (id, codes array<int>). ``stats`` lets a precomputed
+    ``sq_stats`` row be reused (e.g. encode a query stream with corpus
+    stats); default trains on ``corpus`` itself. The stats row rides a
+    broadcast cross join, so encoding is ONE zero-exchange scan and the
+    plan stays fully lazy — no driver-side materialization of anything
+    (the stats row is computed inside the same plan).
+
+    Unlike PQ (reference point: pq_encode above) the codes are exact
+    integers from min/max + floor arithmetic only, so any ANSI engine
+    replays them bit-identically with no fixed-point mode.
+    """
+    if levels < 2 or levels > 1 << 16:
+        raise ValueError(f"sq_encode() needs 2 <= levels <= 65536, got {levels}")
+    st = stats if stats is not None else sq_stats(corpus, vec_col)
+    v = _as_double(F.col(vec_col))
+    return corpus.crossJoin(F.broadcast(st)).select(
+        F.col(id_col),
+        _sq_codes(v, F.col("__mns"), F.col("__mxs"), levels).alias("codes"),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Symmetric scalar-quantized top-k: encode corpus AND queries on
+    the corpus grid, rank by integer squared L2 in code space —
+    (query_id, neighbor_id, dist2_code, rank), rank ascending code
+    distance, ties by neighbor id.
+
+    The score is an INTEGER (sum of (cq-cc)^2 over d dims, bounded by
+    d * (levels-1)^2 < 2^63 for any sane d), so ordering is exact and
+    engine-independent — no float-sum associativity hazard anywhere.
+    Queries ride a broadcast; the corpus side is one scan + the top-k
+    window per query partition. ``rerank=R`` re-scores the top R code
+    candidates per query with exact float squared L2 (asymmetric
+    refine, the FAISS SQ + refine recipe) and re-ranks to ``k``.
+
+    100 TB shape: codes are what you keep hot (4x smaller than float32
+    vectors); the rerank column pulls full vectors for only R rows per
+    query. Quantization state is d min/max doubles — kilobytes.
+    """
+    from pyspark.sql import Window as W
+
+    st = sq_stats(corpus, vec_col)
+    c = corpus.crossJoin(F.broadcast(st)).select(
+        F.col(id_col).alias("neighbor_id"),
+        _sq_codes(_as_double(F.col(vec_col)), F.col("__mns"), F.col("__mxs"), levels).alias("cc"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.crossJoin(F.broadcast(st)).select(
+        F.col(id_col).alias("query_id"),
+        _sq_codes(_as_double(F.col(vec_col)), F.col("__mns"), F.col("__mxs"), levels).alias("qc"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    d2c = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist2_code"), F.col("neighbor_id"))
+    scored = (
+        joined.withColumn("dist2_code", d2c)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if rerank is None:
+        return scored.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "dist2_code", "rank"
+        )
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    short = scored.filter(F.col("rank") <= rerank)
+    d2x = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("dist2"), F.col("neighbor_id"))
+    return (
+        short.withColumn("dist2", d2x)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("dist2", 6).alias("dist2"), "rank")
+    )

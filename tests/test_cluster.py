@@ -212,3 +212,84 @@ def test_replay_mode_exact_integers(spark):
     af, cf, _ = kmeans(emb, k=4, max_iter=3)
     assert cf.dtype.kind == "f"
     assert all(isinstance(r["dist2"], float) for r in af.collect())
+
+
+def _sq_ref_codes(A, levels=256):
+    """Pure-numpy reference for sq_encode."""
+    import numpy as np
+
+    mn, mx = A.min(axis=0), A.max(axis=0)
+    rng = mx - mn
+    out = np.zeros(A.shape, dtype=np.int64)
+    nz = rng > 0
+    out[:, nz] = np.clip(
+        np.floor((A[:, nz] - mn[nz]) / rng[nz] * (levels - 1)), 0, levels - 1
+    ).astype(np.int64)
+    return out
+
+
+def test_sq_encode_matches_numpy_reference(spark):
+    import numpy as np
+
+    from eventkit_spark.llm.cluster import sq_encode
+
+    rng = np.random.RandomState(7)
+    A = rng.randn(40, 6).astype(np.float64)
+    A[:, 5] = 3.25  # degenerate dim: mx == mn -> code 0
+    rows = [(i, [float(x) for x in A[i]]) for i in range(len(A))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["codes"] for r in sq_encode(df).collect()}
+    want = _sq_ref_codes(A)
+    for i in range(len(A)):
+        assert got[i] == [int(x) for x in want[i]], f"row {i}"
+
+
+def test_sq_topk_exact_when_lossless(spark):
+    # integer-grid vectors on [0, 255] encode losslessly at 256 levels
+    # when min=0 and max=255 are present per dim -> code distance ==
+    # scaled true distance -> SQ ranking == exact ranking
+    import numpy as np
+
+    from eventkit_spark.llm.cluster import sq_topk
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.RandomState(11)
+    A = rng.randint(0, 256, size=(30, 4)).astype(np.float64)
+    A[0] = 0.0
+    A[1] = 255.0
+    rows = [(i, [float(x) for x in A[i]]) for i in range(len(A))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 3")
+    got = sq_topk(df, qs, k=5).collect()
+    want = brute_force_topk(df, qs, k=5, metric="l2").collect()
+    gm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got}
+    wm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want}
+    assert gm == wm
+
+
+def test_sq_topk_rerank_recovers_exact_order(spark):
+    import numpy as np
+
+    from eventkit_spark.llm.cluster import sq_topk
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.RandomState(13)
+    A = rng.randn(50, 8)
+    rows = [(i, [float(x) for x in A[i]]) for i in range(len(A))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 4")
+    got = sq_topk(df, qs, k=3, rerank=50).collect()
+    want = brute_force_topk(df, qs, k=3, metric="l2").collect()
+    gm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got}
+    wm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want}
+    assert gm == wm
+
+
+def test_sq_encode_validates_levels(spark):
+    import pytest as _pytest
+
+    from eventkit_spark.llm.cluster import sq_encode
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        sq_encode(df, levels=1)
