@@ -715,6 +715,40 @@ def q_sq_topk(spark, sf):
     return sq_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
+def q_bpe_train(spark, sf):
+    # distributed BPE trainer (Sennrich et al. 2016): ONE corpus
+    # pretokenize+count pass, then 6 merge iterations over the
+    # word-TYPE table only (pair-count aggregate + 1-row TakeOrdered
+    # each — the kmeans collect-per-iteration discipline); merge
+    # application is an in-row aggregate() fold, zero extra exchanges.
+    # Integer counts + (count DESC, lhs, rhs) tie-break make the whole
+    # loop deterministic; the oracle replays all 6 iterations as
+    # chained window-function CTEs (_bpe_ctes).
+    from eventkit_spark.llm.tokenize import bpe_train
+
+    return bpe_train(load_table(spark, sf, "documents"), n_merges=6)
+
+
+def q_bpe_vocab(spark, sf):
+    # the learned vocabulary: corpus token frequencies AFTER the 6
+    # merges, top-40 by (freq DESC, token) — deterministic cutoff.
+    from eventkit_spark.llm.tokenize import bpe_token_freq
+
+    return bpe_token_freq(
+        load_table(spark, sf, "documents"), n_merges=6, top=40
+    )
+
+
+def q_bpe_encode(spark, sf):
+    # per-document compression under the learned merges: encode each
+    # distinct word ONCE, join back to the (doc, word) stream — the
+    # join is the only corpus-width exchange; empty docs survive with
+    # zeros via the id-stream left join.
+    from eventkit_spark.llm.tokenize import bpe_encode
+
+    return bpe_encode(load_table(spark, sf, "documents"), n_merges=6)
+
+
 def _synth_urls(spark, sf):
     # the documents table has no URL column; both engines synthesize the
     # SAME messy URL deterministically from doc fields so every
@@ -3152,6 +3186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r5) new scalar-quantization family — first driver verdict
         "sq_encode": q_sq_encode,
         "sq_topk": q_sq_topk,
+        # (r5) BPE tokenizer family — first driver verdict
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
         # (c) the r3 stale-green block (claimed checked, wasn't)
         "chunk": q_chunk,
         "list": q_list,
@@ -3397,6 +3435,104 @@ _URL_CANON_SQL = r"""
         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
         '^[^@]*@', ''), ':[0-9]+$', '') AS host
     FROM s6"""
+
+
+_BPE_RX_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _bpe_ctes(n: int) -> str:
+    """Chained-CTE DuckDB replay of tokenize.py's BPE trainer: the
+    greedy left-to-right non-overlapping merge is reformulated with
+    window functions — mark adjacent-pair matches, group consecutive
+    matches (gaps-and-islands), merge even offsets within each run,
+    drop the position after every merge, renumber. Integer pair counts
+    with the (count DESC, lhs, rhs) tie-break replay bit-identically.
+    Returns the CTE chain ending at ``best1..bestN`` and ``syms{n}``.
+    """
+    parts = [
+        f"""words AS (
+      SELECT w AS word, count(*)::BIGINT AS freq
+      FROM documents,
+           unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)
+      GROUP BY 1),
+    syms0 AS (
+      SELECT word, freq, i::BIGINT AS pos, word[i] AS sym
+      FROM words, unnest(range(1, length(word)+1)) AS r(i))"""
+    ]
+    for k in range(1, n + 1):
+        p = k - 1
+        parts.append(
+            f"""pairs{k} AS (
+      SELECT sym AS lhs, nxt AS rhs, sum(freq)::BIGINT AS cnt FROM (
+        SELECT freq, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM syms{p}) t
+      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    best{k} AS (
+      SELECT lhs, rhs, cnt FROM pairs{k}
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    mk{k} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, b.lhs, b.rhs,
+             coalesce(s.sym = b.lhs AND
+               lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.rhs,
+               FALSE) AS mtch
+      FROM syms{p} s CROSS JOIN best{k} b),
+    gk{k} AS (
+      SELECT *,
+             pos - row_number() OVER (PARTITION BY word, mtch ORDER BY pos)
+               AS grp
+      FROM mk{k}),
+    ok{k} AS (
+      SELECT *, mtch AND
+        (row_number() OVER (PARTITION BY word, mtch, grp ORDER BY pos) - 1)
+          % 2 = 0 AS do_merge
+      FROM gk{k}),
+    ck{k} AS (
+      SELECT *,
+             coalesce(lag(do_merge) OVER (PARTITION BY word ORDER BY pos),
+                      FALSE) AS consumed
+      FROM ok{k}),
+    syms{k} AS (
+      SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY pos)::BIGINT
+               AS pos,
+             CASE WHEN do_merge THEN lhs || rhs ELSE sym END AS sym
+      FROM ck{k} WHERE NOT consumed)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_sql(n: int) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rank, lhs, rhs, cnt AS pair_count FROM best{k}"
+        for k in range(1, n + 1)
+    )
+    return f"WITH {_bpe_ctes(n)}\n    {rows}"
+
+
+def _bpe_vocab_sql(n: int, top: int) -> str:
+    return f"""WITH {_bpe_ctes(n)}
+    SELECT sym AS token, sum(freq)::BIGINT AS freq FROM syms{n}
+    GROUP BY 1 ORDER BY freq DESC, token LIMIT {top}"""
+
+
+def _bpe_encode_sql(n: int) -> str:
+    return f"""WITH {_bpe_ctes(n)},
+    enc AS (
+      SELECT word, count(*)::BIGINT AS n_word_tokens,
+             max(length(word))::BIGINT AS n_word_chars
+      FROM syms{n} GROUP BY 1),
+    doc_words AS (
+      SELECT doc_id, w AS word
+      FROM documents,
+           unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)),
+    agg AS (
+      SELECT dw.doc_id, sum(e.n_word_tokens)::BIGINT AS n_tokens,
+             sum(e.n_word_chars)::BIGINT AS n_chars
+      FROM doc_words dw JOIN enc e USING (word) GROUP BY 1)
+    SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_chars, 0)::BIGINT AS n_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
 def _int_kmeans_ctes(k: int, iters: int, m: int = 1, d: int = 64,
@@ -6391,6 +6527,12 @@ def oracle_sql() -> dict[str, str]:
         # replays; see _int_kmeans_ctes)
         "kmeans": _kmeans_oracle(),
         "pq_encode": _pq_encode_oracle(),
+        # BPE trainer: 6 merge iterations replayed as chained
+        # window-function CTEs (greedy non-overlapping merge via
+        # gaps-and-islands parity; see _bpe_ctes)
+        "bpe_train": _bpe_train_sql(6),
+        "bpe_vocab": _bpe_vocab_sql(6, 40),
+        "bpe_encode": _bpe_encode_sql(6),
         # scalar quantization: per-dim min/max grid + floor — exact
         # integer codes, replayed directly (no fixed-point mode needed)
         "sq_encode": """

@@ -135,6 +135,8 @@ HEADLINE = [
     "decontaminate_bloom",
     "substring_dedup",
     "c4_filters",
+    "bpe_train",
+    "bpe_encode",
     "unigram_logprob",
     "train_order",
     "ccnet_buckets",

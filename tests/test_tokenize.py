@@ -1,0 +1,153 @@
+"""BPE tokenizer: fold-merge semantics, trainer, encoder vs a pure
+Python model of the classic algorithm (Sennrich et al. 2016)."""
+
+import collections
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from eventkit_spark.llm.tokenize import (
+    _merge_pair,
+    bpe_apply_merges,
+    bpe_encode,
+    bpe_token_freq,
+    bpe_train,
+)
+
+RX = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def py_merge(syms, l, r):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def py_train(texts, n):
+    freq = collections.Counter()
+    for t in texts:
+        freq.update(RX.findall(t))
+    words = {w: (list(w), f) for w, f in freq.items()}
+    merges = []
+    for rank in range(1, n + 1):
+        pc = collections.Counter()
+        for _, (s, f) in words.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, c))
+        words = {w: (py_merge(s, l, r), f) for w, (s, f) in words.items()}
+    return merges, words
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the hat of the cat!",
+    "a cat, a mat, a hat 42",
+    "",  # must survive encode with zeros
+    "zzzz aaaa abab banana",  # overlap / chain merge stress
+]
+
+
+@pytest.mark.parametrize(
+    "syms,l,r",
+    [
+        (list("aaaa"), "a", "a"),  # chained greedy: [aa, aa]
+        (list("aaa"), "a", "a"),  # odd run: [aa, a]
+        (list("abab"), "a", "b"),
+        (list("ababa"), "b", "a"),  # match starts mid-word
+        (list("x"), "a", "b"),  # no pair possible
+        ([], "a", "b"),
+        (["ab", "c", "ab", "ab"], "ab", "ab"),  # multi-char symbols
+        (list("banana"), "a", "n"),
+    ],
+)
+def test_merge_fold_matches_greedy(spark, syms, l, r):
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(_merge_pair(F.col("syms"), l, r).alias("m")).first()["m"]
+    assert got == py_merge(syms, l, r)
+
+
+def test_train_matches_python_model(spark):
+    exp, _ = py_train(TEXTS, 8)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()]
+    assert got == exp
+
+
+def test_encode_counts_and_empty_doc(spark):
+    _, words = py_train(TEXTS, 6)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"])
+        for r in bpe_encode(docs, n_merges=6).collect()
+    }
+    exp = {}
+    for i, t in enumerate(TEXTS):
+        ws = RX.findall(t)
+        exp[i] = (
+            sum(len(words[w][0]) for w in ws),
+            sum(len(w) for w in ws),
+        )
+    assert got == exp
+    assert got[3] == (0, 0)  # empty doc kept, zeroed
+
+
+def test_apply_merges_preserves_order(spark):
+    merges, words = py_train(TEXTS, 6)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    rules = [(l, r) for _, l, r, _ in merges]
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_apply_merges(docs, rules).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        exp = [tok for w in RX.findall(t) for tok in words[w][0]]
+        assert got[i] == exp, f"doc {i}"
+
+
+def test_token_freq_matches_model(spark):
+    _, words = py_train(TEXTS, 6)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    exp = collections.Counter()
+    for _, (s, f) in words.items():
+        for tok in s:
+            exp[tok] += f
+    got = {
+        r["token"]: r["freq"] for r in bpe_token_freq(docs, n_merges=6).collect()
+    }
+    assert got == dict(exp)
+    # top-k cutoff is deterministic: (freq DESC, token)
+    topk = [
+        (r["token"], r["freq"])
+        for r in bpe_token_freq(docs, n_merges=6, top=5).collect()
+    ]
+    exp_top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert sorted(topk, key=lambda kv: (-kv[1], kv[0])) == exp_top
+
+
+def test_train_stops_on_degenerate_corpus(spark):
+    # single-char words only: no pairs to merge anywhere
+    docs = spark.createDataFrame([(0, "a b c a b")], "doc_id int, text string")
+    assert bpe_train(docs, n_merges=4).count() == 0
+    with pytest.raises(ValueError):
+        bpe_train(docs, n_merges=0)
