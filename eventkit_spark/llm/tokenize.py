@@ -12,9 +12,12 @@ Scale design (the part that matters at 100 TB):
 - Training never touches the corpus after ONE pretokenize+count pass:
   like every practical BPE trainer it operates on the *word-type*
   table ``(word, freq)`` — billions of corpus tokens collapse to a
-  vocabulary-sized frame, and every merge iteration is one
-  partial-combined pair-count aggregate + a 1-row TakeOrdered
-  (same collect-k-per-iteration discipline as ``cluster.kmeans``).
+  vocabulary-sized frame. When that frame fits ``driver_types_max``
+  the merge loop runs driver-side (the universal practice; replaces
+  ~2*n_merges scheduled jobs with a local loop); above it, every
+  iteration is one partial-combined pair-count aggregate + a 1-row
+  TakeOrdered (the ``cluster.kmeans`` collect-per-iteration
+  discipline). Both paths learn identical rulesets (parity-tested).
 - Merge application is a pure ``aggregate()`` fold over each word's
   in-row symbol array — no explode, no shuffle, no Python. The fold
   implements the exact greedy left-to-right non-overlapping merge
@@ -115,17 +118,80 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, init, step, fin)
 
 
+def _py_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver-side twin of ``_merge_pair`` (same greedy semantics)."""
+    out, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _fit_local(
+    rows: list, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list]:
+    """Merge loop over a collected word-type table — the standard
+    practice (distributed count, single-node merges) when the
+    vocabulary fits; identical merges/byproducts to the distributed
+    loop (same counts, same tie-break)."""
+    words = [(r["word"], int(r["freq"]), list(r["word"])) for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for _, f, s in words:
+            for a, b in zip(s, s[1:]):
+                k = (a, b)
+                pc[k] = pc.get(k, 0) + f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        words = [
+            (w, f, _py_merge(s, left, right) if left in s else s)
+            for w, f, s in words
+        ]
+    return merges, words
+
+
 def _fit(
     docs: DataFrame,
     n_merges: int,
     text_col: str,
     min_freq: int,
+    driver_types_max: int = 200_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the merge loop. Returns (merges, final word-type frame with
-    the encoded ``syms`` arrays — persisted; caller unpersists)."""
+    the encoded ``syms`` arrays — persisted; caller unpersists).
+
+    Scale dispatch: the corpus-wide pretokenize+count pass is always
+    distributed; the merge LOOP runs driver-side when the word-type
+    table fits ``driver_types_max`` (the universal practice — type
+    tables are vocabulary-sized, and a local loop replaces
+    ~2*n_merges scheduled jobs), and falls back to the fully
+    distributed fold loop above it. Both paths produce identical
+    merges (same integer counts, same lexicographic tie-break) — a
+    parity test pins them."""
     if n_merges < 1:
         raise ValueError(f"need n_merges >= 1, got {n_merges}")
-    words = pretoken_counts(docs, text_col, min_freq).select(
+    counts = pretoken_counts(docs, text_col, min_freq)
+    if driver_types_max > 0:
+        head = counts.limit(driver_types_max + 1).collect()
+        if len(head) <= driver_types_max:
+            merges, final = _fit_local(head, n_merges)
+            spark = docs.sparkSession
+            wf = spark.createDataFrame(
+                [(w, f, s) for w, f, s in final],
+                "word string, freq long, syms array<string>",
+            )
+            return merges, wf
+    words = counts.select(
         "word", "freq", _chars(F.col("word")).alias("syms")
     )
     cur = words.persist()
@@ -164,6 +230,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     min_freq: int = 1,
+    driver_types_max: int = 200_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from a corpus.
 
@@ -172,7 +239,7 @@ def bpe_train(
     (count DESC, lhs ASC, rhs ASC) tie-break, so the same corpus
     always yields the same ruleset in any engine.
     """
-    merges, wf = _fit(docs, n_merges, text_col, min_freq)
+    merges, wf = _fit(docs, n_merges, text_col, min_freq, driver_types_max)
     wf.unpersist()
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -186,11 +253,12 @@ def bpe_token_freq(
     text_col: str = "text",
     min_freq: int = 1,
     top: int | None = None,
+    driver_types_max: int = 200_000,
 ) -> DataFrame:
     """Corpus token frequencies after applying the learned merges:
     ``(token, freq)``, optionally the top-k by (freq DESC, token) —
     the vocabulary a trained tokenizer would ship."""
-    merges, wf = _fit(docs, n_merges, text_col, min_freq)
+    merges, wf = _fit(docs, n_merges, text_col, min_freq, driver_types_max)
     out = (
         wf.select(F.explode("syms").alias("token"), "freq")
         .groupBy("token")
@@ -255,12 +323,13 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_freq: int = 1,
+    driver_types_max: int = 200_000,
 ) -> DataFrame:
     """Train on the corpus and report per-document compression:
     ``(id, n_tokens, n_chars)`` — BPE token count after the merges vs
     the character-symbol count before any merge. Empty / no-pretoken
     documents survive with zeros (left join back to the id stream)."""
-    merges, wf = _fit(docs, n_merges, text_col, min_freq)
+    merges, wf = _fit(docs, n_merges, text_col, min_freq, driver_types_max)
     per_word = wf.select(
         "word", F.size("syms").alias("__nt"), F.length("word").alias("__nc")
     )

@@ -88,6 +88,31 @@ def test_train_matches_python_model(spark):
     assert got == exp
 
 
+def test_distributed_path_matches_driver_path(spark):
+    # driver_types_max=0 forces the fully distributed fold loop; both
+    # paths must learn identical rulesets (same counts, same tie-break)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    fast = [tuple(r) for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=6, driver_types_max=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert fast == dist
+    ff = {
+        r["token"]: r["freq"]
+        for r in bpe_token_freq(docs, n_merges=6).collect()
+    }
+    df_ = {
+        r["token"]: r["freq"]
+        for r in bpe_token_freq(docs, n_merges=6, driver_types_max=0).collect()
+    }
+    assert ff == df_
+
+
 def test_encode_counts_and_empty_doc(spark):
     _, words = py_train(TEXTS, 6)
     docs = spark.createDataFrame(
