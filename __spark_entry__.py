@@ -2325,6 +2325,21 @@ def q_fuzzy_dedup(spark, sf):
     return fuzzy_dedup(load_table(spark, sf, "documents"))
 
 
+def q_dedup_safe_split(spark, sf):
+    # leakage-safe train/val/test split: the hash key is the near-dup
+    # COMPONENT (the oracle-proven fuzzy_dedup cluster labels), so a
+    # paraphrase of a train document can never land in test — the leak
+    # a doc-keyed split permits and contamination audits only catch
+    # after the fact. The production form feeds pairs= from any
+    # near-dup pair table; clusters= reuses labels already computed.
+    from eventkit_spark.llm.dedup import fuzzy_dedup
+    from eventkit_spark.llm.sampling import dedup_safe_split
+
+    docs = load_table(spark, sf, "documents")
+    fz = fuzzy_dedup(docs)
+    return dedup_safe_split(docs, clusters=fz)
+
+
 def q_dedup_incremental(spark, sf):
     # persisted fingerprint-store lifecycle (llm/dedup.py
     # exact_dedup_store_init/_incremental): seed the store from the
@@ -3190,6 +3205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
+        # (r5) component-keyed leakage-safe split — first driver verdict
+        "dedup_safe_split": q_dedup_safe_split,
         # (c) the r3 stale-green block (claimed checked, wasn't)
         "chunk": q_chunk,
         "list": q_list,
@@ -4749,6 +4766,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
             FROM reach GROUP BY id""",
+        # fuzzy_dedup's component chain + the split_by_hash CASE keyed
+        # by cluster_id: near-dups co-assign to one split by value
+        "dedup_safe_split": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE common / (sa.n + sb.n - common) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), clusters AS (
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN (cluster_id * 2654435761) % 2147483648 % 1000 < 800 THEN 'train'
+                        WHEN (cluster_id * 2654435761) % 2147483648 % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clusters""",
         "central_dedup": r"""
             WITH RECURSIVE words AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents

@@ -910,3 +910,39 @@ def rrf_fuse(
     if topn is not None:
         out = out.filter(F.col("fused_rank") <= int(topn))
     return out
+
+
+def dedup_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Train/val/test split keyed by the near-dup COMPONENT instead of
+    the document: every member of a near-duplicate cluster lands in the
+    SAME split, so a paraphrase of a training document can never leak
+    into test — the contamination a doc-keyed ``split_by_hash`` permits
+    and the decontamination battery only detects after the fact.
+
+    Pass either ``pairs`` (any (id_a, id_b) near-dup table — minhash
+    LSH, simhash, embedding near-dups; components are computed via
+    ``dedup_clusters``) or precomputed ``clusters`` carrying a
+    ``cluster_id`` column (e.g. ``fuzzy_dedup`` output). Singleton
+    documents keep their own id as the component, so the output covers
+    the whole corpus: ``(id, cluster_id, split)``.
+
+    Scale shape: everything is the already-scale-shaped dedup pipeline
+    (banded LSH + pointer-jumping CC with the driver fast path) plus
+    ONE portable-hash projection on cluster_id — the split itself adds
+    zero exchanges.
+    """
+    if (pairs is None) == (clusters is None):
+        raise ValueError("pass exactly one of pairs= or clusters=")
+    if clusters is None:
+        from .dedup import dedup_clusters
+
+        clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    return split_by_hash(
+        clusters.select(id_col, "cluster_id"), "cluster_id", weights
+    )

@@ -829,6 +829,46 @@ def test_fuzzy_dedup_transitive_keep_list(spark):
     assert exact == out
 
 
+def test_dedup_safe_split_colocates_near_dups(spark):
+    """dedup_safe_split: every member of a near-dup component gets the
+    SAME split label (keyed by cluster_id, not doc id); singletons
+    split by their own id exactly like split_by_hash; pairs= and
+    clusters= inputs agree; passing both/neither rejects."""
+    import pytest
+
+    from eventkit_spark.llm.dedup import fuzzy_dedup
+    from eventkit_spark.llm.sampling import dedup_safe_split, split_by_hash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one two three four"),
+        (2, base + " one two three five"),
+        (3, base + " one two six five"),
+        (10, "totally different text about completely other topics here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fz = fuzzy_dedup(docs, threshold=0.5)
+    out = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+           dedup_safe_split(docs, clusters=fz).collect()}
+    # 1, 2, 3 are one component -> identical split labels
+    assert out[1] == out[2] == out[3]
+    # singleton splits exactly as the plain doc-keyed split would
+    plain = {r["doc_id"]: r["split"] for r in
+             split_by_hash(docs, "doc_id").collect()}
+    assert out[10] == (10, plain[10])
+    # pairs= path agrees with clusters= path
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    via_pairs = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in
+                 dedup_safe_split(docs, pairs=pairs).collect()}
+    assert via_pairs == out
+    with pytest.raises(ValueError):
+        dedup_safe_split(docs)
+    with pytest.raises(ValueError):
+        dedup_safe_split(docs, pairs=pairs, clusters=fz)
+
+
 def test_linear_quality_classifier(spark):
     """fastText-style scoring: score == sigmoid(w.x + b) on the
     hash_embed features (verified against a local recomputation),
