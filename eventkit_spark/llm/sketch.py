@@ -107,3 +107,102 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
     )
     return counts.filter(F.col("cnt") * k > F.lit(total)).select("item", "cnt")
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d x w cell table of
+# pairwise-independent row hashes; point estimate = min over rows of
+# the item's cell. Plain (non-conservative) update is ORDER-INDEPENDENT
+# — each cell is a pure sum of the frequencies hashing into it — so the
+# whole sketch AND every estimate replay bit-identically in SQL, unlike
+# most sketches. The hash family is the minhash portable family
+# ((A*h + B) mod P over a 31-bit md5 fold; llm/dedup._minhash_cols).
+# ---------------------------------------------------------------------
+
+CMS_P = (1 << 31) - 1
+CMS_A = [(2654435761 * (2 * j + 1)) % CMS_P for j in range(16)]
+CMS_B = [(2246822519 * (3 * j + 2)) % CMS_P for j in range(16)]
+
+
+def _fold31(col):
+    """md5-based 31-bit item fold — md5 is identical by definition in
+    every engine, and the hex->long conv keeps it codegen'd JVM-side."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % F.lit(1 << 31)
+    )
+
+
+def _cms_buckets(col, d: int, w: int):
+    """array of the item's d row buckets."""
+    h = _fold31(col)
+    return F.array(
+        *[
+            ((F.lit(CMS_A[j]) * h + F.lit(CMS_B[j])) % F.lit(CMS_P))
+            % F.lit(w)
+            for j in range(d)
+        ]
+    )
+
+
+def count_min_cells(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the Count-Min cell table ``(row, bucket, cnt)``.
+
+    Scale shape: ONE partial-combined aggregate on the item collapses
+    the stream to its type table (vocabulary-sized), then the d-row
+    explode + (row, bucket) aggregate is bounded by d x w cells — the
+    output is kilobytes at any corpus size, and per-partition partial
+    cells merge by addition (the mergeable-summary property that makes
+    CMS the streaming/distributed counter of choice).
+    """
+    if d < 1 or d > len(CMS_A):
+        raise ValueError(f"need 1 <= d <= {len(CMS_A)}, got {d}")
+    if w < 2:
+        raise ValueError(f"need w >= 2, got {w}")
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    per = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__item"))
+        .agg(F.sum(wt).alias("__f"))
+    )
+    rows = per.select(
+        "__f", F.posexplode(_cms_buckets(F.col("__item"), d, w)).alias(
+            "row", "bucket"
+        )
+    )
+    return rows.groupBy("row", "bucket").agg(F.sum("__f").alias("cnt"))
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    items: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-estimate each item in ``items`` from a cell table built
+    with the SAME (d, w): est = min over rows of the item's cell.
+    CMS guarantees est >= true count, with overshoot <= 2N/w at
+    probability 1 - 2^-d. The cell table is d x w rows -> broadcast
+    join; estimating adds zero wide exchanges beyond one item-level
+    aggregate."""
+    ex = items.select(
+        F.col(col),
+        F.posexplode(_cms_buckets(F.col(col), d, w)).alias("row", "bucket"),
+    )
+    joined = ex.join(F.broadcast(cells), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

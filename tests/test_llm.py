@@ -1233,6 +1233,53 @@ def test_minhash_portable_candidates_contain_planted_dups(spark):
     assert [r["signature"] for r in s1] == [r["signature"] for r in s2]
 
 
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: est >= true for EVERY item (never undercounts);
+    est == true when w is wide enough that no collisions occur; cells
+    built on a union of two frames equal the cell-wise SUM of the two
+    sketches (the mergeable-summary property that makes per-partition
+    partials correct); weighted build matches pre-aggregated counts."""
+    from eventkit_spark.llm.sketch import count_min_cells, count_min_estimate
+
+    rows = [(f"w{i % 13}",) for i in range(997)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["item"]).repartition(5)
+    truth = {r["item"]: r["cnt"] for r in
+             df.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    items = df.select("item").distinct()
+
+    # tight w -> collisions; est must still dominate truth
+    cells = count_min_cells(df, "item", d=4, w=8)
+    est = {r["item"]: r["est"] for r in
+           count_min_estimate(cells, items, "item", d=4, w=8).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    assert any(est[k] > truth[k] for k in truth)  # collisions happened
+
+    # wide w -> no collisions at 14 types: exact recovery
+    cells_w = count_min_cells(df, "item", d=4, w=4096)
+    est_w = {r["item"]: r["est"] for r in
+             count_min_estimate(cells_w, items, "item", d=4, w=4096).collect()}
+    assert est_w == truth
+
+    # mergeability: cells(a union b) == cells(a) + cells(b) cell-wise
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    u = count_min_cells(a.union(b), "item", d=3, w=8)
+    pa = count_min_cells(a, "item", d=3, w=8)
+    pb = count_min_cells(b, "item", d=3, w=8)
+    merged = (
+        pa.unionByName(pb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    as_dict = lambda d_: {(r["row"], r["bucket"]): r["cnt"] for r in d_.collect()}  # noqa: E731
+    assert as_dict(u) == as_dict(merged)
+
+    # weighted build == building from the pre-counted type table
+    pre = df.groupBy("item").agg(F.count("*").alias("wt"))
+    cw = count_min_cells(pre, "item", d=4, w=8, weight_col="wt")
+    assert as_dict(cw) == as_dict(cells)
+
+
 def test_heavy_hitters_exact_vs_groupby(spark):
     """The MG sketch + recount pipeline must EQUAL the exact
     `count*k > n` set — on a Zipf-ish stream AND on an adversarial
