@@ -1041,6 +1041,26 @@ class StreamFrame:
         )
 
     # -- windowed -----------------------------------------------------
+    def count_min(self, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+        """Unbounded Count-Min sketch: cells are pure sums, so the
+        streaming form is ONE aggregate on (row, bucket) — the state
+        and the complete-mode output are bounded by d x w rows no
+        matter how long the stream runs (the textbook streaming
+        counter). Cell values are identical to the batch
+        ``llm.sketch.count_min_cells`` on the same rows
+        (parity-tested); estimates use the batch
+        ``count_min_estimate`` on the sunk cell table."""
+        from ..llm.sketch import _cms_buckets
+
+        ex = self.df.filter(F.col(col).isNotNull()).select(
+            F.posexplode(_cms_buckets(F.col(col), d, w)).alias(
+                "row", "bucket"
+            )
+        )
+        return ex.groupBy("row", "bucket").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+
     def tumbling_chunk(self, duration: str = "1 hour") -> DataFrame:
         """ChunkWith on a periodic timer == tumbling-window collect
         (eventkit/ops/transform.py:179-211; F.window). Ordered within

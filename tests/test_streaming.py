@@ -552,6 +552,35 @@ def test_streaming_anomaly(spark, stream_dir):
     assert any(v[2] for v in sp.values())
 
 
+def test_streaming_count_min_parity(spark, stream_dir):
+    """Streaming CMS cell table == batch count_min_cells on the same
+    rows (cells are pure sums -> order/micro-batch independent), and
+    batch estimates over the sunk cells dominate true counts."""
+    from eventkit_spark.llm.sketch import count_min_cells, count_min_estimate
+
+    sf = _stream(spark, stream_dir)
+    cells = sf.count_min("event_type", d=3, w=8)
+    q = (
+        cells.writeStream.format("memory").queryName("ek_cms")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in spark.sql("SELECT * FROM ek_cms").collect()}
+    batch_df = spark.read.parquet(stream_dir)
+    exp = {(r["row"], r["bucket"]): r["cnt"]
+           for r in count_min_cells(batch_df, "event_type", d=3, w=8).collect()}
+    assert got == exp
+    # estimates from the sunk table dominate the exact counts
+    sunk = spark.sql("SELECT * FROM ek_cms")
+    truth = {r["event_type"]: r["cnt"] for r in
+             batch_df.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    est = {r["event_type"]: r["est"] for r in
+           count_min_estimate(sunk, batch_df.select("event_type").distinct(),
+                              "event_type", d=3, w=8).collect()}
+    assert all(est[k] >= truth[k] for k in truth)
+
+
 def test_streaming_heavy_hitters_guarantee(spark, stream_dir):
     """Streaming MG summary per user: the latest snapshot's candidate
     set must contain every event_type with true count > n/k, keep at

@@ -79,6 +79,36 @@ def test_merge_fold_matches_greedy(spark, syms, l, r):
     assert got == py_merge(syms, l, r)
 
 
+def test_merge_fold_randomized_batch(spark):
+    """Seeded random sweep: 200 symbol arrays over a 3-letter alphabet
+    (collision-heavy) x random merge pairs, folded in ONE Spark job,
+    must match the greedy Python model case-for-case."""
+    import random
+
+    rng = random.Random(20260815)
+    alpha = ["a", "b", "ab"]
+    cases = []
+    for i in range(200):
+        syms = [rng.choice(alpha) for _ in range(rng.randrange(0, 12))]
+        l, r = rng.choice(alpha), rng.choice(alpha)
+        cases.append((i, syms, l, r))
+    df = spark.createDataFrame(cases, "i int, syms array<string>, l string, r string")
+    # one plan: group cases by (l, r) so each distinct pair folds once
+    by_pair = {}
+    for i, syms, l, r in cases:
+        by_pair.setdefault((l, r), []).append(i)
+    got = {}
+    for (l, r), idxs in by_pair.items():
+        rows = (
+            df.filter(F.col("i").isin(idxs))
+            .select("i", _merge_pair(F.col("syms"), l, r).alias("m"))
+            .collect()
+        )
+        got.update({row["i"]: row["m"] for row in rows})
+    for i, syms, l, r in cases:
+        assert got[i] == py_merge(syms, l, r), (syms, l, r)
+
+
 def test_train_matches_python_model(spark):
     exp, _ = py_train(TEXTS, 8)
     docs = spark.createDataFrame(
