@@ -2365,6 +2365,27 @@ def q_cms_counts(spark, sf):
     )
 
 
+def q_hll_card(spark, sf):
+    # HyperLogLog registers are order-independent (max per bucket), so
+    # the sketch itself value-checks exactly like the CMS cells; the
+    # float estimate gets a fat-margin boolean (20% vs the ~4.6%
+    # standard error at p=9), each engine comparing ITS OWN estimate
+    # against ITS OWN exact distinct count.
+    from eventkit_spark.llm.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf, "events")
+    regs = hll_registers(ev, "event_id", p=9)
+    est = hll_estimate(regs, p=9)
+    truth = ev.agg(F.countDistinct("event_id").alias("__exact"))
+    gate = est.crossJoin(F.broadcast(truth)).select(
+        (
+            F.abs(F.col("est") - F.col("__exact"))
+            <= 0.2 * F.col("__exact")
+        ).alias("est_ok")
+    )
+    return regs.crossJoin(F.broadcast(gate))
+
+
 def q_dedup_incremental(spark, sf):
     # persisted fingerprint-store lifecycle (llm/dedup.py
     # exact_dedup_store_init/_incremental): seed the store from the
@@ -3200,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
+        "hll_card": q_hll_card,
         "rollup_ts": q_rollup_ts,
         "pivot_agg": q_pivot_agg,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3235,9 +3257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "corpus_diff": q_corpus_diff,
         "event_paths": q_event_paths,
-        "twap": q_twap,
         "tpch_q21": q_tpch_q21,
         # ---- tail: driver-green in current form or replica-swept ----
+        "twap": q_twap,
         "timestamp": q_timestamp,
         "delay": q_delay,
         "timeout": q_timeout,
@@ -6624,6 +6646,37 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(6),
         # Count-Min sketch: order-independent cells -> exact replay
         "cms_counts": _cms_sql(4, 16),
+        # HyperLogLog: registers replay exactly (max per bucket);
+        # the float estimate is margin-gated per engine (alpha for
+        # m=512 inlined identically on both sides)
+        "hll_card": f"""
+            WITH folded AS (
+              SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 2147483648 AS h
+              FROM events
+            ), parts AS (
+              SELECT (h >> 22)::INT AS bucket, h & 4194303 AS w FROM folded
+            ), regs AS (
+              SELECT bucket,
+                     max(CASE WHEN w = 0 THEN 23
+                         ELSE 23 - length(bin(w)) END)::INT AS reg
+              FROM parts GROUP BY bucket
+            ), s AS (
+              SELECT count(*) AS nz, sum(power(2.0, -reg)) AS s_nz FROM regs
+            ), est AS (
+              SELECT CASE WHEN raw <= 1280.0 AND v > 0
+                          THEN floor(512.0 * ln(512.0 / v))
+                          ELSE floor(raw) END::BIGINT AS est, v
+              FROM (SELECT (512 - nz) AS v,
+                           {0.7213 / (1.0 + 1.079 / 512) * 262144.0:.12e}
+                           / (s_nz + (512 - nz)) AS raw
+                    FROM s)
+            ), truth AS (
+              SELECT count(DISTINCT event_id)::BIGINT AS exact FROM events
+            )
+            SELECT r.bucket, r.reg,
+                   (abs(est.est - truth.exact) <= 0.2 * truth.exact) AS est_ok
+            FROM regs r CROSS JOIN est CROSS JOIN truth""",
         # scalar quantization: per-dim min/max grid + floor — exact
         # integer codes, replayed directly (no fixed-point mode needed)
         "sq_encode": """

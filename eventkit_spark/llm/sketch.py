@@ -206,3 +206,64 @@ def count_min_estimate(
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): cardinality from the max leading-
+# zero rank per hash bucket. Like the CMS cells, the register table is
+# ORDER-INDEPENDENT (max is commutative/idempotent), so the sketch
+# itself replays bit-identically in SQL over the same md5-fold hash;
+# only the final float estimate needs a margin contract. Registers from
+# two frames merge by cell-wise max (mergeable summary).
+# ---------------------------------------------------------------------
+
+_HLL_BITS = 31  # width of the md5 fold
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """``(bucket, reg)`` register table, m = 2**p buckets: bucket is
+    the fold's top p bits, reg = max over items of (leading zeros of
+    the remaining 31-p bits) + 1. Buckets no item hashed into are
+    omitted (reg 0). ONE partial-combined max-aggregate bounded by m
+    rows — kilobytes at any cardinality."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"need 4 <= p <= 16, got {p}")
+    wbits = _HLL_BITS - p
+    h = _fold31(F.col(col))
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # bit_length via base-2 string length (conv/bin agree across
+    # engines for w > 0); rank = leading zeros + 1, w=0 -> wbits+1
+    bits_w = F.length(F.conv(w.cast("string"), 10, 2))
+    rank = F.when(w == F.lit(0), F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - bits_w
+    )
+    per = df.filter(F.col(col).isNotNull()).select(
+        bucket.cast("int").alias("bucket"), rank.cast("int").alias("rank")
+    )
+    return per.groupBy("bucket").agg(F.max("rank").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Single-row ``(est, v_zero)`` from a register table built with
+    the same ``p``: the bias-corrected harmonic mean, with the small-
+    range linear-counting branch (E <= 2.5m and empty buckets exist ->
+    m * ln(m / V)). est is floored to a long. Standard error is
+    1.04/sqrt(m) (~4.6% at p=9); contracts bound it with a fat margin
+    rather than comparing float estimates exactly."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count("*").alias("__nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__s_nz"),
+    )
+    v = F.lit(m) - F.col("__nz")
+    s = F.col("__s_nz") + v.cast("double")  # absent buckets: 2^0 = 1
+    raw = F.lit(alpha * m * m) / s
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > F.lit(0)), lc).otherwise(
+        raw
+    )
+    return agg.select(
+        F.floor(est).cast("long").alias("est"), v.cast("int").alias("v_zero")
+    )
