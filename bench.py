@@ -137,6 +137,8 @@ HEADLINE = [
     "c4_filters",
     "bpe_train",
     "bpe_encode",
+    "cms_counts",
+    "hll_card",
     "unigram_logprob",
     "train_order",
     "ccnet_buckets",

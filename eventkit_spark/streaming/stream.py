@@ -1061,6 +1061,29 @@ class StreamFrame:
             F.count("*").cast("long").alias("cnt")
         )
 
+    def hll(self, col: str, p: int = 9) -> DataFrame:
+        """Unbounded HyperLogLog: registers are a max per bucket —
+        order/micro-batch independent — so the streaming form is ONE
+        aggregate whose state and complete-mode output are bounded by
+        2**p rows forever. Register values are identical to the batch
+        ``llm.sketch.hll_registers`` on the same rows (parity-tested);
+        cardinality comes from the batch ``hll_estimate`` over the
+        sunk register table."""
+        from ..llm.sketch import _fold31, _HLL_BITS
+
+        wbits = _HLL_BITS - p
+        h = _fold31(F.col(col))
+        w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+        bits_w = F.length(F.conv(w.cast("string"), 10, 2))
+        rank = F.when(w == F.lit(0), F.lit(wbits + 1)).otherwise(
+            F.lit(wbits + 1) - bits_w
+        )
+        per = self.df.filter(F.col(col).isNotNull()).select(
+            F.shiftright(h, wbits).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        return per.groupBy("bucket").agg(F.max("rank").alias("reg"))
+
     def tumbling_chunk(self, duration: str = "1 hour") -> DataFrame:
         """ChunkWith on a periodic timer == tumbling-window collect
         (eventkit/ops/transform.py:179-211; F.window). Ordered within

@@ -93,6 +93,15 @@ SHUFFLE_CEILING = {
     "source_quota": 1,
     "repetition": 2,
     "embed_topk": 2,
+    # r5 sketch/tokenizer/split contracts: measured shapes pinned —
+    # sketch outputs are d*w / 2^p bounded, so every exchange after the
+    # type-collapse carries kilobytes; bpe_encode's corpus-width
+    # exchange is the single word join; dedup_safe_split rides the CC
+    # driver fast path (labels arrive as a local relation)
+    "bpe_encode": 3,
+    "cms_counts": 6,
+    "hll_card": 7,
+    "dedup_safe_split": 2,
     "asof_join": 2,  # right-side dedupe agg + the union window
     "zip": 3,
     "tpch_q3": 3,

@@ -581,6 +581,25 @@ def test_streaming_count_min_parity(spark, stream_dir):
     assert all(est[k] >= truth[k] for k in truth)
 
 
+def test_streaming_hll_parity(spark, stream_dir):
+    """Streaming HLL register table == batch hll_registers on the same
+    rows (max per bucket is micro-batch independent)."""
+    from eventkit_spark.llm.sketch import hll_registers
+
+    sf = _stream(spark, stream_dir)
+    regs = sf.hll("event_id", p=7)
+    q = (
+        regs.writeStream.format("memory").queryName("ek_hll")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["bucket"]): r["reg"]
+           for r in spark.sql("SELECT * FROM ek_hll").collect()}
+    exp = {(r["bucket"]): r["reg"]
+           for r in hll_registers(spark.read.parquet(stream_dir), "event_id", p=7).collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_streaming_heavy_hitters_guarantee(spark, stream_dir):
     """Streaming MG summary per user: the latest snapshot's candidate
     set must contain every event_type with true count > n/k, keep at
