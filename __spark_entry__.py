@@ -2386,6 +2386,17 @@ def q_hll_card(spark, sf):
     return regs.crossJoin(F.broadcast(gate))
 
 
+def q_embed_moments(spark, sf):
+    # exact integer second-moment table (upper-triangle X^T X + column
+    # sums + count) of the fixed-point embeddings: ONE numpy matmul per
+    # Arrow partition, partials merged by a kilobyte-sized aggregate —
+    # the covariance/PCA input at any corpus size. The sums are exact
+    # int64, so the oracle replays them with a plain pair self-join.
+    from eventkit_spark.llm.linalg import embed_moment_sums
+
+    return embed_moment_sums(load_table(spark, sf, "embeddings"))
+
+
 def q_dedup_incremental(spark, sf):
     # persisted fingerprint-store lifecycle (llm/dedup.py
     # exact_dedup_store_init/_incremental): seed the store from the
@@ -3222,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
         "hll_card": q_hll_card,
+        "embed_moments": q_embed_moments,
         "rollup_ts": q_rollup_ts,
         "pivot_agg": q_pivot_agg,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3257,8 +3269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "corpus_diff": q_corpus_diff,
         "event_paths": q_event_paths,
-        "tpch_q21": q_tpch_q21,
         # ---- tail: driver-green in current form or replica-swept ----
+        "tpch_q21": q_tpch_q21,
         "twap": q_twap,
         "timestamp": q_timestamp,
         "delay": q_delay,
@@ -6644,6 +6656,25 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(6),
         "bpe_vocab": _bpe_vocab_sql(6, 40),
         "bpe_encode": _bpe_encode_sql(6),
+        # integer second moments: exact sums replay via pair self-join
+        "embed_moments": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+              FROM embeddings
+            ), ex AS (
+              SELECT vec_id, i, iv[i] AS x
+              FROM v, unnest(range(1, 65)) AS r(i)
+            )
+            SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+                   sum(a.x * b.x)::BIGINT AS val
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT (i - 1)::INT, -1, sum(x)::BIGINT FROM ex GROUP BY 1
+            UNION ALL
+            SELECT -1, -1, count(*)::BIGINT FROM v""",
         # Count-Min sketch: order-independent cells -> exact replay
         "cms_counts": _cms_sql(4, 16),
         # HyperLogLog: registers replay exactly (max per bucket);
