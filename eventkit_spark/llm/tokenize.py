@@ -270,33 +270,71 @@ def bpe_token_freq(
     return out
 
 
+def _apply_kernel(merges: list[tuple[str, str]]):
+    """Arrow kernel: apply the ruleset to each word type, sequentially
+    in rank order (identical semantics to the fold path — each rule
+    merges all its occurrences once). The NUL-wrapped join makes the
+    per-rule adjacency probe one C-speed substring check, so rules the
+    word doesn't contain cost O(len) and never rebuild the array."""
+    import pandas as pd  # local: kernels must be self-contained closures
+
+    def kernel(batches):
+        for pdf in batches:
+            toks = []
+            for w in pdf["word"]:
+                syms = list(w)
+                s = "\x00" + "\x00".join(syms) + "\x00"
+                for left, right in merges:
+                    if len(syms) < 2:
+                        break
+                    if ("\x00" + left + "\x00" + right + "\x00") in s:
+                        syms = _py_merge(syms, left, right)
+                        s = "\x00" + "\x00".join(syms) + "\x00"
+                toks.append(syms)
+            yield pd.DataFrame({"word": pdf["word"], "__toks": toks})
+
+    return kernel
+
+
 def bpe_apply_merges(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    max_fold_merges: int = 32,
 ) -> DataFrame:
     """Encode a corpus with a FIXED ruleset (the inference path, e.g.
     applying a tokenizer trained elsewhere): ``(id, tokens)`` with
     pretoken order preserved.
 
-    One distinct-word pass encodes each word type exactly once (all
-    ``len(merges)`` folds nest into a single plan — no per-merge jobs),
-    then a join back to the (doc, position, word) stream and an
+    One distinct-word pass encodes each word type exactly once, then a
+    join back to the (doc, position, word) stream and an
     order-restoring re-aggregate. The join is the only exchange whose
     width scales with the corpus; its build side is vocabulary-sized.
+
+    Rulesets up to ``max_fold_merges`` nest as pure Column folds (no
+    Python anywhere); real tokenizers carry thousands of rules, and a
+    thousand nested ``aggregate()`` expressions would explode the plan
+    — past the cap the word-type encode switches to one Arrow
+    mapInPandas kernel with identical rank-order semantics
+    (parity-tested against the fold path).
     """
     pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
     dw = docs.select(
         F.col(id_col), F.posexplode(pre).alias("wpos", "word")
     )
-    syms = _chars(F.col("word"))
-    for left, right in merges:
-        syms = _merge_pair(syms, left, right)
-    enc = dw.select("word").distinct().select(
-        "word", syms.alias("__toks")
-    )
+    types = dw.select("word").distinct()
+    if len(merges) <= max_fold_merges:
+        syms = _chars(F.col("word"))
+        for left, right in merges:
+            syms = _merge_pair(syms, left, right)
+        enc = types.select("word", syms.alias("__toks"))
+    else:
+        enc = types.mapInPandas(
+            _apply_kernel(list(merges)),
+            schema="word string, __toks array<string>",
+        )
     joined = dw.join(enc, "word")
     per_doc = joined.groupBy(id_col).agg(
         F.flatten(

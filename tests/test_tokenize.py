@@ -178,6 +178,21 @@ def test_apply_merges_preserves_order(spark):
         assert got[i] == exp, f"doc {i}"
 
 
+def test_apply_merges_kernel_path_parity(spark):
+    """max_fold_merges=0 forces the Arrow kernel encode; it must equal
+    the nested-fold path token-for-token on every doc."""
+    merges, _ = py_train(TEXTS, 8)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    rules = [(l, r) for _, l, r, _ in merges]
+    fold = {r["doc_id"]: r["tokens"]
+            for r in bpe_apply_merges(docs, rules).collect()}
+    kern = {r["doc_id"]: r["tokens"]
+            for r in bpe_apply_merges(docs, rules, max_fold_merges=0).collect()}
+    assert kern == fold
+
+
 def test_token_freq_matches_model(spark):
     _, words = py_train(TEXTS, 6)
     docs = spark.createDataFrame(
