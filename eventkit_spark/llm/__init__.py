@@ -6,9 +6,21 @@ global windows; the one driver-side loop is dedup_clusters' Pregel
 iteration, O(graph diameter) rounds of one distributed join each).
 """
 
-from . import cluster, dedup, graph, multimodal, sampling, similarity, sketch, text, web
+from . import (
+    cluster,
+    dedup,
+    graph,
+    linalg,
+    multimodal,
+    sampling,
+    similarity,
+    sketch,
+    text,
+    tokenize,
+    web,
+)
 
 __all__ = [
-    "cluster", "dedup", "graph", "multimodal", "sampling", "similarity",
-    "sketch", "text", "web",
+    "cluster", "dedup", "graph", "linalg", "multimodal", "sampling",
+    "similarity", "sketch", "text", "tokenize", "web",
 ]
