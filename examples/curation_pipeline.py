@@ -1,9 +1,10 @@
 """End-to-end training-data curation pipeline on eventkit_spark.
 
 The full public-recipe chain (C4/Gopher cleaning -> PII redaction ->
-exact + fuzzy dedup -> decontamination -> learned quality filter ->
-source temperature mixing -> DSIR target selection -> sequence packing
--> seeded train-order shuffle -> size-targeted partitioned export),
+exact + fuzzy dedup -> component-keyed leak-safe split ->
+decontamination -> learned quality filter -> source temperature
+mixing -> DSIR target selection -> sequence packing -> seeded
+train-order shuffle -> size-targeted partitioned export),
 composed purely from the engine's operators — every stage is the same
 code the driver contracts verify one-by-one.
 
@@ -25,9 +26,9 @@ from pyspark.sql import functions as F
 def run(spark, sf_dir: str, out_dir: str, report=print) -> dict:
     from eventkit_spark.llm.dedup import contamination, exact_dedup, fuzzy_dedup
     from eventkit_spark.llm.sampling import (
+        dedup_safe_split,
         dsir_logratio,
         pack_sequences,
-        split_by_hash,
         temperature_mix,
         train_order,
     )
@@ -69,8 +70,17 @@ def run(spark, sf_dir: str, out_dir: str, report=print) -> dict:
     keep_fuzzy = fz.filter(F.col("keep")).select("doc_id")
     clean = stage("fuzzy_dedup", clean.join(keep_fuzzy, "doc_id", "left_semi"))
 
-    # 5. leak-safe split, then drop train docs contaminated vs test
-    split = split_by_hash(clean, "doc_id")
+    # 5. leak-safe split KEYED BY THE NEAR-DUP COMPONENT (reusing the
+    # fuzzy-dedup cluster labels already computed): a doc-id-keyed
+    # split lets a paraphrase of a train doc land in test; the
+    # component key makes that impossible by construction. Then drop
+    # train docs contaminated against the test split anyway (exact
+    # k-gram decontamination catches sub-document leaks the near-dup
+    # graph doesn't model).
+    split = clean.join(
+        dedup_safe_split(clean, clusters=fz).select("doc_id", "split"),
+        "doc_id",
+    )
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
     dirty = contamination(train, test, k=5, min_overlap=1).select("doc_id")
