@@ -749,6 +749,27 @@ def q_bpe_encode(spark, sf):
     return bpe_encode(load_table(spark, sf, "documents"), n_merges=6)
 
 
+def q_bpe_fertility(spark, sf):
+    # tokenizer-equity report: chars-per-token by language (integer
+    # milli-units — the x1000 multiplier keeps sum(chars)*1000 inside
+    # int64 past 1e15 corpus chars, where a ppm multiplier would
+    # overflow under ANSI mode). Languages a BPE underserves show
+    # LOWER chars/token (more tokens per char) — the report that
+    # drives vocab-size / per-lang merge budgeting.
+    from eventkit_spark.llm.tokenize import bpe_encode
+
+    docs = load_table(spark, sf, "documents")
+    enc = bpe_encode(docs, n_merges=6)
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("sum(n_chars) * 1000 div sum(n_tokens)")
+        .cast("long")
+        .alias("chars_per_token_milli"),
+    )
+
+
 def _synth_urls(spark, sf):
     # the documents table has no URL column; both engines synthesize the
     # SAME messy URL deterministically from doc fields so every
@@ -3230,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
+        "bpe_fertility": q_bpe_fertility,
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
         "hll_card": q_hll_card,
@@ -3268,8 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "sorted_neighborhood": q_sorted_neighborhood,
         "corpus_diff": q_corpus_diff,
-        "event_paths": q_event_paths,
         # ---- tail: driver-green in current form or replica-swept ----
+        "event_paths": q_event_paths,
         "tpch_q21": q_tpch_q21,
         "twap": q_twap,
         "timestamp": q_timestamp,
@@ -3564,8 +3586,7 @@ def _bpe_vocab_sql(n: int, top: int) -> str:
     GROUP BY 1 ORDER BY freq DESC, token LIMIT {top}"""
 
 
-def _bpe_encode_sql(n: int) -> str:
-    return f"""WITH {_bpe_ctes(n)},
+_BPE_DOC_AGG = """
     enc AS (
       SELECT word, count(*)::BIGINT AS n_word_tokens,
              max(length(word))::BIGINT AS n_word_chars
@@ -3573,14 +3594,34 @@ def _bpe_encode_sql(n: int) -> str:
     doc_words AS (
       SELECT doc_id, w AS word
       FROM documents,
-           unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)),
+           unnest(regexp_extract_all(text, '{rx}')) AS u(w)),
     agg AS (
       SELECT dw.doc_id, sum(e.n_word_tokens)::BIGINT AS n_tokens,
              sum(e.n_word_chars)::BIGINT AS n_chars
-      FROM doc_words dw JOIN enc e USING (word) GROUP BY 1)
+      FROM doc_words dw JOIN enc e USING (word) GROUP BY 1)"""
+
+
+def _bpe_encode_sql(n: int) -> str:
+    return f"""WITH {_bpe_ctes(n)},
+    {_BPE_DOC_AGG.format(n=n, rx=_BPE_RX_SQL)}
     SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
            coalesce(a.n_chars, 0)::BIGINT AS n_chars
     FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def _bpe_fertility_sql(n: int) -> str:
+    return f"""WITH {_bpe_ctes(n)},
+    {_BPE_DOC_AGG.format(n=n, rx=_BPE_RX_SQL)},
+    per AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+             coalesce(a.n_chars, 0)::BIGINT AS n_chars
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           (sum(n_chars) * 1000 // sum(n_tokens))::BIGINT
+             AS chars_per_token_milli
+    FROM per GROUP BY lang"""
 
 
 def _cms_sql(d: int, w: int) -> str:
@@ -6656,6 +6697,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(6),
         "bpe_vocab": _bpe_vocab_sql(6, 40),
         "bpe_encode": _bpe_encode_sql(6),
+        "bpe_fertility": _bpe_fertility_sql(6),
         # integer second moments: exact sums replay via pair self-join
         "embed_moments": """
             WITH v AS (
