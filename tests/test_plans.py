@@ -99,9 +99,14 @@ SHUFFLE_CEILING = {
     # exchange is the single word join; dedup_safe_split rides the CC
     # driver fast path (labels arrive as a local relation)
     "bpe_encode": 3,
+    "bpe_fertility": 5,
     "cms_counts": 6,
     "hll_card": 7,
     "dedup_safe_split": 2,
+    # ONE scan + ONE kilobyte aggregate: the moment partials are the
+    # whole exchange; anything more means the matmul fell out of the
+    # mapInPandas kernel
+    "embed_moments": 1,
     "asof_join": 2,  # right-side dedupe agg + the union window
     "zip": 3,
     "tpch_q3": 3,
