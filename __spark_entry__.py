@@ -2894,6 +2894,22 @@ def q_embed_topk(spark, sf):
     return out.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def q_hard_negatives(spark, sf):
+    # hard-negative mining: each query's labeled positive is its exact
+    # top-1 neighbor; the mined set must be exactly ranks 2..6 of the
+    # unexcluded ordering, re-ranked 1..5 — the anti-join runs BEFORE
+    # the rank cut so positives never consume a slot.
+    from eventkit_spark.llm.similarity import brute_force_topk, hard_negatives
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    pos = brute_force_topk(emb, qs, k=1).select("query_id", "neighbor_id")
+    out = hard_negatives(emb, qs, pos, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
 def q_embed_neardup(spark, sf):
     from eventkit_spark.llm.similarity import embedding_near_dups
 
@@ -3252,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "bpe_fertility": q_bpe_fertility,
+        "hard_negatives": q_hard_negatives,
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
         "hll_card": q_hll_card,
@@ -3289,8 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "corpus_report": q_corpus_report,
         "sorted_neighborhood": q_sorted_neighborhood,
-        "corpus_diff": q_corpus_diff,
         # ---- tail: driver-green in current form or replica-swept ----
+        "corpus_diff": q_corpus_diff,
         "event_paths": q_event_paths,
         "tpch_q21": q_tpch_q21,
         "twap": q_twap,
@@ -6686,6 +6703,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
               FROM s
             ) WHERE rank <= 5""",
+        # hard negatives: exclude each query's exact top-1 (the labeled
+        # positive) BEFORE the rank cut -> ranks 2..6 re-ranked 1..5
+        "hard_negatives": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ve FROM embeddings
+            ), q AS (
+              SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10
+            ), s AS (
+              SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_transform(range(1, 65), i -> qv[i] * ve[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, b) -> a + b))
+                      * sqrt(list_reduce(list_transform(range(1, 65), i -> ve[i] * ve[i]), (a, b) -> a + b))) AS cos
+              FROM v c, q WHERE c.vec_id <> q.qid
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r0
+              FROM s
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+                   (r0 - 1)::INT AS rank
+            FROM ranked WHERE r0 BETWEEN 2 AND 6""",
         # full-probe IVF == brute force: identical SQL to embed_topk
         # exact-replay fixed-point clustering oracles (chained-CTE Lloyd
         # replays; see _int_kmeans_ctes)

@@ -68,6 +68,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k of ``corpus`` for each row of ``queries``.
 
@@ -76,6 +77,11 @@ def brute_force_topk(
     neighbor_id, dist2) ranked by ascending squared L2 (the PQ/ADC
     ground truth). rank<=k per query, self-matches excluded, ties
     broken by neighbor id for determinism. Queries are broadcast.
+
+    ``exclude`` — an optional (query_id, neighbor_id) pair table
+    anti-joined BEFORE the rank cut, so excluded pairs never consume a
+    rank slot (returning k - hits would be the classic off-by-the-
+    positives bug in negative mining).
     """
     from pyspark.sql import Window as W
 
@@ -86,6 +92,12 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    if exclude is not None:
+        joined = joined.join(
+            exclude.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
     if metric == "cosine":
         scored = joined.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
         w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -105,6 +117,33 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", val, "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Hard-negative mining for embedding training: for each query,
+    the top-k most similar corpus vectors that are NOT labeled
+    positives — the highest-loss negatives a contrastive objective
+    (InfoNCE / triplet) wants in its batch.
+
+    ``positives`` is the (query_id, neighbor_id) label table; it is
+    anti-joined before the rank cut, so every query gets exactly k
+    negatives (not k minus its positives). This exact form is the
+    eval/rerank-scale path, like ``brute_force_topk`` it wraps; at
+    corpus scale, mine candidates with ``rp_lsh_topk``/``ivf_topk`` at
+    k + max positives per query, then apply the same anti-join + cut.
+    """
+    return brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        metric=metric, exclude=positives,
     )
 
 

@@ -1096,6 +1096,35 @@ def test_char_entropy_known_values_and_no_shuffle(spark):
     assert count_shuffles(out) == 0
 
 
+def test_hard_negatives_excludes_before_cut(spark):
+    """Positives never consume a rank slot: with positives = exact
+    top-2, the mined set is EXACTLY ranks 3..k+2 of the unexcluded
+    ordering re-ranked 1..k, every query still gets k rows, and no
+    positive pair appears."""
+    import numpy as np
+
+    from eventkit_spark.llm.similarity import brute_force_topk, hard_negatives
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(60, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter(F.col("vec_id") < 4)
+    full = brute_force_topk(emb, qs, k=7)
+    pos = full.filter(F.col("rank") <= 2).select("query_id", "neighbor_id")
+    mined = hard_negatives(emb, qs, pos, k=5)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in mined.collect()}
+    exp = {(r["query_id"], r["rank"] - 2): r["neighbor_id"]
+           for r in full.filter(F.col("rank") > 2).collect()}
+    assert got == exp
+    assert len(got) == 4 * 5  # every query keeps k slots
+    pos_set = {(r["query_id"], r["neighbor_id"]) for r in pos.collect()}
+    mined_set = {(r["query_id"], r["neighbor_id"]) for r in mined.collect()}
+    assert not (pos_set & mined_set)
+
+
 def test_pq_topk_lossless_when_codebook_covers_points(spark):
     """With ks >= #distinct subvectors PQ is lossless (every subvector
     IS a centroid), so pure-ADC top-k must EQUAL the exact squared-L2
