@@ -2418,6 +2418,31 @@ def q_embed_moments(spark, sf):
     return embed_moment_sums(load_table(spark, sf, "embeddings"))
 
 
+def q_hll_by_key(spark, sf):
+    # the keyed HLL — distinct users per event type — is the
+    # production shape (distinct-per-day/host): registers shuffle at
+    # most #groups x 2^p kilobyte rows where exact count-distinct
+    # shuffles every (group, user) pair. Registers value-check
+    # exactly; per-group estimates get the fat-margin gate (25% vs
+    # ~6.5% sigma at p=8).
+    from eventkit_spark.llm.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf, "events")
+    regs = hll_registers(ev, "user_id", p=8, by="event_type")
+    est = hll_estimate(regs, p=8, by="event_type")
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("__exact")
+    )
+    gate = est.join(truth, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("est") - F.col("__exact"))
+            <= 0.25 * F.col("__exact")
+        ).alias("est_ok"),
+    )
+    return regs.join(gate, "event_type")
+
+
 def q_dedup_incremental(spark, sf):
     # persisted fingerprint-store lifecycle (llm/dedup.py
     # exact_dedup_store_init/_incremental): seed the store from the
@@ -3272,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
         "hll_card": q_hll_card,
+        "hll_by_key": q_hll_by_key,
         "embed_moments": q_embed_moments,
         "rollup_ts": q_rollup_ts,
         "pivot_agg": q_pivot_agg,
@@ -3305,8 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "corpus_report": q_corpus_report,
-        "sorted_neighborhood": q_sorted_neighborhood,
         # ---- tail: driver-green in current form or replica-swept ----
+        "sorted_neighborhood": q_sorted_neighborhood,
         "corpus_diff": q_corpus_diff,
         "event_paths": q_event_paths,
         "tpch_q21": q_tpch_q21,
@@ -6735,6 +6761,47 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_sql(6, 40),
         "bpe_encode": _bpe_encode_sql(6),
         "bpe_fertility": _bpe_fertility_sql(6),
+        # keyed HLL: per-group registers replay exactly; per-group
+        # estimate margin-gated (alpha for m=256 inlined identically)
+        "hll_by_key": f"""
+            WITH folded AS (
+              SELECT event_type,
+                     CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 2147483648 AS h
+              FROM events
+            ), parts AS (
+              SELECT event_type, (h >> 23)::INT AS bucket,
+                     h & 8388607 AS w
+              FROM folded
+            ), regs AS (
+              SELECT event_type, bucket,
+                     max(CASE WHEN w = 0 THEN 24
+                         ELSE 24 - length(bin(w)) END)::INT AS reg
+              FROM parts GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, count(*) AS nz,
+                     sum(power(2.0, -reg)) AS s_nz
+              FROM regs GROUP BY 1
+            ), est AS (
+              SELECT event_type,
+                     CASE WHEN raw <= 640.0 AND v > 0
+                          THEN floor(256.0 * ln(256.0 / v))
+                          ELSE floor(raw) END::BIGINT AS est
+              FROM (SELECT event_type, (256 - nz) AS v,
+                           {0.7213 / (1.0 + 1.079 / 256) * 65536.0:.12e}
+                           / (s_nz + (256 - nz)) AS raw
+                    FROM s)
+            ), truth AS (
+              SELECT event_type,
+                     count(DISTINCT user_id)::BIGINT AS exact
+              FROM events GROUP BY 1
+            ), gate AS (
+              SELECT e.event_type,
+                     (abs(e.est - t.exact) <= 0.25 * t.exact) AS est_ok
+              FROM est e JOIN truth t USING (event_type)
+            )
+            SELECT r.event_type, r.bucket, r.reg, g.est_ok
+            FROM regs r JOIN gate g USING (event_type)""",
         # integer second moments: exact sums replay via pair self-join
         "embed_moments": """
             WITH v AS (

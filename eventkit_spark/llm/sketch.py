@@ -220,14 +220,23 @@ def count_min_estimate(
 _HLL_BITS = 31  # width of the md5 fold
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
-    """``(bucket, reg)`` register table, m = 2**p buckets: bucket is
-    the fold's top p bits, reg = max over items of (leading zeros of
-    the remaining 31-p bits) + 1. Buckets no item hashed into are
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 9,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """``(*by, bucket, reg)`` register table, m = 2**p buckets: bucket
+    is the fold's top p bits, reg = max over items of (leading zeros
+    of the remaining 31-p bits) + 1. Buckets no item hashed into are
     omitted (reg 0). ONE partial-combined max-aggregate bounded by m
-    rows — kilobytes at any cardinality."""
+    rows per group — the keyed form (``by=``) is the production shape
+    (distinct users per day / per host) and shuffles at most
+    #groups x m kilobyte rows where exact count-distinct shuffles
+    every (group, item) pair."""
     if not 4 <= p <= 16:
         raise ValueError(f"need 4 <= p <= 16, got {p}")
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     wbits = _HLL_BITS - p
     h = _fold31(F.col(col))
     bucket = F.shiftright(h, wbits)
@@ -239,21 +248,29 @@ def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
         F.lit(wbits + 1) - bits_w
     )
     per = df.filter(F.col(col).isNotNull()).select(
-        bucket.cast("int").alias("bucket"), rank.cast("int").alias("rank")
+        *[F.col(k) for k in by],
+        bucket.cast("int").alias("bucket"),
+        rank.cast("int").alias("rank"),
     )
-    return per.groupBy("bucket").agg(F.max("rank").alias("reg"))
+    return per.groupBy(*by, "bucket").agg(F.max("rank").alias("reg"))
 
 
-def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
-    """Single-row ``(est, v_zero)`` from a register table built with
-    the same ``p``: the bias-corrected harmonic mean, with the small-
-    range linear-counting branch (E <= 2.5m and empty buckets exist ->
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 9,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """``(*by, est, v_zero)`` from a register table built with the
+    same ``p`` (one row total, or one per group with ``by=``): the
+    bias-corrected harmonic mean, with the small-range
+    linear-counting branch (E <= 2.5m and empty buckets exist ->
     m * ln(m / V)). est is floored to a long. Standard error is
     1.04/sqrt(m) (~4.6% at p=9); contracts bound it with a fat margin
     rather than comparing float estimates exactly."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    agg = registers.groupBy(*by).agg(
         F.count("*").alias("__nz"),
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("__s_nz"),
     )
@@ -265,5 +282,7 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
         raw
     )
     return agg.select(
-        F.floor(est).cast("long").alias("est"), v.cast("int").alias("v_zero")
+        *[F.col(k) for k in by],
+        F.floor(est).cast("long").alias("est"),
+        v.cast("int").alias("v_zero"),
     )

@@ -1352,6 +1352,26 @@ def test_hll_registers_and_estimate(spark):
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=2)
 
+    # keyed form: per-group registers == per-group recompute of the
+    # global form, and per-group estimates land within margin
+    kdf = spark.createDataFrame(
+        [(f"g{i % 3}", f"item{i % (700 + 400 * (i % 3))}") for i in range(30000)],
+        ["g", "k"],
+    )
+    keyed = {}
+    for r in hll_registers(kdf, "k", p=8, by="g").collect():
+        keyed.setdefault(r["g"], {})[r["bucket"]] = r["reg"]
+    for g in ("g0", "g1", "g2"):
+        solo = {r["bucket"]: r["reg"] for r in
+                hll_registers(kdf.filter(F.col("g") == g), "k", p=8).collect()}
+        assert keyed[g] == solo
+    ests = {r["g"]: r["est"] for r in
+            hll_estimate(hll_registers(kdf, "k", p=8, by="g"), p=8, by="g").collect()}
+    truth = {r["g"]: r["n"] for r in
+             kdf.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()}
+    for g, n in truth.items():
+        assert abs(ests[g] - n) <= 0.2 * n, (g, ests[g], n)
+
 
 def test_heavy_hitters_exact_vs_groupby(spark):
     """The MG sketch + recount pipeline must EQUAL the exact
