@@ -153,6 +153,7 @@ def count_min_cells(
     d: int = 4,
     w: int = 1024,
     weight_col: str | None = None,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
     """Build the Count-Min cell table ``(row, bucket, cnt)``.
 
@@ -167,6 +168,7 @@ def count_min_cells(
         raise ValueError(f"need 1 <= d <= {len(CMS_A)}, got {d}")
     if w < 2:
         raise ValueError(f"need w >= 2, got {w}")
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     wt = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -174,15 +176,19 @@ def count_min_cells(
     )
     per = (
         df.filter(F.col(col).isNotNull())
-        .groupBy(F.col(col).alias("__item"))
+        .groupBy(*by, F.col(col).alias("__item"))
         .agg(F.sum(wt).alias("__f"))
     )
     rows = per.select(
-        "__f", F.posexplode(_cms_buckets(F.col("__item"), d, w)).alias(
+        *[F.col(k) for k in by],
+        "__f",
+        F.posexplode(_cms_buckets(F.col("__item"), d, w)).alias(
             "row", "bucket"
-        )
+        ),
     )
-    return rows.groupBy("row", "bucket").agg(F.sum("__f").alias("cnt"))
+    return rows.groupBy(*by, "row", "bucket").agg(
+        F.sum("__f").alias("cnt")
+    )
 
 
 def count_min_estimate(

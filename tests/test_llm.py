@@ -1308,6 +1308,15 @@ def test_count_min_sketch_properties(spark):
     cw = count_min_cells(pre, "item", d=4, w=8, weight_col="wt")
     assert as_dict(cw) == as_dict(cells)
 
+    # keyed form: per-group cells == per-group recompute
+    kdf = df.withColumn("g", (F.length("item") % 2).cast("int"))
+    keyed = {}
+    for r in count_min_cells(kdf, "item", d=3, w=8, by="g").collect():
+        keyed.setdefault(r["g"], {})[(r["row"], r["bucket"])] = r["cnt"]
+    for g in (0, 1):
+        solo = as_dict(count_min_cells(kdf.filter(F.col("g") == g), "item", d=3, w=8))
+        assert keyed.get(g, {}) == solo
+
 
 def test_hll_registers_and_estimate(spark):
     """HLL invariants: the register table matches a local recompute of
