@@ -2407,6 +2407,37 @@ def q_hll_card(spark, sf):
     return regs.crossJoin(F.broadcast(gate))
 
 
+def q_cluster_topics(spark, sf):
+    # corpus-understanding composition: exact-replay kmeans over the
+    # embeddings (vec_id == doc_id in this corpus), then each cluster
+    # labeled with its top-3 terms by raw count — the report a data
+    # curator reads before deciding per-cluster sampling weights. All
+    # integer/deterministic, so the Lloyd replay + per-cluster term
+    # rank carries a full value oracle.
+    from pyspark.sql import Window as W
+
+    from eventkit_spark.llm.cluster import kmeans
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    assignments, _, _ = kmeans(emb, k=8, max_iter=5, replay_scale=1_000_000)
+    j = docs.join(
+        assignments.select(F.col("vec_id").alias("doc_id"), "cluster"),
+        "doc_id",
+    )
+    words = j.select(
+        "cluster",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    )
+    cnt = words.groupBy("cluster", "word").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("cluster").orderBy(F.col("cnt").desc(), "word")
+    return cnt.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+
+
 def q_embed_moments(spark, sf):
     # exact integer second-moment table (upper-triangle X^T X + column
     # sums + count) of the fixed-point embeddings: ONE numpy matmul per
@@ -3299,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card": q_hll_card,
         "hll_by_key": q_hll_by_key,
         "embed_moments": q_embed_moments,
+        "cluster_topics": q_cluster_topics,
         "rollup_ts": q_rollup_ts,
         "pivot_agg": q_pivot_agg,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3330,8 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "corpus_report": q_corpus_report,
         # ---- tail: driver-green in current form or replica-swept ----
+        "corpus_report": q_corpus_report,
         "sorted_neighborhood": q_sorted_neighborhood,
         "corpus_diff": q_corpus_diff,
         "event_paths": q_event_paths,
@@ -3764,6 +3796,32 @@ def _kmeans_oracle() -> str:
 )
 SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist2
 FROM fin WHERE rn = 1"""
+
+
+def _cluster_topics_oracle() -> str:
+    ctes, cent = _int_kmeans_ctes(k=8, iters=5, m=1)
+    return rf"""{ctes}
+, fin AS (
+  SELECT v.id, c.cluster,
+         row_number() OVER (PARTITION BY v.id
+           ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cluster) AS rn
+  FROM vex v JOIN {cent} c ON c.sub = v.sub AND c.dim = v.dim
+  GROUP BY v.id, c.cluster
+), assign AS (
+  SELECT id AS doc_id, CAST(cluster AS INT) AS cluster
+  FROM fin WHERE rn = 1
+), wrds AS (
+  SELECT a.cluster,
+         unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS word
+  FROM documents d JOIN assign a USING (doc_id)
+), cnts AS (
+  SELECT cluster, word, count(*)::BIGINT AS cnt FROM wrds GROUP BY 1, 2
+)
+SELECT cluster, word, cnt, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+             ORDER BY cnt DESC, word) AS INT) AS rank
+  FROM cnts
+) WHERE rank <= 3"""
 
 
 def _pq_encode_oracle() -> str:
@@ -6753,6 +6811,7 @@ def oracle_sql() -> dict[str, str]:
         # exact-replay fixed-point clustering oracles (chained-CTE Lloyd
         # replays; see _int_kmeans_ctes)
         "kmeans": _kmeans_oracle(),
+        "cluster_topics": _cluster_topics_oracle(),
         "pq_encode": _pq_encode_oracle(),
         # BPE trainer: 6 merge iterations replayed as chained
         # window-function CTEs (greedy non-overlapping merge via
