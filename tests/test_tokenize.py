@@ -215,6 +215,27 @@ def test_token_freq_matches_model(spark):
     assert sorted(topk, key=lambda kv: (-kv[1], kv[0])) == exp_top
 
 
+def test_null_text_rows_survive_the_surface(spark):
+    """The ADVICE bug class was NULL-key row loss. NULL-text documents
+    must neither crash nor vanish: bpe_encode keeps them with zeros,
+    bpe_apply_merges with an empty token array, train just ignores
+    them (regexp over NULL yields no pretokens)."""
+    from eventkit_spark.llm.tokenize import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, None), (2, "a cat mat")],
+        "doc_id int, text string",
+    )
+    merges = [tuple(r)[1:3] for r in bpe_train(docs, n_merges=4).collect()]
+    enc = {r["doc_id"]: (r["n_tokens"], r["n_chars"])
+           for r in bpe_encode(docs, n_merges=4).collect()}
+    assert set(enc) == {0, 1, 2}
+    assert enc[1] == (0, 0)
+    ap = {r["doc_id"]: r["tokens"]
+          for r in bpe_apply_merges(docs, merges).collect()}
+    assert set(ap) == {0, 1, 2} and ap[1] == []
+
+
 def test_train_stops_on_degenerate_corpus(spark):
     # single-char words only: no pairs to merge anywhere
     docs = spark.createDataFrame([(0, "a b c a b")], "doc_id int, text string")
