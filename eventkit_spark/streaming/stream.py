@@ -724,6 +724,51 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def interval_join(
+        self,
+        intervals: "StreamFrame",
+        start_col: str = "start",
+        end_col: str = "end",
+        max_length_s: float = 3600.0,
+        watermark: str = "10 seconds",
+    ) -> DataFrame:
+        """Stream-stream point-in-interval join on Spark's NATIVE
+        watermarked join (no custom state): each left event pairs with
+        every right interval where ``start <= ts <= end`` and the keys
+        match. ``max_length_s`` bounds the interval length and becomes
+        the state-retention bound (``ts <= start + max_length_s``) —
+        without it the right side's state would be unbounded, which is
+        exactly why Spark rejects unbounded stream-stream time
+        conditions. Rows in intervals longer than the bound are
+        dropped (documented contract, enforced by the condition).
+
+        Batch twin: ``operators.relational.interval_join`` (the binned
+        range join). Parity-tested availableNow vs the batch plan.
+        """
+        keys = [k for k in self.key_cols if k in intervals.df.columns]
+        left = self.df.withWatermark(self.ts_col, watermark).alias("l")
+        right = intervals.df.withWatermark(start_col, watermark).alias("r")
+        secs = int(max_length_s)
+        cond = (
+            (F.col(f"l.{self.ts_col}") >= F.col(f"r.{start_col}"))
+            & (F.col(f"l.{self.ts_col}") <= F.col(f"r.{end_col}"))
+            & (
+                F.col(f"l.{self.ts_col}")
+                <= F.col(f"r.{start_col}") + F.expr(f"INTERVAL {secs} SECOND")
+            )
+        )
+        for k in keys:
+            cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+        payload = [
+            c
+            for c in intervals.df.columns
+            if c not in (*keys, start_col, end_col)
+        ]
+        return left.join(right, cond, "inner").select(
+            *[F.col(f"l.{c}") for c in self.df.columns],
+            *[F.col(f"r.{c}").alias(f"{c}_r") for c in payload],
+        )
+
     def asof_join(self, right: "StreamFrame") -> DataFrame:
         """Streaming as-of join (the batch union + running-last in
         operators/relational.py): on each LEFT arrival emit the right

@@ -581,6 +581,47 @@ def test_streaming_count_min_parity(spark, stream_dir):
     assert all(est[k] >= truth[k] for k in truth)
 
 
+def test_streaming_interval_join_parity(spark, stream_dir, tmp_path_factory):
+    """Native watermarked stream-stream interval join == the batch
+    binned range join on the same data (inner, keyed, start <= ts <=
+    end), with the max-length bound tight enough to keep every
+    genuine match."""
+    from eventkit_spark.operators.relational import interval_join
+    from eventkit_spark.streaming import file_stream
+
+    ev = spark.read.parquet(stream_dir)
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .select(
+            "user_id",
+            "start",
+            (F.col("start") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+            F.concat(F.lit("w"), F.col("user_id")).alias("label"),
+        )
+    )
+    ipath = str(tmp_path_factory.mktemp("intervals"))
+    iv.write.mode("overwrite").parquet(ipath)
+
+    sf = _stream(spark, stream_dir)
+    fi = file_stream(
+        spark, ipath,
+        schema="user_id long, start timestamp, end timestamp, label string",
+        value_cols=["label"], ts_col="start", key_cols=["user_id"],
+    )
+    out = sf.interval_join(fi, max_length_s=7200, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("ek_ij")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["event_id"], r["label_r"])
+           for r in spark.sql("SELECT event_id, label_r FROM ek_ij").collect()}
+    exp = {(r["event_id"], r["label"])
+           for r in interval_join(ev, spark.read.parquet(ipath), by="user_id").collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_streaming_hll_parity(spark, stream_dir):
     """Streaming HLL register table == batch hll_registers on the same
     rows (max per bucket is micro-batch independent)."""
