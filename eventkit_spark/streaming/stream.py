@@ -17,6 +17,8 @@ semantics exist:
 | zip / ziplatest            | two-queue / two-slot keyed state            |
 | sample                     | union + stateful latest, emit on timer tag  |
 | throttle                   | sliding-budget deque in the state store     |
+| count_min / hll (sketches) | ONE bounded-state aggregate (d*w / 2^p rows)|
+| interval_join              | native watermarked stream-stream join       |
 
 Late data is governed by ``with_watermark``; every windowed/stateful op
 requires it in append mode. Tests drive these with file sources +

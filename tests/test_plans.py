@@ -102,7 +102,10 @@ SHUFFLE_CEILING = {
     "bpe_fertility": 5,
     "cms_counts": 6,
     "hll_card": 7,
+    "hll_by_key": 7,
     "dedup_safe_split": 2,
+    "cluster_topics": 3,
+    "hard_negatives": 6,
     # ONE scan + ONE kilobyte aggregate: the moment partials are the
     # whole exchange; anything more means the matmul fell out of the
     # mapInPandas kernel
