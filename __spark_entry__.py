@@ -2474,6 +2474,17 @@ def q_hll_by_key(spark, sf):
     return regs.join(gate, "event_type")
 
 
+def q_embed_standardize(spark, sf):
+    # per-dimension z-score from the exact moment sums: one stats pass
+    # + one broadcast-literal projection (zero joins). The mean/std
+    # recipe runs the SAME IEEE double ops in the same order in both
+    # engines over exact integer sums, so the rounded z-vectors
+    # value-check cell-for-cell.
+    from eventkit_spark.llm.linalg import embed_standardize
+
+    return embed_standardize(load_table(spark, sf, "embeddings"))
+
+
 def q_dedup_incremental(spark, sf):
     # persisted fingerprint-store lifecycle (llm/dedup.py
     # exact_dedup_store_init/_incremental): seed the store from the
@@ -3330,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card": q_hll_card,
         "hll_by_key": q_hll_by_key,
         "embed_moments": q_embed_moments,
+        "embed_standardize": q_embed_standardize,
         "cluster_topics": q_cluster_topics,
         "rollup_ts": q_rollup_ts,
         "pivot_agg": q_pivot_agg,
@@ -3361,8 +3373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         # ---- tail: driver-green in current form or replica-swept ----
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "corpus_report": q_corpus_report,
         "sorted_neighborhood": q_sorted_neighborhood,
         "corpus_diff": q_corpus_diff,
@@ -6861,6 +6873,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.event_type, r.bucket, r.reg, g.est_ok
             FROM regs r JOIN gate g USING (event_type)""",
+        # z-score standardization: mean/std recomputed from the same
+        # integer sums with the same IEEE op order, z rounded to 6
+        "embed_standardize": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+              FROM embeddings
+            ), ex AS (
+              SELECT vec_id, i, ve[i] AS xo, iv[i] AS xi
+              FROM v, unnest(range(1, 65)) AS r(i)
+            ), st AS (
+              SELECT i, sum(xi)::BIGINT AS s, sum(xi * xi)::BIGINT AS ss,
+                     count(*)::BIGINT AS n
+              FROM ex GROUP BY i
+            ), ms AS (
+              SELECT i, (s::DOUBLE / n) / 1000.0 AS mu,
+                     CASE WHEN (ss::DOUBLE - (s::DOUBLE * s::DOUBLE) / n) > 0
+                          THEN sqrt((ss::DOUBLE - (s::DOUBLE * s::DOUBLE) / n)
+                                    / (n - 1)) / 1000.0
+                          ELSE 0.0 END AS sd
+              FROM st
+            )
+            SELECT e.vec_id,
+                   list(CASE WHEN m.sd > 0
+                             THEN round((e.xo - m.mu) / m.sd, 6)
+                             ELSE 0.0 END ORDER BY e.i) AS z
+            FROM ex e JOIN ms m USING (i) GROUP BY e.vec_id""",
         # integer second moments: exact sums replay via pair self-join
         "embed_moments": """
             WITH v AS (

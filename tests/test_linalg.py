@@ -58,6 +58,27 @@ def test_pca_recovers_dominant_direction(spark):
     assert np.allclose(pcs[0], want0, atol=1e-6)
 
 
+def test_standardize_zscores(spark):
+    from eventkit_spark.llm.linalg import embed_standardize
+
+    df, x = _synth(spark, n=300, dim=8)
+    # make dim 7 constant -> zero variance must yield 0.0, not NaN
+    const = df.select(
+        "vec_id",
+        F.concat(
+            F.slice(F.col("embedding"), 1, 7),
+            F.array(F.lit(2.5).cast("float")),
+        ).alias("embedding"),
+    )
+    out = embed_standardize(const, dim=8, scale=1000)
+    z = np.array([r["z"] for r in out.orderBy("vec_id").collect()])
+    # standardized dims: mean ~0, std ~1 (quantization at scale 1000
+    # plus rounding keeps it within a few 1e-3)
+    assert np.all(np.abs(z[:, :7].mean(axis=0)) < 5e-3)
+    assert np.all(np.abs(z[:, :7].std(axis=0, ddof=1) - 1.0) < 5e-3)
+    assert np.all(z[:, 7] == 0.0)
+
+
 def test_pca_validates_k(spark):
     df, _ = _synth(spark, n=20)
     with pytest.raises(ValueError):
