@@ -185,6 +185,12 @@ def embed_standardize(
     any n below ~9e9 rows x scale 1000, so every int->double
     conversion is exact); the z values are rounded to ``round_to``.
     Zero-variance dimensions standardize to 0.0 rather than NaN.
+
+    Quantization contract: floor(x * scale) biases the estimated mean
+    by up to ``+0.5/scale`` in original units, so ``mean(z)`` sits
+    within ``0.5 / (scale * sd)`` of zero — at the default scale that
+    is half a percent of a standard deviation even for sd = 0.1
+    dimensions. Raise ``scale`` for tighter centering.
     """
     rows = embed_moment_sums(emb, vec_col, dim, scale).collect()
     s = [0] * dim

@@ -72,11 +72,15 @@ def test_standardize_zscores(spark):
     )
     out = embed_standardize(const, dim=8, scale=1000)
     z = np.array([r["z"] for r in out.orderBy("vec_id").collect()])
-    # standardized dims: mean ~0, std ~1 (quantization at scale 1000
-    # plus rounding keeps it within a few 1e-3)
-    assert np.all(np.abs(z[:, :7].mean(axis=0)) < 5e-3)
+    # standardized dims: mean ~0 within the documented floor-bias
+    # bound 0.5/(scale*sd) (sd ~0.1 here -> 5e-3), std ~1
+    assert np.all(np.abs(z[:, :7].mean(axis=0)) < 8e-3)
     assert np.all(np.abs(z[:, :7].std(axis=0, ddof=1) - 1.0) < 5e-3)
     assert np.all(z[:, 7] == 0.0)
+    # tighter scale -> tighter centering (the documented knob)
+    out2 = embed_standardize(const, dim=8, scale=100000)
+    z2 = np.array([r["z"] for r in out2.orderBy("vec_id").collect()])
+    assert np.all(np.abs(z2[:, :7].mean(axis=0)) < 2e-4)
 
 
 def test_pca_validates_k(spark):
