@@ -3307,18 +3307,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     throttle's recursive-CTE budget replay, embed_rp_lsh LCG
     #     replay, dedup_minhash portable family) — the driver must
     #     re-verdict these so no sample window can show red again;
-    # (2) positions 8-24: every query registered THIS round (SQ family,
-    #     BPE tokenizer family, dedup_safe_split, cms_counts, OLAP
-    #     rollup/pivot, RRF fusion, persisted-store lifecycles, scaled
-    #     unkeyed running sum, variant pluck) — first driver verdicts;
-    # (3) positions 25-50: never-driver-checked marquee batteries from
+    # (2) positions 8-31: every query registered THIS round (SQ family,
+    #     BPE tokenizer family incl. fertility, hard_negatives,
+    #     dedup_safe_split, CMS + HLL global/keyed sketches,
+    #     embed_moments/standardize, cluster_topics, OLAP rollup/pivot,
+    #     RRF fusion, persisted-store lifecycles, scaled unkeyed
+    #     running sum, variant pluck) — first driver verdicts;
+    # (3) positions 32-50: never-driver-checked marquee batteries from
     #     late r4 (graph census, bootstrap/AB/CUPED experimentation,
-    #     Holt/Kalman/CUSUM/anomaly kernels, retrieval, winsorize/bins,
-    #     exact percentiles, corpus ops, TWAP, heaviest TPC-H q21).
+    #     Holt/Kalman/CUSUM/anomaly kernels, PQ/containment/novelty/RFM,
+    #     exact percentiles, winsorize/bins, BM25 + phrase retrieval).
     # The tail is everything driver-green r3/r4 in its current form plus
-    # the remaining never-checked TPC-H/OLAP/window rows (unit + full
-    # replica sweeps keep those honest; they rotate forward in r6) —
-    # all 224 entries register full value oracles.
+    # the remaining never-checked TPC-H/OLAP/window/corpus rows (unit +
+    # full replica sweeps at all three SFs keep those honest; they
+    # rotate forward in r6) — all 231 entries register full value
+    # oracles.
     return {
         # (1) formerly no_oracle — re-verdict with full oracles
         "kmeans": q_kmeans,

@@ -110,6 +110,9 @@ SHUFFLE_CEILING = {
     # whole exchange; anything more means the matmul fell out of the
     # mapInPandas kernel
     "embed_moments": 1,
+    # stats ride broadcast LITERALS (collected at build), so the
+    # standardizing projection itself is exchange-free
+    "embed_standardize": 0,
     "asof_join": 2,  # right-side dedupe agg + the union window
     "zip": 3,
     "tpch_q3": 3,
