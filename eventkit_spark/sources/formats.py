@@ -1,4 +1,4 @@
-"""Non-parquet dataset formats: CSV, JSON-lines, ORC.
+"""Non-parquet dataset formats: CSV, JSON-lines, ORC, XML (Avro gated).
 
 The engine's canonical storage is parquet (columnar, predicate
 pushdown, min/max stats — the 100 TB default). Real pipelines also
@@ -94,6 +94,50 @@ def load_orc(
     return _normalize_ntz(spark.read.options(**options).orc(path))
 
 
+def load_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | StructType | None = None,
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """XML reader (native in Spark 4 — no external jar): one row per
+    ``row_tag`` element. Same explicit-schema discipline as CSV/JSONL;
+    XML is NOT splittable within a file, so many medium files beat one
+    giant dump at scale (parallelism = file count)."""
+    if schema is None and not infer:
+        raise ValueError(
+            "load_xml() needs an explicit schema (or infer=True to accept "
+            "a sampling scan)"
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(
+        **options
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return _normalize_ntz(reader.load(path))
+
+
+def load_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro reader — gated: Avro is an EXTERNAL Spark module (the
+    spark-avro jar), absent from plain pip installs. Raises with a
+    clear remedy rather than Spark's generic lookup error."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _normalize_ntz(
+            spark.read.options(**options).format("avro").load(path)
+        )
+    except Exception as ex:  # pragma: no cover - depends on deploy
+        if "Failed to find data source: avro" in str(ex):
+            raise RuntimeError(
+                "Avro needs the external spark-avro package on the "
+                "classpath (--packages org.apache.spark:spark-avro_2.13)"
+            ) from ex
+        raise
+
+
 def write_format(
     df: DataFrame,
     path: str,
@@ -110,7 +154,7 @@ def write_format(
 
     from .sinks import estimate_row_bytes
 
-    if fmt not in ("csv", "json", "orc", "parquet"):
+    if fmt not in ("csv", "json", "orc", "parquet", "xml"):
         raise ValueError(f"unsupported format {fmt!r}")
     est = estimate_row_bytes(df)
     rows_per_file = max(1, math.ceil(target_mb * 1024 * 1024 / est))

@@ -219,9 +219,22 @@ def test_format_roundtrips_preserve_values(spark, tmp_path):
            for r in back.collect()}
     assert got == want
 
+    p_xml = str(tmp_path / "xml")
+    write_format(ev, p_xml, "xml", rowTag="row", rootTag="rows",
+                 timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    from eventkit_spark.sources.formats import load_xml
+
+    back = load_xml(spark, p_xml, row_tag="row", schema=ddl,
+                    timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    got = {(r["event_id"], r["user_id"], r["ts"], r["event_type"], r["value"])
+           for r in back.collect()}
+    assert got == want
+
     with _pytest.raises(ValueError, match="explicit schema"):
         load_csv(spark, p_csv)
     with _pytest.raises(ValueError, match="explicit schema"):
         load_jsonl(spark, p_json)
+    with _pytest.raises(ValueError, match="explicit schema"):
+        load_xml(spark, p_xml, row_tag="row")
     with _pytest.raises(ValueError, match="unsupported"):
         write_format(ev, str(tmp_path / "x"), "avro")
