@@ -7,6 +7,55 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
 
 
+def test_retrieval_pipeline_end_to_end(spark):
+    import retrieval_pipeline
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.sampling import bm25_search, rrf_fuse
+    from eventkit_spark.llm.similarity import brute_force_topk, hard_negatives
+    from eventkit_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    stats = retrieval_pipeline.run(spark, sf, report=lambda *_: None)
+    assert stats["lexical"] > 0 and stats["dense"] == 20
+    assert stats["fused"] == 10 and stats["reranked"] > 0
+    assert stats["negatives"] == 8
+
+    # the fused list must draw from BOTH retrievers and respect RRF:
+    # a doc ranked top by both lists outranks a doc in only one list
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = {r["doc_id"] for r in bm25_search(docs, "spark hash join stream", k=20).collect()}
+    q = emb.filter(F.col("vec_id") == 0)
+    dense = {r["neighbor_id"] for r in brute_force_topk(emb, q, k=20).collect()}
+    fused = rrf_fuse(
+        [
+            bm25_search(docs, "spark hash join stream", k=20).select("doc_id", "rank"),
+            brute_force_topk(emb, q, k=20).select(
+                F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=60, topn=10,
+    ).collect()
+    fused_ids = {r["doc_id"] for r in fused}
+    assert fused_ids <= (lex | dense)
+    both = {r["doc_id"] for r in fused if r["n_lists"] == 2}
+    if both:  # docs found by both retrievers lead the fusion
+        best_both = min(r["fused_rank"] for r in fused if r["doc_id"] in both)
+        assert best_both == 1
+
+    # mined negatives never contain a positive
+    pos = {r["doc_id"] for r in fused if r["fused_rank"] <= 3}
+    negs = hard_negatives(
+        emb, q,
+        spark.createDataFrame(
+            [(0, d) for d in pos], "query_id long, neighbor_id long"
+        ),
+        k=8,
+    )
+    assert not ({r["neighbor_id"] for r in negs.collect()} & pos)
+
+
 def test_curation_pipeline_end_to_end(spark, tmp_path):
     import curation_pipeline
 
