@@ -44,6 +44,9 @@ __all__ = [
     "bpe_token_freq",
     "bpe_encode",
     "bpe_apply_merges",
+    "bpe_store_init",
+    "bpe_load_merges",
+    "bpe_encode_with_store",
 ]
 
 
@@ -395,3 +398,51 @@ def bpe_encode(
     )
     wf.unpersist()
     return out
+
+
+def bpe_store_init(
+    docs: DataFrame,
+    store_path: str,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_freq: int = 1,
+    driver_types_max: int = 200_000,
+) -> None:
+    """Train a BPE ruleset and PERSIST it — tokenizers are versioned
+    artifacts in practice (train once on the accepted corpus, apply to
+    every later batch with the exact same rules). The store is one
+    ``(rank, lhs, rhs, pair_count)`` parquet, kilobytes at any rule
+    count, read back by ``bpe_encode_with_store``; joins the
+    exact-dedup / minhash / simhash / contamination persisted-store
+    lifecycle family."""
+    merges, wf = _fit(docs, n_merges, text_col, min_freq, driver_types_max)
+    wf.unpersist()
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    ).write.mode("overwrite").parquet(f"{store_path}/merges")
+
+
+def bpe_load_merges(spark, store_path: str) -> list[tuple[str, str]]:
+    """Read a persisted ruleset back in learned order."""
+    rows = (
+        spark.read.parquet(f"{store_path}/merges").orderBy("rank").collect()
+    )
+    return [(r["lhs"], r["rhs"]) for r in rows]
+
+
+def bpe_encode_with_store(
+    docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_fold_merges: int = 32,
+) -> DataFrame:
+    """Encode a batch with a persisted ruleset: the apply path of the
+    tokenizer lifecycle (``bpe_apply_merges`` under the hood — fold
+    plan for small rulesets, Arrow kernel past the cap)."""
+    merges = bpe_load_merges(docs.sparkSession, store_path)
+    return bpe_apply_merges(
+        docs, merges, text_col, id_col, tokens_col, max_fold_merges
+    )

@@ -215,6 +215,35 @@ def test_token_freq_matches_model(spark):
     assert sorted(topk, key=lambda kv: (-kv[1], kv[0])) == exp_top
 
 
+def test_bpe_store_lifecycle(spark, tmp_path):
+    """Train-once / apply-every-batch: the persisted ruleset encodes a
+    NEW batch identically to applying the in-memory merges directly."""
+    from eventkit_spark.llm.tokenize import (
+        bpe_encode_with_store,
+        bpe_load_merges,
+        bpe_store_init,
+    )
+
+    train_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    store = str(tmp_path / "tok")
+    bpe_store_init(train_docs, store, n_merges=6)
+    rules = bpe_load_merges(spark, store)
+    exp_merges, _ = py_train(TEXTS, 6)
+    assert rules == [(l, r) for _, l, r, _ in exp_merges]
+
+    batch = spark.createDataFrame(
+        [(100, "the mat of that cat"), (101, "brand new words here")],
+        "doc_id int, text string",
+    )
+    via_store = {r["doc_id"]: r["tokens"]
+                 for r in bpe_encode_with_store(batch, store).collect()}
+    direct = {r["doc_id"]: r["tokens"]
+              for r in bpe_apply_merges(batch, rules).collect()}
+    assert via_store == direct and len(via_store) == 2
+
+
 def test_null_text_rows_survive_the_surface(spark):
     """The ADVICE bug class was NULL-key row loss. NULL-text documents
     must neither crash nor vanish: bpe_encode keeps them with zeros,
