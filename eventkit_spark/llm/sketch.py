@@ -197,19 +197,23 @@ def count_min_estimate(
     col: str,
     d: int = 4,
     w: int = 1024,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
     """Point-estimate each item in ``items`` from a cell table built
     with the SAME (d, w): est = min over rows of the item's cell.
     CMS guarantees est >= true count, with overshoot <= 2N/w at
     probability 1 - 2^-d. The cell table is d x w rows -> broadcast
     join; estimating adds zero wide exchanges beyond one item-level
-    aggregate."""
+    aggregate. With ``by=``, items and cells are matched per group
+    (both built with the same keys)."""
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     ex = items.select(
+        *[F.col(k) for k in by],
         F.col(col),
         F.posexplode(_cms_buckets(F.col(col), d, w)).alias("row", "bucket"),
     )
-    joined = ex.join(F.broadcast(cells), ["row", "bucket"], "left")
-    return joined.groupBy(col).agg(
+    joined = ex.join(F.broadcast(cells), [*by, "row", "bucket"], "left")
+    return joined.groupBy(*by, col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
 

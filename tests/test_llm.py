@@ -1308,14 +1308,23 @@ def test_count_min_sketch_properties(spark):
     cw = count_min_cells(pre, "item", d=4, w=8, weight_col="wt")
     assert as_dict(cw) == as_dict(cells)
 
-    # keyed form: per-group cells == per-group recompute
+    # keyed form: per-group cells == per-group recompute; keyed
+    # estimates dominate per-group truth
     kdf = df.withColumn("g", (F.length("item") % 2).cast("int"))
+    kcells = count_min_cells(kdf, "item", d=3, w=8, by="g")
     keyed = {}
-    for r in count_min_cells(kdf, "item", d=3, w=8, by="g").collect():
+    for r in kcells.collect():
         keyed.setdefault(r["g"], {})[(r["row"], r["bucket"])] = r["cnt"]
     for g in (0, 1):
         solo = as_dict(count_min_cells(kdf.filter(F.col("g") == g), "item", d=3, w=8))
         assert keyed.get(g, {}) == solo
+    kest = {(r["g"], r["item"]): r["est"] for r in count_min_estimate(
+        kcells, kdf.select("g", "item").distinct(), "item", d=3, w=8, by="g"
+    ).collect()}
+    ktruth = {(r["g"], r["item"]): r["cnt"] for r in
+              kdf.groupBy("g", "item").agg(F.count("*").alias("cnt")).collect()}
+    assert set(kest) == set(ktruth)
+    assert all(kest[k] >= ktruth[k] for k in ktruth)
 
 
 def test_hll_registers_and_estimate(spark):
