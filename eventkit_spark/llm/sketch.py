@@ -296,3 +296,43 @@ def hll_estimate(
         F.floor(est).cast("long").alias("est"),
         v.cast("int").alias("v_zero"),
     )
+
+
+def hll_union(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Register table of the UNION of two sketches (same p): cell-wise
+    max — exact with respect to the sketch (the union sketch equals
+    the sketch of the unioned streams; unit-pinned)."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_intersection_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, p: int = 9
+) -> DataFrame:
+    """Inclusion-exclusion intersection estimate:
+    ``|A ∩ B| ~ est(A) + est(B) - est(A ∪ B)``, single row
+    ``(est, est_a, est_b, est_union)``, clamped at 0. Error compounds
+    (three ±1.04/sqrt(m) estimates), so treat small intersections of
+    large sets as noise — the standard HLL caveat; use minhash
+    containment when the overlap itself is the signal."""
+    a = hll_estimate(regs_a, p).select(F.col("est").alias("est_a"))
+    b = hll_estimate(regs_b, p).select(F.col("est").alias("est_b"))
+    u = hll_estimate(hll_union(regs_a, regs_b), p).select(
+        F.col("est").alias("est_union")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0).cast("long"),
+            ).alias("est"),
+            "est_a",
+            "est_b",
+            "est_union",
+        )
+    )

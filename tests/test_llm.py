@@ -1370,6 +1370,21 @@ def test_hll_registers_and_estimate(spark):
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=2)
 
+    # set operations: union sketch == sketch of the union (exact);
+    # inclusion-exclusion intersection lands near the true overlap
+    from eventkit_spark.llm.sketch import hll_intersection_estimate, hll_union
+
+    au = {r["bucket"]: r["reg"] for r in hll_union(
+        hll_registers(a, "k", p=9), hll_registers(b, "k", p=9)).collect()}
+    direct = {r["bucket"]: r["reg"] for r in
+              hll_registers(a.union(b), "k", p=9).collect()}
+    assert au == direct
+    inter = hll_intersection_estimate(
+        hll_registers(a, "k", p=9), hll_registers(b, "k", p=9), p=9
+    ).first()
+    true_inter = a.intersect(b).count()
+    assert abs(inter["est"] - true_inter) <= 0.3 * max(true_inter, 1)
+
     # keyed form: per-group registers == per-group recompute of the
     # global form, and per-group estimates land within margin
     kdf = spark.createDataFrame(
