@@ -91,3 +91,33 @@ def count_shuffles(df: DataFrame) -> int:
     same result; windows/joins/aggregations each justify at most one)."""
     plan = physical_plan(df)
     return sum(1 for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan budget for CI assertions and plan reviews: counts
+    of the physical-plan features that matter at 100 TB. Pure plan
+    inspection — triggers no job.
+
+    Keys: ``scans`` (file scans — each is a full pass over some
+    table), ``exchanges`` (shuffles), ``broadcasts`` (broadcast
+    exchanges — should cover every small-side join), ``sorts``,
+    ``python_evals`` (Arrow/Python boundaries — the slow path),
+    ``nested_loop_joins`` (almost always a missing equi-condition —
+    the scale cliff to catch in review). Codegen spans are omitted:
+    under AQE they only exist in the post-execution final plan, and a
+    report that silently returned 0 pre-execution would mislead.
+    """
+    p = physical_plan(df)
+    return {
+        "scans": p.count("FileScan"),
+        "exchanges": p.count("Exchange"),
+        "broadcasts": p.count("BroadcastExchange"),
+        "sorts": p.count("Sort "),
+        "python_evals": sum(
+            p.count(tag)
+            for tag in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                        "FlatMapGroupsInPandas")
+        ),
+        "nested_loop_joins": p.count("BroadcastNestedLoopJoin")
+        + p.count("CartesianProduct"),
+    }

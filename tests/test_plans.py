@@ -522,6 +522,26 @@ def test_ivf_index_query_partition_prunes(spark, tmp_path):
     )
 
 
+def test_plan_report_counts(spark):
+    """plan_report: a lazy one-call budget — no job triggered, counts
+    match the known shape of a simple aggregate and flag a
+    BroadcastNestedLoopJoin when a join loses its equi-condition."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.plans.audit import plan_report
+    from eventkit_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    agg = ev.groupBy("user_id").agg(F.sum("value").alias("s"))
+    rep = plan_report(agg)
+    assert rep["scans"] == 1 and rep["exchanges"] >= 1
+    assert rep["nested_loop_joins"] == 0 and rep["python_evals"] == 0
+
+    small = load_table(spark, SF, "region")
+    bad = ev.join(small, ev.value > small.r_regionkey)  # inequality only
+    assert plan_report(bad)["nested_loop_joins"] >= 1
+
+
 def test_rollup_timeseries_single_scan_single_exchange(spark):
     """Multi-grain rollup must plan ONE fact scan + ONE Expand + ONE
     hash exchange regardless of grain count — adding a grain adds an
