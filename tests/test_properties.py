@@ -434,8 +434,13 @@ def test_throttle_unit_cost_closed_form(spark, gaps, m, iv):
         if len(emits) >= m:
             e = max(e, emits[-m] + iv)
         emits.append(e)
-    for g, e in zip(got, emits):
-        assert abs(g - e) < 2e-6, (got, emits)
+    # the kernel stores each emit as a whole-microsecond TIMESTAMP
+    # (state.py ~178), so a chain of i dependent emits accumulates up
+    # to ~0.5us of rounding per step; the float model doesn't. Scale
+    # the tolerance with chain depth (hypothesis found an 18-deep
+    # zero-gap chain at 2.1us against the old flat 2us bound).
+    for i, (g, e) in enumerate(zip(got, emits)):
+        assert abs(g - e) < 2e-6 + 6e-7 * i, (i, got, emits)
 
 
 @given(
