@@ -7,6 +7,31 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
 
 
+def test_stream_monitoring_end_to_end(spark, tmp_path):
+    import stream_monitoring
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.sources.tables import load_table
+
+    src = str(tmp_path / "mon_src")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").parquet(src)
+
+    stats = stream_monitoring.run(spark, src, report=lambda *_: None)
+    n_types = ev.select("event_type").distinct().count()
+    true_users = ev.select("user_id").distinct().count()
+    assert stats["types_estimated"] == n_types
+    assert stats["cms_cells"] > 0
+    # HLL estimate of distinct users within the fat 20% gate
+    assert abs(stats["distinct_users_est"] - true_users) <= 0.2 * true_users
+    # heavy hitters: exactly the true > n/k set
+    exact_hh = (
+        ev.groupBy("event_type").agg(F.count("*").alias("c"))
+        .filter(F.col("c") * 8 > ev.count()).count()
+    )
+    assert stats["heavy_hitters"] == exact_hh
+
+
 def test_retrieval_pipeline_end_to_end(spark):
     import retrieval_pipeline
     from pyspark.sql import functions as F
