@@ -2478,11 +2478,18 @@ def q_embed_standardize(spark, sf):
     # per-dimension z-score from the exact moment sums: one stats pass
     # + one broadcast-literal projection (zero joins). The mean/std
     # recipe runs the SAME IEEE double ops in the same order in both
-    # engines over exact integer sums, so the rounded z-vectors
-    # value-check cell-for-cell.
+    # engines over exact integer sums, so the rounded z values
+    # value-check cell-for-cell. CONTRACT FORM: the z-vector is
+    # posexploded to scalar (vec_id, i, z) rows — the driver harness
+    # canonicalizes with pandas sort_values, which cannot sort an
+    # array<double> column (r5's one red row); users keep the
+    # array-returning embed_standardize API.
     from eventkit_spark.llm.linalg import embed_standardize
 
-    return embed_standardize(load_table(spark, sf, "embeddings"))
+    out = embed_standardize(load_table(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id", F.posexplode("z").alias("i", "z")
+    )
 
 
 def q_dedup_incremental(spark, sf):
@@ -6014,6 +6021,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN event_type = 'purchase' THEN cents END)
                          / 100.0, 2) AS event_type_purchase,
                    sum(CASE WHEN event_type NOT IN ('click','view','purchase')
+                            OR event_type IS NULL
                        THEN 1 ELSE 0 END)::BIGINT AS n_other
             FROM c GROUP BY user_id""",
         "interarrival": """
@@ -6877,7 +6885,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.event_type, r.bucket, r.reg, g.est_ok
             FROM regs r JOIN gate g USING (event_type)""",
         # z-score standardization: mean/std recomputed from the same
-        # integer sums with the same IEEE op order, z rounded to 6
+        # integer sums with the same IEEE op order, z rounded to 6.
+        # Scalar (vec_id, i, z) rows — mirrors the Spark side's
+        # posexplode so the harness canon never sees an array column.
         "embed_standardize": """
             WITH v AS (
               SELECT vec_id,
@@ -6900,11 +6910,11 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END AS sd
               FROM st
             )
-            SELECT e.vec_id,
-                   list(CASE WHEN m.sd > 0
-                             THEN round((e.xo - m.mu) / m.sd, 6)
-                             ELSE 0.0 END ORDER BY e.i) AS z
-            FROM ex e JOIN ms m USING (i) GROUP BY e.vec_id""",
+            SELECT e.vec_id, (e.i - 1)::INT AS i,
+                   CASE WHEN m.sd > 0
+                        THEN round((e.xo - m.mu) / m.sd, 6)
+                        ELSE 0.0 END AS z
+            FROM ex e JOIN ms m USING (i)""",
         # integer second moments: exact sums replay via pair self-join
         "embed_moments": """
             WITH v AS (

@@ -276,7 +276,15 @@ def hll_estimate(
     linear-counting branch (E <= 2.5m and empty buckets exist ->
     m * ln(m / V)). est is floored to a long. Standard error is
     1.04/sqrt(m) (~4.6% at p=9); contracts bound it with a fat margin
-    rather than comparing float estimates exactly."""
+    rather than comparing float estimates exactly.
+
+    RANGE CAP: the hash is a 31-bit md5 fold (``_fold31``), so birthday
+    collisions bias the estimate LOW as the true cardinality approaches
+    the hash range — about -2% at 5e8 distinct values, saturating near
+    2**31 ≈ 2.1e9. For distinct counts expected above ~1e8 per group,
+    raise the fold width (two md5 words) or shard the keyspace (e.g.
+    sketch per day and union); below that the 1.04/sqrt(m) term
+    dominates and the cap is immaterial."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))

@@ -225,6 +225,12 @@ def _fit(
             "syms", _merge_pair(F.col("syms"), row["lhs"], row["rhs"])
         ).persist()
         release, cur = cur, nxt
+    # release the second-to-last cached frame too — without this every
+    # distributed training call leaked one cached word-type DataFrame
+    # for the session's lifetime. The returned `cur` recomputes its one
+    # narrow withColumn from `words` if touched before caching kicks in.
+    if release is not None and release is not cur:
+        release.unpersist()
     return merges, cur
 
 

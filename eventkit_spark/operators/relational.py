@@ -1287,7 +1287,12 @@ def pivot_agg(
         elif agg == "avg":
             out = F.round(out, 6)
         cols.append(out.alias(f"{pivot_col}_{val}"))
+    # NULL pivot keys: isin() is NULL (not False) for NULL, so ~isin
+    # alone would drop NULL-keyed rows from BOTH the declared columns
+    # and n_other — count them as "other" explicitly.
     other = F.sum(
-        F.when(~F.col(pivot_col).isin(*values), 1).otherwise(0)
+        F.when(
+            ~F.col(pivot_col).isin(*values) | F.col(pivot_col).isNull(), 1
+        ).otherwise(0)
     ).alias("n_other")
     return df.groupBy(F.col(key)).agg(*cols, other)

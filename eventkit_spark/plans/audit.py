@@ -87,10 +87,19 @@ def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of exchanges in the physical plan (lower = better for the
-    same result; windows/joins/aggregations each justify at most one)."""
+    """Number of SHUFFLE exchanges in the physical plan (lower = better
+    for the same result; windows/joins/aggregations each justify at most
+    one). ReusedExchange references and BroadcastExchange (a broadcast,
+    not a shuffle) are excluded — plan_report['exchanges'] uses the
+    same per-line rule."""
     plan = physical_plan(df)
-    return sum(1 for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "Reused" not in ln
+        and "BroadcastExchange" not in ln
+    )
 
 
 def plan_report(df: DataFrame) -> dict:
@@ -108,9 +117,20 @@ def plan_report(df: DataFrame) -> dict:
     report that silently returned 0 pre-execution would mislead.
     """
     p = physical_plan(df)
+    # "exchanges" means SHUFFLES, same per-line rule as count_shuffles:
+    # ReusedExchange is a plan-tree reference (no second shuffle) and
+    # BroadcastExchange is a broadcast, not a shuffle — counting raw
+    # "Exchange" substrings would inflate CI budgets with both.
+    shuffles = sum(
+        1
+        for ln in p.splitlines()
+        if "Exchange" in ln
+        and "Reused" not in ln
+        and "BroadcastExchange" not in ln
+    )
     return {
         "scans": p.count("FileScan"),
-        "exchanges": p.count("Exchange"),
+        "exchanges": shuffles,
         "broadcasts": p.count("BroadcastExchange"),
         "sorts": p.count("Sort "),
         "python_evals": sum(

@@ -32,6 +32,7 @@ global state.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Iterator, Sequence
 
 import pandas as pd
@@ -747,16 +748,23 @@ class StreamFrame:
         Batch twin: ``operators.relational.interval_join`` (the binned
         range join). Parity-tested availableNow vs the batch plan.
         """
+        if not max_length_s > 0:
+            raise ValueError(
+                f"max_length_s must be positive, got {max_length_s!r}"
+            )
         keys = [k for k in self.key_cols if k in intervals.df.columns]
         left = self.df.withWatermark(self.ts_col, watermark).alias("l")
         right = intervals.df.withWatermark(start_col, watermark).alias("r")
-        secs = int(max_length_s)
+        # millisecond-granular bound: int() on float seconds would
+        # truncate 0.5 s to 0 and drop every in-interval match
+        millis = math.ceil(max_length_s * 1000)
         cond = (
             (F.col(f"l.{self.ts_col}") >= F.col(f"r.{start_col}"))
             & (F.col(f"l.{self.ts_col}") <= F.col(f"r.{end_col}"))
             & (
                 F.col(f"l.{self.ts_col}")
-                <= F.col(f"r.{start_col}") + F.expr(f"INTERVAL {secs} SECOND")
+                <= F.col(f"r.{start_col}")
+                + F.expr(f"INTERVAL {millis} MILLISECOND")
             )
         )
         for k in keys:

@@ -578,3 +578,22 @@ def test_pivot_agg_single_pass_no_discovery_job(spark):
     plan = physical_plan(out)
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_plan_report_exchanges_exclude_broadcast_and_reused(spark):
+    """Regression (r6 advice): plan_report['exchanges'] means SHUFFLES —
+    a broadcast-joined aggregate must report its BroadcastExchange under
+    'broadcasts' only, matching count_shuffles' per-line rule."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.plans.audit import count_shuffles, plan_report
+    from eventkit_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    small = load_table(spark, SF, "region")
+    j = ev.join(
+        F.broadcast(small), ev.value.cast("long") == small.r_regionkey
+    ).groupBy("event_type").agg(F.count("*").alias("n"))
+    rep = plan_report(j)
+    assert rep["broadcasts"] >= 1
+    assert rep["exchanges"] == count_shuffles(j)

@@ -587,3 +587,18 @@ def test_bounds_memo_invalidates_on_new_files(tmp_path, spark):
     b2 = common.memo_range_bounds(spark.read.parquet(p), 4)
     assert len(common._RANGE_BOUNDS_CACHE) == 2
     assert max(b2) > max(b1), "stale day-one boundaries survived ingest"
+
+
+def test_pivot_agg_null_pivot_key_counted_in_other(spark):
+    """Regression (r6 advice): NULL pivot values used to vanish from
+    both the declared columns and n_other (~isin is NULL for NULL);
+    they now land in n_other, honoring 'nothing silently disappears'."""
+    from eventkit_spark.operators.relational import pivot_agg
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, None, 2.0), (1, "zz", 3.0), (2, "b", 4.0)],
+        "k long, p string, value double",
+    )
+    got = {r["k"]: r["n_other"] for r in
+           pivot_agg(df, "k", "p", ["a", "b"]).collect()}
+    assert got == {1: 2, 2: 0}

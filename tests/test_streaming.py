@@ -942,3 +942,36 @@ def test_streaming_store_dedup_and_probe(spark, tmp_path_factory):
     ).join(hashes, ["h", "h2"], "left_anti")
     out = sf2.run_available_now(sink_df=fresh, name="ek_store_probe")
     assert sorted(r["doc_id"] for r in out.collect()) == [22]
+
+
+def test_streaming_interval_join_fractional_bound(spark, stream_dir, tmp_path_factory):
+    """Regression (r6 advice): a fractional max_length_s like 0.5 used
+    to be int()-truncated to 0, collapsing the state-retention bound
+    to ts <= start and dropping in-interval matches. The bound now
+    carries millisecond granularity; non-positive bounds are rejected
+    at call time."""
+    from eventkit_spark.streaming import file_stream
+
+    ev = spark.read.parquet(stream_dir)
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .select(
+            "user_id", "start",
+            (F.col("start") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+    )
+    ipath = str(tmp_path_factory.mktemp("ivfrac"))
+    iv.write.mode("overwrite").parquet(ipath)
+    sf = _stream(spark, stream_dir)
+    fi = file_stream(
+        spark, ipath,
+        schema="user_id long, start timestamp, end timestamp",
+        value_cols=[], ts_col="start", key_cols=["user_id"],
+    )
+    out = sf.interval_join(fi, max_length_s=0.5, watermark="0 seconds")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "millisecond" in plan.lower() or "0.5" in plan, plan
+
+    with pytest.raises(ValueError, match="positive"):
+        sf.interval_join(fi, max_length_s=0.0)

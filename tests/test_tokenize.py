@@ -271,3 +271,16 @@ def test_train_stops_on_degenerate_corpus(spark):
     assert bpe_train(docs, n_merges=4).count() == 0
     with pytest.raises(ValueError):
         bpe_train(docs, n_merges=0)
+
+
+def test_distributed_train_releases_all_cached_frames(spark):
+    # Regression (r6 advice): the second-to-last persisted word-type
+    # frame leaked one cache entry per distributed training call.
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    bpe_train(docs, n_merges=4, driver_types_max=0).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"leaked {after - before} cached frame(s)"
