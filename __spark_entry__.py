@@ -153,6 +153,47 @@ def q_running_sum_scaled(spark, sf):
     return out.df.select("event_id", F.col("value").alias("rsum_cents"))
 
 
+def _unkeyed_ev(spark, sf):
+    """Events as a totally ordered UNKEYED stream (seq = event_id) —
+    the shape the scaled two-pass selection ops target."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    df = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    return from_dataframe(
+        df, value_cols=["value"], seq_col="event_id", ts_col=None
+    )
+
+
+def q_takewhile_scaled(spark, sf):
+    # r6: the monotone prefix-AND flag decomposed like a scaled running
+    # `all` (select.takewhile_scaled): per-range-bucket cumulative AND
+    # in parallel + a broadcast all-pass carry-in per bucket — closes
+    # the unkeyed single-task lane for the flag family. Values are
+    # identical to the sequential form, so the oracle is the plain
+    # cumulative-min window.
+    ef = _unkeyed_ev(spark, sf)
+    return ef.takewhile("value < 400", scaled=True).df.select(
+        "event_id", "value"
+    )
+
+
+def q_dropwhile_scaled(spark, sf):
+    # prefix-OR twin of takewhile_scaled (started flag = OR of NOT pred
+    # across buckets + within-bucket cumulative OR).
+    ef = _unkeyed_ev(spark, sf)
+    return ef.dropwhile("value < 300", scaled=True).df.select(
+        "event_id", "value"
+    )
+
+
+def q_skip_scaled(spark, sf):
+    # global emit-order rank without a single-task window: per-bucket
+    # row_number + exclusive bucket-count offsets (select.rank_scaled);
+    # skip/take/enumerate/count all ride this rank.
+    ef = _unkeyed_ev(spark, sf)
+    return ef.skip(250, scaled=True).df.select("event_id", "user_id", "value")
+
+
 def q_running_mean(spark, sf):
     # exact-integer formulation: values are 2-decimal doubles, so the
     # running mean in micro-units is (sum of cents * 10^4) div count —
@@ -3306,31 +3347,74 @@ def q_weighted_sample_grouped(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
-    # whatever has the weakest current verdict. Round-5 rotation
+    # whatever has the weakest current verdict. Round-6 rotation
     # (count positions, don't trust comments):
-    # (1) positions 1-7: the formerly rows-only / no_oracle set, ALL of
-    #     which now carry FULL value oracles (kmeans/pq_encode/ivfpq via
-    #     fixed-point chained-CTE replay, embed_ivf route-for-route,
-    #     throttle's recursive-CTE budget replay, embed_rp_lsh LCG
-    #     replay, dedup_minhash portable family) — the driver must
-    #     re-verdict these so no sample window can show red again;
-    # (2) positions 8-31: every query registered THIS round (SQ family,
-    #     BPE tokenizer family incl. fertility, hard_negatives,
-    #     dedup_safe_split, CMS + HLL global/keyed sketches,
-    #     embed_moments/standardize, cluster_topics, OLAP rollup/pivot,
-    #     RRF fusion, persisted-store lifecycles, scaled unkeyed
-    #     running sum, variant pluck) — first driver verdicts;
-    # (3) positions 32-50: never-driver-checked marquee batteries from
-    #     late r4 (graph census, bootstrap/AB/CUPED experimentation,
-    #     Holt/Kalman/CUSUM/anomaly kernels, PQ/containment/novelty/RFM,
-    #     exact percentiles, winsorize/bins, BM25 + phrase retrieval).
-    # The tail is everything driver-green r3/r4 in its current form plus
-    # the remaining never-checked TPC-H/OLAP/window/corpus rows (unit +
-    # full replica sweeps at all three SFs keep those honest; they
-    # rotate forward in r6) — all 231 entries register full value
-    # oracles.
+    # (1) position 1: embed_standardize — r5's single red row, now in a
+    #     scalar (vec_id, i, z) contract form the harness canon can sort;
+    # (2) positions 2-43: the 42 never-driver-checked queries called out
+    #     in VERDICT r5 — the whole TPC-H battery (q2-q22), the OLAP/
+    #     window extras (window_funcs, grouping_sets, unpivot, dau,
+    #     pct_change, twap, interarrival), and the corpus/ops battery
+    #     (corpus_report, corpus_diff, sorted_neighborhood,
+    #     fuzzy_decontaminate, event_paths, salted_join, heavy_hitters,
+    #     weighted_sample(+_grouped), contamination_report,
+    #     session_stats, group_regression, event_transitions,
+    #     group_corr). All replica-swept at 3 SFs every round; this
+    #     gives each its first driver verdict;
+    # (3) position 44: pivot_agg re-verdict — its NULL-pivot-key
+    #     n_other semantics changed this round (oracle updated);
+    # (4) positions 45-50: round-6 additions get first verdicts
+    #     (appended as they land — see the tail comment).
+    # The tail is everything driver-green in its current form; all
+    # entries register full value oracles.
     return {
-        # (1) formerly no_oracle — re-verdict with full oracles
+        "embed_standardize": q_embed_standardize,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "window_funcs": q_window_funcs,
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "dau": q_dau,
+        "pct_change": q_pct_change,
+        "twap": q_twap,
+        "interarrival": q_interarrival,
+        "corpus_report": q_corpus_report,
+        "corpus_diff": q_corpus_diff,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "event_paths": q_event_paths,
+        "salted_join": q_salted_join,
+        "heavy_hitters": q_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
+        "contamination_report": q_contamination_report,
+        "session_stats": q_session_stats,
+        "group_regression": q_group_regression,
+        "event_transitions": q_event_transitions,
+        "group_corr": q_group_corr,
+        "pivot_agg": q_pivot_agg,
+        "takewhile_scaled": q_takewhile_scaled,
+        "dropwhile_scaled": q_dropwhile_scaled,
+        "skip_scaled": q_skip_scaled,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -3338,7 +3422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle": q_throttle,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "dedup_minhash": q_dedup_minhash,
-        # (2) registered in round 5 — first driver verdict
         "sq_encode": q_sq_encode,
         "sq_topk": q_sq_topk,
         "bpe_train": q_bpe_train,
@@ -3351,10 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card": q_hll_card,
         "hll_by_key": q_hll_by_key,
         "embed_moments": q_embed_moments,
-        "embed_standardize": q_embed_standardize,
         "cluster_topics": q_cluster_topics,
         "rollup_ts": q_rollup_ts,
-        "pivot_agg": q_pivot_agg,
         "hybrid_rrf": q_hybrid_rrf,
         "ivf_index": q_ivf_index,
         "variant_pluck": q_variant_pluck,
@@ -3363,7 +3444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "decontaminate_store": q_decontaminate_store,
-        # (3) late-r4 batteries, never driver-checked
         "pagerank": q_pagerank,
         "central_dedup": q_central_dedup,
         "triangles": q_triangles,
@@ -3383,14 +3463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
-        # ---- tail: driver-green in current form or replica-swept ----
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "corpus_report": q_corpus_report,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "corpus_diff": q_corpus_diff,
-        "event_paths": q_event_paths,
-        "tpch_q21": q_tpch_q21,
-        "twap": q_twap,
         "timestamp": q_timestamp,
         "delay": q_delay,
         "timeout": q_timeout,
@@ -3446,7 +3518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize_plan": q_mm_resize_plan,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "region_revenue": q_region_revenue,
         "topk_orders": q_topk_orders,
         "rollup": q_rollup,
@@ -3460,40 +3531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_timerange": q_source_timerange,
         "filter": q_filter,
         "takewhile": q_takewhile,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "group_corr": q_group_corr,
-        "unpivot": q_unpivot,
-        "group_regression": q_group_regression,
-        "event_transitions": q_event_transitions,
-        "session_stats": q_session_stats,
-        "contamination_report": q_contamination_report,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "interarrival": q_interarrival,
-        "grouping_sets": q_grouping_sets,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "salted_join": q_salted_join,
-        "window_funcs": q_window_funcs,
-        "heavy_hitters": q_heavy_hitters,
-        "weighted_sample": q_weighted_sample,
-        "weighted_sample_grouped": q_weighted_sample_grouped,
-        "dau": q_dau,
-        "pct_change": q_pct_change,
         "unique": q_unique,
         "takeuntil": q_takeuntil,
         "running_mean": q_running_mean,
@@ -4037,6 +4074,33 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS rsum_cents
             FROM events""",
+        # scaled two-pass selection ops are value-identical to the
+        # sequential window forms (rank/flag semantics, no floats), so
+        # each oracle is the plain UNKEYED cumulative window
+        "takewhile_scaled": """
+            SELECT event_id, value FROM (
+              SELECT event_id, value,
+                     min(CASE WHEN value < 400 THEN 1 ELSE 0 END) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS ok
+              FROM events
+            ) WHERE ok = 1""",
+        "dropwhile_scaled": """
+            SELECT event_id, value FROM (
+              SELECT event_id, value,
+                     max(CASE WHEN value < 300 THEN 0 ELSE 1 END) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS started
+              FROM events
+            ) WHERE started = 1""",
+        "skip_scaled": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn > 250""",
         "running_mean": f"""
             SELECT event_id, user_id,
                    CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER ({_CUM}) * 10000)

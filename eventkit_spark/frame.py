@@ -189,16 +189,32 @@ class EventFrame:
     def filter(self, predicate=None):
         return _select.filter_(self, predicate)
 
-    def skip(self, count: int = 1):
+    def skip(self, count: int = 1, scaled: bool = False,
+             partitions: int | None = None):
+        if scaled:
+            return _select.skip_scaled(self, count, partitions)
         return _select.skip(self, count)
 
-    def take(self, count: int = 1):
+    def take(self, count: int = 1, scaled: bool = False,
+             partitions: int | None = None):
+        if scaled:
+            return _select.take_scaled(self, count, partitions)
         return _select.take(self, count)
 
-    def takewhile(self, predicate):
+    def takewhile(self, predicate, scaled: bool = False,
+                  partitions: int | None = None):
+        """Pass rows until the predicate first fails. ``scaled=True``
+        (unkeyed streams only) switches to the two-pass range-bucketed
+        form — the prefix flag is monotone, so it parallelizes exactly
+        like the scaled running aggregates (select.takewhile_scaled)."""
+        if scaled:
+            return _select.takewhile_scaled(self, predicate, partitions)
         return _select.takewhile(self, predicate)
 
-    def dropwhile(self, predicate):
+    def dropwhile(self, predicate, scaled: bool = False,
+                  partitions: int | None = None):
+        if scaled:
+            return _select.dropwhile_scaled(self, predicate, partitions)
         return _select.dropwhile(self, predicate)
 
     def takeuntil(self, notifier: "EventFrame"):
@@ -220,11 +236,13 @@ class EventFrame:
     def iterate(self, values: Iterable):
         return _transform.iterate(self, values)
 
-    def enumerate(self, start: int = 0, step: int = 1):
-        return _transform.enumerate_(self, start, step)
+    def enumerate(self, start: int = 0, step: int = 1,
+                  scaled: bool = False, partitions: int | None = None):
+        return _transform.enumerate_(self, start, step, scaled, partitions)
 
-    def count(self, start: int = 0, step: int = 1):
-        return _transform.count(self, start, step)
+    def count(self, start: int = 0, step: int = 1,
+              scaled: bool = False, partitions: int | None = None):
+        return _transform.count(self, start, step, scaled, partitions)
 
     def timestamp(self):
         return _transform.timestamp(self)

@@ -76,6 +76,129 @@ def dropwhile(ef, predicate):
     return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
 
 
+def _scaled_prologue(ef, partitions: int | None):
+    """Range-bucket an UNKEYED stream on ``seq`` — the two-pass
+    discipline shared with ``aggregate.running_scaled`` (SURVEY §7.2):
+    ONE memoized driver-side quantile sketch fixes range boundaries, the
+    bucket id is a pure literal expression (recompute-safe), and the
+    carry between buckets travels through a #buckets-row table instead
+    of a single-task global window.
+
+    Returns ``(df_with___pid, wloc, wcarry)``: the cumulative
+    within-bucket frame and the EXCLUSIVE tiny cross-bucket frame.
+    """
+    if ef.key_cols:
+        raise ValueError(
+            "the scaled path is for UNKEYED streams; keyed streams are "
+            "already partition-parallel — drop scaled=True"
+        )
+    from .common import memo_range_bounds, range_bucket_id
+
+    n_part = partitions or int(
+        ef.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    snum = F.col(ef.seq_col).cast("double")
+    bounds = memo_range_bounds(ef.df.select(snum.alias("__t")), n_part)
+    pid = range_bucket_id(snum, bounds)
+    df = ef.df.withColumn("__pid", pid)
+    wloc = (
+        W.partitionBy("__pid")
+        .orderBy(F.col(ef.seq_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wcarry = (
+        W.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return df, wloc, wcarry
+
+
+def rank_scaled(ef, partitions: int | None = None):
+    """Global 1-based emit-order rank for an UNKEYED stream without the
+    single-task ``partitionBy(lit(0))`` window: per-bucket row_number in
+    parallel + each bucket's exclusive running row-count offset
+    (kilobyte table, broadcast back). Returns ``ef.df`` plus the rank
+    in the RN column; callers filter or project and drop it.
+
+    Exact for any payload type — rank only depends on ``seq`` order,
+    and buckets are range-partitioned on ``seq``.
+    """
+    df, _, wcarry = _scaled_prologue(ef, partitions)
+    wrn = W.partitionBy("__pid").orderBy(F.col(ef.seq_col))
+    counts = df.groupBy("__pid").agg(F.count("*").alias("__n"))
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(wcarry), F.lit(0)).alias("__off"),
+    )
+    return (
+        df.join(F.broadcast(offs), "__pid")
+        .withColumn(RN, F.col("__off") + F.row_number().over(wrn))
+        .drop("__pid", "__off")
+    )
+
+
+def skip_scaled(ef, count: int = 1, partitions: int | None = None):
+    """``skip`` for long unkeyed streams: global rank via rank_scaled,
+    then ``rank > count`` — value-identical to skip()."""
+    df = rank_scaled(ef, partitions)
+    return ef._with(df=df.filter(F.col(RN) > count).drop(RN))
+
+
+def take_scaled(ef, count: int = 1, partitions: int | None = None):
+    """``take`` for long unkeyed streams (rank <= count)."""
+    df = rank_scaled(ef, partitions)
+    return ef._with(df=df.filter(F.col(RN) <= count).drop(RN))
+
+
+def takewhile_scaled(ef, predicate, partitions: int | None = None):
+    """``takewhile`` for long unkeyed streams. The prefix-AND flag is
+    monotone, so it decomposes exactly like a running ``all``: a
+    cumulative AND within each range bucket (parallel) plus a broadcast
+    carry-in = AND of every earlier bucket's all-pass flag. Rows pass
+    while both hold — value-identical to takewhile()."""
+    pred = as_column(predicate, ef)
+    cols = ef.df.columns
+    df, wloc, wcarry = _scaled_prologue(ef, partitions)
+    df = df.withColumn("__p", F.when(pred, 1).otherwise(0))
+    bmin = df.groupBy("__pid").agg(F.min("__p").alias("__bmin"))
+    carry = bmin.select(
+        "__pid",
+        F.coalesce(F.min("__bmin").over(wcarry), F.lit(1)).alias("__carry"),
+    )
+    keep = (F.col("__carry") == 1) & (F.min("__p").over(wloc) == 1)
+    out = (
+        df.join(F.broadcast(carry), "__pid")
+        .withColumn(RN, keep)
+        .filter(F.col(RN))
+        .select(*cols)
+    )
+    return ef._with(df=out)
+
+
+def dropwhile_scaled(ef, predicate, partitions: int | None = None):
+    """``dropwhile`` for long unkeyed streams: the started flag is a
+    prefix-OR of NOT predicate — cumulative OR within each bucket plus
+    an OR carry-in across earlier buckets."""
+    pred = as_column(predicate, ef)
+    cols = ef.df.columns
+    df, wloc, wcarry = _scaled_prologue(ef, partitions)
+    df = df.withColumn("__p", F.when(pred, 0).otherwise(1))
+    bmax = df.groupBy("__pid").agg(F.max("__p").alias("__bmax"))
+    carry = bmax.select(
+        "__pid",
+        F.coalesce(F.max("__bmax").over(wcarry), F.lit(0)).alias("__carry"),
+    )
+    keep = (F.col("__carry") == 1) | (F.max("__p").over(wloc) == 1)
+    out = (
+        df.join(F.broadcast(carry), "__pid")
+        .withColumn(RN, keep)
+        .filter(F.col(RN))
+        .select(*cols)
+    )
+    return ef._with(df=out)
+
+
 def takeuntil(ef, notifier):
     """Pass source rows strictly before the notifier's first emit
     (select.py:79-99). Event-time cut via the notifier's min ts.

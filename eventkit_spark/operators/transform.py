@@ -28,8 +28,20 @@ def constant(ef, value):
     return _project(ef, [F.lit(value)], ["value"])
 
 
-def enumerate_(ef, start: int = 0, step: int = 1):
-    """Prepend a running index (transform.py:38-50)."""
+def enumerate_(ef, start: int = 0, step: int = 1, scaled: bool = False,
+               partitions: int | None = None):
+    """Prepend a running index (transform.py:38-50). ``scaled=True``
+    (unkeyed only) derives the index from select.rank_scaled's
+    bucket-offset global rank instead of a single-task window."""
+    if scaled:
+        from .select import RN as _RN, rank_scaled
+
+        df = rank_scaled(ef, partitions)
+        idx = (F.col(_RN) - 1) * step + start
+        cols = [F.col(c) for c in meta_cols(ef)]
+        cols.append(idx.alias("i"))
+        cols += [F.col(c) for c in ef.value_cols]
+        return ef._with(df=df.select(*cols), value_cols=["i", *ef.value_cols])
     idx = (F.row_number().over(worder(ef)) - 1) * step + start
     cols = [F.col(c) for c in meta_cols(ef)]
     cols.append(idx.alias("i"))
@@ -37,8 +49,16 @@ def enumerate_(ef, start: int = 0, step: int = 1):
     return ef._with(df=ef.df.select(*cols), value_cols=["i", *ef.value_cols])
 
 
-def count(ef, start: int = 0, step: int = 1):
+def count(ef, start: int = 0, step: int = 1, scaled: bool = False,
+          partitions: int | None = None):
     """Replace payload with a running count (eventkit/ops/aggregate.py:10-15)."""
+    if scaled:
+        from .select import RN as _RN, rank_scaled
+
+        df = rank_scaled(ef, partitions)
+        idx = ((F.col(_RN) - 1) * step + start).cast("long")
+        cols = [F.col(c) for c in meta_cols(ef)] + [idx.alias("value")]
+        return ef._with(df=df.select(*cols), value_cols=["value"])
     idx = (F.row_number().over(worder(ef)) - 1) * step + start
     return _project(ef, [idx.cast("long")], ["value"])
 

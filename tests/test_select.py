@@ -44,3 +44,45 @@ def test_takeuntil(spark, ints):
 
     notifier = sequence(spark, ["x"], times=[0.045])
     assert ints.takeuntil(notifier).to_list() == [0, 1, 2, 3, 4]
+
+
+def test_selection_scaled_matches_sequential(spark):
+    """The two-pass unkeyed selection/rank ops (scaled=True) equal the
+    single-task window forms, and the plan partitions the data window
+    by the range bucket instead of a constant."""
+    import pytest
+
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.create import sequence
+
+    vals = [((i * 37) % 19) - 9 for i in range(500)]
+    ef = sequence(spark, vals, interval=0.001)
+    cases = [
+        ("skip", dict(count=7)),
+        ("take", dict(count=123)),
+        ("takewhile", dict(predicate="value > -9")),
+        ("dropwhile", dict(predicate="value > -9")),
+        ("enumerate", dict(start=3, step=2)),
+        ("count", dict(start=1)),
+    ]
+    for op, kwargs in cases:
+        seq_out = getattr(ef, op)(**kwargs).to_list()
+        got = getattr(ef, op)(**kwargs, scaled=True, partitions=4).to_list()
+        assert got == seq_out, op
+
+    # predicate never fails / always fails: prefix flags degenerate
+    assert ef.takewhile("value > 100", scaled=True, partitions=4).to_list() == []
+    assert ef.dropwhile("value < 100", scaled=True, partitions=4).to_list() == []
+    assert (ef.dropwhile("value > 100", scaled=True, partitions=4).to_list()
+            == ef.to_list())
+
+    plan = physical_plan(
+        ef.takewhile("value > -9", scaled=True, partitions=4).df
+    )
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("__pid" in ln for ln in win_lines), "window not bucket-partitioned"
+
+    keyed = ef._with()
+    keyed.key_cols = ["value"]
+    with pytest.raises(ValueError, match="UNKEYED"):
+        keyed.takewhile("value > 0", scaled=True)
