@@ -770,6 +770,31 @@ def q_bpe_train(spark, sf):
     return bpe_train(load_table(spark, sf, "documents"), n_merges=6)
 
 
+def q_bpe_train_bytes(spark, sf):
+    # r6: GPT-2-flavor BYTE-level BPE (tokenize.bpe_train_bytes) with
+    # the Sennrich end-of-word marker — seed symbols are UTF-8 bytes
+    # through the public bytes_to_unicode alphabet, so any input
+    # tokenizes with no <unk>. Same loop/tie-break as bpe_train; the
+    # oracle swaps in a byte-alphabet seed CTE (documents are pure
+    # ASCII at every SF, so code points replay the bytes exactly) and
+    # reuses the seed-agnostic merge-chain replay.
+    from eventkit_spark.llm.tokenize import bpe_train_bytes
+
+    return bpe_train_bytes(
+        load_table(spark, sf, "documents"), n_merges=6, eow="</w>"
+    )
+
+
+def q_bpe_vocab_bytes(spark, sf):
+    # the byte-level learned vocabulary (top-40 by freq DESC, token):
+    # eow-marked whole-word tokens can appear once merges reach them.
+    from eventkit_spark.llm.tokenize import bpe_token_freq_bytes
+
+    return bpe_token_freq_bytes(
+        load_table(spark, sf, "documents"), n_merges=6, top=40, eow="</w>"
+    )
+
+
 def q_bpe_vocab(spark, sf):
     # the learned vocabulary: corpus token frequencies AFTER the 6
     # merges, top-40 by (freq DESC, token) — deterministic cutoff.
@@ -3415,6 +3440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "takewhile_scaled": q_takewhile_scaled,
         "dropwhile_scaled": q_dropwhile_scaled,
         "skip_scaled": q_skip_scaled,
+        "bpe_train_bytes": q_bpe_train_bytes,
+        "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -3644,7 +3671,7 @@ _URL_CANON_SQL = r"""
 _BPE_RX_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def _bpe_ctes(n: int) -> str:
+def _bpe_ctes(n: int, seed_sql: str | None = None) -> str:
     """Chained-CTE DuckDB replay of tokenize.py's BPE trainer: the
     greedy left-to-right non-overlapping merge is reformulated with
     window functions — mark adjacent-pair matches, group consecutive
@@ -3652,16 +3679,23 @@ def _bpe_ctes(n: int) -> str:
     drop the position after every merge, renumber. Integer pair counts
     with the (count DESC, lhs, rhs) tie-break replay bit-identically.
     Returns the CTE chain ending at ``best1..bestN`` and ``syms{n}``.
+
+    ``seed_sql`` overrides everything after the ``words`` CTE up to and
+    including ``syms0`` — the byte-level variant swaps in the GPT-2
+    byte-alphabet seeding (plus its ``bmap`` table) here; the merge
+    chain is seed-agnostic.
     """
+    if seed_sql is None:
+        seed_sql = """syms0 AS (
+      SELECT word, freq, i::BIGINT AS pos, word[i] AS sym
+      FROM words, unnest(range(1, length(word)+1)) AS r(i))"""
     parts = [
         f"""words AS (
       SELECT w AS word, count(*)::BIGINT AS freq
       FROM documents,
            unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)
       GROUP BY 1),
-    syms0 AS (
-      SELECT word, freq, i::BIGINT AS pos, word[i] AS sym
-      FROM words, unnest(range(1, length(word)+1)) AS r(i))"""
+    {seed_sql}"""
     ]
     for k in range(1, n + 1):
         p = k - 1
@@ -3712,6 +3746,47 @@ def _bpe_train_sql(n: int) -> str:
         for k in range(1, n + 1)
     )
     return f"WITH {_bpe_ctes(n)}\n    {rows}"
+
+
+# GPT-2 bytes_to_unicode replayed in SQL: printable bytes (33-126,
+# 161-172, 174-255) map to their own code point, the rest to 256+k in
+# ascending byte order. The documents corpus is pure ASCII at every SF
+# (asserted by the engine's sweep), so per-character code points ARE
+# the UTF-8 bytes and unicode(word[i]) seeds identically to Spark's
+# encode(word,'UTF-8') byte walk.
+_BPE_BYTES_SEED = """bmap AS (
+      SELECT b,
+             CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+                       OR (b BETWEEN 174 AND 255)
+                  THEN chr(b::INT)
+                  ELSE chr((256 + (
+                    SELECT count(*) FROM range(0, 256) q(b2)
+                    WHERE q.b2 < m.b
+                      AND NOT ((q.b2 BETWEEN 33 AND 126)
+                               OR (q.b2 BETWEEN 161 AND 172)
+                               OR (q.b2 BETWEEN 174 AND 255))))::INT)
+             END AS sym
+      FROM range(0, 256) m(b)),
+    syms0 AS (
+      SELECT word, freq, i::BIGINT AS pos, bm.sym AS sym
+      FROM words, unnest(range(1, length(word)+1)) AS r(i)
+      JOIN bmap bm ON bm.b = unicode(word[i])
+      UNION ALL
+      SELECT word, freq, (length(word) + 1)::BIGINT, '</w>' FROM words)"""
+
+
+def _bpe_train_bytes_sql(n: int) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rank, lhs, rhs, cnt AS pair_count FROM best{k}"
+        for k in range(1, n + 1)
+    )
+    return f"WITH {_bpe_ctes(n, _BPE_BYTES_SEED)}\n    {rows}"
+
+
+def _bpe_vocab_bytes_sql(n: int, top: int) -> str:
+    return f"""WITH {_bpe_ctes(n, _BPE_BYTES_SEED)}
+    SELECT sym AS token, sum(freq)::BIGINT AS freq FROM syms{n}
+    GROUP BY 1 ORDER BY freq DESC, token LIMIT {top}"""
 
 
 def _bpe_vocab_sql(n: int, top: int) -> str:
@@ -6905,6 +6980,8 @@ def oracle_sql() -> dict[str, str]:
         # gaps-and-islands parity; see _bpe_ctes)
         "bpe_train": _bpe_train_sql(6),
         "bpe_vocab": _bpe_vocab_sql(6, 40),
+        "bpe_train_bytes": _bpe_train_bytes_sql(6),
+        "bpe_vocab_bytes": _bpe_vocab_bytes_sql(6, 40),
         "bpe_encode": _bpe_encode_sql(6),
         "bpe_fertility": _bpe_fertility_sql(6),
         # keyed HLL: per-group registers replay exactly; per-group

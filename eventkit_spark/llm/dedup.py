@@ -717,6 +717,23 @@ def dedup_clusters(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer estimate of the plan's output bytes — free
+    (no job; file sources report size from footers). -1 if unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — py4j / non-classic sessions
+        return -1
+
+
+#: corpora above this optimizer-estimated size route method="auto" to
+#: the bloom form (zero corpus-side exchange); below it the join form's
+#: simpler plan wins (no eager bloom-build jobs at operator-construction
+#: time). 1 GiB: far below any corpus where the (id, shingle) distinct
+#: exchange could hurt, far above every test SF.
+AUTO_BLOOM_BYTES = 1 << 30
+
+
 def contamination(
     docs: DataFrame,
     heldout: DataFrame,
@@ -724,11 +741,19 @@ def contamination(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
-    method: str = "join",
+    method: str = "auto",
     fpp: float = 1e-4,
+    auto_bloom_bytes: int = AUTO_BLOOM_BYTES,
 ) -> DataFrame:
     """Train/test decontamination: (id, n_shared) for docs sharing at
     least ``min_overlap`` distinct word ``k``-grams with ANY heldout doc.
+
+    ``method="auto"`` (default): picks ``"bloom"`` when Catalyst's free
+    size estimate of the corpus plan exceeds ``auto_bloom_bytes`` (or is
+    unavailable — at real scale, unknown means big), else ``"join"`` —
+    so the default plan never shuffles a 100 TB corpus's shingles, and
+    small/test corpora skip the bloom-build jobs. Both forms return
+    identical rows.
 
     ``method="join"``: the heldout shingle set is deduplicated to
     distinct 64-bit hashes before the join — a benchmark/test corpus is
@@ -757,6 +782,9 @@ def contamination(
     GPT-3 appendix C / Dolma decontamination; bloom prefilters per
     CCNet/Dolma taggers).
     """
+    if method == "auto":
+        size = _plan_size_bytes(docs)
+        method = "bloom" if (size < 0 or size > auto_bloom_bytes) else "join"
     if method == "bloom":
         return _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp)
     if method != "join":

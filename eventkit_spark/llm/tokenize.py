@@ -41,12 +41,15 @@ from .text import BPE_REGEX
 __all__ = [
     "pretoken_counts",
     "bpe_train",
+    "bpe_train_bytes",
     "bpe_token_freq",
+    "bpe_token_freq_bytes",
     "bpe_encode",
     "bpe_apply_merges",
     "bpe_store_init",
     "bpe_load_merges",
     "bpe_encode_with_store",
+    "bytes_to_unicode",
 ]
 
 
@@ -69,6 +72,58 @@ def pretoken_counts(
 def _chars(word: Column) -> Column:
     """Seed symbol array: one single-character string per position."""
     return F.filter(F.split(word, "(?!^)"), lambda c: c != "")
+
+
+def bytes_to_unicode() -> list[str]:
+    """The GPT-2 byte↔unicode alphabet (Radford et al. 2019; the
+    public ``encoder.py`` construction): the 188 "printable" bytes
+    (33-126, 161-172, 174-255) map to their own code points, the other
+    68 map to 256+k in ascending byte order — every byte gets a
+    visible, non-whitespace symbol, so byte-level BPE needs no <unk>.
+    Returns the 256-entry table indexed by byte value."""
+    printable = (
+        list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    )
+    keep = set(printable)
+    out, n = [], 0
+    for b in range(256):
+        if b in keep:
+            out.append(chr(b))
+        else:
+            out.append(chr(256 + n))
+            n += 1
+    return out
+
+
+_B2U = bytes_to_unicode()
+
+
+def _byte_syms(word: Column, eow: str | None) -> Column:
+    """Byte-level seed symbols: the word's UTF-8 bytes mapped through
+    ``bytes_to_unicode`` (+ an optional end-of-word marker). Pure
+    Column pipeline — hex() the encoded bytes, then one table lookup
+    per 2-hex-digit pair; no Python, no explode."""
+    table = F.array(*[F.lit(c) for c in _B2U])
+    hx = F.hex(F.encode(word, "UTF-8"))
+    syms = F.transform(
+        F.sequence(F.lit(0), (F.length(hx) / 2).cast("int") - 1),
+        lambda i: F.element_at(
+            table,
+            F.conv(F.substr(hx, i * 2 + 1, F.lit(2)), 16, 10).cast("int")
+            + 1,
+        ),
+    )
+    if eow:
+        syms = F.concat(syms, F.array(F.lit(eow)))
+    return syms
+
+
+def _byte_syms_py(word: str, eow: str | None) -> list[str]:
+    """Driver-side twin of ``_byte_syms``."""
+    syms = [_B2U[b] for b in word.encode("utf-8")]
+    if eow:
+        syms.append(eow)
+    return syms
 
 
 def _adjacent_pairs(syms: Column) -> Column:
@@ -136,13 +191,15 @@ def _py_merge(syms: list[str], left: str, right: str) -> list[str]:
 
 
 def _fit_local(
-    rows: list, n_merges: int
+    rows: list, n_merges: int, seed_py=None
 ) -> tuple[list[tuple[int, str, str, int]], list]:
     """Merge loop over a collected word-type table — the standard
     practice (distributed count, single-node merges) when the
     vocabulary fits; identical merges/byproducts to the distributed
-    loop (same counts, same tie-break)."""
-    words = [(r["word"], int(r["freq"]), list(r["word"])) for r in rows]
+    loop (same counts, same tie-break). ``seed_py`` maps a word to its
+    seed symbol list (default: one character per position)."""
+    seed_py = seed_py or list
+    words = [(r["word"], int(r["freq"]), seed_py(r["word"])) for r in rows]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pc: dict[tuple[str, str], int] = {}
@@ -169,6 +226,8 @@ def _fit(
     text_col: str,
     min_freq: int,
     driver_types_max: int = 200_000,
+    seed_expr=None,
+    seed_py=None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the merge loop. Returns (merges, final word-type frame with
     the encoded ``syms`` arrays — persisted; caller unpersists).
@@ -183,11 +242,12 @@ def _fit(
     parity test pins them."""
     if n_merges < 1:
         raise ValueError(f"need n_merges >= 1, got {n_merges}")
+    seed_expr = seed_expr or _chars
     counts = pretoken_counts(docs, text_col, min_freq)
     if driver_types_max > 0:
         head = counts.limit(driver_types_max + 1).collect()
         if len(head) <= driver_types_max:
-            merges, final = _fit_local(head, n_merges)
+            merges, final = _fit_local(head, n_merges, seed_py)
             spark = docs.sparkSession
             wf = spark.createDataFrame(
                 [(w, f, s) for w, f, s in final],
@@ -195,7 +255,7 @@ def _fit(
             )
             return merges, wf
     words = counts.select(
-        "word", "freq", _chars(F.col("word")).alias("syms")
+        "word", "freq", seed_expr(F.col("word")).alias("syms")
     )
     cur = words.persist()
     release: DataFrame | None = None
@@ -268,6 +328,68 @@ def bpe_token_freq(
     ``(token, freq)``, optionally the top-k by (freq DESC, token) —
     the vocabulary a trained tokenizer would ship."""
     merges, wf = _fit(docs, n_merges, text_col, min_freq, driver_types_max)
+    out = (
+        wf.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    if top is not None:
+        out = out.orderBy(F.col("freq").desc(), "token").limit(top)
+    wf.unpersist()  # lazy unpersist marker; plan still derives from wf
+    return out
+
+
+def bpe_train_bytes(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_freq: int = 1,
+    driver_types_max: int = 200_000,
+    eow: str | None = None,
+) -> DataFrame:
+    """GPT-2-flavor BYTE-level BPE: seed symbols are the pretoken's
+    UTF-8 bytes mapped through ``bytes_to_unicode()`` instead of its
+    characters, so ANY input (emoji, CJK, mojibake) tokenizes without
+    an <unk> fallback — the dominant public tokenizer recipe (GPT-2's
+    ``encoder.py``). ``eow`` optionally appends an end-of-word marker
+    symbol (the Sennrich word-boundary convention) so merges can learn
+    whole-word tokens.
+
+    Same distributed/driver dispatch, merge loop, integer counts, and
+    (count DESC, lhs, rhs) tie-break as ``bpe_train`` — on a corpus of
+    printable ASCII with ``eow=None`` the two learn IDENTICAL rulesets
+    (bytes 33-126 map to themselves; parity-tested). Returns the same
+    ``(rank, lhs, rhs, pair_count)`` merge table.
+    """
+    merges, wf = _fit(
+        docs, n_merges, text_col, min_freq, driver_types_max,
+        seed_expr=lambda w: _byte_syms(w, eow),
+        seed_py=lambda w: _byte_syms_py(w, eow),
+    )
+    wf.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_token_freq_bytes(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_freq: int = 1,
+    top: int | None = None,
+    driver_types_max: int = 200_000,
+    eow: str | None = None,
+) -> DataFrame:
+    """Byte-level twin of ``bpe_token_freq``: corpus token frequencies
+    after the byte-level merges, optionally top-k by (freq DESC, token).
+    """
+    merges, wf = _fit(
+        docs, n_merges, text_col, min_freq, driver_types_max,
+        seed_expr=lambda w: _byte_syms(w, eow),
+        seed_py=lambda w: _byte_syms_py(w, eow),
+    )
     out = (
         wf.select(F.explode("syms").alias("token"), "freq")
         .groupBy("token")

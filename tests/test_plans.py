@@ -597,3 +597,27 @@ def test_plan_report_exchanges_exclude_broadcast_and_reused(spark):
     rep = plan_report(j)
     assert rep["broadcasts"] >= 1
     assert rep["exchanges"] == count_shuffles(j)
+
+
+def test_contamination_auto_routes_by_corpus_size(spark):
+    """method='auto' (the r6 default): a corpus above the size threshold
+    plans the bloom form (zero corpus-side shuffle — the probe branch is
+    a pure scan + Arrow kernel), while a small corpus keeps the simpler
+    join plan (no eager bloom-build jobs at construction)."""
+    from eventkit_spark.llm.dedup import contamination
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # tiny threshold -> bloom: one Arrow bloom-probe kernel present
+    big = contamination(train, held, method="auto", auto_bloom_bytes=1)
+    assert physical_plan(big).count("ArrowEvalPython") == 1
+
+    # huge threshold -> join: no Python anywhere in the plan
+    small = contamination(train, held, method="auto",
+                          auto_bloom_bytes=1 << 60)
+    p = physical_plan(small)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -284,3 +284,58 @@ def test_distributed_train_releases_all_cached_frames(spark):
     bpe_train(docs, n_merges=4, driver_types_max=0).collect()
     after = jsc.getPersistentRDDs().size()
     assert after <= before, f"leaked {after - before} cached frame(s)"
+
+
+def test_byte_level_matches_char_level_on_ascii(spark):
+    """Printable-ASCII corpora: byte seeds map to themselves (GPT-2
+    table is identity on 33-126), so byte-level training with no
+    end-of-word marker learns the char-level ruleset exactly — on both
+    the driver and the distributed path."""
+    from eventkit_spark.llm.tokenize import bpe_train_bytes
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    char = [tuple(r) for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()]
+    byte = [tuple(r) for r in bpe_train_bytes(docs, n_merges=6).orderBy("rank").collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train_bytes(docs, n_merges=6, driver_types_max=0)
+        .orderBy("rank").collect()
+    ]
+    assert byte == char == dist
+
+
+def test_byte_level_non_ascii_and_eow(spark):
+    """Non-ASCII input seeds through the byte table (no <unk>, no
+    crash): a 2-byte UTF-8 char yields two byte symbols, and the
+    most frequent pair merges them back. The end-of-word marker joins
+    merges like any symbol."""
+    from eventkit_spark.llm.tokenize import bpe_train_bytes, bytes_to_unicode
+
+    t = bytes_to_unicode()
+    docs = spark.createDataFrame(
+        [(0, "é é é")], "doc_id int, text string"
+    )
+    got = bpe_train_bytes(docs, n_merges=1).collect()[0]
+    eb = "é".encode("utf-8")
+    assert (got["lhs"], got["rhs"]) == (t[eb[0]], t[eb[1]])
+    assert got["pair_count"] == 3
+
+    # eow: single-symbol words merge with the marker
+    docs2 = spark.createDataFrame(
+        [(0, "a a a b")], "doc_id int, text string"
+    )
+    got2 = bpe_train_bytes(docs2, n_merges=1, eow="</w>").collect()[0]
+    assert (got2["lhs"], got2["rhs"], got2["pair_count"]) == ("a", "</w>", 3)
+
+
+def test_bytes_to_unicode_is_the_public_table(spark):
+    """Pin the construction: 256 distinct symbols, identity on the
+    printable ranges, 256+k (ascending) on the rest."""
+    from eventkit_spark.llm.tokenize import bytes_to_unicode
+
+    t = bytes_to_unicode()
+    assert len(t) == 256 and len(set(t)) == 256
+    assert t[ord("A")] == "A" and t[33] == "!" and t[255] == chr(255)
+    assert ord(t[0]) == 256 and ord(t[32]) == 256 + 32
