@@ -2558,6 +2558,29 @@ def q_embed_standardize(spark, sf):
     )
 
 
+def q_opq_gain(spark, sf):
+    # r6: OPQ-lite (cluster.opq_encode — Ge et al. 2014 parametric
+    # init). The rotation is float eigen work with no SQL replay, so
+    # the contract is the BOUNDED-ORACLE form the recall queries use:
+    # booleans both engines agree on — the rotated encoding's mean
+    # reconstruction error must not exceed plain PQ's on the same
+    # corpus (measured margin ~0.94-0.99 at all SFs), and both errors
+    # must be positive (ks=16 codebooks cannot be lossless here).
+    from eventkit_spark.llm.cluster import opq_encode, pq_encode
+
+    emb = load_table(spark, sf, "embeddings")
+    pq, _ = pq_encode(emb, m=8, ks=16)
+    opq, _, _, _ = opq_encode(emb, m=8, ks=16)
+    a = pq.agg(F.avg("recon_err2").alias("e_pq"))
+    b = opq.agg(F.avg("recon_err2").alias("e_opq"))
+    return a.crossJoin(b).select(
+        F.lit(8).alias("m"),
+        F.lit(16).alias("ks"),
+        (F.col("e_opq") <= F.col("e_pq")).alias("improved"),
+        ((F.col("e_pq") > 0) & (F.col("e_opq") > 0)).alias("err_positive"),
+    )
+
+
 def q_dedup_incremental(spark, sf):
     # persisted fingerprint-store lifecycle (llm/dedup.py
     # exact_dedup_store_init/_incremental): seed the store from the
@@ -3442,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skip_scaled": q_skip_scaled,
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
+        "opq_gain": q_opq_gain,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -7251,6 +7275,10 @@ def oracle_sql() -> dict[str, str]:
               AND list_reduce(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
                    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
                     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) >= 0.35""",
+        # OPQ bounded-oracle contract: the rotation is float eigen work
+        # (no SQL replay); both engines agree on the improvement booleans
+        "opq_gain": """
+            SELECT 8 AS m, 16 AS ks, TRUE AS improved, TRUE AS err_positive""",
         # recall contract: identical SQL to embed_neardup — the LSH
         # prefilter at target_recall 0.9999 must reproduce the exact set
         "embed_rp_lsh_recall": """

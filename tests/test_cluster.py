@@ -5,6 +5,8 @@ separable data."""
 import numpy as np
 import pytest
 
+SF = "/root/testdata/sf0.001"
+
 
 def _blobs(spark, n=240, d=8, k=3, spread=0.05):
     rng = np.random.default_rng(5)
@@ -293,3 +295,29 @@ def test_sq_encode_validates_levels(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         sq_encode(df, levels=1)
+
+
+def test_opq_rotation_improves_pq_reconstruction(spark):
+    """OPQ-lite contract (Ge et al. 2014 parametric init): rotating by
+    the eigenvalue-balanced PCA basis must not worsen — and on the
+    anisotropic test embeddings strictly improves — mean PQ
+    reconstruction error. The rotation is orthonormal and the
+    allocation a permutation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.cluster import opq_encode, pq_encode
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    pq, _ = pq_encode(emb, m=8, ks=16)
+    opq, books, R, perm = opq_encode(emb, m=8, ks=16)
+    e_pq = pq.agg(F.avg("recon_err2")).first()[0]
+    e_opq = opq.agg(F.avg("recon_err2")).first()[0]
+    assert e_opq < e_pq, (e_opq, e_pq)
+
+    assert sorted(perm) == list(range(64))
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-8)
+    assert books.shape == (8, 16, 8)
+    row = opq.first()
+    assert len(row["codes"]) == 8 and row["recon_err2"] >= 0
