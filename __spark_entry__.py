@@ -194,6 +194,20 @@ def q_skip_scaled(spark, sf):
     return ef.skip(250, scaled=True).df.select("event_id", "user_id", "value")
 
 
+def q_changes_scaled(spark, sf):
+    # unkeyed changes without the single-task lag window: per-bucket
+    # null-safe lag + a carry-in = previous bucket's last payload
+    # (select.changes_scaled). event_type has long same-value runs at
+    # the unkeyed grain, so the dedup is real.
+    from eventkit_spark.sources.tables import from_dataframe
+
+    df = load_table(spark, sf, "events").select("event_id", "event_type")
+    ef = from_dataframe(
+        df, value_cols=["event_type"], seq_col="event_id", ts_col=None
+    )
+    return ef.changes(scaled=True).df.select("event_id", "event_type")
+
+
 def q_running_mean(spark, sf):
     # exact-integer formulation: values are 2-decimal doubles, so the
     # running mean in micro-units is (sum of cents * 10^4) div count —
@@ -3466,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
+        "changes_scaled": q_changes_scaled,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -4200,6 +4215,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn > 250""",
+        "changes_scaled": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     lag(event_type) OVER (ORDER BY event_id) AS prev,
+                     row_number() OVER (ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn = 1 OR prev IS DISTINCT FROM event_type""",
         "running_mean": f"""
             SELECT event_id, user_id,
                    CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER ({_CUM}) * 10000)

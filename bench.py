@@ -177,6 +177,12 @@ HEADLINE = [
     "bootstrap_ci",
     "ab_lift",
     "cuped",
+    # r6 additions: scaled unkeyed selection (flag + rank machinery),
+    # byte-level BPE trainer. opq_gain is excluded — it runs two full
+    # PQ fits (a ~35 s fit benchmark, not a query).
+    "takewhile_scaled",
+    "skip_scaled",
+    "bpe_train_bytes",
 ]
 
 

@@ -220,7 +220,9 @@ class EventFrame:
     def takeuntil(self, notifier: "EventFrame"):
         return _select.takeuntil(self, notifier)
 
-    def changes(self):
+    def changes(self, scaled: bool = False, partitions: int | None = None):
+        if scaled:
+            return _select.changes_scaled(self, partitions)
         return _select.changes(self)
 
     def unique(self, by=None):

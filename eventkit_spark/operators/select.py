@@ -199,6 +199,53 @@ def dropwhile_scaled(ef, predicate, partitions: int | None = None):
     return ef._with(df=out)
 
 
+def changes_scaled(ef, partitions: int | None = None):
+    """``changes`` for long unkeyed streams: per-bucket null-safe lag
+    in parallel, with the bucket boundary bridged by a carry-in = the
+    PREVIOUS nonempty bucket's last payload row (one ``max_by`` per
+    bucket -> #buckets-row table -> tiny lag window -> broadcast).
+    ``__has_prev`` distinguishes "no previous row exists" (bucket-first
+    of the first bucket: always emits) from "previous value is NULL"
+    (null-safe compare) — value-identical to changes()."""
+    cols = ef.df.columns
+    vals = list(ef.value_cols)
+    df, _, _ = _scaled_prologue(ef, partitions)
+    wloc = W.partitionBy("__pid").orderBy(F.col(ef.seq_col))
+    lasts = df.groupBy("__pid").agg(
+        *[
+            F.max_by(F.col(c), F.col(ef.seq_col)).alias(f"__last_{c}")
+            for c in vals
+        ]
+    )
+    wpid = W.partitionBy(F.lit(0)).orderBy("__pid")
+    carry = lasts.select(
+        "__pid",
+        F.lag(F.lit(1)).over(wpid).isNotNull().alias("__has_prev"),
+        *[
+            F.lag(F.col(f"__last_{c}")).over(wpid).alias(f"__carry_{c}")
+            for c in vals
+        ],
+    )
+    j = df.join(F.broadcast(carry), "__pid").withColumn(
+        "__rn", F.row_number().over(wloc)
+    )
+    first = F.col("__rn") == 1
+    diff_local = F.lit(False)
+    diff_carry = F.lit(False)
+    for c in vals:
+        diff_local = diff_local | ~F.col(c).eqNullSafe(
+            F.lag(F.col(c)).over(wloc)
+        )
+        diff_carry = diff_carry | ~F.col(c).eqNullSafe(
+            F.col(f"__carry_{c}")
+        )
+    changed = F.when(
+        first, ~F.col("__has_prev") | diff_carry
+    ).otherwise(diff_local)
+    out = j.withColumn(RN, changed).filter(F.col(RN)).select(*cols)
+    return ef._with(df=out)
+
+
 def takeuntil(ef, notifier):
     """Pass source rows strictly before the notifier's first emit
     (select.py:79-99). Event-time cut via the notifier's min ts.
@@ -272,15 +319,16 @@ def unique(ef, by=None):
 
 
 def last(ef):
-    """Only the final row per key (select.py:133-145)."""
-    if ef.key_cols:
-        # max_by avoids a sort: one hash aggregate per key.
-        other = [c for c in ef.df.columns if c not in ef.key_cols and c != ef.seq_col]
-        aggs = [F.max(ef.seq_col).alias(ef.seq_col)] + [
-            F.max_by(F.col(c), F.col(ef.seq_col)).alias(c) for c in other
-        ]
-        df = ef.df.groupBy(*ef.key_cols).agg(*aggs)
-        return ef._with(df=df.select(*ef.df.columns))
-    w = W.partitionBy(F.lit(0)).orderBy(F.col(ef.seq_col).desc())
-    df = ef.df.withColumn(RN, F.row_number().over(w))
-    return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
+    """Only the final row per key (select.py:133-145).
+
+    Keyed AND unkeyed ride the same ``max_by`` hash aggregate —
+    partial-combined (each partition contributes one candidate row),
+    so the unkeyed form never sorts or funnels the stream through a
+    single-task window (r6: it previously did)."""
+    keys = list(ef.key_cols)
+    other = [c for c in ef.df.columns if c not in keys and c != ef.seq_col]
+    aggs = [F.max(ef.seq_col).alias(ef.seq_col)] + [
+        F.max_by(F.col(c), F.col(ef.seq_col)).alias(c) for c in other
+    ]
+    df = ef.df.groupBy(*keys).agg(*aggs)
+    return ef._with(df=df.select(*ef.df.columns))

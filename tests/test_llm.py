@@ -1963,3 +1963,26 @@ def test_ivf_index_stats_reads_partition_column_only(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all("ReadSchema: struct<>" in ln for ln in scans)
+
+
+def test_cms_dominates_misra_gries_counts(spark):
+    """Sketch-family internal consistency pin (r6): for every
+    heavy-hitter the MG-prefiltered exact recount reports, the CMS
+    point estimate from the same rows must dominate it — CMS never
+    undercounts (est >= true) and heavy_hitters reports exact counts,
+    so est >= cnt holds for EVERY item, any (d, w), any data."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.sketch import (
+        count_min_cells, count_min_estimate, heavy_hitters,
+    )
+    from eventkit_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    hh = heavy_hitters(ev, "event_type", k=8)
+    cells = count_min_cells(ev, "event_type", d=3, w=8)
+    est = count_min_estimate(cells, hh.select("item"), "item", d=3, w=8)
+    joined = hh.join(est, "item").select("item", "cnt", "est").collect()
+    assert joined, "no heavy hitters found at k=8"
+    for r in joined:
+        assert r["est"] >= r["cnt"], (r["item"], r["est"], r["cnt"])

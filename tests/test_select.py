@@ -64,11 +64,20 @@ def test_selection_scaled_matches_sequential(spark):
         ("dropwhile", dict(predicate="value > -9")),
         ("enumerate", dict(start=3, step=2)),
         ("count", dict(start=1)),
+        ("changes", dict()),
     ]
     for op, kwargs in cases:
         seq_out = getattr(ef, op)(**kwargs).to_list()
         got = getattr(ef, op)(**kwargs, scaled=True, partitions=4).to_list()
         assert got == seq_out, op
+
+    # null-safe changes across bucket boundaries: consecutive NULLs
+    # collapse, NULL<->value transitions emit — same as the sequential
+    # form on a stream salted with NULL runs
+    nvals = [v if (i * 13) % 7 else None for i, v in enumerate(vals)]
+    nef = sequence(spark, nvals, interval=0.001)
+    assert (nef.changes(scaled=True, partitions=4).df.orderBy("seq").collect()
+            == nef.changes().df.orderBy("seq").collect())
 
     # predicate never fails / always fails: prefix flags degenerate
     assert ef.takewhile("value > 100", scaled=True, partitions=4).to_list() == []
