@@ -194,6 +194,31 @@ def q_skip_scaled(spark, sf):
     return ef.skip(250, scaled=True).df.select("event_id", "user_id", "value")
 
 
+def q_previous_scaled(spark, sf):
+    # unkeyed previous(3) via the rank-donor self-join (no single-task
+    # lag window): ranks from the two-pass bucket machinery, donor rows
+    # joined at rank-3.
+    ef = _unkeyed_ev(spark, sf)
+    out = ef.previous(3, scaled=True)
+    return out.df.select("event_id", F.col("value").alias("prev3"))
+
+
+def q_chunk_scaled(spark, sf):
+    # unkeyed chunk(10): chunk numbering from the two-pass global rank;
+    # same integer-cents CSV serialization as the keyed chunk contract.
+    from eventkit_spark.sources.tables import from_dataframe
+
+    df = load_table(spark, sf, "events").select("event_id", "value")
+    ef = from_dataframe(
+        df, value_cols=["value"], seq_col="event_id", ts_col=None
+    )
+    out = ef.chunk(10, scaled=True)
+    return out.df.select(
+        F.col("event_id").alias("first_event"),
+        _csv_cents(F.col("value")).alias("vals"),
+    )
+
+
 def q_changes_scaled(spark, sf):
     # unkeyed changes without the single-task lag window: per-bucket
     # null-safe lag + a carry-in = previous bucket's last payload
@@ -3481,6 +3506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
         "changes_scaled": q_changes_scaled,
+        "previous_scaled": q_previous_scaled,
+        "chunk_scaled": q_chunk_scaled,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -4222,6 +4249,23 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn = 1 OR prev IS DISTINCT FROM event_type""",
+        "previous_scaled": """
+            SELECT event_id, prev3 FROM (
+              SELECT event_id,
+                     lag(value, 3) OVER (ORDER BY event_id) AS prev3,
+                     row_number() OVER (ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn > 3""",
+        "chunk_scaled": """
+            SELECT min(event_id) AS first_event,
+                   array_to_string(list(CAST(round(value * 100, 0) AS BIGINT)
+                                        ORDER BY event_id), ',') AS vals
+            FROM (
+              SELECT *, CAST(floor((row_number() OVER (ORDER BY event_id) - 1)
+                                   / 10) AS BIGINT) chunk_no
+              FROM events
+            )
+            GROUP BY chunk_no""",
         "running_mean": f"""
             SELECT event_id, user_id,
                    CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) OVER ({_CUM}) * 10000)

@@ -270,8 +270,9 @@ class EventFrame:
         operators/transform.pluck_json."""
         return _transform.pluck_json(self, paths, variant)
 
-    def previous(self, count: int = 1):
-        return _transform.previous(self, count)
+    def previous(self, count: int = 1, scaled: bool = False,
+                 partitions: int | None = None):
+        return _transform.previous(self, count, scaled, partitions)
 
     def copy(self):
         """Rows are immutable — identity (transform.py:144-155)."""
@@ -279,8 +280,9 @@ class EventFrame:
 
     deepcopy = copy
 
-    def chunk(self, size: int):
-        return _transform.chunk(self, size)
+    def chunk(self, size: int, scaled: bool = False,
+              partitions: int | None = None):
+        return _transform.chunk(self, size, scaled, partitions)
 
     def map(self, fn, names=None):
         """Column-expression map (the fast, codegen'd path)."""
@@ -369,8 +371,8 @@ class EventFrame:
     def ema_exact(self, n: int | None = None, weight: float | None = None):
         return _state.ema_exact(self, n, weight)
 
-    def pairwise(self):
-        return _agg.pairwise(self)
+    def pairwise(self, scaled: bool = False, partitions: int | None = None):
+        return _agg.pairwise(self, scaled, partitions)
 
     def list(self):
         return _agg.list_(self)

@@ -310,11 +310,29 @@ def running_multi(ef, *kinds: str, ema_n: int | None = None):
     return ef._with(df=df.select(*cols), value_cols=names)
 
 
-def pairwise(ef):
+def pairwise(ef, scaled: bool = False, partitions: int | None = None):
     """Emit (previous, current) pairs from the 2nd row on
-    (aggregate.py:114-127)."""
-    w = worder(ef)
+    (aggregate.py:114-127). ``scaled=True`` (unkeyed only): the
+    rank-donor self-join discipline of ``transform.previous`` — no
+    single-task lag window."""
     v = value_col(ef)
+    if scaled:
+        from .select import rank_scaled
+
+        ranked = rank_scaled(ef, partitions)
+        donors = ranked.select(
+            (F.col(RN) + 1).alias(RN), v.alias("__prev")
+        )
+        j = ranked.join(donors, RN)
+        return ef._with(
+            df=j.select(
+                *[F.col(c) for c in meta_cols(ef)],
+                F.col("__prev").alias("prev"),
+                v.alias("cur"),
+            ),
+            value_cols=["prev", "cur"],
+        )
+    w = worder(ef)
     prev = F.lag(v, 1).over(w)
     df = ef.df.select(
         *[F.col(c) for c in meta_cols(ef)],

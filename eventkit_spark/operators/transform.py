@@ -151,9 +151,30 @@ def pluck(ef, *selectors: str):
     return _project(ef, vals, uniq)
 
 
-def previous(ef, count: int = 1):
+def previous(ef, count: int = 1, scaled: bool = False,
+             partitions: int | None = None):
     """Emit the value from ``count`` rows back, starting once available
-    (transform.py:130-141)."""
+    (transform.py:130-141). ``scaled=True`` (unkeyed only) replaces the
+    single-task lag window with a rank self-join: global ranks from
+    select.rank_scaled (parallel two-pass), then the row at rank r
+    joins its payload donor at rank r-count — an integer equi-join AQE
+    plans hash-partitioned, with rows r <= count dropped by the inner
+    join exactly like the sequential filter. Trade: the source is
+    scanned twice (both join sides derive ranks; Catalyst does not
+    reuse the exchange across a self-join) — still the right shape for
+    long streams, where the alternative is one task doing everything."""
+    if scaled:
+        from .select import RN as _RN, rank_scaled
+
+        ranked = rank_scaled(ef, partitions)
+        donors = ranked.select(
+            (F.col(_RN) + count).alias(_RN),
+            *[F.col(c).alias(f"__prev_{c}") for c in ef.value_cols],
+        )
+        j = ranked.join(donors, _RN)
+        cols = [F.col(c) for c in meta_cols(ef)]
+        cols += [F.col(f"__prev_{c}").alias(c) for c in ef.value_cols]
+        return ef._with(df=j.select(*cols))
     w = worder(ef)
     cols = [F.col(c) for c in meta_cols(ef)]
     cols += [F.lag(F.col(c), count).over(w).alias(c) for c in ef.value_cols]
@@ -189,12 +210,25 @@ def _lit_type(values) -> str:
     return "string"
 
 
-def chunk(ef, size: int):
+def chunk(ef, size: int, scaled: bool = False,
+          partitions: int | None = None):
     """Group every ``size`` rows into an array; remainder flushes at end
-    (transform.py:158-176). One hash aggregate on (keys, chunk_no)."""
+    (transform.py:158-176). One hash aggregate on (keys, chunk_no).
+    ``scaled=True`` (unkeyed only) derives chunk_no from the two-pass
+    global rank instead of a single-task window — the grouping
+    aggregate was already parallel, this parallelizes the numbering."""
     v = value_col(ef)
-    chunk_no = F.floor((F.row_number().over(worder(ef)) - 1) / size)
-    df = ef.df.withColumn(RN, chunk_no)
+    if scaled:
+        from .select import RN as _RN, rank_scaled
+
+        df = rank_scaled(ef, partitions).withColumn(
+            RN, F.floor((F.col(_RN) - 1) / size)
+        )
+        if _RN != RN:
+            df = df.drop(_RN)
+    else:
+        chunk_no = F.floor((F.row_number().over(worder(ef)) - 1) / size)
+        df = ef.df.withColumn(RN, chunk_no)
     aggs = [
         F.min(ef.seq_col).alias(ef.seq_col),
         F.array_sort(

@@ -65,6 +65,9 @@ def test_selection_scaled_matches_sequential(spark):
         ("enumerate", dict(start=3, step=2)),
         ("count", dict(start=1)),
         ("changes", dict()),
+        ("previous", dict(count=3)),
+        ("pairwise", dict()),
+        ("chunk", dict(size=7)),
     ]
     for op, kwargs in cases:
         seq_out = getattr(ef, op)(**kwargs).to_list()
