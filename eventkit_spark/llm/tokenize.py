@@ -401,7 +401,7 @@ def bpe_token_freq_bytes(
     return out
 
 
-def _apply_kernel(merges: list[tuple[str, str]]):
+def _apply_kernel(merges: list[tuple[str, str]], seed_py=None):
     """Arrow kernel: apply the ruleset to each word type, sequentially
     in rank order (identical semantics to the fold path — each rule
     merges all its occurrences once). The NUL-wrapped join makes the
@@ -409,11 +409,13 @@ def _apply_kernel(merges: list[tuple[str, str]]):
     word doesn't contain cost O(len) and never rebuild the array."""
     import pandas as pd  # local: kernels must be self-contained closures
 
+    seed_py = seed_py or list
+
     def kernel(batches):
         for pdf in batches:
             toks = []
             for w in pdf["word"]:
-                syms = list(w)
+                syms = seed_py(w)
                 s = "\x00" + "\x00".join(syms) + "\x00"
                 for left, right in merges:
                     if len(syms) < 2:
@@ -434,10 +436,14 @@ def bpe_apply_merges(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     max_fold_merges: int = 32,
+    byte_level: bool = False,
+    eow: str | None = None,
 ) -> DataFrame:
     """Encode a corpus with a FIXED ruleset (the inference path, e.g.
     applying a tokenizer trained elsewhere): ``(id, tokens)`` with
-    pretoken order preserved.
+    pretoken order preserved. ``byte_level=True`` seeds each pretoken
+    with its ``bytes_to_unicode``-mapped UTF-8 bytes (+ optional
+    ``eow`` marker) — pair with a ``bpe_train_bytes`` ruleset.
 
     One distinct-word pass encodes each word type exactly once, then a
     join back to the (doc, position, word) stream and an
@@ -456,14 +462,19 @@ def bpe_apply_merges(
         F.col(id_col), F.posexplode(pre).alias("wpos", "word")
     )
     types = dw.select("word").distinct()
+    if byte_level:
+        seed_expr = lambda w: _byte_syms(w, eow)  # noqa: E731
+        seed_py = lambda w: _byte_syms_py(w, eow)  # noqa: E731
+    else:
+        seed_expr, seed_py = _chars, None
     if len(merges) <= max_fold_merges:
-        syms = _chars(F.col("word"))
+        syms = seed_expr(F.col("word"))
         for left, right in merges:
             syms = _merge_pair(syms, left, right)
         enc = types.select("word", syms.alias("__toks"))
     else:
         enc = types.mapInPandas(
-            _apply_kernel(list(merges)),
+            _apply_kernel(list(merges), seed_py),
             schema="word string, __toks array<string>",
         )
     joined = dw.join(enc, "word")

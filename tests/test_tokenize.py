@@ -339,3 +339,55 @@ def test_bytes_to_unicode_is_the_public_table(spark):
     assert len(t) == 256 and len(set(t)) == 256
     assert t[ord("A")] == "A" and t[33] == "!" and t[255] == chr(255)
     assert ord(t[0]) == 256 and ord(t[32]) == 256 + 32
+
+
+def test_apply_merges_byte_level_roundtrip(spark):
+    """byte_level encode: applying a bpe_train_bytes ruleset yields
+    tokens whose concatenation reproduces each pretoken's byte-mapped
+    form (+ eow), on BOTH the fold path and the Arrow kernel path; on
+    printable ASCII without a marker it matches the char-level path."""
+    from eventkit_spark.llm.tokenize import (
+        bpe_apply_merges, bpe_train_bytes, bytes_to_unicode,
+    )
+
+    t = bytes_to_unicode()
+    docs = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(TEXTS + ["é ño é"])],
+        "doc_id int, text string",
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_bytes(docs, n_merges=6, eow="</w>")
+        .orderBy("rank").collect()
+    ]
+    fold = bpe_apply_merges(docs, rules, byte_level=True, eow="</w>")
+    kern = bpe_apply_merges(
+        docs, rules, byte_level=True, eow="</w>", max_fold_merges=0
+    )
+    f = {r["doc_id"]: r["tokens"] for r in fold.collect()}
+    assert f == {r["doc_id"]: r["tokens"] for r in kern.collect()}
+
+    import re
+
+    from eventkit_spark.llm.text import BPE_REGEX
+
+    for r in docs.collect():
+        expect = "".join(
+            "".join(t[b] for b in w.encode("utf-8")) + "</w>"
+            for w in re.findall(BPE_REGEX, r["text"])
+        )
+        assert "".join(f[r["doc_id"]]) == expect
+
+    # ASCII, no marker: byte-level encode == char-level encode
+    ascii_docs = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    rules2 = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_bytes(ascii_docs, n_merges=6).orderBy("rank").collect()
+    ]
+    b = bpe_apply_merges(ascii_docs, rules2, byte_level=True).collect()
+    c = bpe_apply_merges(ascii_docs, rules2).collect()
+    assert {r["doc_id"]: r["tokens"] for r in b} == {
+        r["doc_id"]: r["tokens"] for r in c
+    }
