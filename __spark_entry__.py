@@ -698,6 +698,18 @@ def q_pq_topk(spark, sf):
     )
 
 
+def q_winnow(spark, sf):
+    # r6: winnowing document fingerprints (Schleimer et al. 2003 MOSS;
+    # llm/text.winnow_fingerprints) — per-position char 5-gram poly
+    # hashes, rightmost-min selection over every window of 4, dedup.
+    # ONE codegen'd in-row projection + explode, ZERO exchanges at any
+    # corpus size; the oracle replays the identical integer fold with
+    # the window-min + rightmost-tie join formulation.
+    from eventkit_spark.llm.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf, "documents"), k=5, w=4)
+
+
 def q_char_entropy(spark, sf):
     # zero-shuffle Arrow entropy kernel + codegen composition ratios;
     # the oracle pays the per-char explode this kernel avoids
@@ -3508,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changes_scaled": q_changes_scaled,
         "previous_scaled": q_previous_scaled,
         "chunk_scaled": q_chunk_scaled,
+        "winnow": q_winnow,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -4256,6 +4269,36 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn > 3""",
+        # winnowing: identical integer k-gram fold, window-min with the
+        # rightmost-tie join, clipped single window for short docs
+        "winnow": """
+            WITH h AS (
+              SELECT doc_id, i,
+                     list_reduce(
+                       list_transform(range(i, i + 5),
+                                      p -> ascii(text[p])::BIGINT),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 5 + 2, 1))) r(i)
+              WHERE length(text) >= 5
+            ), stats AS (
+              SELECT doc_id, count(*) AS m FROM h GROUP BY 1
+            ), wins AS (
+              SELECT doc_id, i AS j,
+                     min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv
+              FROM h
+            ), wj AS (
+              SELECT w.doc_id, w.j, w.mv
+              FROM wins w JOIN stats s USING (doc_id)
+              WHERE w.j <= greatest(s.m - 4 + 1, 1)
+            ), sel AS (
+              SELECT w.doc_id, max(h2.i) AS pos1, w.mv AS fp
+              FROM wj w JOIN h h2 ON h2.doc_id = w.doc_id
+                   AND h2.i BETWEEN w.j AND w.j + 3 AND h2.fp = w.mv
+              GROUP BY w.doc_id, w.j, w.mv
+            )
+            SELECT DISTINCT doc_id, (pos1 - 1)::INT AS pos, fp FROM sel""",
         "chunk_scaled": """
             SELECT min(event_id) AS first_event,
                    array_to_string(list(CAST(round(value * 100, 0) AS BIGINT)

@@ -101,6 +101,97 @@ def fingerprint(text: Column, mod: int = (1 << 31) - 1, base: int = 31) -> Colum
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = (1 << 31) - 1,
+    base: int = 31,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): per-position character ``k``-gram
+    polynomial hashes, then from every window of ``w`` consecutive
+    hashes select the minimum (RIGHTMOST occurrence on ties — the
+    paper's convention), dedup the selections. Guarantees any shared
+    substring of length >= w+k-1 contributes at least one common
+    fingerprint, with density ~2/(w+1) — the standard near-copy /
+    provenance fingerprint.
+
+    Returns ``(id, pos, fp)``: 0-based k-gram start position and the
+    31-bit hash. Docs shorter than ``k`` yield no rows; docs with
+    fewer than ``w`` hashes winnow their single clipped window.
+
+    Scale shape: everything is ONE codegen'd projection of in-row
+    array expressions (hash list -> per-window rightmost-argmin fold ->
+    array_distinct) + one explode — documents are independent, so there
+    are ZERO exchanges at any corpus size. The same integer fold
+    replays in ANSI SQL (window-min + rightmost-tie join formulation).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+    text = F.col(text_col)
+    n = F.length(text)
+    m = n - k + 1  # number of k-grams
+    # per-position k-gram poly hash: fold k char codes (0-seeded fold
+    # == fold seeded with the first code, kept identical to
+    # ``fingerprint`` so oracles share the arithmetic)
+    hs_expr = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, o: (acc * base + F.ascii(F.substr(text, i + o, F.lit(1))))
+            % F.lit(mod),
+        ),
+    )
+    # MATERIALIZE the hash array as a projection step: referencing the
+    # transform expression inside the window lambdas would inline (and
+    # re-evaluate) the whole O(n*k) hash build per window reference —
+    # quadratic blowup. Two stacked selects keep each array built once.
+    staged = docs.filter(n >= F.lit(k)).select(
+        F.col(id_col), hs_expr.alias("__hs")
+    )
+    hs = F.col("__hs")
+    n_win = F.greatest(F.size(hs) - w + 1, F.lit(1))
+    # per window: min of the (clipped) w-slice built once per window via
+    # a nested struct fold — (rightmost argmin offset, min value)
+    sel = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda j: F.aggregate(
+            F.slice(hs, j + 1, w),
+            F.struct(
+                F.lit(-1).alias("o"),
+                F.lit(None).cast("long").alias("mv"),
+                F.lit(0).alias("i"),
+            ),
+            # <= keeps the RIGHTMOST occurrence of the running min
+            lambda st, v: F.struct(
+                F.when(st["mv"].isNull() | (v <= st["mv"]), st["i"])
+                .otherwise(st["o"])
+                .alias("o"),
+                F.when(st["mv"].isNull() | (v <= st["mv"]), v)
+                .otherwise(st["mv"])
+                .alias("mv"),
+                (st["i"] + 1).alias("i"),
+            ),
+            lambda st: F.struct(
+                (j + st["o"]).cast("int").alias("pos"),
+                st["mv"].alias("fp"),
+            ),
+        ),
+    )
+    out = staged.select(
+        F.col(id_col), F.explode(F.array_distinct(sel)).alias("__s")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__s.pos").alias("pos"),
+        F.col("__s.fp").alias("fp"),
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-word
     fraction, most-frequent-word fraction, most-frequent-bigram fraction.

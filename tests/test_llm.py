@@ -1986,3 +1986,51 @@ def test_cms_dominates_misra_gries_counts(spark):
     assert joined, "no heavy hitters found at k=8"
     for r in joined:
         assert r["est"] >= r["cnt"], (r["item"], r["est"], r["cnt"])
+
+
+def test_winnow_fingerprints_model_and_guarantee(spark):
+    """Winnowing (Schleimer et al. 2003): matches a direct Python model
+    case-for-case (rightmost-min tie-break, clipped short-doc window),
+    honors the detection guarantee (two docs sharing a substring of
+    length >= w+k-1 share a fingerprint), and plans ZERO exchanges —
+    documents are independent."""
+    from eventkit_spark.llm.text import winnow_fingerprints
+    from eventkit_spark.plans.audit import plan_report
+
+    MOD = (1 << 31) - 1
+
+    def model(t, k, w):
+        if len(t) < k:
+            return set()
+        hs = []
+        for i in range(len(t) - k + 1):
+            h = 0
+            for c in t[i:i + k]:
+                h = (h * 31 + ord(c)) % MOD
+            hs.append(h)
+        sel = set()
+        for j in range(max(len(hs) - w + 1, 1)):
+            win = hs[j:j + w]
+            mv = min(win)
+            sel.add((j + max(o for o, v in enumerate(win) if v == mv), mv))
+        return sel
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog",
+        "abc", "ab", "aaaaaaaaaa", "xyxyxyxyxy", "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = winnow_fingerprints(docs, k=3, w=4)
+    got = {(r["doc_id"], r["pos"], r["fp"]) for r in out.collect()}
+    exp = {(i, p, f) for i, t in enumerate(texts) for (p, f) in model(t, 3, 4)}
+    assert got == exp
+
+    fp0 = {f for d, _, f in got if d == 0}
+    fp1 = {f for d, _, f in got if d == 1}
+    assert fp0 & fp1, "shared 'over the lazy dog' must share a fingerprint"
+
+    rep = plan_report(winnow_fingerprints(docs, k=5, w=4))
+    assert rep["exchanges"] == 0 and rep["python_evals"] == 0
