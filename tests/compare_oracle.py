@@ -69,7 +69,28 @@ def main():
         if name_filter and not any(f in name for f in name_filter):
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sp_df = fn(spark, sf_dir)
+            # the DRIVER's canonicalizer sorts all columns with pandas
+            # sort_values, which cannot sort array/map/struct cells —
+            # a complex-typed contract output is a guaranteed harness
+            # ERR row even when the values are right (r5's
+            # embed_standardize). Fail loudly here first.
+            complex_cols = [
+                f.name
+                for f in sp_df.schema.fields
+                if f.dataType.simpleString().startswith(
+                    ("array", "map", "struct")
+                )
+            ]
+            if complex_cols and name in oracles:
+                failures.append((name, f"complex output cols {complex_cols}"))
+                print(
+                    f"FAIL {name}: complex-typed contract output "
+                    f"{complex_cols} — the driver canon cannot sort these; "
+                    "flatten (posexplode / serialize) the contract form"
+                )
+                continue
+            sdf = sp_df.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"FAIL {name}: spark error {str(exc)[:300]}")

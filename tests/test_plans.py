@@ -273,6 +273,15 @@ SHUFFLE_CEILING = {
     "bootstrap_ci": 2,  # (group,replica) cells then the group finisher
     "ab_lift": 2,  # 64 replica cells then the one-row finisher
     "cuped": 2,  # unit rollup (user agg) + the one-row readout aggregate
+    # r6 scaled selection: bucket window shuffle + bucket-summary agg +
+    # the kilobyte carry/offset single-partition window
+    "takewhile_scaled": 3,
+    "dropwhile_scaled": 3,
+    "skip_scaled": 3,
+    "changes_scaled": 3,
+    "chunk_scaled": 4,  # + the chunk grouping aggregate
+    "previous_scaled": 6,  # rank machinery on BOTH self-join sides
+    "winnow": 0,  # one in-row projection + explode; docs independent
 }
 
 
