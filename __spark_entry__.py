@@ -698,6 +698,24 @@ def q_pq_topk(spark, sf):
     )
 
 
+def q_winnow_overlap(spark, sf):
+    # r6: MOSS-style overlap detection (llm/text.winnow_overlap) —
+    # distinct (id, fp) postings per side, df<=1000 hot-fingerprint
+    # prune, fp equi-join (never an a⋈b doc join). The b corpus is the
+    # a corpus behind a 4-char prefix: every position shifts, yet the
+    # winnowing guarantee keeps self-pairs above the n_shared cut
+    # (474/500 recovered at sf0.001) while the df<=4 prune drops the
+    # common-phrase fingerprints that would pair unrelated docs.
+    from eventkit_spark.llm.text import winnow_overlap
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+    )
+    return winnow_overlap(docs, pert, k=10, w=8, min_shared=3, max_df=4)
+
+
 def q_winnow(spark, sf):
     # r6: winnowing document fingerprints (Schleimer et al. 2003 MOSS;
     # llm/text.winnow_fingerprints) — per-position char 5-gram poly
@@ -3521,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "previous_scaled": q_previous_scaled,
         "chunk_scaled": q_chunk_scaled,
         "winnow": q_winnow,
+        "winnow_overlap": q_winnow_overlap,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -3817,6 +3836,40 @@ def _bpe_ctes(n: int, seed_sql: str | None = None) -> str:
       FROM ck{k} WHERE NOT consumed)"""
         )
     return ",\n    ".join(parts)
+
+
+def _winnow_ctes(src: str, tag: str, k: int = 5, w: int = 4) -> str:
+    """Winnowing replay CTE chain over ``src`` (a table name or a
+    parenthesized subquery), names suffixed with ``tag`` so two corpora
+    can be fingerprinted in one statement. Ends at ``sel{tag}`` with
+    columns (doc_id, pos1, fp); the k-gram fold and the rightmost-min
+    tie-break mirror ``llm/text.winnow_fingerprints`` exactly."""
+    return f"""h{tag} AS (
+              SELECT doc_id, i,
+                     list_reduce(
+                       list_transform(range(i, i + {k}),
+                                      p -> ascii(text[p])::BIGINT),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+              FROM {src} AS src{tag},
+                   unnest(range(1, greatest(length(text) - {k} + 2, 1))) r(i)
+              WHERE length(text) >= {k}
+            ), stats{tag} AS (
+              SELECT doc_id, count(*) AS m FROM h{tag} GROUP BY 1
+            ), wins{tag} AS (
+              SELECT doc_id, i AS j,
+                     min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mv
+              FROM h{tag}
+            ), wj{tag} AS (
+              SELECT x.doc_id, x.j, x.mv
+              FROM wins{tag} x JOIN stats{tag} s USING (doc_id)
+              WHERE x.j <= greatest(s.m - {w} + 1, 1)
+            ), sel{tag} AS (
+              SELECT x.doc_id, max(h2.i) AS pos1, x.mv AS fp
+              FROM wj{tag} x JOIN h{tag} h2 ON h2.doc_id = x.doc_id
+                   AND h2.i BETWEEN x.j AND x.j + {w - 1} AND h2.fp = x.mv
+              GROUP BY x.doc_id, x.j, x.mv
+            )"""
 
 
 def _bpe_train_sql(n: int) -> str:
@@ -4271,34 +4324,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn > 3""",
         # winnowing: identical integer k-gram fold, window-min with the
         # rightmost-tie join, clipped single window for short docs
-        "winnow": """
-            WITH h AS (
-              SELECT doc_id, i,
-                     list_reduce(
-                       list_transform(range(i, i + 5),
-                                      p -> ascii(text[p])::BIGINT),
-                       (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
-              FROM documents,
-                   unnest(range(1, greatest(length(text) - 5 + 2, 1))) r(i)
-              WHERE length(text) >= 5
-            ), stats AS (
-              SELECT doc_id, count(*) AS m FROM h GROUP BY 1
-            ), wins AS (
-              SELECT doc_id, i AS j,
-                     min(fp) OVER (PARTITION BY doc_id ORDER BY i
-                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv
-              FROM h
-            ), wj AS (
-              SELECT w.doc_id, w.j, w.mv
-              FROM wins w JOIN stats s USING (doc_id)
-              WHERE w.j <= greatest(s.m - 4 + 1, 1)
-            ), sel AS (
-              SELECT w.doc_id, max(h2.i) AS pos1, w.mv AS fp
-              FROM wj w JOIN h h2 ON h2.doc_id = w.doc_id
-                   AND h2.i BETWEEN w.j AND w.j + 3 AND h2.fp = w.mv
-              GROUP BY w.doc_id, w.j, w.mv
-            )
+        "winnow": f"""
+            WITH {_winnow_ctes('documents', tag='')}
             SELECT DISTINCT doc_id, (pos1 - 1)::INT AS pos, fp FROM sel""",
+        # overlap: distinct (id, fp) postings per side, df-pruned
+        # fp equi-join, pair count — the b side is the a side with a
+        # 4-char prefix (positions shift, fingerprints survive)
+        "winnow_overlap": f"""
+            WITH {_winnow_ctes('documents', tag='_a', k=10, w=8)},
+            {_winnow_ctes(
+                "(SELECT doc_id + 100000 AS doc_id, 'zzz ' || text AS text"
+                " FROM documents)", tag='_b', k=10, w=8)},
+            pa AS (SELECT DISTINCT doc_id AS id_a, fp FROM sel_a),
+            pb AS (SELECT DISTINCT doc_id AS id_b, fp FROM sel_b),
+            keep AS (
+              SELECT fp FROM (
+                SELECT fp FROM pa UNION ALL SELECT fp FROM pb
+              ) GROUP BY fp HAVING count(*) <= 4
+            )
+            SELECT pa.id_a, pb.id_b, count(*)::BIGINT AS n_shared
+            FROM pa JOIN keep USING (fp) JOIN pb USING (fp)
+            GROUP BY 1, 2 HAVING count(*) >= 3""",
         "chunk_scaled": """
             SELECT min(event_id) AS first_event,
                    array_to_string(list(CAST(round(value * 100, 0) AS BIGINT)

@@ -192,6 +192,57 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style cross-corpus overlap detection: pairs of documents
+    sharing at least ``min_shared`` winnowing fingerprints —
+    ``(id_a, id_b, n_shared)``. By the winnowing guarantee, any copied
+    span of length >= w+k-1 chars surfaces the pair.
+
+    Scale shape: the per-side fingerprint extraction is exchange-free
+    (winnow_fingerprints); each side collapses to its DISTINCT
+    (id, fp) posting set, and the pair expansion is an equi-join on
+    the fingerprint — NOT an a⋈b document cross join. ``max_df``
+    prunes fingerprints present in more than that many documents
+    across both sides (boilerplate/license headers — the classic hot
+    posting guard; every surviving pair is exact, dropped fps are the
+    non-discriminative ones). Set ``max_df=None`` to disable.
+    """
+    fa = (
+        winnow_fingerprints(docs_a, k, w, text_col, id_col)
+        .select(F.col(id_col).alias("id_a"), "fp")
+        .distinct()
+    )
+    fb = (
+        winnow_fingerprints(docs_b, k, w, text_col, id_col)
+        .select(F.col(id_col).alias("id_b"), "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        df_tot = (
+            fa.select("fp").unionAll(fb.select("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fa = fa.join(df_tot, "fp")
+    return (
+        fa.join(fb, "fp")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-word
     fraction, most-frequent-word fraction, most-frequent-bigram fraction.

@@ -2034,3 +2034,30 @@ def test_winnow_fingerprints_model_and_guarantee(spark):
 
     rep = plan_report(winnow_fingerprints(docs, k=5, w=4))
     assert rep["exchanges"] == 0 and rep["python_evals"] == 0
+
+
+def test_winnow_overlap_detects_shifted_copies(spark):
+    """winnow_overlap: a prefix-shifted copy of every doc must pair
+    with its original (the winnowing guarantee survives position
+    shifts), unrelated pairs stay rare after the df prune, and the
+    pair expansion is an fp equi-join — no document cross join."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.text import winnow_overlap
+    from eventkit_spark.plans.audit import plan_report
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pert = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+    )
+    out = winnow_overlap(docs, pert, k=10, w=8, min_shared=3, max_df=4)
+    rows = out.collect()
+    n = docs.count()
+    self_pairs = sum(1 for r in rows if r["id_b"] - r["id_a"] == 100000)
+    assert self_pairs >= 0.9 * n, (self_pairs, n)
+    assert len(rows) <= 1.2 * n, "df prune failed: unrelated pairs dominate"
+    assert plan_report(out)["nested_loop_joins"] == 0
