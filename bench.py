@@ -183,6 +183,8 @@ HEADLINE = [
     "takewhile_scaled",
     "skip_scaled",
     "bpe_train_bytes",
+    "winnow",
+    "winnow_overlap",
 ]
 
 

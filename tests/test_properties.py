@@ -583,3 +583,25 @@ def test_phrase_search_model(spark, toks, phrase):
     n = len(phrase)
     want = sum(1 for i in range(len(toks) - n + 1) if toks[i : i + n] == phrase)
     assert got.get(1, 0) == want
+
+
+@given(
+    a=st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    b=st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    shared=st.text(alphabet="xyz", min_size=10, max_size=16),
+)
+@SET
+def test_winnow_guarantee_property(spark, a, b, shared):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of length >= w+k-1 (k=5, w=4 -> 8; `shared` is
+    >= 10 over a disjoint alphabet) must share at least one fingerprint
+    regardless of surrounding text."""
+    from eventkit_spark.llm.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, a + shared + b), (1, b + shared + a)], ["doc_id", "text"]
+    )
+    rows = winnow_fingerprints(docs, k=5, w=4).collect()
+    f0 = {r["fp"] for r in rows if r["doc_id"] == 0}
+    f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    assert f0 & f1, (a, b, shared)
