@@ -698,6 +698,40 @@ def q_pq_topk(spark, sf):
     )
 
 
+def q_webdataset(spark, sf):
+    # r6: WebDataset tar-shard roundtrip (sources/formats.py
+    # load_webdataset/write_webdataset — the standard multimodal
+    # training layout; stdlib tarfile, no codec gate). Documents become
+    # (key, {txt, lang}) samples, shards roll every 200, the reader
+    # parses each tar in ONE kernel task with zero shuffle. The
+    # contract readout is per-sample part count + exact byte lengths,
+    # which the oracle recomputes from the source table.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from eventkit_spark.sources.formats import load_webdataset, write_webdataset
+
+    docs = load_table(spark, sf, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        F.create_map(
+            F.lit("txt"), F.encode(F.col("text"), "UTF-8"),
+            F.lit("lang"), F.encode(F.col("lang"), "UTF-8"),
+        ).alias("parts"),
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_wds_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_webdataset(docs, path, samples_per_shard=200).collect()
+    wds = load_webdataset(spark, path)
+    return wds.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.size("parts").alias("n_parts"),
+        F.length(F.element_at(F.col("parts"), F.lit("txt"))).alias("txt_bytes"),
+        F.length(F.element_at(F.col("parts"), F.lit("lang"))).alias("lang_bytes"),
+    )
+
+
 def q_winnow_overlap(spark, sf):
     # r6: MOSS-style overlap detection (llm/text.winnow_overlap) —
     # distinct (id, fp) postings per side, df<=1000 hot-fingerprint
@@ -3540,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_scaled": q_chunk_scaled,
         "winnow": q_winnow,
         "winnow_overlap": q_winnow_overlap,
+        "webdataset": q_webdataset,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -4322,6 +4357,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn > 3""",
+        # WebDataset roundtrip readout: the tar shards are built from
+        # documents, so part counts / byte lengths replay from source
+        "webdataset": """
+            SELECT doc_id, 2 AS n_parts,
+                   octet_length(encode(text))::INT AS txt_bytes,
+                   octet_length(encode(lang))::INT AS lang_bytes
+            FROM documents""",
         # winnowing: identical integer k-gram fold, window-min with the
         # rightmost-tie join, clipped single window for short docs
         "winnow": f"""

@@ -169,3 +169,131 @@ def write_format(
         w = w.partitionBy(*partition_by)
     w.save(path)
     return {"rows_per_file": rows_per_file, "est_row_bytes": est}
+
+
+def load_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read WebDataset tar shards (the standard large-scale multimodal
+    training layout — github.com/webdataset/webdataset): every file
+    ``<key>.<ext>`` inside a shard belongs to sample ``key``; one
+    output row per sample, ``(shard, key, parts map<string, binary>)``.
+
+    Scale shape: Spark's ``binaryFile`` source lists shards in
+    parallel and hands each tar to ONE Arrow kernel task — samples are
+    grouped inside the kernel (a tar's members all live in its row),
+    so there is NO shuffle; partition parallelism = shard count, the
+    layout's own unit of parallelism. The ``parts`` map feeds the
+    multimodal feature kernels (``llm/multimodal``) directly.
+    ``tarfile`` is stdlib — no codec gate.
+
+    Shards must fit in executor memory (binaryFile materializes the
+    tar; the format's own convention keeps shards ~100 MB-1 GB).
+    """
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(
+        path if path.endswith(".tar") else f"{path.rstrip('/')}/*.tar"
+    )
+
+    def parse(batches):
+        import io
+        import tarfile
+
+        for pdf in batches:
+            shards, keys, parts = [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                samples: dict[str, list[tuple[str, bytes]]] = {}
+                order: list[str] = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, dot, ext = m.name.partition(".")
+                        if not dot:  # extensionless member: ext = ''
+                            ext = ""
+                        if key not in samples:
+                            samples[key] = []
+                            order.append(key)
+                        samples[key].append((ext, tf.extractfile(m).read()))
+                for key in order:
+                    shards.append(p)
+                    keys.append(key)
+                    parts.append(dict(samples[key]))
+            yield pd.DataFrame({"shard": shards, "key": keys, "parts": parts})
+
+    return bf.select("path", "content").mapInPandas(
+        parse, "shard string, key string, parts map<string, binary>"
+    )
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int = 10_000,
+    key_col: str = "key",
+    parts_col: str = "parts",
+) -> DataFrame:
+    """Write ``(key, parts map<string, binary>)`` rows as WebDataset
+    tar shards under ``path`` (``part-<task>-<n>.tar``), rolling a new
+    shard every ``samples_per_shard`` samples. Keys sort within each
+    task so sample parts stay contiguous (the format's contract).
+
+    Returns the manifest ``(shard, n_samples, n_bytes)`` — an eager
+    action has to consume it for the write to happen (same discipline
+    as foreachBatch sinks). Executor tasks write shards directly, like
+    WebDataset's own ShardWriter — ``path`` must be storage every
+    executor can reach (local/NFS/FUSE mount; this engine's test rig
+    is single-node).
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def writer(batches):
+        import io
+        import tarfile
+        import uuid
+
+        import pandas as pd
+
+        task = uuid.uuid4().hex[:12]
+        buf: list[tuple[str, dict]] = []
+        shard_no = 0
+        out: list[tuple[str, int, int]] = []
+
+        def flush():
+            nonlocal shard_no
+            if not buf:
+                return
+            name = os.path.join(path, f"part-{task}-{shard_no:05d}.tar")
+            n_bytes = 0
+            with tarfile.open(name, "w") as tf:
+                for key, parts in sorted(buf, key=lambda kv: kv[0]):
+                    for ext in sorted(parts):
+                        data = bytes(parts[ext])
+                        info = tarfile.TarInfo(
+                            f"{key}.{ext}" if ext else key
+                        )
+                        info.size = len(data)
+                        tf.addfile(info, io.BytesIO(data))
+                        n_bytes += len(data)
+            out.append((name, len(buf), n_bytes))
+            buf.clear()
+            shard_no += 1
+
+        for pdf in batches:
+            for key, parts in zip(pdf[key_col], pdf[parts_col]):
+                buf.append((str(key), parts))
+                if len(buf) >= samples_per_shard:
+                    flush()
+        flush()
+        yield pd.DataFrame(
+            out, columns=["shard", "n_samples", "n_bytes"]
+        ) if out else pd.DataFrame(
+            {"shard": pd.Series(dtype="str"),
+             "n_samples": pd.Series(dtype="int64"),
+             "n_bytes": pd.Series(dtype="int64")}
+        )
+
+    return df.select(key_col, parts_col).mapInPandas(
+        writer, "shard string, n_samples long, n_bytes long"
+    )

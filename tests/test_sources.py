@@ -120,3 +120,35 @@ def test_real_testdata_still_loads(spark):
     assert isinstance(ef.df.schema["ts"].dataType, TimestampType)
     # one representative op from the broken family end-to-end
     assert ef.delay(1.0).df.limit(5).count() == 5
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    """write_webdataset -> load_webdataset reproduces every sample's
+    parts byte-for-byte, rolls shards at samples_per_shard, and the
+    reader needs no shuffle (samples group inside the tar kernel)."""
+    from eventkit_spark.sources.formats import load_webdataset, write_webdataset
+
+    rows = [
+        (f"{i:05d}", {"txt": f"doc number {i}".encode(),
+                      "json": b'{"lang": "en"}',
+                      "bin": bytes([i % 256, 255 - i % 256])})
+        for i in range(37)
+    ]
+    df = spark.createDataFrame(rows, "key string, parts map<string, binary>")
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df.repartition(2), out, samples_per_shard=10
+    ).collect()
+    assert sum(m["n_samples"] for m in manifest) == 37
+    assert all(m["n_samples"] <= 10 for m in manifest)
+
+    back = load_webdataset(spark, out)
+    got = {r["key"]: dict(r["parts"]) for r in back.collect()}
+    exp = {k: p for k, p in rows}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert {e: bytes(b) for e, b in got[k].items()} == exp[k], k
+
+    from eventkit_spark.plans.audit import plan_report
+
+    assert plan_report(back)["exchanges"] == 0
