@@ -111,3 +111,21 @@ def test_event_analytics_example(spark):
     assert out["funnel_converted"] <= out["funnel_entered"] <= out["rfm_rows"]
     assert out["bars"] > 0 and out["sessions"] > 0
     assert out["z_alarms"] > 0 and out["cusum_alarms"] > 0
+
+
+def test_multimodal_shards_example(spark, tmp_path):
+    import multimodal_shards
+
+    from eventkit_spark.sources.tables import load_table
+
+    stats = multimodal_shards.run(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "mm"),
+        report=lambda *_: None,
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert stats["in_shards"] >= 1
+    assert stats["after_dedup"] == n_distinct <= n
+    assert stats["feature_rows"] == stats["after_dedup"]
+    assert stats["out_samples"] == stats["after_dedup"]
