@@ -750,6 +750,32 @@ def q_winnow_overlap(spark, sf):
     return winnow_overlap(docs, pert, k=10, w=8, min_shared=3, max_df=4)
 
 
+def q_seasonal_decompose(spark, sf):
+    # r6: classical additive decomposition (relational.py
+    # seasonal_decompose) of the hourly revenue series per event type,
+    # period 24 (even -> the 2xMA endpoint-halving trend). The hourly
+    # prep feeds INTEGER cents so every engine-crossing sum is exact;
+    # doubles appear only in final single divisions (module docstring).
+    from eventkit_spark.operators.relational import seasonal_decompose
+
+    ev = load_table(spark, sf, "events")
+    cents = (
+        F.signum(F.col("value")) * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    hourly = (
+        ev.withColumn("__c", cents)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).alias("i"),
+        )
+        .agg(F.sum("__c").alias("c"))
+    )
+    out = seasonal_decompose(hourly, "i", "c", period=24, by="event_type")
+    return out.select(
+        "event_type", "i", "value", "trend", "seasonal", "resid"
+    )
+
+
 def q_winnow(spark, sf):
     # r6: winnowing document fingerprints (Schleimer et al. 2003 MOSS;
     # llm/text.winnow_fingerprints) — per-position char 5-gram poly
@@ -3575,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "winnow_overlap": q_winnow_overlap,
         "webdataset": q_webdataset,
+        "seasonal_decompose": q_seasonal_decompose,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -4357,6 +4384,46 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn > 3""",
+        # classical decomposition: integer cents hourly series, integer
+        # window sums, doubles only in final single divisions
+        "seasonal_decompose": """
+            WITH s AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000)::BIGINT AS i,
+                     sum((CASE WHEN value < 0 THEN -1 ELSE 1 END
+                          * floor(abs(value) * 100 + 0.5))::BIGINT)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), win AS (
+              SELECT event_type, i, c * 100 AS cents,
+                     sum(c * 100) OVER (PARTITION BY event_type ORDER BY i
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                     + sum(c * 100) OVER (PARTITION BY event_type ORDER BY i
+                       ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS tnum,
+                     count(*) OVER (PARTITION BY event_type ORDER BY i
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cnt
+              FROM s
+            ), t AS (
+              SELECT event_type, i, cents,
+                     CASE WHEN cnt = 25 THEN tnum END AS tnum,
+                     (i % 24)::INT AS phase
+              FROM win
+            ), seas AS (
+              SELECT event_type, phase,
+                     sum(cents * 48 - tnum)::BIGINT AS snum,
+                     count(*)::BIGINT AS sn
+              FROM t WHERE tnum IS NOT NULL GROUP BY 1, 2
+            ), sj AS (
+              SELECT event_type, phase, snum / (sn * 4800.0) AS seasonal
+              FROM seas
+            )
+            SELECT t.event_type, t.i,
+                   round(t.cents / 100.0, 6) AS value,
+                   round(t.tnum / 4800.0, 6) AS trend,
+                   round(CASE WHEN t.tnum IS NOT NULL THEN sj.seasonal END,
+                         6) AS seasonal,
+                   round(t.cents / 100.0 - t.tnum / 4800.0 - sj.seasonal,
+                         6) AS resid
+            FROM t JOIN sj USING (event_type, phase)""",
         # WebDataset roundtrip readout: the tar shards are built from
         # documents, so part counts / byte lengths replay from source
         "webdataset": """

@@ -185,6 +185,7 @@ HEADLINE = [
     "bpe_train_bytes",
     "winnow",
     "winnow_overlap",
+    "seasonal_decompose",
 ]
 
 

@@ -1296,3 +1296,98 @@ def pivot_agg(
         ).otherwise(0)
     ).alias("n_other")
     return df.groupBy(F.col(key)).agg(*cols, other)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    period: int,
+    by: str | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    recipe every stats package ships): ``value = trend + seasonal +
+    resid`` over a REGULAR integer-indexed series — trend from a
+    centered moving average (the 2x-MA endpoint-halving form for even
+    ``period``), seasonal as the per-phase mean of the detrended
+    values, residual as the remainder. Returns
+    ``(by?, index, value, trend, seasonal, resid)``; trend (and hence
+    seasonal contributions / resid) is NULL where the centered window
+    is incomplete (the series' edges).
+
+    Cross-engine determinism: values quantize to exact integer cents;
+    the trend numerator and the per-phase detrended sums are INTEGER
+    window/group sums (exact under any partial-aggregation order), and
+    every double appears only in a final fixed-order division — so a
+    SQL oracle replays the doubles bit-identically. ``normalize=True``
+    additionally re-centers the seasonal means to sum to zero
+    (statsmodels' convention); that pass sums ``period`` doubles and is
+    deterministic only per engine, so contract queries pin the
+    unnormalized form.
+
+    Scale shape: one key exchange carries the whole thing — the
+    centered windows and the final projection ride it, the per-phase
+    means are a ``period``-sized broadcast join back. ``by=None``
+    windows over one partition (a single series is one task's worth of
+    data by definition; decompose per entity with ``by=``).
+    """
+    if period < 2:
+        raise ValueError(f"need period >= 2, got {period}")
+    keys = [by] if by else []
+    wpart = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(0))
+    half = period // 2
+    even = period % 2 == 0
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    d = df.select(
+        *keys, F.col(index_col).alias("__i"), cents.alias("__c")
+    )
+    w_full = wpart.orderBy("__i").rowsBetween(-half, half)
+    if even:
+        w_int = wpart.orderBy("__i").rowsBetween(-half + 1, half - 1)
+        t_num = F.sum("__c").over(w_full) + F.sum("__c").over(w_int)
+        t_den = 2 * period
+        n_need = period + 1
+    else:
+        t_num = F.sum("__c").over(w_full)
+        t_den = period
+        n_need = period
+    complete = F.count("__c").over(w_full) == n_need
+    d = d.withColumn("__tnum", F.when(complete, t_num)).withColumn(
+        "__phase", F.pmod(F.col("__i"), F.lit(period)).cast("int")
+    )
+    # exact detrended numerator: value - trend scaled by 100 * t_den
+    d = d.withColumn("__dnum", F.col("__c") * t_den - F.col("__tnum"))
+    seas = (
+        d.filter(F.col("__dnum").isNotNull())
+        .groupBy(*keys, "__phase")
+        .agg(
+            F.sum("__dnum").alias("__snum"),
+            F.count("*").alias("__sn"),
+        )
+        .withColumn(
+            "__seasonal",
+            F.col("__snum") / (F.col("__sn") * F.lit(float(t_den * 100))),
+        )
+    )
+    if normalize:
+        wk = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(0))
+        seas = seas.withColumn(
+            "__seasonal",
+            F.col("__seasonal")
+            - F.avg("__seasonal").over(wk),
+        )
+    j = d.join(F.broadcast(seas.select(*keys, "__phase", "__seasonal")),
+               [*keys, "__phase"])
+    value = F.col("__c") / 100.0
+    trend = F.col("__tnum") / F.lit(float(t_den * 100))
+    return j.select(
+        *keys,
+        F.col("__i").alias(index_col),
+        F.round(value, 6).alias("value"),
+        F.round(trend, 6).alias("trend"),
+        F.round(F.when(trend.isNotNull(), F.col("__seasonal")), 6).alias(
+            "seasonal"
+        ),
+        F.round(value - trend - F.col("__seasonal"), 6).alias("resid"),
+    )

@@ -602,3 +602,67 @@ def test_pivot_agg_null_pivot_key_counted_in_other(spark):
     got = {r["k"]: r["n_other"] for r in
            pivot_agg(df, "k", "p", ["a", "b"]).collect()}
     assert got == {1: 2, 2: 0}
+
+
+def test_seasonal_decompose_matches_model(spark):
+    """Classical additive decomposition vs a direct Python model (even
+    period -> 2xMA endpoint halving), exact-zero residuals on a
+    noise-free linear+periodic series, NULL trend at the edges, and
+    normalize=True re-centering the seasonal to zero mean."""
+    import collections
+
+    from eventkit_spark.operators.relational import seasonal_decompose
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(40):
+            v = 10 + 0.5 * i + [3, -1, -2, 0][i % 4] + (1 if k == "b" else 0)
+            rows.append((k, i, float(v)))
+    df = spark.createDataFrame(rows, "k string, i long, value double")
+    res = seasonal_decompose(df, "i", "value", period=4, by="k").collect()
+
+    def model(vals, p):
+        n, half = len(vals), p // 2
+        cents = [round(v * 100) for v in vals]
+        tden = 2 * p
+        tnum = [None] * n
+        for t in range(n):
+            lo, hi = t - half, t + half
+            if lo < 0 or hi >= n:
+                continue
+            tnum[t] = sum(cents[lo:hi + 1]) + sum(cents[lo + 1:hi])
+        snum = collections.defaultdict(int)
+        sn = collections.defaultdict(int)
+        for t in range(n):
+            if tnum[t] is None:
+                continue
+            snum[t % p] += cents[t] * tden - tnum[t]
+            sn[t % p] += 1
+        seas = {ph: snum[ph] / (sn[ph] * tden * 100) for ph in snum}
+        out = []
+        for t in range(n):
+            v = cents[t] / 100
+            if tnum[t] is None:
+                out.append((t, round(v, 6), None, None, None))
+                continue
+            tr, s = tnum[t] / (tden * 100), seas[t % p]
+            out.append((t, round(v, 6), round(tr, 6), round(s, 6),
+                        round(v - tr - s, 6)))
+        return out
+
+    for k in ("a", "b"):
+        exp = sorted(model([r[2] for r in rows if r[0] == k], 4))
+        got = sorted((r["i"], r["value"], r["trend"], r["seasonal"],
+                      r["resid"]) for r in res if r["k"] == k)
+        assert got == exp, k
+
+    interior = [r for r in res if r["resid"] is not None]
+    assert interior and all(r["resid"] == 0.0 for r in interior)
+    edges = [r for r in res if r["k"] == "a" and r["trend"] is None]
+    assert len(edges) == 4  # period//2 at each end
+
+    resn = seasonal_decompose(df, "i", "value", period=4, by="k",
+                              normalize=True).collect()
+    sa = {r["seasonal"] for r in resn if r["k"] == "a"
+          and r["seasonal"] is not None}
+    assert abs(sum(sa)) < 1e-6
