@@ -2019,6 +2019,7 @@ def test_winnow_fingerprints_model_and_guarantee(spark):
         "the quick brown fox jumps over the lazy dog",
         "the quick brown fox leaps over the lazy dog",
         "abc", "ab", "aaaaaaaaaa", "xyxyxyxyxy", "",
+        "héllo wörld é",  # non-ASCII: kernel's utf-32 = Column's ascii()
     ]
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
@@ -2028,12 +2029,20 @@ def test_winnow_fingerprints_model_and_guarantee(spark):
     exp = {(i, p, f) for i, t in enumerate(texts) for (p, f) in model(t, 3, 4)}
     assert got == exp
 
+    # the pure Column-expression form computes the identical rows
+    col = winnow_fingerprints(docs, k=3, w=4, impl="column")
+    assert {(r["doc_id"], r["pos"], r["fp"]) for r in col.collect()} == exp
+
     fp0 = {f for d, _, f in got if d == 0}
     fp1 = {f for d, _, f in got if d == 1}
     assert fp0 & fp1, "shared 'over the lazy dog' must share a fingerprint"
 
+    # both engines are exchange-free; the default is ONE Arrow kernel,
+    # the Column form stays pure JVM
     rep = plan_report(winnow_fingerprints(docs, k=5, w=4))
-    assert rep["exchanges"] == 0 and rep["python_evals"] == 0
+    assert rep["exchanges"] == 0 and rep["python_evals"] == 1
+    repc = plan_report(winnow_fingerprints(docs, k=5, w=4, impl="column"))
+    assert repc["exchanges"] == 0 and repc["python_evals"] == 0
 
 
 def test_winnow_overlap_detects_shifted_copies(spark):
