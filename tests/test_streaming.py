@@ -975,3 +975,27 @@ def test_streaming_interval_join_fractional_bound(spark, stream_dir, tmp_path_fa
 
     with pytest.raises(ValueError, match="positive"):
         sf.interval_join(fi, max_length_s=0.0)
+
+
+def test_streaming_winnow_parity(spark, tmp_path_factory):
+    """Winnowing is a per-document stateless kernel, so the streamed
+    fingerprints equal the batch ones exactly — micro-batch boundaries
+    cannot change a per-row computation."""
+    from eventkit_spark.llm.text import winnow_fingerprints
+    from eventkit_spark.sources.tables import load_table
+    from eventkit_spark.streaming import file_stream
+
+    path = str(tmp_path_factory.mktemp("docs_winnow"))
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.mode("overwrite").parquet(path)
+    sf = file_stream(
+        spark, path,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        value_cols=["text"], ts_col="doc_id",
+    )
+    out = sf.run_available_now(
+        sink_df=winnow_fingerprints(sf.df, k=5, w=4), name="ek_winnow"
+    )
+    sp = {tuple(r) for r in out.collect()}
+    bp = {tuple(r) for r in winnow_fingerprints(docs, k=5, w=4).collect()}
+    assert sp == bp and len(sp) > 0
