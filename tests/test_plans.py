@@ -281,7 +281,15 @@ SHUFFLE_CEILING = {
     "changes_scaled": 3,
     "chunk_scaled": 4,  # + the chunk grouping aggregate
     "previous_scaled": 6,  # rank machinery on BOTH self-join sides
-    "winnow": 0,  # one in-row projection + explode; docs independent
+    "winnow": 0,  # one kernel projection + explode; docs independent
+    # hourly prep agg + key window + phase agg + the tiny seasonal
+    # broadcast's build aggregate
+    "seasonal_decompose": 4,
+    # 2x per-side (id,fp) distinct + df-prune agg + pair agg
+    "winnow_overlap": 6,
+    "webdataset": 0,  # binaryFile scan -> one tar kernel, no shuffle
+    "bpe_train_bytes": 0,  # driver-path merge loop; one count pass
+    "bpe_vocab_bytes": 1,  # + the token-frequency aggregate
 }
 
 
