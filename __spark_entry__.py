@@ -219,6 +219,29 @@ def q_chunk_scaled(spark, sf):
     )
 
 
+def q_ema_scaled(spark, sf):
+    # r6: affine two-pass unkeyed EMA (aggregate.ema_scaled). Bucket
+    # boundaries come from a quantile sketch, so exact floats are not
+    # SQL-replayable — bounded-oracle contract (the recall/opq form):
+    # the scaled values must sit within 1e-9 relative of the sequential
+    # segmented scan on every row (measured ~1e-15).
+    ef = _unkeyed_ev(spark, sf)
+    a = ef.ema(n=10).df.select("event_id", F.col("value").alias("e_seq"))
+    b = ef.ema(n=10, scaled=True).df.select(
+        "event_id", F.col("value").alias("e_sc")
+    )
+    j = a.join(b, "event_id").select(
+        (
+            F.abs(F.col("e_sc") - F.col("e_seq"))
+            / F.greatest(F.abs(F.col("e_seq")), F.lit(1e-12))
+        ).alias("rel")
+    )
+    return j.agg(
+        F.count("*").alias("n"),
+        (F.max("rel") < 1e-9).alias("within_tol"),
+    )
+
+
 def q_changes_scaled(spark, sf):
     # unkeyed changes without the single-task lag window: per-bucket
     # null-safe lag + a carry-in = previous bucket's last payload
@@ -3595,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
+        "ema_scaled": q_ema_scaled,
         "changes_scaled": q_changes_scaled,
         "previous_scaled": q_previous_scaled,
         "chunk_scaled": q_chunk_scaled,
@@ -7543,6 +7567,10 @@ def oracle_sql() -> dict[str, str]:
         # (no SQL replay); both engines agree on the improvement booleans
         "opq_gain": """
             SELECT 8 AS m, 16 AS ks, TRUE AS improved, TRUE AS err_positive""",
+        # scaled EMA: bucket boundaries are sketch-derived, so the
+        # bounded-oracle form pins row count + the 1e-9 deviation gate
+        "ema_scaled": """
+            SELECT count(*)::BIGINT AS n, TRUE AS within_tol FROM events""",
         # recall contract: identical SQL to embed_neardup — the LSH
         # prefilter at target_recall 0.9999 must reproduce the exact set
         "embed_rp_lsh_recall": """

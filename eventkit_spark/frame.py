@@ -361,7 +361,14 @@ class EventFrame:
             return _agg.running_scaled(self, "all", partitions=partitions)
         return _agg.all_(self)
 
-    def ema(self, n: int | None = None, weight: float | None = None):
+    def ema(self, n: int | None = None, weight: float | None = None,
+            scaled: bool = False, partitions: int | None = None):
+        """Exponential moving average. ``scaled=True`` (unkeyed only)
+        runs the affine two-pass over range buckets — parallel at any
+        length; floats may differ from the sequential form in final
+        ulps (aggregate.ema_scaled)."""
+        if scaled:
+            return _agg.ema_scaled(self, n, weight, partitions)
         return _agg.ema(self, n, weight)
 
     def running_multi(self, *kinds: str, ema_n: int | None = None):

