@@ -1314,7 +1314,10 @@ def seasonal_decompose(
     values, residual as the remainder. Returns
     ``(by?, index, value, trend, seasonal, resid)``; trend (and hence
     seasonal contributions / resid) is NULL where the centered window
-    is incomplete (the series' edges).
+    is incomplete (the series' edges). A phase with NO complete-window
+    row anywhere (series shorter than ~2 periods) has no seasonal mean,
+    and its rows drop from the output entirely — decomposing a series
+    that short is undefined in the classical recipe anyway.
 
     Cross-engine determinism: values quantize to exact integer cents;
     the trend numerator and the per-phase detrended sums are INTEGER

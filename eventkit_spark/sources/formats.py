@@ -264,6 +264,10 @@ def write_webdataset(
             nonlocal shard_no
             if not buf:
                 return
+            # executor-side makedirs too: the driver's makedirs only
+            # exists on shared storage; local-disk executors would
+            # otherwise fail on first write
+            os.makedirs(path, exist_ok=True)
             name = os.path.join(path, f"part-{task}-{shard_no:05d}.tar")
             n_bytes = 0
             with tarfile.open(name, "w") as tf:
