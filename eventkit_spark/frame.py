@@ -17,8 +17,13 @@ reference's ``run()`` terminal path (event.py:235-257).
 Scale: with key columns set, every order-dependent operator is an
 independent per-key computation (one shuffle on the key, then
 partition-local windows). Unkeyed streams are the reference's
-single-process model and run single-task — fine for tests, documented as
-the non-scale path.
+single-process model; their default forms window over one task, and
+``scaled=True`` switches every parallelizable unkeyed op (the running
+aggregates + EMA, takewhile/dropwhile, skip/take/enumerate/count,
+changes, previous/pairwise, chunk, iterate) to the range-bucketed
+two-pass that keeps the same values while running partition-parallel.
+Only the inherently sequential surfaces (list/deque running collects,
+arbitrary non-associative reduce) stay single-task by semantics.
 """
 
 from __future__ import annotations
@@ -235,8 +240,9 @@ class EventFrame:
     def constant(self, value):
         return _transform.constant(self, value)
 
-    def iterate(self, values: Iterable):
-        return _transform.iterate(self, values)
+    def iterate(self, values: Iterable, scaled: bool = False,
+                partitions: int | None = None):
+        return _transform.iterate(self, values, scaled, partitions)
 
     def enumerate(self, start: int = 0, step: int = 1,
                   scaled: bool = False, partitions: int | None = None):

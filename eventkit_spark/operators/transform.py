@@ -182,18 +182,26 @@ def previous(ef, count: int = 1, scaled: bool = False,
     return ef._with(df=df.filter(F.col(RN) > count).drop(RN))
 
 
-def iterate(ef, values):
+def iterate(ef, values, scaled: bool = False, partitions: int | None = None):
     """Zip a side iterable against the stream: time from the source,
     values from the iterable; ends at the shorter side (transform.py:22-35).
 
     Implemented as an equi-join between the stream's row index and an
-    indexed literal table; the literal side is broadcast.
+    indexed literal table; the literal side is broadcast. The iterable
+    is driver-side by the reference's contract (literal values), so the
+    side table is bounded; ``scaled=True`` (unkeyed only) derives the
+    row index from select.rank_scaled instead of a single-task window.
     """
     spark = ef.df.sparkSession
     side = spark.createDataFrame(
         [(i, v) for i, v in enumerate(values)], schema=f"{RN} long, __ek_v2 {_lit_type(values)}"
     )
-    df = ef.df.withColumn(RN, F.row_number().over(worder(ef)) - 1)
+    if scaled:
+        from .select import rank_scaled
+
+        df = rank_scaled(ef, partitions).withColumn(RN, F.col(RN) - 1)
+    else:
+        df = ef.df.withColumn(RN, F.row_number().over(worder(ef)) - 1)
     joined = df.join(F.broadcast(side), on=RN, how="inner")
     cols = [F.col(c) for c in meta_cols(ef)] + [F.col("__ek_v2").alias("value")]
     return ef._with(df=joined.select(*cols), value_cols=["value"])

@@ -605,3 +605,28 @@ def test_winnow_guarantee_property(spark, a, b, shared):
     f0 = {r["fp"] for r in rows if r["doc_id"] == 0}
     f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
     assert f0 & f1, (a, b, shared)
+
+
+@given(
+    xs=st.lists(st.integers(-9, 9), min_size=1, max_size=60),
+    nparts=st.integers(2, 6),
+    cut=st.integers(-9, 9),
+)
+@SET
+def test_scaled_selection_property(spark, xs, nparts, cut):
+    """Random streams x random bucket counts: every scaled selection op
+    equals its sequential window form — bucket boundaries must never
+    leak into values."""
+    from eventkit_spark.sources.create import sequence
+
+    ef = sequence(spark, xs, interval=0.001)
+    for op, kwargs in [
+        ("takewhile", dict(predicate=f"value > {cut}")),
+        ("dropwhile", dict(predicate=f"value > {cut}")),
+        ("skip", dict(count=max(1, len(xs) // 3))),
+        ("changes", dict()),
+        ("chunk", dict(size=5)),
+    ]:
+        seq_out = getattr(ef, op)(**kwargs).to_list()
+        got = getattr(ef, op)(**kwargs, scaled=True, partitions=nparts).to_list()
+        assert got == seq_out, (op, xs, nparts)
