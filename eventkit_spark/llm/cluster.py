@@ -525,6 +525,65 @@ def pq_topk(
     )
 
 
+def ivfopq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ks: int = 64,
+    max_iter: int = 3,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVFADC over OPQ-rotated vectors — the FAISS ``OPQ..,IVF..,PQ..``
+    composition: rotate corpus AND queries by the eigenvalue-balanced
+    PCA basis (``_opq_allocation``; one moment-sums pass + one
+    broadcast matmul kernel per side), then run the standard
+    ``ivfpq_topk`` in rotated space. The rotation is orthonormal, so
+    L2 distances — coarse routing, ADC scores, the exact re-rank — are
+    all preserved; what improves is PQ quantization error on
+    anisotropic embeddings (see ``opq_encode``), which tightens the
+    ADC shortlist. Same scale shape as ``ivfpq_topk``; the rotation is
+    float, so there is no fixed-point replay path (recall contracts
+    bound it instead).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .linalg import embed_pca
+
+    first = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()
+    d = int(first["d"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    _, comps, eigvals = embed_pca(
+        corpus, k=d, vec_col=vec_col, id_col=id_col, dim=d, scale=scale
+    )
+    rotation = np.asarray(comps)[_opq_allocation(eigvals, m, d // m)]
+    rb = corpus.sparkSession.sparkContext.broadcast(rotation)
+
+    def rot(vs):
+        a = np.stack(vs.to_numpy())
+        return pd.Series(list(a @ rb.value.T))
+
+    rot_udf = F.pandas_udf(rot, "array<double>")
+
+    def rotate(df):
+        return df.select(
+            F.col(id_col), rot_udf(_as_double(F.col(vec_col))).alias(vec_col)
+        )
+
+    return ivfpq_topk(
+        rotate(corpus), rotate(queries), k=k, n_cells=n_cells,
+        nprobe=nprobe, m=m, ks=ks, max_iter=max_iter, refine=refine,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -321,3 +321,45 @@ def test_opq_rotation_improves_pq_reconstruction(spark):
     assert books.shape == (8, 16, 8)
     row = opq.first()
     assert len(row["codes"]) == 8 and row["recon_err2"] >= 0
+
+
+def test_ivfopq_composition_preserves_search(spark):
+    """IVFADC over OPQ-rotated vectors: the orthonormal rotation
+    preserves L2, so with identical routing parameters the rotated
+    search returns equally-good neighbors (distances are computed in
+    rotated space but equal original-space distances); on this
+    near-isotropic synthetic corpus recall matches plain IVFADC
+    exactly — the rotation's win is PQ reconstruction error
+    (test_opq_rotation_improves_pq_reconstruction), which shows on
+    anisotropic embeddings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.cluster import ivfopq_topk, ivfpq_topk
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).limit(5)
+    E = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    Q = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in q.collect()}
+
+    def truth(qid, k=10):
+        qv = Q[qid]
+        return {i for _, i in
+                sorted(((np.sum((v - qv) ** 2), i) for i, v in E.items()))[:k]}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(qid, set()) & truth(qid)) / 10 for qid in Q) / len(Q)
+
+    base = recall(ivfpq_topk(emb, q, k=10, nprobe=8, refine=2))
+    opq = recall(ivfopq_topk(emb, q, k=10, nprobe=8, refine=2))
+    assert opq >= base - 0.05, (opq, base)
+    # exact re-rank distances are original-space-valid: every reported
+    # dist2 matches the true distance of that (query, neighbor) pair
+    out = ivfopq_topk(emb, q, k=3, nprobe=8, refine=4).collect()
+    for r in out:
+        true_d2 = float(np.sum((Q[r["query_id"]] - E[r["neighbor_id"]]) ** 2))
+        assert abs(r["dist2"] - round(true_d2, 6)) < 1e-4, r
