@@ -2842,6 +2842,26 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_edit_dedup(spark, sf):
+    # r6: typo-level near-dups (llm/dedup.edit_near_dups) — sorted-
+    # neighborhood candidates verified with the built-in levenshtein
+    # (threshold form short-circuits past max_dist). Every doc gets a
+    # one-char-appended variant, so each (orig, variant) pair sits at
+    # dist 1; exact-dup groups and their variants add dist-0/1/2 pairs.
+    # Oracle: naive global rank + bounded rank-range join + DuckDB's
+    # levenshtein — integer distances agree exactly.
+    from eventkit_spark.llm.dedup import edit_near_dups
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("x")).alias("text"),
+        )
+    )
+    return edit_near_dups(both, max_dist=2, window=4)
+
+
 def q_sorted_neighborhood(spark, sf):
     """Sorted-neighborhood blocking (llm/dedup.py): candidate pairs
     within rank distance 3 under the first-16-chars-of-text blocking
@@ -3600,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "corpus_diff": q_corpus_diff,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "edit_dedup": q_edit_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "event_paths": q_event_paths,
         "salted_join": q_salted_join,
@@ -5613,6 +5634,23 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN m3 ON n.id = m3.id
             )
             SELECT id AS doc_id, r AS rank FROM p3""",
+        # edit-distance near-dups: the same rank-range candidate join
+        # as sorted_neighborhood (key = full text), levenshtein verify
+        "edit_dedup": """
+            WITH u2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text || 'x' FROM documents
+            ), r AS (
+              SELECT doc_id, text,
+                     row_number() OVER (ORDER BY text, doc_id) - 1 AS rk
+              FROM u2
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.text, b.text)::INT AS dist
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+            WHERE abs(length(a.text) - length(b.text)) <= 2
+              AND levenshtein(a.text, b.text) <= 2""",
         "sorted_neighborhood": """
             WITH r AS (
               SELECT doc_id,

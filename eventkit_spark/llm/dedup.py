@@ -1655,6 +1655,59 @@ def contamination_report(
     )
 
 
+def edit_near_dups(
+    docs: DataFrame,
+    max_dist: int = 2,
+    key=None,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len_gap: bool = True,
+) -> DataFrame:
+    """Typo-level near-duplicates: pairs whose Levenshtein edit
+    distance is at most ``max_dist`` — the record-linkage primitive the
+    shingle family misses (a 1-char typo preserves edit distance but
+    can shift every k-gram after it).
+
+    Candidates come from sorted-neighborhood blocking on ``key``
+    (default: the text itself — near-identical strings sort adjacently);
+    the verify is Spark's built-in ``levenshtein`` on the candidate
+    pairs only, JVM-side and O(len^2) per pair, bounded by
+    O(n * window) pairs instead of all-pairs. ``max_len_gap`` skips the
+    quadratic verify when ``|len_a - len_b| > max_dist`` (a length gap
+    is a lower bound on edit distance — free pruning). Returns
+    ``(id_a, id_b, dist)`` with ``dist <= max_dist``.
+
+    Caveat shared with every sorted-neighborhood design: only pairs
+    within ``window`` sort positions are candidates — a typo in the
+    FIRST character can sort the variant far away. Raise ``window``,
+    block on a more robust key (e.g. ``F.reverse`` of the text as a
+    second pass, unioning pairs), or use the shingle family when the
+    miss matters.
+    """
+    if max_dist < 0:
+        raise ValueError("edit_near_dups() needs max_dist >= 0")
+    k = F.col(text_col) if key is None else (F.col(key) if isinstance(key, str) else key)
+    cand = sorted_neighborhood_pairs(
+        docs, k, window=window, id_col=id_col
+    ).select("id_a", "id_b")
+    t = docs.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    j = cand.join(a, "id_a").join(b, "id_b")
+    if max_len_gap:
+        j = j.filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
+        )
+    # Spark 3.5+: the threshold form short-circuits the DP once the
+    # running distance exceeds max_dist (returns -1 past the bound)
+    d = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        j.select("id_a", "id_b", d.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     key,

@@ -2070,3 +2070,24 @@ def test_winnow_overlap_detects_shifted_copies(spark):
     assert self_pairs >= 0.9 * n, (self_pairs, n)
     assert len(rows) <= 1.2 * n, "df prune failed: unrelated pairs dominate"
     assert plan_report(out)["nested_loop_joins"] == 0
+
+
+def test_edit_near_dups_finds_typo_variants(spark):
+    """edit_near_dups: dist-0 exact dups and dist-1/2 typo variants
+    surface through the sorted-neighborhood candidates + levenshtein
+    verify; far pairs and over-threshold pairs do not; the length-gap
+    prune never drops a legitimate pair."""
+    from eventkit_spark.llm.dedup import edit_near_dups
+
+    rows = [
+        (1, "the quick brown fox"), (2, "the quick brown fax"),
+        (3, "the quick brown fox!"), (4, "completely different text"),
+        (6, "the quick brown fox"), (7, "the quick brown foxes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["dist"]
+           for r in edit_near_dups(docs, max_dist=2, window=5).collect()}
+    assert out[(1, 6)] == 0
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(1, 7)] == 2
+    assert all(4 not in pair for pair in out)
+    assert all(d <= 2 for d in out.values())
