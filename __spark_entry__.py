@@ -2842,6 +2842,18 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_profile(spark, sf):
+    # r6: one-pass per-column data profile (plans/audit.profile_table)
+    # over documents — exact distincts for the contract (EXPAND form),
+    # integer means (exact sum / count in both engines), binary-
+    # collation string min/max on the ASCII corpus.
+    from eventkit_spark.plans.audit import profile_table
+
+    return profile_table(
+        load_table(spark, sf, "documents"), exact_distinct=True
+    )
+
+
 def q_edit_dedup(spark, sf):
     # r6: typo-level near-dups (llm/dedup.edit_near_dups) — sorted-
     # neighborhood candidates verified with the built-in levenshtein
@@ -3621,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "sorted_neighborhood": q_sorted_neighborhood,
         "edit_dedup": q_edit_dedup,
+        "profile": q_profile,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "event_paths": q_event_paths,
         "salted_join": q_salted_join,
@@ -5634,6 +5647,42 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes n LEFT JOIN m3 ON n.id = m3.id
             )
             SELECT id AS doc_id, r AS rank FROM p3""",
+        # per-column profile: every metric deterministic (exact counts,
+        # integer means = exact sum/count, binary-collation string
+        # min/max over the ASCII corpus)
+        "profile": """
+            SELECT 'doc_id' AS column, count(doc_id)::BIGINT AS n,
+                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                   min(doc_id)::DOUBLE AS min_num, max(doc_id)::DOUBLE AS max_num,
+                   round(avg(doc_id), 6) AS mean,
+                   NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(n_chars)::BIGINT,
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT n_chars)::BIGINT,
+                   min(n_chars)::DOUBLE, max(n_chars)::DOUBLE,
+                   round(avg(n_chars), 6), NULL, NULL
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(text)::BIGINT,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT text)::BIGINT, NULL, NULL, NULL,
+                   min(text), max(text)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(lang)::BIGINT,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT lang)::BIGINT, NULL, NULL, NULL,
+                   min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(source)::BIGINT,
+                   sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT source)::BIGINT, NULL, NULL, NULL,
+                   min(source), max(source)
+            FROM documents""",
         # edit-distance near-dups: the same rank-range candidate join
         # as sorted_neighborhood (key = full text), levenshtein verify
         "edit_dedup": """

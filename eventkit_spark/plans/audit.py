@@ -141,3 +141,75 @@ def plan_report(df: DataFrame) -> dict:
         "nested_loop_joins": p.count("BroadcastNestedLoopJoin")
         + p.count("CartesianProduct"),
     }
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column data profile — the first query against any unfamiliar
+    100 TB table: ``(column, n, n_null, n_distinct, min_num, max_num,
+    mean, min_str, max_str)``, one row per profiled column. Numeric
+    columns fill the ``*_num``/``mean`` readouts (mean rounded to 6),
+    string columns the ``*_str`` ones; other types report counts only.
+
+    Scale shape: ONE aggregate pass builds every metric; the single
+    1-row result pivots to long form in-row (inline array of structs +
+    explode — no second scan, no shuffle beyond the aggregate's own).
+    ``n_distinct`` defaults to ``approx_count_distinct`` (HLL, single
+    pass); ``exact_distinct=True`` switches to exact COUNT(DISTINCT),
+    which Spark plans via EXPAND — one shuffle but data replicated once
+    per profiled column, so reserve it for contract checks and narrow
+    tables.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType, StringType
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__cnt_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}"),
+        ]
+        if isinstance(dt, NumericType):
+            aggs += [
+                F.min(col).cast("double").alias(f"__mn_{c}"),
+                F.max(col).cast("double").alias(f"__mx_{c}"),
+                F.round(F.avg(col), 6).alias(f"__av_{c}"),
+            ]
+        elif isinstance(dt, StringType):
+            aggs += [
+                F.min(col).alias(f"__smn_{c}"),
+                F.max(col).alias(f"__smx_{c}"),
+            ]
+    one = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        num = isinstance(dt, NumericType)
+        s = isinstance(dt, StringType)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__cnt_{c}").alias("n"),
+                F.col(f"__nul_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__mn_{c}") if num else null_d).alias("min_num"),
+                (F.col(f"__mx_{c}") if num else null_d).alias("max_num"),
+                (F.col(f"__av_{c}") if num else null_d).alias("mean"),
+                (F.col(f"__smn_{c}") if s else null_s).alias("min_str"),
+                (F.col(f"__smx_{c}") if s else null_s).alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

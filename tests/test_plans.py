@@ -638,3 +638,28 @@ def test_contamination_auto_routes_by_corpus_size(spark):
                           auto_bloom_bytes=1 << 60)
     p = physical_plan(small)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_profile_table_single_pass(spark):
+    """profile_table: one aggregate over the source (single FileScan),
+    metrics correct on a frame with known NULLs and types."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.plans.audit import physical_plan, profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (None, "b", None), (2, "b", 8.0)],
+        "k long, s string, v double",
+    )
+    rows = {r["column"]: r for r in
+            profile_table(df, exact_distinct=True).collect()}
+    assert rows["k"]["n"] == 3 and rows["k"]["n_null"] == 1
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+    assert rows["v"]["mean"] == round((2 + 4 + 8) / 3, 6)
+    assert rows["v"]["min_num"] == 2.0 and rows["v"]["max_num"] == 8.0
+
+    from eventkit_spark.sources.tables import load_table
+
+    prof = profile_table(load_table(spark, SF, "documents"))
+    assert physical_plan(prof).count("FileScan") == 1
