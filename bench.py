@@ -186,6 +186,7 @@ HEADLINE = [
     "winnow",
     "winnow_overlap",
     "seasonal_decompose",
+    "profile",
 ]
 
 
