@@ -335,7 +335,12 @@ def bpe_token_freq(
     )
     if top is not None:
         out = out.orderBy(F.col("freq").desc(), "token").limit(top)
-    wf.unpersist()  # lazy unpersist marker; plan still derives from wf
+    # The freq table is vocab-sized (distinct token types, not rows) —
+    # eagerly materialize it THROUGH the persisted word frame so the
+    # cache actually pays off, then drop the cache; the returned frame's
+    # lineage no longer depends on wf.
+    out = out.localCheckpoint(eager=True)
+    wf.unpersist()
     return out
 
 
@@ -397,7 +402,11 @@ def bpe_token_freq_bytes(
     )
     if top is not None:
         out = out.orderBy(F.col("freq").desc(), "token").limit(top)
-    wf.unpersist()  # lazy unpersist marker; plan still derives from wf
+    # Same eager-materialize-then-unpersist as bpe_token_freq: the
+    # vocab-sized result is computed once through the cache, and the
+    # returned frame no longer recomputes the merge lineage.
+    out = out.localCheckpoint(eager=True)
+    wf.unpersist()
     return out
 
 
@@ -510,9 +519,13 @@ def bpe_encode(
     the character-symbol count before any merge. Empty / no-pretoken
     documents survive with zeros (left join back to the id stream)."""
     merges, wf = _fit(docs, n_merges, text_col, min_freq, driver_types_max)
+    # per_word is vocab-sized (one row per distinct word type), so it is
+    # cheap to materialize eagerly THROUGH wf's cache; the per-document
+    # output below then joins against the checkpointed table and never
+    # replays the merge lineage after wf.unpersist().
     per_word = wf.select(
         "word", F.size("syms").alias("__nt"), F.length("word").alias("__nc")
-    )
+    ).localCheckpoint(eager=True)
     pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
     dw = docs.select(F.col(id_col), F.explode(pre).alias("word"))
     agg = (

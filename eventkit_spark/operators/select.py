@@ -324,11 +324,24 @@ def last(ef):
     Keyed AND unkeyed ride the same ``max_by`` hash aggregate —
     partial-combined (each partition contributes one candidate row),
     so the unkeyed form never sorts or funnels the stream through a
-    single-task window (r6: it previously did)."""
+    single-task window (r6: it previously did). The whole payload is
+    aggregated as ONE ``max_by(struct(...))`` so every output column
+    comes from the same winning row even under seq ties, and the
+    unkeyed degenerate row SQL produces for an empty input (a global
+    agg always yields one row, all-NULL here) is filtered out to match
+    the reference's empty-stream behavior."""
     keys = list(ef.key_cols)
     other = [c for c in ef.df.columns if c not in keys and c != ef.seq_col]
-    aggs = [F.max(ef.seq_col).alias(ef.seq_col)] + [
-        F.max_by(F.col(c), F.col(ef.seq_col)).alias(c) for c in other
-    ]
-    df = ef.df.groupBy(*keys).agg(*aggs)
+    payload = F.struct(
+        F.col(ef.seq_col).alias(ef.seq_col), *[F.col(c).alias(c) for c in other]
+    )
+    df = (
+        ef.df.groupBy(*keys)
+        .agg(F.max_by(payload, F.col(ef.seq_col)).alias("__ek_last"))
+        .filter(F.col("__ek_last").isNotNull())
+        .select(
+            *keys,
+            *[F.col(f"__ek_last.{c}").alias(c) for c in [ef.seq_col] + other],
+        )
+    )
     return ef._with(df=df.select(*ef.df.columns))

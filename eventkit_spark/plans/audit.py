@@ -167,49 +167,53 @@ def profile_table(
     from pyspark.sql.types import NumericType, StringType
 
     cols = columns or df.columns
+    # Helper aliases are POSITIONAL (f"__cnt_{i}"), never derived from
+    # the column name: a name containing a dot (legal in Spark with
+    # backticks) would make the F.col readback parse as a nested-field
+    # access. Source columns are backtick-quoted for the same reason.
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType
-        col = F.col(c)
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
-            F.count(col).alias(f"__cnt_{c}"),
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            F.count(col).alias(f"__cnt_{i}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{i}"),
             (
                 F.count_distinct(col)
                 if exact_distinct
                 else F.approx_count_distinct(col)
-            ).alias(f"__nd_{c}"),
+            ).alias(f"__nd_{i}"),
         ]
         if isinstance(dt, NumericType):
             aggs += [
-                F.min(col).cast("double").alias(f"__mn_{c}"),
-                F.max(col).cast("double").alias(f"__mx_{c}"),
-                F.round(F.avg(col), 6).alias(f"__av_{c}"),
+                F.min(col).cast("double").alias(f"__mn_{i}"),
+                F.max(col).cast("double").alias(f"__mx_{i}"),
+                F.round(F.avg(col), 6).alias(f"__av_{i}"),
             ]
         elif isinstance(dt, StringType):
             aggs += [
-                F.min(col).alias(f"__smn_{c}"),
-                F.max(col).alias(f"__smx_{c}"),
+                F.min(col).alias(f"__smn_{i}"),
+                F.max(col).alias(f"__smx_{i}"),
             ]
     one = df.agg(*aggs)
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     rows = []
-    for c in cols:
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType
         num = isinstance(dt, NumericType)
         s = isinstance(dt, StringType)
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"__cnt_{c}").alias("n"),
-                F.col(f"__nul_{c}").alias("n_null"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                (F.col(f"__mn_{c}") if num else null_d).alias("min_num"),
-                (F.col(f"__mx_{c}") if num else null_d).alias("max_num"),
-                (F.col(f"__av_{c}") if num else null_d).alias("mean"),
-                (F.col(f"__smn_{c}") if s else null_s).alias("min_str"),
-                (F.col(f"__smx_{c}") if s else null_s).alias("max_str"),
+                F.col(f"__cnt_{i}").alias("n"),
+                F.col(f"__nul_{i}").alias("n_null"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                (F.col(f"__mn_{i}") if num else null_d).alias("min_num"),
+                (F.col(f"__mx_{i}") if num else null_d).alias("max_num"),
+                (F.col(f"__av_{i}") if num else null_d).alias("mean"),
+                (F.col(f"__smn_{i}") if s else null_s).alias("min_str"),
+                (F.col(f"__smx_{i}") if s else null_s).alias("max_str"),
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

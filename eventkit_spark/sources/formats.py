@@ -207,7 +207,13 @@ def load_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     for m in tf.getmembers():
                         if not m.isfile():
                             continue
-                        key, dot, ext = m.name.partition(".")
+                        # WebDataset's key rule splits at the first dot
+                        # of the BASENAME, not the full path — a dotted
+                        # directory ('v1.0/00001.txt') must not leak
+                        # into the extension or mis-key the sample.
+                        dirname, _, base = m.name.rpartition("/")
+                        stem, dot, ext = base.partition(".")
+                        key = f"{dirname}/{stem}" if dirname else stem
                         if not dot:  # extensionless member: ext = ''
                             ext = ""
                         if key not in samples:

@@ -663,3 +663,19 @@ def test_profile_table_single_pass(spark):
 
     prof = profile_table(load_table(spark, SF, "documents"))
     assert physical_plan(prof).count("FileScan") == 1
+
+
+def test_profile_table_dotted_column_names(spark):
+    """Column names containing dots (legal in Spark) must profile
+    correctly — helper aliases are positional, never name-derived
+    (ADVICE r6: f-string aliases parsed as nested-field access)."""
+    from eventkit_spark.plans.audit import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], ["m.count", "tag.v1"]
+    )
+    rows = {r["column"]: r for r in
+            profile_table(df, exact_distinct=True).collect()}
+    assert rows["m.count"]["n"] == 3 and rows["m.count"]["n_distinct"] == 2
+    assert rows["m.count"]["max_num"] == 2.0
+    assert rows["tag.v1"]["n_null"] == 1 and rows["tag.v1"]["min_str"] == "x"

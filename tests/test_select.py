@@ -39,6 +39,29 @@ def test_last(ints):
     assert ints.last().to_list() == [9]
 
 
+def test_last_empty_stream(ints):
+    # reference Last emits nothing on an empty source; the global agg's
+    # degenerate all-NULL row must be filtered out (ADVICE r6).
+    assert ints.filter("value > 100").last().to_list() == []
+
+
+def test_last_tie_row_consistency(spark):
+    # duplicate seq values: every output column must come from the SAME
+    # winning row (one max_by(struct) — not per-column max_by).
+    from pyspark.sql import Row
+
+    from eventkit_spark.frame import EventFrame
+
+    df = spark.createDataFrame(
+        [Row(seq=1, a="x1", b="y1"), Row(seq=2, a="x2", b="y2"),
+         Row(seq=2, a="x3", b="y3")]
+    )
+    ef = EventFrame(df, value_cols=("a", "b"), seq_col="seq")
+    rows = ef.last().df.collect()
+    assert len(rows) == 1
+    assert (rows[0]["a"], rows[0]["b"]) in {("x2", "y2"), ("x3", "y3")}
+
+
 def test_takeuntil(spark, ints):
     from eventkit_spark.sources.create import sequence
 

@@ -152,3 +152,39 @@ def test_webdataset_roundtrip(spark, tmp_path):
     from eventkit_spark.plans.audit import plan_report
 
     assert plan_report(back)["exchanges"] == 0
+
+
+def test_webdataset_dotted_directory_keys(spark, tmp_path):
+    """The sample key splits at the first dot of the BASENAME (upstream
+    webdataset rule): members under a dotted directory ('v1.0/...') must
+    keep the directory in the key and not bleed it into the extension."""
+    import io
+    import tarfile
+
+    from eventkit_spark.sources.formats import load_webdataset
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [
+            ("v1.0/00001.txt", b"alpha"),
+            ("v1.0/00001.meta.json", b"{}"),
+            ("v1.0/00002.txt", b"beta"),
+            ("plain", b"noext"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    shard = tmp_path / "dotted-000.tar"
+    shard.write_bytes(buf.getvalue())
+
+    got = {
+        r["key"]: dict(r["parts"])
+        for r in load_webdataset(spark, str(shard)).collect()
+    }
+    assert set(got) == {"v1.0/00001", "v1.0/00002", "plain"}
+    # first-dot-of-basename: the SECOND dot stays in the extension
+    assert {e: bytes(b) for e, b in got["v1.0/00001"].items()} == {
+        "txt": b"alpha",
+        "meta.json": b"{}",
+    }
+    assert {e: bytes(b) for e, b in got["plain"].items()} == {"": b"noext"}
