@@ -256,6 +256,18 @@ def q_changes_scaled(spark, sf):
     return ef.changes(scaled=True).df.select("event_id", "event_type")
 
 
+def q_unique_scaled(spark, sf):
+    # r7: order-preserving distinct without a payload-sort window
+    # (select.unique_scaled): two-pass global rank + min-rank-per-key
+    # hash aggregate + null-safe join. Dedup key = floor(value) — a
+    # genuinely heavy-duplicate key (each integer bucket repeats across
+    # the whole stream), the shape whose copies the plain form would
+    # sort inside one task per key. Values identical to unique().
+    ef = _unkeyed_ev(spark, sf)
+    out = ef.unique(by="cast(floor(value) as bigint)", scaled=True)
+    return out.df.select("event_id", "user_id", "value")
+
+
 def q_running_mean(spark, sf):
     # exact-integer formulation: values are 2-decimal doubles, so the
     # running mean in micro-units is (sum of cents * 10^4) div count —
@@ -3654,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_gain": q_opq_gain,
         "ema_scaled": q_ema_scaled,
         "changes_scaled": q_changes_scaled,
+        "unique_scaled": q_unique_scaled,
         "previous_scaled": q_previous_scaled,
         "chunk_scaled": q_chunk_scaled,
         "winnow": q_winnow,
@@ -4442,6 +4455,14 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events
             ) WHERE rn > 3""",
+        "unique_scaled": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (
+                       PARTITION BY CAST(FLOOR(value) AS BIGINT)
+                       ORDER BY event_id) AS rn
+              FROM events
+            ) WHERE rn = 1""",
         # classical decomposition: integer cents hourly series, integer
         # window sums, doubles only in final single divisions
         "seasonal_decompose": """

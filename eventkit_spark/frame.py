@@ -230,10 +230,19 @@ class EventFrame:
             return _select.changes_scaled(self, partitions)
         return _select.changes(self)
 
-    def unique(self, by=None):
+    def unique(self, by=None, scaled: bool = False,
+               partitions: int | None = None):
+        """Order-preserving distinct. ``scaled=True`` (unkeyed only)
+        switches to the two-pass rank + min-rank-per-key form that has
+        no per-payload sort window (select.unique_scaled)."""
+        if scaled:
+            return _select.unique_scaled(self, by, partitions)
         return _select.unique(self, by)
 
     def last(self):
+        """Final row per key. Already scale-shaped on unkeyed streams —
+        one partial-combined ``max_by(struct)`` hash aggregate, no
+        window — so there is no separate ``scaled=`` form."""
         return _select.last(self)
 
     # -- transforms (SURVEY.md §2.3) ----------------------------------

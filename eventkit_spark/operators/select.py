@@ -318,6 +318,41 @@ def unique(ef, by=None):
     return ef._with(df=df.filter(F.col(RN) == 1).drop(RN))
 
 
+def unique_scaled(ef, by=None, partitions: int | None = None):
+    """``unique`` for long unkeyed streams — order-preserving distinct
+    without a per-payload sort window: global emit rank via
+    ``rank_scaled`` (two-pass, no single-task window), then each dedup
+    key keeps its minimum-rank row via a partial-combined hash
+    aggregate + null-safe equi-join. A heavy duplicate value therefore
+    never funnels all its copies through one sorting task (the plain
+    form's ``partitionBy(payload)`` window sorts the heavy key's rows
+    in a single partition); here the heavy key costs one combinable
+    ``min`` and an O(1)-per-row join probe, and AQE's skew-join split
+    applies. Value-identical to unique()."""
+    cols = ef.df.columns
+    dedup = by if by is not None else [F.col(c) for c in ef.value_cols]
+    if not isinstance(dedup, (list, tuple)):
+        dedup = [dedup]
+    dedup = [as_column(d, ef) if not hasattr(d, "over") else d for d in dedup]
+    df = rank_scaled(ef, partitions)
+    knames = [f"__k{i}" for i in range(len(dedup))]
+    df = df.select(*cols, RN, *[d.alias(k) for d, k in zip(dedup, knames)])
+    firsts = df.groupBy(*knames).agg(F.min(RN).alias("__minrn"))
+    firsts = firsts.select(
+        *[F.col(k).alias(f"__f{i}") for i, k in enumerate(knames)], "__minrn"
+    )
+    cond = F.lit(True)
+    for i, k in enumerate(knames):
+        # eqNullSafe: NULL payloads form one dedup group, like the
+        # window form's partitionBy (a plain equi-join would drop them)
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__f{i}"))
+    out = (
+        df.join(firsts, cond & (F.col(RN) == F.col("__minrn")), "inner")
+        .select(*cols)
+    )
+    return ef._with(df=out)
+
+
 def last(ef):
     """Only the final row per key (select.py:133-145).
 

@@ -97,6 +97,21 @@ def test_selection_scaled_matches_sequential(spark):
         got = getattr(ef, op)(**kwargs, scaled=True, partitions=4).to_list()
         assert got == seq_out, op
 
+    # unique: heavy-duplicate stream (every value repeats ~26x) — the
+    # scaled form must keep first occurrences in emit order, including
+    # NULL payloads (null-safe dedup join), with no payload-sort window
+    uniq_seq = ef.unique().to_list()
+    assert ef.unique(scaled=True, partitions=4).to_list() == uniq_seq
+    assert (ef.unique(by="value % 3", scaled=True, partitions=4).to_list()
+            == ef.unique(by="value % 3").to_list())
+    nvals = [v if (i * 13) % 7 else None for i, v in enumerate(vals)]
+    nef = sequence(spark, nvals, interval=0.001)
+    assert (nef.unique(scaled=True, partitions=4).df.orderBy("seq").collect()
+            == nef.unique().df.orderBy("seq").collect())
+    uplan = physical_plan(ef.unique(scaled=True, partitions=4).df)
+    uwin = [ln for ln in uplan.splitlines() if "Window" in ln]
+    assert all("__pid" in ln for ln in uwin), "unique_scaled sorts a payload window"
+
     # null-safe changes across bucket boundaries: consecutive NULLs
     # collapse, NULL<->value transitions emit — same as the sequential
     # form on a stream salted with NULL runs
