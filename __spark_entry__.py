@@ -7410,16 +7410,16 @@ def oracle_sql() -> dict[str, str]:
             WITH folded AS (
               SELECT event_type,
                      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                     % 2147483648 AS h
+                     AS h
               FROM events
             ), parts AS (
-              SELECT event_type, (h >> 23)::INT AS bucket,
-                     h & 8388607 AS w
+              SELECT event_type, (h >> 52)::INT AS bucket,
+                     h & 4503599627370495 AS w
               FROM folded
             ), regs AS (
               SELECT event_type, bucket,
-                     max(CASE WHEN w = 0 THEN 24
-                         ELSE 24 - length(bin(w)) END)::INT AS reg
+                     max(CASE WHEN w = 0 THEN 53
+                         ELSE 53 - length(bin(w)) END)::INT AS reg
               FROM parts GROUP BY 1, 2
             ), s AS (
               SELECT event_type, count(*) AS nz,
@@ -7503,14 +7503,14 @@ def oracle_sql() -> dict[str, str]:
         "hll_card": f"""
             WITH folded AS (
               SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                     % 2147483648 AS h
+                     AS h
               FROM events
             ), parts AS (
-              SELECT (h >> 22)::INT AS bucket, h & 4194303 AS w FROM folded
+              SELECT (h >> 51)::INT AS bucket, h & 2251799813685247 AS w FROM folded
             ), regs AS (
               SELECT bucket,
-                     max(CASE WHEN w = 0 THEN 23
-                         ELSE 23 - length(bin(w)) END)::INT AS reg
+                     max(CASE WHEN w = 0 THEN 52
+                         ELSE 52 - length(bin(w)) END)::INT AS reg
               FROM parts GROUP BY bucket
             ), s AS (
               SELECT count(*) AS nz, sum(power(2.0, -reg)) AS s_nz FROM regs

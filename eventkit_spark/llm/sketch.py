@@ -227,7 +227,20 @@ def count_min_estimate(
 # two frames merge by cell-wise max (mergeable summary).
 # ---------------------------------------------------------------------
 
-_HLL_BITS = 31  # width of the md5 fold
+_HLL_BITS = 60  # width of the md5 fold (15 hex chars, no truncating mod)
+
+
+def _fold60(col):
+    """60-bit md5 item fold — the first 15 hex chars of md5 as a long,
+    codegen'd JVM-side. Wide enough that birthday collisions are
+    immaterial at any realistic cardinality (at 1e9 distinct items the
+    expected collision fraction is ~4e-4 of the 1.04/sqrt(m) noise),
+    which is why HLL++ (Heule et al. 2013) moved to a 64-bit hash and
+    dropped the large-range correction; this fold follows the same
+    design within md5-replayability (DuckDB reproduces it verbatim)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
 
 
 def hll_registers(
@@ -238,7 +251,7 @@ def hll_registers(
 ) -> DataFrame:
     """``(*by, bucket, reg)`` register table, m = 2**p buckets: bucket
     is the fold's top p bits, reg = max over items of (leading zeros
-    of the remaining 31-p bits) + 1. Buckets no item hashed into are
+    of the remaining 60-p bits) + 1. Buckets no item hashed into are
     omitted (reg 0). ONE partial-combined max-aggregate bounded by m
     rows per group — the keyed form (``by=``) is the production shape
     (distinct users per day / per host) and shuffles at most
@@ -248,7 +261,7 @@ def hll_registers(
         raise ValueError(f"need 4 <= p <= 16, got {p}")
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     wbits = _HLL_BITS - p
-    h = _fold31(F.col(col))
+    h = _fold60(F.col(col))
     bucket = F.shiftright(h, wbits)
     w = h.bitwiseAND(F.lit((1 << wbits) - 1))
     # bit_length via base-2 string length (conv/bin agree across
@@ -278,13 +291,11 @@ def hll_estimate(
     1.04/sqrt(m) (~4.6% at p=9); contracts bound it with a fat margin
     rather than comparing float estimates exactly.
 
-    RANGE CAP: the hash is a 31-bit md5 fold (``_fold31``), so birthday
-    collisions bias the estimate LOW as the true cardinality approaches
-    the hash range — about -2% at 5e8 distinct values, saturating near
-    2**31 ≈ 2.1e9. For distinct counts expected above ~1e8 per group,
-    raise the fold width (two md5 words) or shard the keyspace (e.g.
-    sketch per day and union); below that the 1.04/sqrt(m) term
-    dominates and the cap is immaterial."""
+    No large-range correction branch is needed: the 60-bit fold
+    (``_fold60``) keeps hash-collision bias below ~1e-6 of the estimate
+    even at 1e12 distinct items — the HLL++ rationale for a wide hash
+    (estimator pinned at a simulated 2e9 scale in
+    ``test_hll_estimator_billion_scale``)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))

@@ -1124,10 +1124,10 @@ class StreamFrame:
         ``llm.sketch.hll_registers`` on the same rows (parity-tested);
         cardinality comes from the batch ``hll_estimate`` over the
         sunk register table."""
-        from ..llm.sketch import _fold31, _HLL_BITS
+        from ..llm.sketch import _fold60, _HLL_BITS
 
         wbits = _HLL_BITS - p
-        h = _fold31(F.col(col))
+        h = _fold60(F.col(col))
         w = h.bitwiseAND(F.lit((1 << wbits) - 1))
         bits_w = F.length(F.conv(w.cast("string"), 10, 2))
         rank = F.when(w == F.lit(0), F.lit(wbits + 1)).otherwise(

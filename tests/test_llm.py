@@ -1349,9 +1349,9 @@ def test_hll_registers_and_estimate(spark):
 
     exp: dict[int, int] = {}
     for i in range(n):
-        h = int(hashlib.md5(f"item{i}".encode()).hexdigest()[:15], 16) % (1 << 31)
-        bucket, w = h >> 22, h & ((1 << 22) - 1)
-        rank = 23 if w == 0 else 23 - w.bit_length()
+        h = int(hashlib.md5(f"item{i}".encode()).hexdigest()[:15], 16)
+        bucket, w = h >> 51, h & ((1 << 51) - 1)
+        rank = 52 if w == 0 else 52 - w.bit_length()
         exp[bucket] = max(exp.get(bucket, 0), rank)
     assert got == exp
 
@@ -1404,6 +1404,48 @@ def test_hll_registers_and_estimate(spark):
              kdf.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()}
     for g, n in truth.items():
         assert abs(ests[g] - n) <= 0.2 * n, (g, ests[g], n)
+
+
+def test_hll_estimator_billion_scale(spark):
+    """The 60-bit fold removes the old 31-bit range cap: at a simulated
+    TRUE cardinality of 2e9 (just liftable with the 31-bit fold, whose
+    hash range it equals) the estimator must land within 3 sigma of
+    1.04/sqrt(m). Registers are synthesized analytically — bucket j
+    gets n_j ~ Multinomial(N, 1/m) items and its register is a draw
+    from the exact max-of-n-geometrics CDF P(max<=r) = (1-2^-r)^n — so
+    the test exercises hll_estimate's math (raw branch, no linear
+    counting, no saturation at reg cap 48 for p=12) at a scale no test
+    could hash row-by-row."""
+    import numpy as np
+
+    from eventkit_spark.llm.sketch import hll_estimate
+
+    rng = np.random.default_rng(7)
+    N, p = 2_000_000_000, 12
+    m = 1 << p
+    counts = rng.multinomial(N, [1.0 / m] * m)
+    regs = []
+    for j, n in enumerate(counts):
+        u = rng.random()
+        r = 1
+        # smallest r with (1-2^-r)^n >= u; n*log1p(-2^-r) is exact here
+        while n * np.log1p(-(2.0 ** -r)) < np.log(u) and r < 48:
+            r += 1
+        regs.append((j, r))
+    assert max(r for _, r in regs) < 48  # far from the p=12 reg cap
+    rdf = spark.createDataFrame(regs, "bucket int, reg int")
+    est = hll_estimate(rdf, p=p).first()
+    sigma = 1.04 / (m ** 0.5)
+    assert abs(est["est"] - N) <= 3 * sigma * N, (est["est"], N)
+    assert est["v_zero"] == 0  # raw branch, not linear counting
+
+    # and the fold is genuinely 60-bit: max over 1000 items must clear
+    # 2^55 (P(miss) = 2^-5000), far beyond the old 31-bit range
+    from eventkit_spark.llm.sketch import _fold60
+
+    items = spark.createDataFrame([(f"i{i}",) for i in range(1000)], ["k"])
+    hmax = items.select(F.max(_fold60(F.col("k"))).alias("h")).first()["h"]
+    assert hmax > 1 << 55
 
 
 def test_heavy_hitters_exact_vs_groupby(spark):
