@@ -756,11 +756,16 @@ def contamination(
     identical rows.
 
     ``method="join"``: the heldout shingle set is deduplicated to
-    distinct 64-bit hashes before the join — a benchmark/test corpus is
-    tiny next to training data, so AQE broadcasts it and the scan of the
-    training side streams map-side with no shuffle of document text (the
-    join carries 8-byte hashes). The training side still pays one
-    (id, shingle) ``distinct`` exchange.
+    distinct 64-bit hashes and eagerly materialized (localCheckpoint —
+    a benchmark/test corpus's hash set is tiny next to training data),
+    mirroring the bloom form's eager heldout processing: the RESULT
+    plan then carries exactly ONE corpus scan at any size — including
+    when train and heldout are filtered splits of the same table, which
+    previously planned that table's scan twice (r6 ROADMAP; plan-pinned
+    in ``test_contamination_join_single_corpus_scan``). AQE broadcasts
+    the checkpointed set and the training scan streams map-side with no
+    shuffle of document text (the join carries 8-byte hashes); the
+    training side still pays one (id, shingle) ``distinct`` exchange.
 
     ``method="bloom"``: the 100 TB form. Heldout distinct shingle hashes
     are packed into a Bloom filter sized for ``fpp`` BY A DISTRIBUTED
@@ -797,6 +802,10 @@ def contamination(
         heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
+        # eager: the result plan must not re-derive the heldout branch —
+        # when heldout is a filtered split of the SAME table as docs,
+        # the lazy form planned that table's scan twice
+        .localCheckpoint(eager=True)
     )
     return (
         sh.join(held, "shingle")

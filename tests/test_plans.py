@@ -616,6 +616,30 @@ def test_plan_report_exchanges_exclude_broadcast_and_reused(spark):
     assert rep["exchanges"] == count_shuffles(j)
 
 
+def test_contamination_join_single_corpus_scan(spark):
+    """The join route (sub-threshold corpora) must plan exactly ONE
+    corpus scan even when train and heldout are filtered splits of the
+    SAME table — the heldout hash set is eagerly checkpointed
+    (benchmark-suite-sized), so the result plan never re-derives the
+    heldout branch (r6 ROADMAP '2-scan' item, closed r7). Values must
+    still match the lazy two-frame semantics."""
+    from eventkit_spark.llm.dedup import contamination
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    out = contamination(train, held, method="join")
+    plan = physical_plan(out)
+    assert plan.count("FileScan") == 1, "heldout branch must not rescan"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # sanity: contaminated docs exist in this fixture and every flagged
+    # id is a train doc
+    rows = out.collect()
+    assert rows and all(r["doc_id"] % 5 != 0 for r in rows)
+
+
 def test_contamination_auto_routes_by_corpus_size(spark):
     """method='auto' (the r6 default): a corpus above the size threshold
     plans the bloom form (zero corpus-side shuffle — the probe branch is
