@@ -979,6 +979,20 @@ def q_bpe_encode(spark, sf):
     return bpe_encode(load_table(spark, sf, "documents"), n_merges=6)
 
 
+def q_bpe_encode_bytes(spark, sf):
+    # r7: the byte family's encode leg — per-document token count under
+    # the byte-seeded merges vs the pre-merge byte-symbol count (UTF-8
+    # bytes + the </w> marker). Same distinct-word-once encode plan as
+    # q_bpe_encode; the oracle swaps in the byte-alphabet seed CTE and
+    # an eow-aware per-word symbol count. With train + vocab this
+    # verdicts the byte BPE lifecycle end-to-end.
+    from eventkit_spark.llm.tokenize import bpe_encode_bytes
+
+    return bpe_encode_bytes(
+        load_table(spark, sf, "documents"), n_merges=6, eow="</w>"
+    )
+
+
 def q_bpe_fertility(spark, sf):
     # tokenizer-equity report: chars-per-token by language (integer
     # milli-units — the x1000 multiplier keeps sum(chars)*1000 inside
@@ -3663,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skip_scaled": q_skip_scaled,
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
         "opq_gain": q_opq_gain,
         "ema_scaled": q_ema_scaled,
         "changes_scaled": q_changes_scaled,
@@ -4078,6 +4093,21 @@ _BPE_DOC_AGG = """
 def _bpe_encode_sql(n: int) -> str:
     return f"""WITH {_bpe_ctes(n)},
     {_BPE_DOC_AGG.format(n=n, rx=_BPE_RX_SQL)}
+    SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_chars, 0)::BIGINT AS n_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def _bpe_encode_bytes_sql(n: int) -> str:
+    # byte-seeded twin: the merge-chain replay takes the byte-alphabet
+    # seed; the per-word pre-merge symbol count is length(word) + 1
+    # (pure-ASCII corpus: one byte per char, plus the </w> marker)
+    doc_agg = _BPE_DOC_AGG.replace(
+        "max(length(word))::BIGINT AS n_word_chars",
+        "max(length(word) + 1)::BIGINT AS n_word_chars",
+    )
+    return f"""WITH {_bpe_ctes(n, _BPE_BYTES_SEED)},
+    {doc_agg.format(n=n, rx=_BPE_RX_SQL)}
     SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
            coalesce(a.n_chars, 0)::BIGINT AS n_chars
     FROM documents d LEFT JOIN agg a USING (doc_id)"""
@@ -7402,6 +7432,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_sql(6, 40),
         "bpe_train_bytes": _bpe_train_bytes_sql(6),
         "bpe_vocab_bytes": _bpe_vocab_bytes_sql(6, 40),
+        "bpe_encode_bytes": _bpe_encode_bytes_sql(6),
         "bpe_encode": _bpe_encode_sql(6),
         "bpe_fertility": _bpe_fertility_sql(6),
         # keyed HLL: per-group registers replay exactly; per-group

@@ -45,6 +45,7 @@ __all__ = [
     "bpe_token_freq",
     "bpe_token_freq_bytes",
     "bpe_encode",
+    "bpe_encode_bytes",
     "bpe_apply_merges",
     "bpe_store_init",
     "bpe_load_merges",
@@ -526,6 +527,17 @@ def bpe_encode(
     per_word = wf.select(
         "word", F.size("syms").alias("__nt"), F.length("word").alias("__nc")
     ).localCheckpoint(eager=True)
+    out = _encode_report(docs, per_word, text_col, id_col)
+    wf.unpersist()
+    return out
+
+
+def _encode_report(docs, per_word, text_col, id_col):
+    """Join the vocab-sized per-word (token count, pre-merge symbol
+    count) table back onto the (doc, word) stream and aggregate per
+    document — the one corpus-width exchange of the encode report;
+    empty / no-pretoken docs survive with zeros via the id-stream left
+    join. Shared by the char- and byte-seeded encode forms."""
     pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
     dw = docs.select(F.col(id_col), F.explode(pre).alias("word"))
     agg = (
@@ -535,7 +547,7 @@ def bpe_encode(
             F.sum("__nt").alias("n_tokens"), F.sum("__nc").alias("n_chars")
         )
     )
-    out = (
+    return (
         docs.select(id_col)
         .join(agg, id_col, "left")
         .select(
@@ -548,6 +560,38 @@ def bpe_encode(
             ),
         )
     )
+
+
+def bpe_encode_bytes(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 1,
+    driver_types_max: int = 200_000,
+    eow: str | None = None,
+) -> DataFrame:
+    """Byte-level twin of ``bpe_encode``: per-document compression
+    under byte-seeded merges — ``(id, n_tokens, n_chars)`` where
+    ``n_chars`` is the PRE-merge byte-symbol count (UTF-8 bytes plus
+    the optional end-of-word marker), the byte family's analog of the
+    char count. On printable-ASCII corpora with ``eow=None`` the
+    output is IDENTICAL to ``bpe_encode`` (bytes map to themselves, so
+    seeds, merges, and counts coincide — parity-pinned)."""
+    merges, wf = _fit(
+        docs, n_merges, text_col, min_freq, driver_types_max,
+        seed_expr=lambda w: _byte_syms(w, eow),
+        seed_py=lambda w: _byte_syms_py(w, eow),
+    )
+    extra = 1 if eow else 0
+    per_word = wf.select(
+        "word",
+        F.size("syms").alias("__nt"),
+        (F.length(F.encode(F.col("word"), "UTF-8")) + F.lit(extra)).alias(
+            "__nc"
+        ),
+    ).localCheckpoint(eager=True)
+    out = _encode_report(docs, per_word, text_col, id_col)
     wf.unpersist()
     return out
 

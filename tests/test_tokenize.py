@@ -391,3 +391,33 @@ def test_apply_merges_byte_level_roundtrip(spark):
     assert {r["doc_id"]: r["tokens"] for r in b} == {
         r["doc_id"]: r["tokens"] for r in c
     }
+
+
+def test_bpe_encode_bytes_ascii_parity(spark):
+    """bpe_encode_bytes(eow=None) on printable ASCII == bpe_encode
+    row-for-row (bytes seed to themselves, so merges and counts
+    coincide) — the fertility-parity contract for the byte family; the
+    non-ASCII + eow form counts byte symbols, not chars."""
+    from eventkit_spark.llm.tokenize import bpe_encode, bpe_encode_bytes
+
+    docs = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(TEXTS)], "doc_id int, text string"
+    )
+    a = sorted(bpe_encode(docs, n_merges=6).collect())
+    b = sorted(bpe_encode_bytes(docs, n_merges=6).collect())
+    assert a == b
+
+    # and per-language fertility derived from the two agrees on ASCII
+    from pyspark.sql import functions as F
+
+    fa = bpe_encode(docs, n_merges=6).agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_chars").alias("c")).first()
+    fb = bpe_encode_bytes(docs, n_merges=6).agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_chars").alias("c")).first()
+    assert (fa["t"], fa["c"]) == (fb["t"], fb["c"])
+
+    # eow form: one extra pre-merge symbol per pretoken, merges may
+    # differ; n_chars = bytes + 1 per word (é is 2 bytes)
+    uni = spark.createDataFrame([(0, "é é x")], "doc_id int, text string")
+    r = bpe_encode_bytes(uni, n_merges=1, eow="</w>").first()
+    assert r["n_chars"] == (2 + 1) * 2 + (1 + 1)
