@@ -3605,27 +3605,79 @@ def q_weighted_sample_grouped(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
-    # whatever has the weakest current verdict. Round-6 rotation
-    # (count positions, don't trust comments):
-    # (1) position 1: embed_standardize — r5's single red row, now in a
-    #     scalar (vec_id, i, z) contract form the harness canon can sort;
-    # (2) positions 2-43: the 42 never-driver-checked queries called out
-    #     in VERDICT r5 — the whole TPC-H battery (q2-q22), the OLAP/
-    #     window extras (window_funcs, grouping_sets, unpivot, dau,
-    #     pct_change, twap, interarrival), and the corpus/ops battery
-    #     (corpus_report, corpus_diff, sorted_neighborhood,
-    #     fuzzy_decontaminate, event_paths, salted_join, heavy_hitters,
-    #     weighted_sample(+_grouped), contamination_report,
-    #     session_stats, group_regression, event_transitions,
-    #     group_corr). All replica-swept at 3 SFs every round; this
-    #     gives each its first driver verdict;
-    # (3) position 44: pivot_agg re-verdict — its NULL-pivot-key
-    #     n_other semantics changed this round (oracle updated);
-    # (4) positions 45-50: round-6 additions get first verdicts
-    #     (appended as they land — see the tail comment).
+    # whatever has the weakest current verdict. Round-7 rotation
+    # (VERIFIED by tests/test_frame.py::test_registry_front50_rotation —
+    # positions are counted, not asserted by comment):
+    # (1) positions 1-12: every never-driver-checked query — the two
+    #     round-7 additions (unique_scaled, bpe_encode_bytes) and the
+    #     ten round-6 additions that missed r6's cutoff at positions
+    #     51-60 (bpe_vocab_bytes, opq_gain, ema_scaled, changes_scaled,
+    #     previous_scaled, chunk_scaled, winnow, winnow_overlap,
+    #     webdataset, seasonal_decompose). A green sweep makes every
+    #     registered query driver-verified for the first time;
+    # (2) positions 13-20: re-verdicts for code changed THIS round —
+    #     last (max_by(struct) rewrite), hll_card/hll_by_key (60-bit
+    #     fold), decontaminate (single-scan join route), bpe_encode/
+    #     bpe_vocab (eager vocab checkpoint), profile (positional
+    #     aliases), unique (scaled sibling landed);
+    # (3) positions 21-50: the 30 OLDEST green rows — core §2 selection/
+    #     transform/combine/source ops last sampled r1-r2, whose shared
+    #     machinery (_scaled_prologue, worder, frame plumbing) has been
+    #     refactored since; a fresh verdict shields against silent
+    #     regression that golden tests could share a blind spot on.
     # The tail is everything driver-green in its current form; all
     # entries register full value oracles.
     return {
+        "unique_scaled": q_unique_scaled,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "bpe_vocab_bytes": q_bpe_vocab_bytes,
+        "opq_gain": q_opq_gain,
+        "ema_scaled": q_ema_scaled,
+        "changes_scaled": q_changes_scaled,
+        "previous_scaled": q_previous_scaled,
+        "chunk_scaled": q_chunk_scaled,
+        "winnow": q_winnow,
+        "winnow_overlap": q_winnow_overlap,
+        "webdataset": q_webdataset,
+        "seasonal_decompose": q_seasonal_decompose,
+        "last": q_last,
+        "hll_card": q_hll_card,
+        "hll_by_key": q_hll_by_key,
+        "decontaminate": q_decontaminate,
+        "bpe_encode": q_bpe_encode,
+        "bpe_vocab": q_bpe_vocab,
+        "profile": q_profile,
+        "unique": q_unique,
+        "filter": q_filter,
+        "skip": q_skip,
+        "take": q_take,
+        "takewhile": q_takewhile,
+        "dropwhile": q_dropwhile,
+        "changes": q_changes,
+        "takeuntil": q_takeuntil,
+        "enumerate": q_enumerate,
+        "count": q_count,
+        "previous": q_previous,
+        "pairwise": q_pairwise,
+        "running_sum": q_running_sum,
+        "running_mean": q_running_mean,
+        "reduce_max": q_reduce_max,
+        "merge": q_merge,
+        "chain": q_chain,
+        "concat": q_concat,
+        "switch": q_switch,
+        "zip": q_zip,
+        "ziplatest": q_ziplatest,
+        "sample": q_sample,
+        "json_pluck": q_json_pluck,
+        "array_mean": q_array_mean,
+        "array_std": q_array_std,
+        "iterate": q_iterate,
+        "source_range": q_source_range,
+        "source_repeat": q_source_repeat,
+        "source_timerange": q_source_timerange,
+        "fork_minmax": q_fork_minmax,
+        "any_all": q_any_all,
         "embed_standardize": q_embed_standardize,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
@@ -3659,7 +3711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "sorted_neighborhood": q_sorted_neighborhood,
         "edit_dedup": q_edit_dedup,
-        "profile": q_profile,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "event_paths": q_event_paths,
         "salted_join": q_salted_join,
@@ -3676,18 +3727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropwhile_scaled": q_dropwhile_scaled,
         "skip_scaled": q_skip_scaled,
         "bpe_train_bytes": q_bpe_train_bytes,
-        "bpe_vocab_bytes": q_bpe_vocab_bytes,
-        "bpe_encode_bytes": q_bpe_encode_bytes,
-        "opq_gain": q_opq_gain,
-        "ema_scaled": q_ema_scaled,
-        "changes_scaled": q_changes_scaled,
-        "unique_scaled": q_unique_scaled,
-        "previous_scaled": q_previous_scaled,
-        "chunk_scaled": q_chunk_scaled,
-        "winnow": q_winnow,
-        "winnow_overlap": q_winnow_overlap,
-        "webdataset": q_webdataset,
-        "seasonal_decompose": q_seasonal_decompose,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
@@ -3698,14 +3737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_encode": q_sq_encode,
         "sq_topk": q_sq_topk,
         "bpe_train": q_bpe_train,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_encode": q_bpe_encode,
         "bpe_fertility": q_bpe_fertility,
         "hard_negatives": q_hard_negatives,
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
-        "hll_card": q_hll_card,
-        "hll_by_key": q_hll_by_key,
         "embed_moments": q_embed_moments,
         "cluster_topics": q_cluster_topics,
         "rollup_ts": q_rollup_ts,
@@ -3799,45 +3834,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "cube": q_cube,
         "pivot": q_pivot,
-        "source_range": q_source_range,
-        "source_repeat": q_source_repeat,
-        "source_timerange": q_source_timerange,
-        "filter": q_filter,
-        "takewhile": q_takewhile,
-        "unique": q_unique,
-        "takeuntil": q_takeuntil,
-        "running_mean": q_running_mean,
-        "fork_minmax": q_fork_minmax,
-        "any_all": q_any_all,
         "product_trailing": q_product_trailing,
-        "merge": q_merge,
-        "skip": q_skip,
-        "take": q_take,
-        "dropwhile": q_dropwhile,
-        "changes": q_changes,
-        "last": q_last,
-        "enumerate": q_enumerate,
-        "count": q_count,
-        "previous": q_previous,
-        "pairwise": q_pairwise,
-        "json_pluck": q_json_pluck,
-        "running_sum": q_running_sum,
-        "array_std": q_array_std,
-        "array_mean": q_array_mean,
-        "chain": q_chain,
         "end_on_error": q_end_on_error,
         "errors": q_errors,
-        "iterate": q_iterate,
-        "reduce_max": q_reduce_max,
         "product_running": q_product_running,
         "mm_image_features": q_mm_image_features,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_features": q_mm_video_features,
-        "switch": q_switch,
-        "concat": q_concat,
-        "sample": q_sample,
-        "zip": q_zip,
-        "ziplatest": q_ziplatest,
         "fork_merge": q_fork_merge,
         "reduce_py": q_reduce_py,
         "line_dedup": q_line_dedup,
@@ -3866,7 +3869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_recall": q_embed_ivf_recall,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
-        "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
         "text_embed": q_text_embed,
         "pipeline_corpus": q_pipeline_corpus,

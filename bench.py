@@ -187,6 +187,10 @@ HEADLINE = [
     "winnow_overlap",
     "seasonal_decompose",
     "profile",
+    # r7 additions: skew-safe order-preserving distinct, byte-level
+    # encode leg
+    "unique_scaled",
+    "bpe_encode_bytes",
 ]
 
 

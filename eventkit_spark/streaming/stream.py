@@ -155,6 +155,46 @@ class StreamFrame:
             df=self.df.select(*keep, out.alias(name)), value_cols=[name]
         )
 
+    def unique(self, by=None, within_watermark: bool = False) -> "StreamFrame":
+        """Streaming Unique (reference ``eventkit/ops/select.py:115-130``
+        documented semantics): first arrival per dedup key wins, over
+        the UNBOUNDED stream — Structured Streaming's native
+        ``dropDuplicates`` keeps exactly one row per key with state =
+        one key per distinct value, forever.
+
+        ``within_watermark=True`` switches to
+        ``dropDuplicatesWithinWatermark`` (call ``with_watermark``
+        first): state ages out with event time, the only operable shape
+        when the key space grows with the stream (per-day dedup at
+        100 TB/day) — duplicates arriving inside the watermark delay
+        are still suppressed, older re-occurrences re-emit.
+
+        ``by`` narrows the dedup key (column names or Column
+        expressions); default = (*key_cols, *value_cols), mirroring the
+        batch ``unique``. Kept-row payload within one micro-batch is
+        whichever copy the engine retains (batch parity is exact on the
+        surviving KEY SET; pinned in test_streaming_unique_parity)."""
+        if by is None:
+            subset = [*self.key_cols, *self.value_cols]
+            df = self.df
+        else:
+            by = by if isinstance(by, (list, tuple)) else [by]
+            df, subset = self.df, []
+            for i, b in enumerate(by):
+                if isinstance(b, str) and b in self.df.columns:
+                    subset.append(b)
+                else:
+                    b = F.expr(b) if isinstance(b, str) else b
+                    df = df.withColumn(f"__uk{i}", b)
+                    subset.append(f"__uk{i}")
+            subset = [*self.key_cols, *subset]
+        out = (
+            df.dropDuplicatesWithinWatermark(subset)
+            if within_watermark
+            else df.dropDuplicates(subset)
+        )
+        return self._with(df=out.select(*self.df.columns))
+
     def merge(self, *others: "StreamFrame") -> "StreamFrame":
         """Arrival-order interleave (streaming Merge, combine.py:97-102)."""
         df = self.df

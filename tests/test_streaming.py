@@ -999,3 +999,43 @@ def test_streaming_winnow_parity(spark, tmp_path_factory):
     sp = {tuple(r) for r in out.collect()}
     bp = {tuple(r) for r in winnow_fingerprints(docs, k=5, w=4).collect()}
     assert sp == bp and len(sp) > 0
+
+
+def test_streaming_unique_parity(spark, stream_dir):
+    """Streaming unique == batch unique on the surviving KEY SET: the
+    unbounded dropDuplicates form dedups (user_id, value) exactly like
+    the batch window form; the by= expression path dedups a derived
+    key; within_watermark requires a watermark and still returns every
+    distinct key of a bounded replay."""
+    sf = _stream(spark, stream_dir)
+    out = sf.unique().run_available_now(name="ek_uniq1")
+    got = {(r["user_id"], r["value"]) for r in out.collect()}
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    exp = {(r["user_id"], r["value"]) for r in ef.unique().df.collect()}
+    assert got == exp
+    # one row per key — dedup actually happened
+    assert out.count() == len(exp)
+
+    # by= expression: per-user parity of surviving derived keys
+    out2 = sf.unique(by=["event_type"]).run_available_now(name="ek_uniq2")
+    got2 = {(r["user_id"], r["event_type"]) for r in out2.collect()}
+    exp2 = {(r["user_id"], r["event_type"]) for r in
+            ef.unique(by="event_type").df.collect()}
+    assert got2 == exp2
+
+    # watermark-bounded state: bounded replay still yields every key
+    out3 = (
+        _stream(spark, stream_dir)
+        .with_watermark("1 hour")
+        .unique(by=["event_type"], within_watermark=True)
+        .run_available_now(name="ek_uniq3")
+    )
+    got3 = {(r["user_id"], r["event_type"]) for r in out3.collect()}
+    assert got3 == exp2
