@@ -322,13 +322,18 @@ def unique_scaled(ef, by=None, partitions: int | None = None):
     """``unique`` for long unkeyed streams — order-preserving distinct
     without a per-payload sort window: global emit rank via
     ``rank_scaled`` (two-pass, no single-task window), then each dedup
-    key keeps its minimum-rank row via a partial-combined hash
-    aggregate + null-safe equi-join. A heavy duplicate value therefore
-    never funnels all its copies through one sorting task (the plain
-    form's ``partitionBy(payload)`` window sorts the heavy key's rows
-    in a single partition); here the heavy key costs one combinable
-    ``min`` and an O(1)-per-row join probe, and AQE's skew-join split
-    applies. Value-identical to unique()."""
+    key keeps its minimum-rank row in ONE partial-combined
+    ``min_by(struct(row), rank)`` hash aggregate. A heavy duplicate
+    value therefore never funnels all its copies through one sorting
+    task (the plain form's ``partitionBy(payload)`` window sorts the
+    heavy key's rows in a single partition); here the heavy key's
+    state is one candidate struct per partition, combined map-side.
+    No join-back: the winning row rides the aggregate itself, so the
+    corpus is scanned ONCE (the min-rank + join formulation re-derived
+    the whole rank pipeline on the aggregate branch — column pruning
+    gives the two scans different schemas, so Catalyst cannot reuse
+    the exchange). NULL dedup keys group together like the window
+    form's partitionBy. Value-identical to unique()."""
     cols = ef.df.columns
     dedup = by if by is not None else [F.col(c) for c in ef.value_cols]
     if not isinstance(dedup, (list, tuple)):
@@ -337,18 +342,11 @@ def unique_scaled(ef, by=None, partitions: int | None = None):
     df = rank_scaled(ef, partitions)
     knames = [f"__k{i}" for i in range(len(dedup))]
     df = df.select(*cols, RN, *[d.alias(k) for d, k in zip(dedup, knames)])
-    firsts = df.groupBy(*knames).agg(F.min(RN).alias("__minrn"))
-    firsts = firsts.select(
-        *[F.col(k).alias(f"__f{i}") for i, k in enumerate(knames)], "__minrn"
-    )
-    cond = F.lit(True)
-    for i, k in enumerate(knames):
-        # eqNullSafe: NULL payloads form one dedup group, like the
-        # window form's partitionBy (a plain equi-join would drop them)
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__f{i}"))
+    payload = F.struct(*[F.col(c).alias(c) for c in cols])
     out = (
-        df.join(firsts, cond & (F.col(RN) == F.col("__minrn")), "inner")
-        .select(*cols)
+        df.groupBy(*knames)
+        .agg(F.min_by(payload, F.col(RN)).alias("__w"))
+        .select(*[F.col("__w").getField(c).alias(c) for c in cols])
     )
     return ef._with(df=out)
 

@@ -98,8 +98,14 @@ SHUFFLE_CEILING = {
     # type-collapse carries kilobytes; bpe_encode's corpus-width
     # exchange is the single word join; dedup_safe_split rides the CC
     # driver fast path (labels arrive as a local relation)
-    "bpe_encode": 3,
-    "bpe_fertility": 5,
+    # r7: the eager vocab-table checkpoint drops the word-join branch's
+    # recompute lineage from the plan (encode reads a local relation)
+    "bpe_encode": 2,
+    "bpe_encode_bytes": 2,
+    "bpe_fertility": 3,
+    # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
+    # + ONE min_by(struct) dedup aggregate; no join-back branch
+    "unique_scaled": 4,
     "cms_counts": 6,
     "hll_card": 7,
     "hll_by_key": 7,
