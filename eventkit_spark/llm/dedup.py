@@ -1403,11 +1403,18 @@ def substring_dedup(
         toks.alias("__toks"),
         F.size(toks).alias("n_tok"),
     )
+    # window identity = xxhash64 over the window's TOKEN HASHES (each
+    # token hashed once, then a long-array slice) instead of re-joining
+    # the window's text per position: same 64-bit collision contract,
+    # ~1.5x faster candidate pass at sf0.1 (r7 profile — string
+    # building amplified every token ``window``-fold)
+    th = F.transform("__toks", lambda t: F.xxhash64(t))
+    base = base.withColumn("__th", th)
     windows = F.when(
         F.col("n_tok") >= window,
         F.transform(
             F.sequence(F.lit(0), F.col("n_tok") - window),
-            lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, window), " ")),
+            lambda i: F.xxhash64(F.slice("__th", i + 1, window)),
         ),
     ).otherwise(F.array().cast("array<long>"))
     occ = base.select("id", F.posexplode(windows).alias("p", "h"))
@@ -1417,29 +1424,41 @@ def substring_dedup(
         .filter(~((F.col("f.id") == F.col("id")) & (F.col("f.p") == F.col("p"))))
         .select("id", "p")
     )
-    rem = dups.select(
-        "id", F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(window - 1))).alias("pos")
-    ).distinct()
-    tok = base.select("id", F.posexplode("__toks").alias("pos", "tok"))
-    kept = tok.join(rem, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("__n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("__text"),
+    # rebuild IN-ROW: removed positions aggregate to one set per
+    # AFFECTED doc (collect_set dedups overlapping spans; bounded by
+    # the doc's own length, which already lives in one row), then
+    # array_except keeps surviving positions in order and the text
+    # re-joins inside the row. The previous form posexploded EVERY
+    # token of EVERY doc through an anti-join + collect_list sort —
+    # two corpus-token-count exchanges that this shape never pays
+    # (r7: 3.5 s -> measured below in bench; shuffles now carry only
+    # removed (id, pos) ints).
+    rem_by_doc = (
+        dups.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("__rem"))
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.col("n_tok") - 1),
+        F.coalesce(F.col("__rem"), F.array().cast("array<int>")),
     )
     return (
-        base.select("id", "n_tok")
-        .join(rebuilt, "id", "left")
+        base.join(rem_by_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("n_tok").alias("n_tokens"),
-            (F.col("n_tok") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_removed"),
-            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            (F.col("n_tok") - F.size(kept_pos)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    kept_pos, lambda p: F.element_at("__toks", p + 1)
+                ),
+                " ",
+            ).alias("text"),
         )
     )
 

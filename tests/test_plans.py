@@ -204,9 +204,10 @@ SHUFFLE_CEILING = {
     # twice here; at runtime the persist runs it once (~7 real
     # exchanges: unigram 5 + lang join + cutoff agg/broadcast)
     "ccnet_buckets": 18,
-    # window-hash firsts agg + dup join + cover distinct + anti-join +
-    # rebuild agg + outer join, all on hashes/(id,pos) ints
-    "substring_dedup": 6,
+    # r7 in-row rebuild: window-hash firsts agg + dup join-back + the
+    # removed-positions set agg; the rebuild never explodes the token
+    # stream, so exchanges carry only window hashes and (id, pos) ints
+    "substring_dedup": 2,
     # round-4 late additions
     "gopher_rules": 0,  # pure codegen projection, integer verdicts
     "bm25": 5,  # tf agg + df agg + join + rank window (tfidf shape)
