@@ -188,9 +188,10 @@ HEADLINE = [
     "seasonal_decompose",
     "profile",
     # r7 additions: skew-safe order-preserving distinct, byte-level
-    # encode leg
+    # encode + fertility legs
     "unique_scaled",
     "bpe_encode_bytes",
+    "bpe_fertility_bytes",
 ]
 
 
