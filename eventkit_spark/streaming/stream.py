@@ -570,6 +570,121 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def take(self, count: int = 1) -> DataFrame:
+        """Streaming Take (select.py:32-46): the first ``count`` rows
+        per key, processed in event-time order within each micro-batch.
+        State = one emitted-row counter per key, forever-bounded; once
+        the quota fills the handler only bumps the counter. Parity with
+        batch take on ordered replays is pinned in
+        test_streaming_take_skip_parity."""
+        return self._quota_rows(count, keep_first=True)
+
+    def skip(self, count: int = 1) -> DataFrame:
+        """Streaming Skip (select.py:17-29): drop the first ``count``
+        rows per key, pass everything after — the counter twin of
+        ``take``."""
+        return self._quota_rows(count, keep_first=False)
+
+    def _quota_rows(self, count: int, keep_first: bool) -> DataFrame:
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            seen = state.get[0] if state.exists else 0
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    inside = seen < count
+                    if inside == keep_first:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": row[value_col],
+                            }
+                        )
+                    seen += 1
+            state.update((seen,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def takeuntil(self, notifier: "StreamFrame") -> DataFrame:
+        """Streaming TakeUntil (select.py:79-99): pass source rows
+        strictly before the notifier's first emit, per key. Cut state
+        machine over the tagged union (the concat/switch discipline):
+        state = the earliest notifier event time seen so far; each
+        micro-batch is processed in event-time order, so on an ordered
+        replay the result equals the batch event-time cut
+        (cross-batch out-of-order notifier arrivals follow arrival
+        semantics — the documented streaming trade of every cut
+        combinator here). The notifier must carry the same key
+        columns (or both unkeyed)."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        src = self.df.select(
+            *keys, F.col(ts_col), F.col(value_col).alias("__v"),
+            F.lit(0).alias("__n"),
+        )
+        ntf = notifier.df.select(
+            *keys, F.col(notifier.ts_col).alias(ts_col),
+            F.lit(None).cast(vt).alias("__v"), F.lit(1).alias("__n"),
+        )
+        both = src.unionByName(ntf)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            cut = state.get[0] if state.exists else None  # epoch ns
+            outs = []
+            for pdf in pdfs:
+                # notifier first at equal ts: the batch cut is STRICT
+                # (ts < min notifier ts), so a tied source row drops
+                pdf = pdf.sort_values([ts_col, "__n"], ascending=[True, False])
+                for _, row in pdf.iterrows():
+                    tns = row[ts_col].value
+                    if row["__n"] == 1:
+                        cut = tns if cut is None else min(cut, tns)
+                    elif cut is None or tns < cut:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": row["__v"],
+                            }
+                        )
+            state.update((cut,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = both.groupBy(*keys) if keys else both.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="cut long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def pairwise(self) -> DataFrame:
         """Streaming Pairwise (aggregate.py:114-127): (prev, cur) per
         key from the 2nd row on. State = last value."""

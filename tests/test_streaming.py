@@ -1039,3 +1039,64 @@ def test_streaming_unique_parity(spark, stream_dir):
     )
     got3 = {(r["user_id"], r["event_type"]) for r in out3.collect()}
     assert got3 == exp2
+
+
+def test_streaming_take_skip_parity(spark, stream_dir):
+    """Streaming take/skip == batch take/skip row-for-row on an
+    ordered replay (counter state per key); take(n) union skip(n)
+    partitions the stream."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    sf = _stream(spark, stream_dir)
+
+    out_t = sf.run_available_now(sink_df=sf.take(3), name="ek_take")
+    got_t = {(r["user_id"], r["ts"], r["value"]) for r in out_t.collect()}
+    exp_t = {(r["user_id"], r["ts"], r["value"])
+             for r in ef.take(3).df.collect()}
+    assert got_t == exp_t
+
+    out_s = sf.run_available_now(sink_df=sf.skip(3), name="ek_skip")
+    got_s = {(r["user_id"], r["ts"], r["value"]) for r in out_s.collect()}
+    exp_s = {(r["user_id"], r["ts"], r["value"])
+             for r in ef.skip(3).df.collect()}
+    assert got_s == exp_s
+    assert not (got_t & got_s)
+
+
+def test_streaming_takeuntil_parity(spark, stream_dir):
+    """Streaming takeuntil == batch takeuntil on an ordered replay:
+    per-user 'error' events cut the per-user 'purchase' stream at the
+    first error's event time (strictly before)."""
+    from eventkit_spark.sources.tables import from_dataframe
+    from eventkit_spark.streaming import file_stream
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = file_stream(spark, stream_dir, schema=schema,
+                      value_cols=["value"], ts_col="ts",
+                      key_cols=["user_id"]).filter("event_type = 'purchase'")
+    ntf = file_stream(spark, stream_dir, schema=schema,
+                      value_cols=["value"], ts_col="ts",
+                      key_cols=["user_id"]).filter("event_type = 'error'")
+    out = src.run_available_now(sink_df=src.takeuntil(ntf), name="ek_tu")
+    got = {(r["user_id"], r["ts"], r["value"]) for r in out.collect()}
+
+    df = spark.read.parquet(stream_dir)
+    ef = from_dataframe(
+        df.filter(F.col("event_type") == "purchase"),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    nf = from_dataframe(
+        df.filter(F.col("event_type") == "error"),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    exp = {(r["user_id"], r["ts"], r["value"])
+           for r in ef.takeuntil(nf).df.collect()}
+    assert got == exp and got
