@@ -3267,6 +3267,19 @@ def q_text_stats(spark, sf):
     )
 
 
+def q_keyword_hits(spark, sf):
+    # r7: multi-keyword tagging (blocklist/taxonomy audit) — token
+    # explode pruned by the broadcast keyword dim BEFORE any exchange,
+    # then one (doc, keyword) aggregate. Keyword set chosen to hit a
+    # meaningful fraction of the synthetic corpus.
+    from eventkit_spark.llm.text import keyword_hits
+
+    return keyword_hits(
+        load_table(spark, sf, "documents"),
+        ["the", "data", "model", "training", "quick"],
+    )
+
+
 def q_text_quality(spark, sf):
     from eventkit_spark.llm.text import fingerprint, lang_id, quality_score
 
@@ -3628,20 +3641,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-7 rotation
     # (VERIFIED by tests/test_frame.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-13: every never-driver-checked query — the three
+    # (1) positions 1-14: every never-driver-checked query — the four
     #     round-7 additions (unique_scaled, bpe_encode_bytes,
-    #     bpe_fertility_bytes) and the ten round-6 additions that
+    #     bpe_fertility_bytes, keyword_hits) and the ten round-6 additions that
     #     missed r6's cutoff at positions 51-60 (bpe_vocab_bytes,
     #     opq_gain, ema_scaled, changes_scaled, previous_scaled,
     #     chunk_scaled, winnow, winnow_overlap, webdataset,
     #     seasonal_decompose). A green sweep makes every registered
     #     query driver-verified for the first time;
-    # (2) positions 14-21: re-verdicts for code changed THIS round —
+    # (2) positions 15-22: re-verdicts for code changed THIS round —
     #     last (max_by(struct) rewrite), hll_card/hll_by_key (60-bit
     #     fold), decontaminate (single-scan join route), bpe_encode/
     #     bpe_vocab (eager vocab checkpoint), profile (positional
     #     aliases), unique (scaled sibling landed);
-    # (3) positions 22-50: the 29 OLDEST green rows — core §2 selection/
+    # (3) positions 23-50: the 28 OLDEST green rows — core §2 selection/
     #     transform/combine/source ops last sampled r1-r2, whose shared
     #     machinery (_scaled_prologue, worder, frame plumbing) has been
     #     refactored since; a fresh verdict shields against silent
@@ -3652,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_scaled": q_unique_scaled,
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "bpe_fertility_bytes": q_bpe_fertility_bytes,
+        "keyword_hits": q_keyword_hits,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
         "ema_scaled": q_ema_scaled,
@@ -7480,6 +7494,16 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_bytes": _bpe_vocab_bytes_sql(6, 40),
         "bpe_encode_bytes": _bpe_encode_bytes_sql(6),
         "bpe_fertility_bytes": _bpe_fertility_bytes_sql(6),
+        "keyword_hits": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS keyword
+              FROM documents
+            )
+            SELECT doc_id, keyword, count(*)::BIGINT AS n_hits
+            FROM toks
+            WHERE keyword IN ('the', 'data', 'model', 'training', 'quick')
+            GROUP BY 1, 2""",
         "bpe_encode": _bpe_encode_sql(6),
         "bpe_fertility": _bpe_fertility_sql(6),
         # keyed HLL: per-group registers replay exactly; per-group

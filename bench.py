@@ -192,6 +192,7 @@ HEADLINE = [
     "unique_scaled",
     "bpe_encode_bytes",
     "bpe_fertility_bytes",
+    "keyword_hits",
 ]
 
 

@@ -740,6 +740,51 @@ def phrase_search(
     return anchors.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
 
 
+def keyword_hits(
+    docs: DataFrame,
+    keywords,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-keyword tagging over a corpus — the blocklist / taxonomy
+    audit primitive (which documents mention which terms, how often).
+
+    One scan: tokens explode and immediately prune against the
+    BROADCAST keyword dimension (the join is the filter, applied
+    map-side before any exchange — at corpus scale almost every token
+    drops there), then one (doc, keyword) hash aggregate. Scales to
+    tens of thousands of keywords where a regex union would blow up
+    the pattern and per-keyword LIKEs would re-scan the corpus per
+    term. Matching is on lowercase whitespace tokens (exact term hits,
+    the C4 blocklist convention); multi-word terms go through
+    ``phrase_search``.
+
+    ``keywords`` is a Python list (literal dim) or a DataFrame with a
+    ``keyword`` column (persisted taxonomy table). Returns
+    ``(id_col, keyword, n_hits)`` for documents with >= 1 hit.
+    """
+    if isinstance(keywords, DataFrame):
+        kw = keywords.select(F.lower(F.col("keyword")).alias("keyword"))
+    else:
+        if not keywords:
+            raise ValueError("keyword_hits() needs a non-empty keyword set")
+        kw = docs.sparkSession.createDataFrame(
+            [(str(k).lower(),) for k in keywords], "keyword string"
+        )
+    kw = kw.distinct()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("keyword"),
+    )
+    return (
+        toks.join(F.broadcast(kw), "keyword")
+        .groupBy(id_col, "keyword")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per doc with the full stats battery."""
     t = F.col(text_col)

@@ -2133,3 +2133,32 @@ def test_edit_near_dups_finds_typo_variants(spark):
     assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(1, 7)] == 2
     assert all(4 not in pair for pair in out)
     assert all(d <= 2 for d in out.values())
+
+
+def test_keyword_hits(spark):
+    """keyword_hits: exact lowercase token matches with counts, both
+    the literal-list and DataFrame-taxonomy paths; the keyword dim
+    joins BROADCAST and the corpus scans once."""
+    from eventkit_spark.llm.text import keyword_hits
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and THE dog"), (2, "data model data"), (3, "nothing here")],
+        "doc_id int, text string",
+    )
+    got = {(r["doc_id"], r["keyword"]): r["n_hits"]
+           for r in keyword_hits(docs, ["the", "data", "model"]).collect()}
+    assert got == {(1, "the"): 2, (2, "data"): 2, (2, "model"): 1}
+
+    kw = spark.createDataFrame([("THE",), ("model",)], ["keyword"])
+    got2 = {(r["doc_id"], r["keyword"]): r["n_hits"]
+            for r in keyword_hits(docs, kw).collect()}
+    assert got2 == {(1, "the"): 2, (2, "model"): 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        keyword_hits(docs, [])
+
+    plan = physical_plan(keyword_hits(docs, ["the"]))
+    assert "BroadcastHashJoin" in plan
