@@ -626,6 +626,7 @@ def test_scaled_selection_property(spark, xs, nparts, cut):
         ("skip", dict(count=max(1, len(xs) // 3))),
         ("changes", dict()),
         ("chunk", dict(size=5)),
+        ("unique", dict()),
     ]:
         seq_out = getattr(ef, op)(**kwargs).to_list()
         got = getattr(ef, op)(**kwargs, scaled=True, partitions=nparts).to_list()
