@@ -624,6 +624,70 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def takewhile(self, predicate) -> DataFrame:
+        """Streaming TakeWhile (select.py:49-61): pass rows until the
+        predicate first fails, then nothing forever. The predicate
+        evaluates COLUMN-side (codegen) into a 0/1 flag before the
+        stateful hop; state = one 'alive' bool per key."""
+        return self._prefix_flag(predicate, mode="takewhile")
+
+    def dropwhile(self, predicate) -> DataFrame:
+        """Streaming DropWhile (select.py:64-76): drop rows until the
+        predicate first fails, then pass everything forever — the
+        prefix-OR twin of ``takewhile``."""
+        return self._prefix_flag(predicate, mode="dropwhile")
+
+    def _prefix_flag(self, predicate, mode: str) -> DataFrame:
+        pred = predicate if not callable(predicate) else predicate(
+            *[F.col(c) for c in self.value_cols]
+        )
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        tagged = self.df.withColumn(
+            "__p", F.when(pred, F.lit(1)).otherwise(F.lit(0))
+        )
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+        take = mode == "takewhile"
+
+        def handler(key, pdfs, state: GroupState):
+            # flipped=True once the predicate has failed for this key
+            flipped = state.get[0] if state.exists else False
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    if not flipped and row["__p"] == 0:
+                        flipped = True
+                    if flipped != take:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": row[value_col],
+                            }
+                        )
+            state.update((flipped,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = (
+            tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
+        )
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="flipped boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def takeuntil(self, notifier: "StreamFrame") -> DataFrame:
         """Streaming TakeUntil (select.py:79-99): pass source rows
         strictly before the notifier's first emit, per key. Cut state

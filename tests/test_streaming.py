@@ -1100,3 +1100,41 @@ def test_streaming_takeuntil_parity(spark, stream_dir):
     exp = {(r["user_id"], r["ts"], r["value"])
            for r in ef.takeuntil(nf).df.collect()}
     assert got == exp and got
+    # the cut must remove something, or the parity is vacuous
+    assert len(got) < df.filter(F.col("event_type") == "purchase").count()
+
+
+def test_streaming_takewhile_dropwhile_parity(spark, stream_dir):
+    """Streaming takewhile/dropwhile == batch forms row-for-row on an
+    ordered replay: prefix flag per key, flipped forever at the first
+    predicate failure; the flipping row drops from takewhile and opens
+    dropwhile."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    sf = _stream(spark, stream_dir)
+    pred = "value < 150"  # fixture values span ~0-330: the flag flips
+
+    out_t = sf.run_available_now(sink_df=sf.takewhile(pred), name="ek_tw")
+    got_t = {(r["user_id"], r["ts"], r["value"]) for r in out_t.collect()}
+    exp_t = {(r["user_id"], r["ts"], r["value"])
+             for r in ef.takewhile(pred).df.collect()}
+    assert got_t == exp_t
+
+    out_d = sf.run_available_now(sink_df=sf.dropwhile(pred), name="ek_dw")
+    got_d = {(r["user_id"], r["ts"], r["value"]) for r in out_d.collect()}
+    exp_d = {(r["user_id"], r["ts"], r["value"])
+             for r in ef.dropwhile(pred).df.collect()}
+    assert got_d == exp_d
+    # the predicate must actually flip, or this test proves nothing
+    assert got_d and len(got_t) < out_t.sparkSession.read.parquet(
+        stream_dir).count()
+    # the two partition the stream minus nothing: every row is in
+    # exactly one of (takewhile-kept, dropwhile-kept)... except the
+    # flipping row belongs only to dropwhile — already enforced by the
+    # row-for-row equalities above; sanity: no overlap
+    assert not (got_t & got_d)
