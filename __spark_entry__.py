@@ -3280,6 +3280,18 @@ def q_keyword_hits(spark, sf):
     )
 
 
+def q_phrase_hits(spark, sf):
+    # r7: multi-phrase matcher — ONE corpus scan for the whole phrase
+    # list (phrase_search looped would re-scan per phrase); broadcast
+    # (phrase, term-index, word) dim + the anchor aggregate.
+    from eventkit_spark.llm.text import phrase_hits
+
+    return phrase_hits(
+        load_table(spark, sf, "documents"),
+        ["table table", "fast table", "scan query", "the line sort"],
+    )
+
+
 def q_text_quality(spark, sf):
     from eventkit_spark.llm.text import fingerprint, lang_id, quality_score
 
@@ -3641,20 +3653,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-7 rotation
     # (VERIFIED by tests/test_frame.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-14: every never-driver-checked query — the four
+    # (1) positions 1-15: every never-driver-checked query — the five
     #     round-7 additions (unique_scaled, bpe_encode_bytes,
-    #     bpe_fertility_bytes, keyword_hits) and the ten round-6 additions that
+    #     bpe_fertility_bytes, keyword_hits, phrase_hits) and the ten
+    #     round-6 additions that
     #     missed r6's cutoff at positions 51-60 (bpe_vocab_bytes,
     #     opq_gain, ema_scaled, changes_scaled, previous_scaled,
     #     chunk_scaled, winnow, winnow_overlap, webdataset,
     #     seasonal_decompose). A green sweep makes every registered
     #     query driver-verified for the first time;
-    # (2) positions 15-22: re-verdicts for code changed THIS round —
+    # (2) positions 16-23: re-verdicts for code changed THIS round —
     #     last (max_by(struct) rewrite), hll_card/hll_by_key (60-bit
     #     fold), decontaminate (single-scan join route), bpe_encode/
     #     bpe_vocab (eager vocab checkpoint), profile (positional
     #     aliases), unique (scaled sibling landed);
-    # (3) positions 23-50: the 28 OLDEST green rows — core §2 selection/
+    # (3) positions 24-50: the 27 OLDEST green rows — core §2 selection/
     #     transform/combine/source ops last sampled r1-r2, whose shared
     #     machinery (_scaled_prologue, worder, frame plumbing) has been
     #     refactored since; a fresh verdict shields against silent
@@ -3666,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "bpe_fertility_bytes": q_bpe_fertility_bytes,
         "keyword_hits": q_keyword_hits,
+        "phrase_hits": q_phrase_hits,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
         "ema_scaled": q_ema_scaled,
@@ -4164,6 +4178,42 @@ def _bpe_fertility_sql(n: int) -> str:
            (sum(n_chars) * 1000 // sum(n_tokens))::BIGINT
              AS chars_per_token_milli
     FROM per GROUP BY lang"""
+
+
+def _phrase_hits_sql(phrases: list[str]) -> str:
+    """DuckDB replay of llm/text.phrase_hits: the same (pid, j, word)
+    term dimension as VALUES literals + the identical anchor aggregate
+    (count distinct term indexes at anchor p - j == phrase length)."""
+    terms, lens = [], []
+    for pid, ph in enumerate(phrases):
+        ws = ph.lower().split()
+        lens.append(f"({pid}, '{ph}', {len(ws)})")
+        for j, w in enumerate(ws):
+            terms.append(f"({pid}, {j}, '{w}')")
+    return rf"""
+            WITH terms(pid, j, w) AS (VALUES {', '.join(terms)}),
+            lens(pid, phrase, n) AS (VALUES {', '.join(lens)}),
+            arrs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, i AS p, ws[i+1] AS w
+              FROM arrs, unnest(generate_series(0, len(ws)-1)) AS t(i)
+            ),
+            hits AS (
+              SELECT doc_id, pid, p - j AS a, j
+              FROM toks JOIN terms USING (w)
+            ),
+            anch AS (
+              SELECT doc_id, pid, a, count(DISTINCT j) AS k
+              FROM hits WHERE a >= 0 GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, l.phrase, count(*)::BIGINT AS n_matches
+            FROM anch JOIN lens l USING (pid)
+            WHERE k = l.n
+            GROUP BY 1, 2"""
 
 
 def _bpe_fertility_bytes_sql(n: int) -> str:
@@ -7504,6 +7554,9 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE keyword IN ('the', 'data', 'model', 'training', 'quick')
             GROUP BY 1, 2""",
+        "phrase_hits": _phrase_hits_sql(
+            ["table table", "fast table", "scan query", "the line sort"]
+        ),
         "bpe_encode": _bpe_encode_sql(6),
         "bpe_fertility": _bpe_fertility_sql(6),
         # keyed HLL: per-group registers replay exactly; per-group

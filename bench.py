@@ -193,6 +193,7 @@ HEADLINE = [
     "bpe_encode_bytes",
     "bpe_fertility_bytes",
     "keyword_hits",
+    "phrase_hits",
 ]
 
 

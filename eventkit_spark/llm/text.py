@@ -740,6 +740,61 @@ def phrase_search(
     return anchors.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
 
 
+def phrase_hits(
+    docs: DataFrame,
+    phrases,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-phrase exact matching in ONE corpus scan — the batch
+    blocklist / quote-detection shape (``phrase_search`` generalized
+    from one phrase to hundreds: looping it would re-scan the corpus
+    per phrase).
+
+    Same anchor aggregation, phrase-tagged: the (phrase, term-index,
+    word) dimension is a driver-built BROADCAST table (kilobytes for
+    thousands of phrases), the token posexplode prunes against it
+    map-side before any exchange, each surviving hit of phrase i's
+    term j at position p votes for candidate anchor p - j, and one
+    (doc, phrase, anchor) aggregate keeps anchors holding ALL of the
+    phrase's distinct term indexes. Repeated words inside a phrase fan
+    out to every index they occupy; overlapping occurrences count
+    separately — identical semantics to phrase_search per phrase
+    (parity-tested).
+
+    Returns ``(id_col, phrase, n_matches)`` for docs with >= 1 match.
+    """
+    if not phrases:
+        raise ValueError("phrase_hits() needs a non-empty phrase list")
+    terms, lens = [], []
+    for pid, ph in enumerate(phrases):
+        words = str(ph).lower().split()
+        if not words:
+            raise ValueError(f"empty phrase at index {pid}")
+        lens.append((pid, str(ph), len(words)))
+        for j, w in enumerate(words):
+            terms.append((pid, j, w))
+    spark = docs.sparkSession
+    tdim = spark.createDataFrame(terms, "pid int, j int, w string")
+    ldim = spark.createDataFrame(lens, "pid int, phrase string, n int")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__p", "w"),
+    )
+    hits = toks.join(F.broadcast(tdim), "w")
+    anchors = (
+        hits.groupBy(F.col(id_col), "pid", (F.col("__p") - F.col("j")).alias("__a"))
+        .agg(F.count_distinct("j").alias("__k"))
+        .filter(F.col("__a") >= 0)
+    )
+    full = anchors.join(F.broadcast(ldim), "pid").filter(F.col("__k") == F.col("n"))
+    return full.groupBy(id_col, "phrase").agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
+
+
 def keyword_hits(
     docs: DataFrame,
     keywords,

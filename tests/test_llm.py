@@ -2162,3 +2162,37 @@ def test_keyword_hits(spark):
 
     plan = physical_plan(keyword_hits(docs, ["the"]))
     assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_hits_matches_phrase_search(spark):
+    """phrase_hits == phrase_search run per phrase (overlaps, repeated
+    words, absent phrases), in one corpus scan with broadcast dims."""
+    from eventkit_spark.llm.text import phrase_hits, phrase_search
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "again and again and again"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id int, text string",
+    )
+    phrases = ["cat sat", "again and again", "the cat sat", "missing phrase"]
+    got = {(r["doc_id"], r["phrase"]): r["n_matches"]
+           for r in phrase_hits(docs, phrases).collect()}
+    exp = {}
+    for ph in phrases:
+        for r in phrase_search(docs, ph).collect():
+            exp[(r["doc_id"], ph)] = r["n_matches"]
+    assert got == exp
+    # overlapping "again and again" occurs twice (anchors 0 and 2)
+    assert got[(2, "again and again")] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_hits(docs, [])
+
+    plan = physical_plan(phrase_hits(docs, phrases))
+    assert plan.count("BroadcastHashJoin") >= 2
