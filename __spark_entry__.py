@@ -3280,6 +3280,27 @@ def q_keyword_hits(spark, sf):
     )
 
 
+def q_normalize_text(spark, sf):
+    # r7: unicode NFC + whitespace cleanup (llm/text.normalize_text).
+    # The corpus is pure ASCII, so the contract SYNTHESIZES decomposed
+    # accents / stray whitespace deterministically from doc_id (the
+    # _synth_urls pattern) — composition, collapse and passthrough all
+    # occur and value-check; DuckDB replays NFC via nfc_normalize
+    # (both sides implement UAX #15).
+    from eventkit_spark.llm.text import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("  cafe\u0301 \t"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" A\u030a "))
+        .otherwise(F.lit(""))
+    )
+    synth = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return normalize_text(synth)
+
+
 def q_phrase_hits(spark, sf):
     # r7: multi-phrase matcher — ONE corpus scan for the whole phrase
     # list (phrase_search looped would re-scan per phrase); broadcast
@@ -3653,21 +3674,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-7 rotation
     # (VERIFIED by tests/test_frame.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-15: every never-driver-checked query — the five
+    # (1) positions 1-16: every never-driver-checked query — the six
     #     round-7 additions (unique_scaled, bpe_encode_bytes,
-    #     bpe_fertility_bytes, keyword_hits, phrase_hits) and the ten
-    #     round-6 additions that
+    #     bpe_fertility_bytes, keyword_hits, phrase_hits,
+    #     normalize_text) and the ten round-6 additions that
     #     missed r6's cutoff at positions 51-60 (bpe_vocab_bytes,
     #     opq_gain, ema_scaled, changes_scaled, previous_scaled,
     #     chunk_scaled, winnow, winnow_overlap, webdataset,
     #     seasonal_decompose). A green sweep makes every registered
     #     query driver-verified for the first time;
-    # (2) positions 16-23: re-verdicts for code changed THIS round —
+    # (2) positions 17-24: re-verdicts for code changed THIS round —
     #     last (max_by(struct) rewrite), hll_card/hll_by_key (60-bit
     #     fold), decontaminate (single-scan join route), bpe_encode/
     #     bpe_vocab (eager vocab checkpoint), profile (positional
     #     aliases), unique (scaled sibling landed);
-    # (3) positions 24-50: the 27 OLDEST green rows — core §2 selection/
+    # (3) positions 25-50: the 26 OLDEST green rows — core §2 selection/
     #     transform/combine/source ops last sampled r1-r2, whose shared
     #     machinery (_scaled_prologue, worder, frame plumbing) has been
     #     refactored since; a fresh verdict shields against silent
@@ -3680,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility_bytes": q_bpe_fertility_bytes,
         "keyword_hits": q_keyword_hits,
         "phrase_hits": q_phrase_hits,
+        "normalize_text": q_normalize_text,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
         "ema_scaled": q_ema_scaled,
@@ -7554,6 +7576,21 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE keyword IN ('the', 'data', 'model', 'training', 'quick')
             GROUP BY 1, 2""",
+        "normalize_text": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 3 = 0
+                         THEN '  cafe' || chr(769) || ' ' || chr(9)
+                       WHEN doc_id % 3 = 1
+                         THEN ' A' || chr(778) || ' '
+                       ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                     AS text
+            FROM synth""",
         "phrase_hits": _phrase_hits_sql(
             ["table table", "fast table", "scan query", "the line sort"]
         ),

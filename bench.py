@@ -194,6 +194,7 @@ HEADLINE = [
     "bpe_fertility_bytes",
     "keyword_hits",
     "phrase_hits",
+    "normalize_text",
 ]
 
 

@@ -740,6 +740,53 @@ def phrase_search(
     return anchors.groupBy(id_col).agg(F.count("*").cast("long").alias("n_matches"))
 
 
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode normalization + whitespace cleanup — the standard first
+    preprocessing pass of a text pipeline (decomposed accents, ligature
+    and width variants, stray control whitespace all collapse to one
+    canonical byte form, so hashes/dedup/shingles downstream see ONE
+    representation of visually-identical text).
+
+    ``form`` is any unicodedata form (NFC default; NFKC folds
+    compatibility variants too). Spark has no normalization builtin, so
+    this is one Arrow kernel per partition (pandas string pass) —
+    ZERO shuffles, parallelism = input splits. ``collapse_ws`` also
+    squeezes runs of whitespace to single spaces and trims (the C4/
+    CCNet convention). Returns ``(id_col, text_col)`` with the text
+    replaced.
+
+    The NFC form replays in DuckDB (``nfc_normalize`` — both sides
+    implement UAX #15), which is what gives the driver contract a full
+    value oracle.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    src = docs.select(F.col(id_col), F.col(text_col))
+    schema = src.schema
+
+    def kernel(batches):
+        for pdf in batches:
+            txt = pdf[text_col].map(
+                lambda s: None
+                if s is None
+                else unicodedata.normalize(form, s)
+            )
+            if collapse_ws:
+                txt = txt.str.replace(r"\s+", " ", regex=True).str.strip()
+            pdf[text_col] = txt
+            yield pdf
+
+    return src.mapInPandas(kernel, schema)
+
+
 def phrase_hits(
     docs: DataFrame,
     phrases,

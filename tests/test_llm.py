@@ -2196,3 +2196,39 @@ def test_phrase_hits_matches_phrase_search(spark):
 
     plan = physical_plan(phrase_hits(docs, phrases))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_normalize_text(spark):
+    """normalize_text: NFC composes decomposed accents, NFKC folds
+    compatibility forms, whitespace collapses, NULLs survive, and the
+    plan is a pure scan + one Arrow kernel (no exchange)."""
+    from eventkit_spark.llm.text import normalize_text
+    from eventkit_spark.plans.audit import plan_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "café  du\t\n monde "),
+            (2, "ﬁne Ａwide"),   # ﬁ ligature + fullwidth A
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    nfc = {r["doc_id"]: r["text"] for r in normalize_text(docs).collect()}
+    assert nfc[1] == "café du monde"
+    assert nfc[2] == "ﬁne Ａwide"  # NFC keeps compatibility chars
+    assert nfc[3] is None
+
+    nfkc = {r["doc_id"]: r["text"]
+            for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[2] == "fine Awide"
+
+    raw = {r["doc_id"]: r["text"]
+           for r in normalize_text(docs, collapse_ws=False).collect()}
+    assert raw[1] == "caf\u00e9  du\t\n monde "
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text(docs, form="NFX")
+
+    assert plan_report(normalize_text(docs))["exchanges"] == 0
