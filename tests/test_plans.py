@@ -106,6 +106,12 @@ SHUFFLE_CEILING = {
     # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
     # + ONE min_by(struct) dedup aggregate; no join-back branch
     "unique_scaled": 4,
+    # r7 text ops: keyword dim distinct + (doc,kw) agg; phrase anchors
+    # agg + final agg + the tiny dim distinct; normalize is a pure
+    # scan + Arrow kernel
+    "keyword_hits": 2,
+    "phrase_hits": 3,
+    "normalize_text": 0,
     "cms_counts": 6,
     "hll_card": 7,
     "hll_by_key": 7,
