@@ -88,11 +88,14 @@ def q_take(spark, sf):
 
 
 def q_takewhile(spark, sf):
-    return _out(_ev(spark, sf).takewhile("value < 450"), "event_id", "user_id", "value")
+    # r7: predicate re-cut to value < 150 — the current testdata tops
+    # out at ~330, so the old 450 cut never flipped and the contract
+    # was vacuous (takewhile == identity, dropwhile == empty)
+    return _out(_ev(spark, sf).takewhile("value < 150"), "event_id", "user_id", "value")
 
 
 def q_dropwhile(spark, sf):
-    return _out(_ev(spark, sf).dropwhile("value < 450"), "event_id", "user_id", "value")
+    return _out(_ev(spark, sf).dropwhile("value < 150"), "event_id", "user_id", "value")
 
 
 def q_changes(spark, sf):
@@ -172,7 +175,7 @@ def q_takewhile_scaled(spark, sf):
     # identical to the sequential form, so the oracle is the plain
     # cumulative-min window.
     ef = _unkeyed_ev(spark, sf)
-    return ef.takewhile("value < 400", scaled=True).df.select(
+    return ef.takewhile("value < 300", scaled=True).df.select(
         "event_id", "value"
     )
 
@@ -846,12 +849,15 @@ def q_dsir(spark, sf):
 
 def q_tfidf_cosine(spark, sf):
     # all-pairs sparse cosine over tf-idf vectors (posting-list form;
-    # max_df exercises the hot-term df-prune guard)
+    # max_df exercises the hot-term df-prune guard). r7: max_df is
+    # CORPUS-PROPORTIONAL (40% of docs, floor 50) — the fixed 200
+    # pruned every term of the small-vocab corpus at sf0.1 and the
+    # contract returned 0 rows there (vacuous green)
     from eventkit_spark.llm.sampling import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(
-        load_table(spark, sf, "documents"), threshold=0.3, max_df=200
-    )
+    docs = load_table(spark, sf, "documents")
+    max_df = max(50, int(docs.count() * 0.4))
+    return tfidf_cosine_pairs(docs, threshold=0.3, max_df=max_df)
 
 
 def q_kmeans(spark, sf):
@@ -1157,7 +1163,9 @@ def q_fork_merge(spark, sf):
 
 
 def q_any_all(spark, sf):
-    ef = _ev(spark, sf).map(lambda v: v > 400, names=["value"])
+    # r7: cut moved 400 -> 250 (current testdata tops at ~330; at 400
+    # only one corpus row was true, leaving rall near-constant)
+    ef = _ev(spark, sf).map(lambda v: v > 250, names=["value"])
     out = ef.running_multi("any", "all")
     return out.df.select(
         "event_id", "user_id", F.col("any").alias("rany"), F.col("all").alias("rall")
@@ -2205,7 +2213,11 @@ def q_tpch_q11(spark, sf):
     aggregate is ONE partkey exchange with map-side partials; at real
     scale the cents sums stay < 2^63 until ~1e14 rows (switch to
     decimal(38,0) beyond)."""
-    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    # r7: NATION_8 (has suppliers at EVERY test SF; NATION_7 had none
+    # at sf0.001) and a scale-free cut — parts worth > 2x the mean part
+    # value — so the contract is non-vacuous at any SF (the original's
+    # fixed 0.1%-of-total returned 0 rows at sf0.001 and sf0.1)
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_8")
     s = load_table(spark, sf, "supplier").join(
         F.broadcast(n.select("n_nationkey")),
         F.col("s_nationkey") == F.col("n_nationkey"),
@@ -2219,10 +2231,12 @@ def q_tpch_q11(spark, sf):
         .groupBy("l_partkey")
         .agg(F.sum(val_c).alias("value_cents"))
     )
-    total = per_part.agg(F.sum("value_cents").alias("__total"))
+    total = per_part.agg(
+        F.sum("value_cents").alias("__total"), F.count("*").alias("__np")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_cents") * 1000 > F.col("__total"))
+        .filter(F.col("value_cents") * F.col("__np") > 2 * F.col("__total"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
     )
 
@@ -2373,8 +2387,11 @@ def q_semi_join(spark, sf):
 
 
 def q_anti_join(spark, sf):
+    # r7: anti-join against the HIGH-QUANTITY lineitem slice — every
+    # part is referenced by some lineitem in this testdata, so the
+    # unfiltered form returned 0 rows at every SF (a vacuous green)
     p = load_table(spark, sf, "part")
-    li = load_table(spark, sf, "lineitem")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
     return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
 
 
@@ -3203,13 +3220,15 @@ def q_top_ngrams(spark, sf):
 
 def q_phrase_search(spark, sf):
     """Positional inverted-index phrase match (llm/text.py
-    phrase_search): docs containing 'slow hash batch' consecutively,
+    phrase_search): docs containing 'table table key' consecutively
+    (r7: re-cut from 'slow hash batch', absent at sf0.001 — the
+    contract now matches at EVERY test SF),
     with occurrence counts. Single-pass anchor aggregation — the
     posting-list prune drops every non-phrase token BEFORE the
     exchange; no n-way join. Oracle: sliding-window trigram equality."""
     from eventkit_spark.llm.text import phrase_search
 
-    return phrase_search(load_table(spark, sf, "documents"), "slow hash batch")
+    return phrase_search(load_table(spark, sf, "documents"), "table table key")
 
 
 def q_corpus_report(spark, sf):
@@ -4495,13 +4514,13 @@ def oracle_sql() -> dict[str, str]:
         "takewhile": f"""
             SELECT event_id, user_id, value FROM (
               SELECT event_id, user_id, value,
-                     min(CASE WHEN value < 450 THEN 1 ELSE 0 END) OVER ({_CUM}) ok
+                     min(CASE WHEN value < 150 THEN 1 ELSE 0 END) OVER ({_CUM}) ok
               FROM events
             ) WHERE ok = 1""",
         "dropwhile": f"""
             SELECT event_id, user_id, value FROM (
               SELECT event_id, user_id, value,
-                     max(CASE WHEN value < 450 THEN 0 ELSE 1 END) OVER ({_CUM}) started
+                     max(CASE WHEN value < 150 THEN 0 ELSE 1 END) OVER ({_CUM}) started
               FROM events
             ) WHERE started = 1""",
         "changes": f"""
@@ -4582,7 +4601,7 @@ def oracle_sql() -> dict[str, str]:
         "takewhile_scaled": """
             SELECT event_id, value FROM (
               SELECT event_id, value,
-                     min(CASE WHEN value < 400 THEN 1 ELSE 0 END) OVER (
+                     min(CASE WHEN value < 300 THEN 1 ELSE 0 END) OVER (
                        ORDER BY event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                      ) AS ok
@@ -4840,8 +4859,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY user_id HAVING max(value) > 180""",
         "any_all": f"""
             SELECT event_id, user_id,
-                   max(CASE WHEN value > 400 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rany,
-                   min(CASE WHEN value > 400 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rall
+                   max(CASE WHEN value > 250 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rany,
+                   min(CASE WHEN value > 250 THEN 1 ELSE 0 END) OVER ({_CUM}) = 1 AS rall
             FROM events""",
         "product_trailing": f"""
             SELECT event_id, user_id,
@@ -5132,7 +5151,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
         "anti_join": """
             SELECT p_partkey, p_name FROM part
-            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey AND l_quantity > 45)""",
         "distinct_agg": """
             SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
                    round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
@@ -6854,11 +6874,12 @@ def oracle_sql() -> dict[str, str]:
               JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation   ON s_nationkey = n_nationkey
               JOIN part     ON l_partkey = p_partkey
-              WHERE n_name = 'NATION_7'
+              WHERE n_name = 'NATION_8'
               GROUP BY l_partkey)
             SELECT l_partkey AS p_partkey, value_cents
             FROM per_part
-            WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)""",
+            WHERE value_cents * (SELECT count(*) FROM per_part)
+                  > 2 * (SELECT sum(value_cents) FROM per_part)""",
         "tpch_q16": """
             SELECT p_brand, p_type, p_size,
                    count(DISTINCT l_suppkey) AS supplier_cnt
@@ -7184,7 +7205,8 @@ def oracle_sql() -> dict[str, str]:
             ), nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
             wn AS (
               SELECT w.id, term, w.w, nrm.nrm FROM w JOIN nrm ON w.id = nrm.id
-              WHERE df <= 200
+              CROSS JOIN n
+              WHERE df <= greatest(50, (n_docs * 0.4)::BIGINT)
             ), p AS (
               SELECT a.id AS id_a, b.id AS id_b,
                      sum(a.w * b.w) / (any_value(a.nrm) * any_value(b.nrm)) AS cos
@@ -7438,7 +7460,7 @@ def oracle_sql() -> dict[str, str]:
               FROM words
             )
             SELECT doc_id, count(*)::BIGINT AS n_matches
-            FROM occ WHERE g = 'slow hash batch' GROUP BY doc_id""",
+            FROM occ WHERE g = 'table table key' GROUP BY doc_id""",
         "top_ngrams": r"""
             WITH joined AS (
               SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
