@@ -129,3 +129,14 @@ def test_multimodal_shards_example(spark, tmp_path):
     assert stats["after_dedup"] == n_distinct <= n
     assert stats["feature_rows"] == stats["after_dedup"]
     assert stats["out_samples"] == stats["after_dedup"]
+
+
+def test_content_moderation_end_to_end(spark):
+    import content_moderation
+
+    stats = content_moderation.run(
+        spark, "/root/testdata/sf0.001", report=lambda *_: None
+    )
+    assert 0 < stats["kept"] < stats["input"]  # the gate actually fires
+    assert stats["flagged_terms"] > 0 and stats["flagged_phrases"] > 0
+    assert stats["profiled_columns"] >= 4
