@@ -2627,6 +2627,15 @@ def q_fuzzy_dedup(spark, sf):
     return fuzzy_dedup(load_table(spark, sf, "documents"))
 
 
+def q_dedup_report(spark, sf):
+    # r7: the removal-rate artifact over the fuzzy_dedup labeling —
+    # cluster-size histogram with keep-one-per-cluster removal counts;
+    # two kilobyte-bounded aggregates on top of the verified pipeline.
+    from eventkit_spark.llm.dedup import dedup_report, fuzzy_dedup
+
+    return dedup_report(fuzzy_dedup(load_table(spark, sf, "documents")))
+
+
 def q_dedup_safe_split(spark, sf):
     # leakage-safe train/val/test split: the hash key is the near-dup
     # COMPONENT (the oracle-proven fuzzy_dedup cluster labels), so a
@@ -3693,21 +3702,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-7 rotation
     # (VERIFIED by tests/test_frame.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-16: every never-driver-checked query — the six
+    # (1) positions 1-17: every never-driver-checked query — the seven
     #     round-7 additions (unique_scaled, bpe_encode_bytes,
     #     bpe_fertility_bytes, keyword_hits, phrase_hits,
-    #     normalize_text) and the ten round-6 additions that
+    #     normalize_text, dedup_report) and the ten round-6 additions that
     #     missed r6's cutoff at positions 51-60 (bpe_vocab_bytes,
     #     opq_gain, ema_scaled, changes_scaled, previous_scaled,
     #     chunk_scaled, winnow, winnow_overlap, webdataset,
     #     seasonal_decompose). A green sweep makes every registered
     #     query driver-verified for the first time;
-    # (2) positions 17-24: re-verdicts for code changed THIS round —
+    # (2) positions 18-25: re-verdicts for code changed THIS round —
     #     last (max_by(struct) rewrite), hll_card/hll_by_key (60-bit
     #     fold), decontaminate (single-scan join route), bpe_encode/
     #     bpe_vocab (eager vocab checkpoint), profile (positional
     #     aliases), unique (scaled sibling landed);
-    # (3) positions 25-50: the 26 OLDEST green rows — core §2 selection/
+    # (3) positions 26-50: the 25 OLDEST green rows — core §2 selection/
     #     transform/combine/source ops last sampled r1-r2, whose shared
     #     machinery (_scaled_prologue, worder, frame plumbing) has been
     #     refactored since; a fresh verdict shields against silent
@@ -3721,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_hits": q_keyword_hits,
         "phrase_hits": q_phrase_hits,
         "normalize_text": q_normalize_text,
+        "dedup_report": q_dedup_report,
         "bpe_vocab_bytes": q_bpe_vocab_bytes,
         "opq_gain": q_opq_gain,
         "ema_scaled": q_ema_scaled,
@@ -5684,6 +5694,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
             FROM reach GROUP BY id""",
+        "dedup_report": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+                  ELSE [array_to_string(w, ' ')] END) AS shingle
+              FROM words
+            ), sizes AS (
+              SELECT doc_id, count(*) n FROM sh GROUP BY doc_id
+            ), hot AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64
+            ), shp AS (
+              SELECT sh.* FROM sh ANTI JOIN hot USING (shingle)
+            ), inter AS (
+              SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+              FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE common / (sa.n + sb.n - common) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), clusters AS (
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), per AS (
+              SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM clusters GROUP BY cluster_id
+            )
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                   (cluster_size * count(*))::BIGINT AS n_docs,
+                   ((cluster_size - 1) * count(*))::BIGINT AS n_removed
+            FROM per GROUP BY cluster_size""",
         # fuzzy_dedup's component chain + the split_by_hash CASE keyed
         # by cluster_id: near-dups co-assign to one split by value
         "dedup_safe_split": r"""

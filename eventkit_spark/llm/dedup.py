@@ -1525,6 +1525,36 @@ def fuzzy_dedup(
     )
 
 
+def dedup_report(labels: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster-size histogram of a dedup labeling — the removal-rate
+    artifact a curator reviews BEFORE committing a dedup pass (how many
+    exact/near-dup clusters exist, how big, how many docs a
+    keep-one-per-cluster policy deletes). Takes any
+    ``(id, cluster_id, ...)`` frame (``fuzzy_dedup`` /
+    ``semantic_dedup`` / ``central_dedup`` output) and returns one row
+    per cluster SIZE: ``(cluster_size, n_clusters, n_docs,
+    n_removed)`` where n_removed assumes keep-one-per-cluster.
+
+    Scale shape: two partial-combined hash aggregates — per-cluster
+    count (one shuffle on cluster_id) then the per-size rollup
+    (#distinct sizes rows, kilobytes at any corpus)."""
+    per = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        per.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def jaccard_verify(
     docs: DataFrame,
     pairs: DataFrame,

@@ -2232,3 +2232,17 @@ def test_normalize_text(spark):
         normalize_text(docs, form="NFX")
 
     assert plan_report(normalize_text(docs))["exchanges"] == 0
+
+
+def test_dedup_report(spark):
+    """dedup_report: per-size histogram with keep-one-per-cluster
+    removal counts, from any (id, cluster_id) labeling."""
+    from eventkit_spark.llm.dedup import dedup_report
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id int, cluster_id int",
+    )
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removed"])
+           for r in dedup_report(labels).collect()}
+    assert got == {3: (1, 3, 2), 1: (1, 1, 0), 2: (1, 2, 1)}
