@@ -624,6 +624,81 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def enumerate(self, start: int = 0, step: int = 1) -> DataFrame:
+        """Streaming Enumerate (transform.py:38-50): prepend a running
+        per-key index — the counter state machine, emitting
+        ``(keys, ts, i, value)`` with i = start + step * arrival_rank.
+        Row-for-row batch parity on ordered replays."""
+        return self._counter_rows(start, step, keep_value=True)
+
+    def count(self, start: int = 0, step: int = 1) -> DataFrame:
+        """Streaming Count (aggregate.py:10-15): replace the payload
+        with the running per-key count."""
+        return self._counter_rows(start, step, keep_value=False)
+
+    def _counter_rows(self, start: int, step: int, keep_value: bool) -> DataFrame:
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = _keys_prefix(self.df, keys) + (
+            f"{ts_col} {_sql_type(self.df, ts_col)}, i long, value {vt}"
+            if keep_value
+            else f"{ts_col} {_sql_type(self.df, ts_col)}, value long"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            seen = state.get[0] if state.exists else 0
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    i = start + step * seen
+                    rec = {**{k: row[k] for k in keys}, ts_col: row[ts_col]}
+                    if keep_value:
+                        rec["i"] = i
+                        rec["value"] = row[value_col]
+                    else:
+                        rec["value"] = i
+                    outs.append(rec)
+                    seen += 1
+            state.update((seen,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def last(self) -> DataFrame:
+        """Streaming Last: the per-key latest payload as a native
+        streaming aggregation — ``max_by(struct(ts, value), ts)`` whose
+        state is ONE struct per key forever. Run the returned frame in
+        ``update``/``complete`` output mode (each trigger re-emits the
+        keys whose latest changed); the batch ``last()`` over the same
+        rows equals the final complete-mode table (parity-tested).
+        The batch-only caveat this replaces ('Last needs bounded
+        input') holds only for append mode — update mode is the
+        unbounded answer."""
+        value_col = self.value_cols[0]
+        keys = [F.col(k) for k in self.key_cols]
+        payload = F.struct(
+            F.col(self.ts_col).alias("ts"), F.col(value_col).alias("v")
+        )
+        agg = self.df.groupBy(*keys).agg(
+            F.max_by(payload, F.col(self.ts_col)).alias("__w")
+        )
+        return agg.select(
+            *self.key_cols,
+            F.col("__w.ts").alias(self.ts_col),
+            F.col("__w.v").alias(value_col),
+        )
+
     def takewhile(self, predicate) -> DataFrame:
         """Streaming TakeWhile (select.py:49-61): pass rows until the
         predicate first fails, then nothing forever. The predicate

@@ -1138,3 +1138,60 @@ def test_streaming_takewhile_dropwhile_parity(spark, stream_dir):
     # flipping row belongs only to dropwhile — already enforced by the
     # row-for-row equalities above; sanity: no overlap
     assert not (got_t & got_d)
+
+
+def test_streaming_enumerate_count_parity(spark, stream_dir):
+    """Streaming enumerate/count == batch forms row-for-row on an
+    ordered replay (per-key counter state; start/step honored)."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    sf = _stream(spark, stream_dir)
+
+    out_e = sf.run_available_now(sink_df=sf.enumerate(start=3, step=2),
+                                 name="ek_enum")
+    got_e = {(r["user_id"], r["ts"]): (r["i"], r["value"])
+             for r in out_e.collect()}
+    exp_e = {(r["user_id"], r["ts"]): (r["i"], r["value"])
+             for r in ef.enumerate(start=3, step=2).df.collect()}
+    assert got_e == exp_e
+
+    out_c = sf.run_available_now(sink_df=sf.count(start=1), name="ek_cnt")
+    got_c = {(r["user_id"], r["ts"]): r["value"] for r in out_c.collect()}
+    exp_c = {(r["user_id"], r["ts"]): r["value"]
+             for r in ef.count(start=1).df.collect()}
+    assert got_c == exp_c
+
+
+def test_streaming_last_complete_mode(spark, stream_dir):
+    """Streaming last (max_by aggregate, update/complete mode): the
+    final complete-mode table equals batch last() on the same rows."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    sf = _stream(spark, stream_dir)
+    q = (
+        sf.last()
+        .writeStream.format("memory")
+        .queryName("ek_last")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"]): (r["ts"], r["value"])
+           for r in spark.sql("SELECT * FROM ek_last").collect()}
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    # batch last orders by seq; the stream aggregates by ts — the
+    # fixture's (event_id, ts) orders agree, so compare by ts directly
+    exp = {r["user_id"]: (r["ts"], r["value"])
+           for r in ef.last().df.collect()}
+    assert got == exp and got
