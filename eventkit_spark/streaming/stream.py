@@ -699,6 +699,50 @@ class StreamFrame:
             F.col("__w.v").alias(value_col),
         )
 
+    def previous(self, count: int = 1) -> DataFrame:
+        """Streaming Previous (transform.py:130-141): emit the value
+        from ``count`` rows back per key, starting once available.
+        State = a bounded deque of the last ``count`` values (array
+        column, the zip/throttle state discipline). Row-for-row batch
+        parity on ordered replays."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            buf = list(state.get[0]) if state.exists else []
+            outs = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col)
+                for _, row in pdf.iterrows():
+                    if len(buf) == count:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": buf[0],
+                            }
+                        )
+                        buf.pop(0)
+                    buf.append(row[value_col])
+            state.update((buf,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=f"buf array<{vt}>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def takewhile(self, predicate) -> DataFrame:
         """Streaming TakeWhile (select.py:49-61): pass rows until the
         predicate first fails, then nothing forever. The predicate

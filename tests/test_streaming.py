@@ -1195,3 +1195,22 @@ def test_streaming_last_complete_mode(spark, stream_dir):
     exp = {r["user_id"]: (r["ts"], r["value"])
            for r in ef.last().df.collect()}
     assert got == exp and got
+
+
+def test_streaming_previous_parity(spark, stream_dir):
+    """Streaming previous(count) == batch previous row-for-row on an
+    ordered replay (bounded deque state per key)."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    sf = _stream(spark, stream_dir)
+    for n, tag in ((1, "ek_pv1"), (3, "ek_pv3")):
+        out = sf.run_available_now(sink_df=sf.previous(n), name=tag)
+        got = {(r["user_id"], r["ts"]): r["value"] for r in out.collect()}
+        exp = {(r["user_id"], r["ts"]): r["value"]
+               for r in ef.previous(n).df.collect()}
+        assert got == exp and got, n
