@@ -767,6 +767,19 @@ def contamination(
     shuffle of document text (the join carries 8-byte hashes); the
     training side still pays one (id, shingle) ``distinct`` exchange.
 
+    NOT LAZY: like the bloom form, ``method="join"`` (and ``"auto"``
+    when it routes there) runs Spark jobs AT CALL TIME — the heldout
+    shingle pass executes before this function returns. And
+    ``localCheckpoint`` is NOT fault-tolerant: the checkpointed heldout
+    set lives in executor block storage, so an executor loss after the
+    call invalidates the returned plan (re-call to rebuild). For
+    long-running pipelines on preemptible nodes, either set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap in
+    ``checkpoint(eager=True)``, or collect the heldout hashes to a
+    broadcast literal when they fit on the driver. The default favors
+    the common shape — short decontamination jobs where a re-run is
+    cheaper than HDFS checkpoint writes.
+
     ``method="bloom"``: the 100 TB form. Heldout distinct shingle hashes
     are packed into a Bloom filter sized for ``fpp`` BY A DISTRIBUTED
     bit_or AGGREGATE (per-batch partial blooms OR-merged map-side; the
@@ -1397,7 +1410,13 @@ def substring_dedup(
     64-bit window-hash collisions are the standard corpus-dedup
     assumption (cf. exact_dedup).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text would otherwise poison the rebuild: split(NULL) is NULL,
+    # size(NULL) is -1/NULL, and F.sequence(0, n_tok - 1) with a negative
+    # stop infers step=-1 and fabricates positions (round-7 ADVICE, low).
+    # Normalize to an empty token array so degenerate docs flow through
+    # every arm as n_tok=0 -> no windows, no removals, empty text.
+    toks_raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.coalesce(toks_raw, F.array().cast("array<string>"))
     base = docs.select(
         F.col(id_col).alias("id"),
         toks.alias("__toks"),
@@ -1443,8 +1462,11 @@ def substring_dedup(
         .groupBy("id")
         .agg(F.collect_set("pos").alias("__rem"))
     )
+    # guard n_tok > 0: sequence(0, -1) would infer step=-1 -> [0, -1]
     kept_pos = F.array_except(
-        F.sequence(F.lit(0), F.col("n_tok") - 1),
+        F.when(
+            F.col("n_tok") > 0, F.sequence(F.lit(0), F.col("n_tok") - 1)
+        ).otherwise(F.array().cast("array<int>")),
         F.coalesce(F.col("__rem"), F.array().cast("array<int>")),
     )
     return (

@@ -275,7 +275,18 @@ def hll_registers(
         bucket.cast("int").alias("bucket"),
         rank.cast("int").alias("rank"),
     )
-    return per.groupBy(*by, "bucket").agg(F.max("rank").alias("reg"))
+    # FORMAT MARKER: the fold widened 31 -> 60 bits in round 7, which
+    # changes every (bucket, reg) value — registers persisted before the
+    # change merge without error but estimate garbage. Stamp the fold
+    # width + p into the reg column's metadata (survives parquet and
+    # Delta round-trips via the Spark schema); hll_union refuses an
+    # explicit mismatch. Tables sunk on the old format carry no stamp —
+    # treat unstamped tables of unknown provenance as suspect.
+    return per.groupBy(*by, "bucket").agg(
+        F.max("rank").alias(
+            "reg", metadata={"hll_fold_bits": _HLL_BITS, "hll_p": p}
+        )
+    )
 
 
 def hll_estimate(
@@ -320,11 +331,30 @@ def hll_estimate(
 def hll_union(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
     """Register table of the UNION of two sketches (same p): cell-wise
     max — exact with respect to the sketch (the union sketch equals
-    the sketch of the unioned streams; unit-pinned)."""
+    the sketch of the unioned streams; unit-pinned).
+
+    Refuses to merge register tables whose ``reg`` metadata stamps
+    disagree (fold width or p): the round-7 fold widening (31 -> 60
+    bits) changed every persisted register value, and a silent
+    mixed-format max() would estimate garbage. Unstamped tables
+    (pre-r7 sinks, or schemas laundered through metadata-dropping
+    transforms) are accepted as-is — the stamp is a tripwire, not a
+    proof of provenance."""
+    meta_a = dict(regs_a.schema["reg"].metadata or {})
+    meta_b = dict(regs_b.schema["reg"].metadata or {})
+    for key in ("hll_fold_bits", "hll_p"):
+        if key in meta_a and key in meta_b and meta_a[key] != meta_b[key]:
+            raise ValueError(
+                f"hll_union: incompatible register formats — {key}="
+                f"{meta_a[key]} vs {meta_b[key]} (the 60-bit fold of "
+                "round 7 is not merge-compatible with earlier sketches; "
+                "rebuild the older register table from its source rows)"
+            )
+    out_meta = meta_a or meta_b
     return (
         regs_a.unionByName(regs_b)
         .groupBy("bucket")
-        .agg(F.max("reg").alias("reg"))
+        .agg(F.max("reg").alias("reg", metadata=out_meta))
     )
 
 

@@ -346,6 +346,34 @@ def test_substring_dedup_spans(spark):
     assert out2[2]["n_removed"] == 26 and out2[2]["text"] == ""
 
 
+def test_substring_dedup_degenerate_docs(spark):
+    """NULL / empty / short-of-one-window docs flow through unharmed
+    (round-7 ADVICE, low: split(NULL) -> NULL tokens used to feed
+    sequence(0, -2), fabricating negative n_removed and positions)."""
+    from eventkit_spark.llm.dedup import substring_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "short doc"),
+            (4, "alpha " + boiler),
+            (5, "omega " + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, window=10).collect()}
+    assert len(out) == 5  # every input doc reported, degenerate or not
+    assert out[1]["n_tokens"] == 0 and out[1]["n_removed"] == 0
+    assert out[1]["text"] == ""
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0 and out[3]["text"] == "short doc"
+    # the real dedup still fires alongside the degenerates
+    assert out[4]["n_removed"] == 0
+    assert out[5]["n_removed"] == 13 and out[5]["text"] == "omega"
+
+
 def test_perplexity_buckets_ordering(spark):
     """Within each language every head score >= every middle >= every
     tail, and all three buckets are populated for the big languages."""
@@ -1404,6 +1432,46 @@ def test_hll_registers_and_estimate(spark):
              kdf.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()}
     for g, n in truth.items():
         assert abs(ests[g] - n) <= 0.2 * n, (g, ests[g], n)
+
+
+def test_hll_register_format_stamp(spark, tmp_path):
+    """Round-7 ADVICE (low): the r7 fold widening (31 -> 60 bits)
+    changed every persisted register value, so register tables carry a
+    format stamp in the ``reg`` column metadata that (a) survives a
+    parquet round-trip and (b) makes hll_union refuse an explicit
+    mismatch instead of silently max-merging incompatible sketches."""
+    import pytest
+
+    from eventkit_spark.llm.sketch import _HLL_BITS, hll_registers, hll_union
+
+    df = spark.createDataFrame([(f"item{i}",) for i in range(2000)], ["k"])
+    regs = hll_registers(df, "k", p=9)
+    assert regs.schema["reg"].metadata == {"hll_fold_bits": _HLL_BITS, "hll_p": 9}
+
+    path = str(tmp_path / "regs")
+    regs.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema["reg"].metadata["hll_fold_bits"] == _HLL_BITS
+
+    # same-format merge works and propagates the stamp
+    u = hll_union(back, regs)
+    assert u.schema["reg"].metadata["hll_fold_bits"] == _HLL_BITS
+
+    # a table stamped with the legacy fold refuses to merge
+    legacy = regs.withColumn(
+        "reg", F.col("reg").alias("reg", metadata={"hll_fold_bits": 31, "hll_p": 9})
+    )
+    with pytest.raises(ValueError, match="fold"):
+        hll_union(regs, legacy)
+    # mismatched p likewise
+    p10 = regs.withColumn(
+        "reg", F.col("reg").alias("reg", metadata={"hll_fold_bits": _HLL_BITS, "hll_p": 10})
+    )
+    with pytest.raises(ValueError, match="hll_p"):
+        hll_union(regs, p10)
+    # unstamped (pre-stamp provenance unknown) is accepted as-is
+    bare = spark.createDataFrame(regs.collect(), "bucket int, reg int")
+    assert hll_union(regs, bare).count() > 0
 
 
 def test_hll_estimator_billion_scale(spark):

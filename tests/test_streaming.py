@@ -1214,3 +1214,56 @@ def test_streaming_previous_parity(spark, stream_dir):
         exp = {(r["user_id"], r["ts"]): r["value"]
                for r in ef.previous(n).df.collect()}
         assert got == exp and got, n
+
+
+def test_streaming_chunk_spanning_group_order(spark, stream_dir, tmp_path):
+    """Round-7 ADVICE (medium): a key group whose micro-batch spans
+    multiple Arrow chunks must still replay in event-time order — the
+    stateful handlers sort ONCE across the drained chunk iterator
+    (``_sorted_chunks``), not per chunk. Force the condition: scramble
+    the source file order AND shrink ``arrow.maxRecordsPerBatch`` below
+    the per-user row count, then pin enumerate (full per-row ordering)
+    and take (prefix cut) parity against batch."""
+    from eventkit_spark.sources.tables import from_dataframe
+    from eventkit_spark.streaming import file_stream
+
+    src = spark.read.parquet(stream_dir)
+    scrambled = str(tmp_path / "scrambled")
+    # ts-DESCENDING write: per-chunk sorting would emit each chunk's
+    # newest-first tail as the "prefix" — maximally wrong ordering
+    src.orderBy(F.desc("ts")).coalesce(1).write.parquet(scrambled)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try:
+        sf = file_stream(
+            spark, scrambled,
+            schema=("event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"),
+            value_cols=["value"], ts_col="ts", key_cols=["user_id"],
+        )
+        out_e = sf.run_available_now(sink_df=sf.enumerate(start=0, step=1),
+                                     name="ek_chunkspan_e")
+        got_e = {(r["user_id"], r["ts"]): (r["i"], r["value"])
+                 for r in out_e.collect()}
+        out_t = sf.run_available_now(sink_df=sf.take(3),
+                                     name="ek_chunkspan_t")
+        got_t = {(r["user_id"], r["ts"], r["value"])
+                 for r in out_t.collect()}
+    finally:
+        spark.conf.set(key, old)
+
+    ef = from_dataframe(
+        src, value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    exp_e = {(r["user_id"], r["ts"]): (r["i"], r["value"])
+             for r in ef.enumerate(start=0, step=1).df.collect()}
+    assert got_e == exp_e and got_e
+    exp_t = {(r["user_id"], r["ts"], r["value"])
+             for r in ef.take(3).df.collect()}
+    assert got_t == exp_t and got_t
+    # the shrunken batch size must actually have forced multi-chunk
+    # groups, or this test is vacuous
+    assert src.groupBy("user_id").count().agg(F.max("count")).first()[0] > 5
