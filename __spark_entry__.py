@@ -3341,6 +3341,88 @@ def q_phrase_hits(spark, sf):
     )
 
 
+def q_blocklist_verdicts(spark, sf):
+    # r8: the fused moderation matcher — term AND phrase blocklists in
+    # ONE corpus scan via a unified (matcher, term-idx, word) broadcast
+    # dim + the anchor-vote aggregate; per-doc totals equal
+    # sum(keyword_hits) / sum(phrase_hits) over the same lists
+    # (parity-pinned in tests). Same term/phrase sets as the two parent
+    # contracts, so the three verdicts cross-check.
+    from eventkit_spark.llm.text import blocklist_verdicts
+
+    return blocklist_verdicts(
+        load_table(spark, sf, "documents"),
+        ["the", "data", "model", "training", "quick"],
+        ["table table", "fast table", "scan query", "the line sort"],
+    )
+
+
+def q_pipeline_moderation(spark, sf):
+    """End-to-end moderation gate (r7 VERDICT item 7): normalize ->
+    fused term+phrase blocklist -> exact-dup histogram -> one
+    kilobyte report. Multi-op composition in ONE job: the blocklist
+    branch and the dup branch each scan the corpus text exactly once
+    (pinned in test_plans), the corpus-total branch scans zero text
+    columns (parquet count pushdown). Deterministic synthetics make
+    every stage non-vacuous at all SFs: doc_id % 53 == 3 docs become a
+    fixed boilerplate (a real dup cluster for dedup_report), doc_id %
+    7 == 0 docs gain a decomposed-accent suffix (normalize_text does
+    real NFC+whitespace work)."""
+    from eventkit_spark.llm.dedup import dedup_report
+    from eventkit_spark.llm.text import blocklist_verdicts, normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 53 == 3, F.lit(boiler)).otherwise(
+                F.col("text")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("  cafe\u0301 \t")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    clean = normalize_text(synth)
+    flags = blocklist_verdicts(
+        clean, ["data", "model", "quick"],
+        ["table table", "fast table", "scan query"],
+    )
+    verdict = (
+        F.when(
+            (F.col("term_hits") > 0) & (F.col("phrase_hits") > 0),
+            F.lit("blocked_both"),
+        )
+        .when(F.col("term_hits") > 0, F.lit("blocked_term"))
+        .otherwise(F.lit("blocked_phrase"))
+    )
+    blocked = flags.groupBy(verdict.alias("verdict")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("term_hits").cast("long").alias("term_hits"),
+        F.sum("phrase_hits").cast("long").alias("phrase_hits"),
+    )
+    hist = dedup_report(
+        clean.select("doc_id", F.md5("text").alias("cluster_id"))
+    )
+    zero = F.lit(0).cast("long")
+    dup_row = (
+        hist.agg(F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long").alias("n_docs"))
+        .select(
+            F.lit("dup_extra").alias("verdict"), "n_docs",
+            zero.alias("term_hits"), zero.alias("phrase_hits"),
+        )
+    )
+    corpus_row = (
+        docs.agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            F.lit("corpus").alias("verdict"), "n_docs",
+            zero.alias("term_hits"), zero.alias("phrase_hits"),
+        )
+    )
+    return blocked.unionByName(corpus_row).unionByName(dup_row)
+
+
 def q_text_quality(spark, sf):
     from eventkit_spark.llm.text import fingerprint, lang_id, quality_score
 
@@ -3699,31 +3781,77 @@ def q_weighted_sample_grouped(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
-    # whatever has the weakest current verdict. Round-7 rotation
-    # (VERIFIED by tests/test_frame.py::test_registry_front50_rotation —
+    # whatever has the weakest current verdict. Round-8 rotation
+    # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-17: every never-driver-checked query — the seven
-    #     round-7 additions (unique_scaled, bpe_encode_bytes,
-    #     bpe_fertility_bytes, keyword_hits, phrase_hits,
-    #     normalize_text, dedup_report) and the ten round-6 additions that
-    #     missed r6's cutoff at positions 51-60 (bpe_vocab_bytes,
-    #     opq_gain, ema_scaled, changes_scaled, previous_scaled,
-    #     chunk_scaled, winnow, winnow_overlap, webdataset,
-    #     seasonal_decompose). A green sweep makes every registered
-    #     query driver-verified for the first time;
-    # (2) positions 18-25: re-verdicts for code changed THIS round —
-    #     last (max_by(struct) rewrite), hll_card/hll_by_key (60-bit
-    #     fold), decontaminate (single-scan join route), bpe_encode/
-    #     bpe_vocab (eager vocab checkpoint), profile (positional
-    #     aliases), unique (scaled sibling landed);
-    # (3) positions 26-50: the 25 OLDEST green rows — core §2 selection/
-    #     transform/combine/source ops last sampled r1-r2, whose shared
-    #     machinery (_scaled_prologue, worder, frame plumbing) has been
-    #     refactored since; a fresh verdict shields against silent
-    #     regression that golden tests could share a blind spot on.
+    # (1) positions 1-2: the round-8 additions, never driver-checked —
+    #     pipeline_moderation (multi-op showcase, r7 VERDICT item 7) and
+    #     blocklist_verdicts (fused term+phrase matcher it's built on);
+    # (2) positions 3-8: the six contracts whose predicates/constants
+    #     were de-vacuated by r7 commit 3d0cef5 AFTER their last driver
+    #     sample (r7 VERDICT item 1) — any_all (verdict r1), anti_join
+    #     (r2), tfidf_cosine (r4), phrase_search (r5), tpch_q11 and
+    #     takewhile_scaled (r6): a green row on the post-change
+    #     definitions closes the only "driver-green but unchecked as
+    #     shipped" gap on the board;
+    # (3) positions 9-50: the 42 OLDEST green rows, oldest-first — all
+    #     five remaining r1 verdicts, all seventeen remaining r2, and
+    #     the first twenty r3 (registry order), including
+    #     substring_dedup whose NULL-text guard changed this round. At
+    #     this cadence no verdict stays older than ~5 rounds.
     # The tail is everything driver-green in its current form; all
     # entries register full value oracles.
     return {
+        "pipeline_moderation": q_pipeline_moderation,
+        "blocklist_verdicts": q_blocklist_verdicts,
+        "any_all": q_any_all,
+        "anti_join": q_anti_join,
+        "tfidf_cosine": q_tfidf_cosine,
+        "phrase_search": q_phrase_search,
+        "tpch_q11": q_tpch_q11,
+        "takewhile_scaled": q_takewhile_scaled,
+        "fork_minmax": q_fork_minmax,
+        "product_trailing": q_product_trailing,
+        "end_on_error": q_end_on_error,
+        "errors": q_errors,
+        "product_running": q_product_running,
+        "source_range": q_source_range,
+        "source_repeat": q_source_repeat,
+        "source_timerange": q_source_timerange,
+        "pack_spans": q_pack_spans,
+        "source_quota": q_source_quota,
+        "repetition": q_repetition,
+        "embed_topk": q_embed_topk,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize_plan": q_mm_resize_plan,
+        "tpch_q1": q_tpch_q1,
+        "region_revenue": q_region_revenue,
+        "topk_orders": q_topk_orders,
+        "rollup": q_rollup,
+        "semi_join": q_semi_join,
+        "distinct_agg": q_distinct_agg,
+        "cube": q_cube,
+        "pivot": q_pivot,
+        "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_features": q_mm_video_features,
+        "fork_merge": q_fork_merge,
+        "reduce_py": q_reduce_py,
+        "line_dedup": q_line_dedup,
+        "redact_pii": q_redact_pii,
+        "reservoir": q_reservoir,
+        "temperature_mix": q_temperature_mix,
+        "sliding_chunks": q_sliding_chunks,
+        "top_ngrams": q_top_ngrams,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "c4_filters": q_c4_filters,
+        "unigram_logprob": q_unigram_logprob,
+        "train_order": q_train_order,
+        "ccnet_buckets": q_ccnet_buckets,
+        "substring_dedup": q_substring_dedup,
+        "constant": q_constant,
+        "star_pack": q_star_pack,
+        "map_pandas": q_map_pandas,
         "unique_scaled": q_unique_scaled,
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "bpe_fertility_bytes": q_bpe_fertility_bytes,
@@ -3774,11 +3902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_mean": q_array_mean,
         "array_std": q_array_std,
         "iterate": q_iterate,
-        "source_range": q_source_range,
-        "source_repeat": q_source_repeat,
-        "source_timerange": q_source_timerange,
-        "fork_minmax": q_fork_minmax,
-        "any_all": q_any_all,
         "embed_standardize": q_embed_standardize,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
@@ -3789,7 +3912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
@@ -3824,7 +3946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "group_corr": q_group_corr,
         "pivot_agg": q_pivot_agg,
-        "takewhile_scaled": q_takewhile_scaled,
         "dropwhile_scaled": q_dropwhile_scaled,
         "skip_scaled": q_skip_scaled,
         "bpe_train_bytes": q_bpe_train_bytes,
@@ -3871,7 +3992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "bm25_search": q_bm25_search,
-        "phrase_search": q_phrase_search,
         "timestamp": q_timestamp,
         "delay": q_delay,
         "timeout": q_timeout,
@@ -3917,48 +4037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "bigram_logprob": q_bigram_logprob,
         "collocations": q_collocations,
-        "tfidf_cosine": q_tfidf_cosine,
         "dsir": q_dsir,
         "char_entropy": q_char_entropy,
-        "pack_spans": q_pack_spans,
-        "source_quota": q_source_quota,
-        "repetition": q_repetition,
-        "embed_topk": q_embed_topk,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize_plan": q_mm_resize_plan,
-        "tpch_q1": q_tpch_q1,
-        "region_revenue": q_region_revenue,
-        "topk_orders": q_topk_orders,
-        "rollup": q_rollup,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "distinct_agg": q_distinct_agg,
-        "cube": q_cube,
-        "pivot": q_pivot,
-        "product_trailing": q_product_trailing,
-        "end_on_error": q_end_on_error,
-        "errors": q_errors,
-        "product_running": q_product_running,
-        "mm_image_features": q_mm_image_features,
-        "mm_audio_features": q_mm_audio_features,
-        "mm_video_features": q_mm_video_features,
-        "fork_merge": q_fork_merge,
-        "reduce_py": q_reduce_py,
-        "line_dedup": q_line_dedup,
-        "redact_pii": q_redact_pii,
-        "reservoir": q_reservoir,
-        "temperature_mix": q_temperature_mix,
-        "sliding_chunks": q_sliding_chunks,
-        "top_ngrams": q_top_ngrams,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "c4_filters": q_c4_filters,
-        "unigram_logprob": q_unigram_logprob,
-        "train_order": q_train_order,
-        "ccnet_buckets": q_ccnet_buckets,
-        "substring_dedup": q_substring_dedup,
-        "constant": q_constant,
-        "star_pack": q_star_pack,
-        "map_pandas": q_map_pandas,
         "source_marble": q_source_marble,
         "source_wait": q_source_wait,
         "source_timer": q_source_timer,
@@ -4265,6 +4345,122 @@ def _phrase_hits_sql(phrases: list[str]) -> str:
             FROM anch JOIN lens l USING (pid)
             WHERE k = l.n
             GROUP BY 1, 2"""
+
+
+def _blocklist_dims_sql(terms: list[str], phrases: list[str]) -> tuple[str, str]:
+    """VALUES literals for the unified blocklist dim: terms are
+    length-1 matchers (j=0, n=1, is_phrase=0), phrases fan out one row
+    per word — the exact dim llm/text.blocklist_verdicts broadcasts."""
+    dim, lens = [], []
+    mid = 0
+    for t in terms:
+        dim.append(f"({mid}, 0, '{t.lower()}')")
+        lens.append(f"({mid}, 0, 1)")
+        mid += 1
+    for ph in phrases:
+        ws = ph.lower().split()
+        for j, w in enumerate(ws):
+            dim.append(f"({mid}, {j}, '{w}')")
+        lens.append(f"({mid}, 1, {len(ws)})")
+        mid += 1
+    return ", ".join(dim), ", ".join(lens)
+
+
+def _blocklist_flags_ctes(terms: list[str], phrases: list[str]) -> str:
+    """Shared CTE chain ``... , flags(doc_id, term_hits, phrase_hits)``
+    replaying blocklist_verdicts over a ``clean(doc_id, text)`` CTE the
+    caller must define first."""
+    dim, lens = _blocklist_dims_sql(terms, phrases)
+    return rf"""
+            dim(mid, j, w) AS (VALUES {dim}),
+            lens(mid, is_phrase, n) AS (VALUES {lens}),
+            arrs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM clean
+            ),
+            toks AS (
+              SELECT doc_id, i AS p, ws[i+1] AS w
+              FROM arrs, unnest(generate_series(0, len(ws)-1)) AS t(i)
+            ),
+            bhits AS (
+              SELECT doc_id, mid, p - j AS a, j
+              FROM toks JOIN dim USING (w)
+            ),
+            anch AS (
+              SELECT doc_id, mid, a, count(DISTINCT j) AS k
+              FROM bhits WHERE a >= 0 GROUP BY 1, 2, 3
+            ),
+            m AS (
+              SELECT doc_id, l.mid, l.is_phrase, count(*) AS nm
+              FROM anch JOIN lens l USING (mid)
+              WHERE k = l.n GROUP BY 1, 2, 3
+            ),
+            flags AS (
+              SELECT doc_id,
+                     sum(CASE WHEN is_phrase = 0 THEN nm ELSE 0 END)::BIGINT
+                       AS term_hits,
+                     sum(CASE WHEN is_phrase = 1 THEN nm ELSE 0 END)::BIGINT
+                       AS phrase_hits
+              FROM m GROUP BY 1
+            )"""
+
+
+def _blocklist_verdicts_sql() -> str:
+    """DuckDB replay of q_blocklist_verdicts (raw documents text)."""
+    ctes = _blocklist_flags_ctes(
+        ["the", "data", "model", "training", "quick"],
+        ["table table", "fast table", "scan query", "the line sort"],
+    )
+    return rf"""
+            WITH clean AS (SELECT doc_id, text FROM documents),
+            {ctes}
+            SELECT doc_id, term_hits, phrase_hits FROM flags"""
+
+
+def _pipeline_moderation_sql() -> str:
+    """DuckDB replay of q_pipeline_moderation: the same deterministic
+    synthetics (boilerplate dup cluster on doc_id % 53 == 3, decomposed
+    accent suffix on % 7 == 0), NFC + whitespace collapse, the fused
+    blocklist flags, the exact-dup histogram fold, and the corpus row."""
+    ctes = _blocklist_flags_ctes(
+        ["data", "model", "quick"],
+        ["table table", "fast table", "scan query"],
+    )
+    return rf"""
+            WITH synth AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 53 = 3
+                  THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit'
+                  ELSE text END)
+                || (CASE WHEN doc_id % 7 = 0
+                  THEN '  cafe' || chr(769) || ' ' || chr(9) ELSE '' END)
+                AS text
+              FROM documents
+            ),
+            clean AS (
+              SELECT doc_id,
+                     trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+                       AS text
+              FROM synth
+            ),
+            {ctes},
+            dups AS (SELECT md5(text) AS h, count(*) AS c FROM clean GROUP BY 1)
+            SELECT CASE
+                     WHEN term_hits > 0 AND phrase_hits > 0 THEN 'blocked_both'
+                     WHEN term_hits > 0 THEN 'blocked_term'
+                     ELSE 'blocked_phrase' END AS verdict,
+                   count(*)::BIGINT AS n_docs,
+                   sum(term_hits)::BIGINT AS term_hits,
+                   sum(phrase_hits)::BIGINT AS phrase_hits
+            FROM flags GROUP BY 1
+            UNION ALL
+            SELECT 'corpus', count(*)::BIGINT, 0::BIGINT, 0::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT 'dup_extra', coalesce(sum(c - 1), 0)::BIGINT,
+                   0::BIGINT, 0::BIGINT
+            FROM dups"""
 
 
 def _bpe_fertility_bytes_sql(n: int) -> str:
@@ -7666,6 +7862,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_hits": _phrase_hits_sql(
             ["table table", "fast table", "scan query", "the line sort"]
         ),
+        "blocklist_verdicts": _blocklist_verdicts_sql(),
+        "pipeline_moderation": _pipeline_moderation_sql(),
         "bpe_encode": _bpe_encode_sql(6),
         "bpe_fertility": _bpe_fertility_sql(6),
         # keyed HLL: per-group registers replay exactly; per-group

@@ -842,6 +842,87 @@ def phrase_hits(
     )
 
 
+def blocklist_verdicts(
+    docs: DataFrame,
+    terms,
+    phrases,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document moderation flags against a single-term blocklist AND
+    a multi-word phrase blocklist in ONE corpus scan — the fused form of
+    ``keyword_hits`` + ``phrase_hits`` (composing those two as separate
+    calls plans the text scan twice; a moderation gate always wants
+    both lists).
+
+    One unified broadcast dimension carries every matcher: a term is a
+    length-1 "phrase" (j=0, n=1), so the identical anchor-vote
+    aggregate serves both — each token hit of matcher i's word j at
+    position p votes for anchor p - j, and an anchor holding all n
+    distinct indexes is one match. The token posexplode prunes against
+    the dim map-side before any exchange (at corpus scale almost every
+    token drops there); matching is on lowercase whitespace tokens,
+    identical to the two parent ops (parity-pinned in
+    ``test_blocklist_verdicts_parity``).
+
+    Returns ``(id_col, term_hits, phrase_hits)`` for documents with at
+    least one hit of either kind; clean documents are absent (anti-join
+    the result to gate a corpus). Counts are occurrence totals across
+    each list, exactly ``sum(keyword_hits.n_hits)`` /
+    ``sum(phrase_hits.n_matches)`` per document."""
+    if not terms and not phrases:
+        raise ValueError("blocklist_verdicts() needs terms and/or phrases")
+    dim_rows, len_rows = [], []
+    mid = 0
+    for t in terms or []:
+        w = str(t).lower().strip()
+        if not w or " " in w:
+            raise ValueError(
+                f"term {t!r} is empty or multi-word — multi-word entries "
+                "belong in phrases="
+            )
+        dim_rows.append((mid, 0, w))
+        len_rows.append((mid, 0, 1))
+        mid += 1
+    for ph in phrases or []:
+        words = str(ph).lower().split()
+        if not words:
+            raise ValueError(f"empty phrase {ph!r}")
+        for j, w in enumerate(words):
+            dim_rows.append((mid, j, w))
+        len_rows.append((mid, 1, len(words)))
+        mid += 1
+    spark = docs.sparkSession
+    tdim = spark.createDataFrame(dim_rows, "mid int, j int, w string")
+    ldim = spark.createDataFrame(len_rows, "mid int, is_phrase int, n int")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__p", "w"),
+    )
+    hits = toks.join(F.broadcast(tdim), "w")
+    anchors = (
+        hits.groupBy(F.col(id_col), "mid", (F.col("__p") - F.col("j")).alias("__a"))
+        .agg(F.count_distinct("j").alias("__k"))
+        .filter(F.col("__a") >= 0)
+    )
+    matches = (
+        anchors.join(F.broadcast(ldim), "mid")
+        .filter(F.col("__k") == F.col("n"))
+        .groupBy(id_col, "mid", "is_phrase")
+        .agg(F.count("*").alias("__m"))
+    )
+    return matches.groupBy(id_col).agg(
+        F.sum(F.when(F.col("is_phrase") == 0, F.col("__m")).otherwise(0))
+        .cast("long")
+        .alias("term_hits"),
+        F.sum(F.when(F.col("is_phrase") == 1, F.col("__m")).otherwise(0))
+        .cast("long")
+        .alias("phrase_hits"),
+    )
+
+
 def keyword_hits(
     docs: DataFrame,
     keywords,

@@ -29,7 +29,7 @@ BLOCK_PHRASES = ["table table", "fast table"]
 
 
 def run(spark, sf_dir: str, report=print) -> dict:
-    from eventkit_spark.llm.text import keyword_hits, normalize_text, phrase_hits
+    from eventkit_spark.llm.text import blocklist_verdicts, normalize_text
     from eventkit_spark.plans.audit import profile_table
     from eventkit_spark.sources.tables import load_table
 
@@ -43,20 +43,15 @@ def run(spark, sf_dir: str, report=print) -> dict:
     clean = normalize_text(docs, form="NFKC")
     docs = docs.drop("text").join(clean, "doc_id")
 
-    # 2. single-term blocklist: one scan, broadcast dim prune
-    term_flags = keyword_hits(docs, BLOCK_TERMS).groupBy("doc_id").agg(
-        F.sum("n_hits").alias("term_hits")
-    )
-
-    # 3. phrase blocklist: the whole list in ONE scan (anchor aggregate)
-    phrase_flags = phrase_hits(docs, BLOCK_PHRASES).groupBy("doc_id").agg(
-        F.sum("n_matches").alias("phrase_hits")
-    )
+    # 2+3. both blocklists in ONE corpus scan: terms and phrases ride a
+    # unified broadcast dim through the anchor-vote aggregate
+    # (blocklist_verdicts == keyword_hits + phrase_hits per doc,
+    # without planning the text scan twice)
+    flags = blocklist_verdicts(docs, BLOCK_TERMS, BLOCK_PHRASES)
 
     verdicts = (
         docs.select("doc_id")
-        .join(term_flags, "doc_id", "left")
-        .join(phrase_flags, "doc_id", "left")
+        .join(flags, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("term_hits", F.lit(0)).alias("term_hits"),

@@ -2266,6 +2266,86 @@ def test_phrase_hits_matches_phrase_search(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_blocklist_verdicts_parity(spark):
+    """blocklist_verdicts (the fused one-scan matcher) == keyword_hits
+    + phrase_hits aggregated per doc over the same lists, flagged docs
+    only; terms and phrases both ride ONE broadcast dim / ONE corpus
+    scan, and a multi-word 'term' is rejected up front."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from eventkit_spark.llm.text import (
+        blocklist_verdicts, keyword_hits, phrase_hits,
+    )
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat mat"),
+            (2, "again and again and again data"),
+            (3, "nothing relevant here"),
+            (4, None),
+            (5, "data model data cat sat"),
+        ],
+        "doc_id int, text string",
+    )
+    terms = ["data", "model", "mat"]
+    phrases = ["cat sat", "again and again", "missing phrase"]
+    got = {r["doc_id"]: (r["term_hits"], r["phrase_hits"])
+           for r in blocklist_verdicts(docs, terms, phrases).collect()}
+
+    kh = {r["doc_id"]: r["th"] for r in
+          keyword_hits(docs, terms).groupBy("doc_id")
+          .agg(SF.sum("n_hits").alias("th")).collect()}
+    ph = {r["doc_id"]: r["ph"] for r in
+          phrase_hits(docs, phrases).groupBy("doc_id")
+          .agg(SF.sum("n_matches").alias("ph")).collect()}
+    exp = {d: (kh.get(d, 0), ph.get(d, 0)) for d in set(kh) | set(ph)}
+    assert got == exp and got
+    assert got[2] == (1, 2)  # overlapping phrase counts twice
+    assert 3 not in got and 4 not in got  # clean/null docs absent
+
+    with pytest.raises(ValueError):
+        blocklist_verdicts(docs, [], [])
+    with pytest.raises(ValueError):
+        blocklist_verdicts(docs, ["two words"], [])
+
+    plan = physical_plan(blocklist_verdicts(docs, terms, phrases))
+    assert plan.count("BroadcastHashJoin") == 2  # dim + lens, never corpus
+
+
+def test_pipeline_moderation_plan_and_values(spark):
+    """The pipeline_moderation contract: kilobyte report, every verdict
+    category non-vacuous at sf0.001, and the plan reads the corpus TEXT
+    in exactly two FileScans (blocklist branch + dup-histogram branch);
+    the corpus-total branch prunes text away entirely."""
+    import re
+
+    import __spark_entry__ as e
+    from eventkit_spark.plans.audit import physical_plan
+
+    out = e.queries()["pipeline_moderation"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(out)
+    text_scans = [
+        m for m in re.findall(r"ReadSchema: \S+", plan) if "text" in m
+    ]
+    assert len(text_scans) == 2, plan.count("FileScan")
+    rows = {r["verdict"]: r for r in out.collect()}
+    assert set(rows) == {
+        "corpus", "blocked_term", "blocked_phrase", "blocked_both",
+        "dup_extra",
+    }
+    assert rows["corpus"]["n_docs"] == 500
+    assert rows["dup_extra"]["n_docs"] > 0  # synthesized boilerplate dups
+    assert rows["blocked_both"]["term_hits"] > 0
+    assert rows["blocked_both"]["phrase_hits"] > 0
+    flagged = sum(
+        rows[v]["n_docs"]
+        for v in ("blocked_term", "blocked_phrase", "blocked_both")
+    )
+    assert 0 < flagged < rows["corpus"]["n_docs"]
+
+
 def test_normalize_text(spark):
     """normalize_text: NFC composes decomposed accents, NFKC folds
     compatibility forms, whitespace collapses, NULLs survive, and the

@@ -719,31 +719,35 @@ def test_profile_table_dotted_column_names(spark):
 
 
 def test_registry_front50_rotation():
-    """Pin the round-7 front-50 composition the registry comment claims
+    """Pin the round-8 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
-    flagged a comment that drifted from the counted positions): the 17
-    never-driver-checked queries lead, the 8 code-changed re-verdicts
-    follow, then 25 oldest-green core ops. Every registered query must
-    also carry an oracle_sql twin unless it is a documented rows-only
-    contract."""
+    flagged a comment that drifted from the counted positions): the 2
+    round-8 additions lead, the 6 de-vacuated contracts whose r7
+    predicate changes postdate their last driver sample follow, then 42
+    oldest-green rows oldest-first (5 r1 + 17 r2 + 20 r3). Every
+    registered query must also carry an oracle_sql twin unless it is a
+    documented rows-only contract."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    never_checked = [
-        "unique_scaled", "bpe_encode_bytes", "bpe_fertility_bytes",
-        "keyword_hits", "phrase_hits", "normalize_text",
-        "dedup_report",
-        "bpe_vocab_bytes", "opq_gain", "ema_scaled", "changes_scaled",
-        "previous_scaled", "chunk_scaled", "winnow", "winnow_overlap",
-        "webdataset", "seasonal_decompose",
+    new_r8 = ["pipeline_moderation", "blocklist_verdicts"]
+    devacuated = [
+        "any_all", "anti_join", "tfidf_cosine", "phrase_search",
+        "tpch_q11", "takewhile_scaled",
     ]
-    reverdicts = [
-        "last", "hll_card", "hll_by_key", "decontaminate", "bpe_encode",
-        "bpe_vocab", "profile", "unique",
+    oldest_r1 = [
+        "fork_minmax", "product_trailing", "end_on_error", "errors",
+        "product_running",
     ]
-    assert names[:17] == never_checked
-    assert names[17:25] == reverdicts
-    assert len(set(names)) == len(names) >= 249
+    assert names[:2] == new_r8
+    assert names[2:8] == devacuated
+    assert names[8:13] == oldest_r1
+    # the rest of the front block is r2 then r3 verdicts; spot-pin the
+    # boundaries so the block can't silently shrink or reorder
+    assert names[13] == "source_range" and names[29] == "pivot"
+    assert names[30] == "mm_image_features" and names[49] == "map_pandas"
+    assert "substring_dedup" in names[:50]  # code changed r8 (NULL guard)
+    assert len(set(names)) == len(names) >= 256
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
