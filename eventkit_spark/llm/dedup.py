@@ -910,6 +910,17 @@ def _bloom_build_distributed(held, fpp: float):
     return words, m_bits, n_probes
 
 
+# Below this many distinct heldout hashes the bloom builds DRIVER-side
+# from one collect of the cached hash frame: the raw hashes (8 B each)
+# are only ~3x the packed bitset the driver must hold and broadcast
+# anyway (~2.4 B/hash at fpp=1e-4), and the distributed OR-merge's two
+# extra jobs (mapInPandas partials + bit_or shuffle + collect) cost more
+# wall-clock than they save until the heldout set is huge. 20M hashes
+# = ~160 MB transient driver memory; real benchmark suites are far
+# smaller, web-scale heldouts route to the distributed build.
+_DRIVER_BLOOM_MAX_HASHES = 20_000_000
+
+
 def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
     held = (
         heldout.select(F.explode(_shingles(F.col(text_col), k)).alias("__s"))
@@ -925,7 +936,12 @@ def _contamination_bloom(docs, heldout, k, min_overlap, text_col, id_col, fpp):
         # rescan-never answer for long-lived suites.
         .persist()
     )
-    bloom = _bloom_build_distributed(held, fpp)
+    n = held.count()
+    if n <= _DRIVER_BLOOM_MAX_HASHES:
+        arr = held.toPandas()["shingle"].to_numpy()  # cached: one cheap job
+        bloom = _bloom_build(arr, fpp)
+    else:
+        bloom = _bloom_build_distributed(held, fpp)
     return _bloom_probe(docs, bloom, held, k, min_overlap, text_col, id_col)
 
 

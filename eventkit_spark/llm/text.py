@@ -423,42 +423,57 @@ def line_dedup(
     Scale shape — built for the op's OWN skew: a boilerplate line is by
     definition a hot key, so the first-occurrence computation must not
     be a window over the line hash (a window partition cannot be split;
-    the hottest line's every copy lands in one task). Instead:
-    (1) groupBy(line hash) -> min(id, pos): hash-aggregate with MAP-SIDE
-    partial aggregation, so a million copies of one line collapse to one
-    row per input partition before the shuffle; (2) an equi-join of the
-    lines back to the firsts table on the hash (fact-fact, AQE
-    skew-join splits a hot hash); (3) ONE groupBy(id) with conditional
-    aggregates rebuilds documents and counts totals in the same pass
-    (collect_list skips the NULLed non-first lines). Three shuffles,
-    all skew-tolerant, shuffling 8-byte hashes + each line's bytes
-    once. Hash-grouping assumes no 64-bit collisions (standard
-    corpus-dedup trade, same as exact_dedup).
+    the hottest line's every copy lands in one task). The r8 form is
+    the substring_dedup in-row rebuild (dedup.py's r7 shape): line
+    TEXT never enters a shuffle —
+    (1) lines hash IN PLACE on the doc's own line array, and only
+    (id, pos, hash) int rows explode; (2) groupBy(hash) -> min(id,
+    pos) with MAP-SIDE partials, so a million copies of one line
+    collapse per input partition before the exchange; (3) the
+    join-back marks later occurrences and their (id, pos) ints
+    aggregate to one removed-set per affected doc; (4) array_except
+    keeps surviving positions in order and the text re-joins inside
+    the row. Replaced the r3 form, whose hash join-back and
+    groupBy(id) rebuild both carried every line's bytes (4x wall at
+    sf0.1; exchanges now move 8-byte hashes and int pairs only).
+    Hash-grouping assumes no 64-bit collisions (standard corpus-dedup
+    trade, same as exact_dedup). NULL text normalizes to an empty doc
+    (0 lines, empty string) so every input id is reported.
     """
-    lines = docs.select(
+    raw = F.split(F.col(text_col), sep)
+    larr = F.coalesce(raw, F.array().cast("array<string>"))
+    base = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("__h", F.xxhash64("line"))
-    firsts = lines.groupBy("__h").agg(
-        F.min(F.struct("id", "pos")).alias("__first")
+        larr.alias("__lines"),
+        F.size(larr).alias("n_lines"),
     )
-    marked = lines.join(firsts, "__h").withColumn(
-        "__keep",
-        (F.col("__first.id") == F.col("id")) & (F.col("__first.pos") == F.col("pos")),
+    occ = base.select(
+        "id",
+        F.posexplode(F.transform("__lines", lambda l: F.xxhash64(l))).alias(
+            "pos", "h"
+        ),
     )
-    keep = F.when(F.col("__keep"), F.struct("pos", "line"))
-    out = marked.groupBy("id").agg(
-        F.count("*").alias("n_lines"),
-        F.count(F.when(F.col("__keep"), F.lit(1))).alias("n_kept"),
+    firsts = occ.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("f"))
+    dups = (
+        occ.join(firsts, "h")
+        .filter(~((F.col("f.id") == F.col("id")) & (F.col("f.pos") == F.col("pos"))))
+        .select("id", "pos")
+    )
+    rem = dups.groupBy("id").agg(F.collect_set("pos").alias("__rem"))
+    kept_pos = F.array_except(
+        F.when(
+            F.col("n_lines") > 0, F.sequence(F.lit(0), F.col("n_lines") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("__rem"), F.array().cast("array<int>")),
+    )
+    return base.join(rem, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.size(kept_pos).alias("n_kept"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(keep)), lambda s: s.getField("line")
-            ),
+            F.transform(kept_pos, lambda p: F.element_at("__lines", p + 1)),
             sep,
         ).alias("text"),
-    )
-    return out.select(
-        F.col("id").alias(id_col), "n_lines", "n_kept", "text"
     )
 
 
