@@ -2424,14 +2424,25 @@ def q_approx_agg(spark, sf):
     # emits the same groups with constant TRUE — a sketch drifting out
     # of tolerance hash-mismatches. Raw sketch values stay covered by
     # exactness-bound unit tests.
+    # PLAN NOTE (r8, 8x): never mix countDistinct with object-aggregate
+    # sketches in ONE agg — Spark's distinct rewrite regroups by
+    # (group, distinct-col) first, so the percentile buffers build per
+    # (priority, custkey) pair (~#customers sketch merges instead of
+    # #groups; 6.8 s -> 0.85 s at sf0.1). Split: the sketches + the
+    # exact count-distinct each in their natural aggregate, joined on
+    # the 5-row group key. (At 100 TB the exact countDistinct is the
+    # anti-scale side anyway — it exists here only to BOUND the sketch
+    # error; production keeps the sketch column alone.)
     o = load_table(spark, sf, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
+    cd = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey").alias("ac"),
         F.countDistinct("o_custkey").alias("xc"),
+    )
+    pct = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5).alias("am"),
         F.expr("percentile(o_totalprice, 0.5)").alias("xm"),
     )
-    return agg.select(
+    return cd.join(pct, "o_orderpriority").select(
         "o_orderpriority",
         (F.abs(F.col("ac") - F.col("xc")) <= 0.15 * F.col("xc")).alias("cust_ok"),
         (F.abs(F.col("am") - F.col("xm")) <= 0.05 * F.col("xm")).alias("median_ok"),

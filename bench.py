@@ -195,6 +195,108 @@ HEADLINE = [
     "keyword_hits",
     "phrase_hits",
     "normalize_text",
+    # ----- r8: close the bench/registry gap (r7 VERDICT item 3) -----
+    # Every registered contract is now benched EXCEPT the documented
+    # multi-fit exclusions below; a query can be driver-green yet
+    # perf-regress invisibly if it never runs here.
+    # EXCLUDED (k-means codebook FITS, not queries — each runs full
+    # Lloyd iterations driver-looped over the embedding table, 7-29 s
+    # warm at sf0.1, >2x any family norm; the fit path is perf-covered
+    # by the cheaper kmeans/cluster_topics/ivf_index entries):
+    #   opq_gain (TWO full PQ fits), pq_topk (PQ fit + full probe),
+    #   pq_encode (PQ codebook fit), ivfpq (IVF + PQ double fit).
+    # core §2 selection / transform / combine / source ops
+    "skip",
+    "take",
+    "takewhile",
+    "dropwhile",
+    "enumerate",
+    "count",
+    "previous",
+    "pairwise",
+    "reduce_max",
+    "chain",
+    "concat",
+    "switch",
+    "last",
+    "iterate",
+    "constant",
+    "star_pack",
+    "map_pandas",
+    "partial",
+    "timestamp",
+    "delay",
+    "debounce_first",
+    "chainmap",
+    "concatmap",
+    "list",
+    "chunkwith",
+    "json_pluck",
+    "array_mean",
+    "array_std",
+    "array_anyall",
+    "any_all",
+    "fork_minmax",
+    "product_running",
+    "product_trailing",
+    "errors",
+    "end_on_error",
+    "source_range",
+    "source_repeat",
+    "source_timerange",
+    "source_marble",
+    "source_wait",
+    "source_timer",
+    # relational / sampling
+    "semi_join",
+    "anti_join",
+    "cube",
+    "pivot",
+    "unpivot",
+    "set_ops",
+    "reservoir",
+    "variant_pluck",
+    "asof_join_unkeyed",
+    "asof_join_forward",
+    # scaled unkeyed family (r6/r7 members that missed the list)
+    "ema_scaled",
+    "changes_scaled",
+    "previous_scaled",
+    "chunk_scaled",
+    "dropwhile_scaled",
+    # dedup / decontamination lifecycle + reports
+    "dedup_report",
+    "dedup_incremental",
+    "dedup_minhash_incremental",
+    "dedup_simhash_incremental",
+    "decontaminate_store",
+    "dedup_safe_split",
+    "dedup_minhash_recall",
+    "edit_dedup",
+    # embeddings / ANN (query-shaped members; fits excluded above)
+    "kmeans",
+    "cluster_topics",
+    "ivf_index",
+    "sq_encode",
+    "sq_topk",
+    "embed_standardize",
+    "embed_moments",
+    "embed_rp_lsh_recall",
+    "embed_ivf_recall",
+    "hard_negatives",
+    "approx_agg",
+    # text / tokenizer legs
+    "bpe_vocab",
+    "bpe_vocab_bytes",
+    "bpe_fertility",
+    "mm_audio_features",
+    "mm_video_features",
+    "webdataset",
+    "hll_by_key",
+    # multi-op pipeline showcases
+    "pipeline_corpus",
+    "pipeline_moderation",
+    "blocklist_verdicts",
 ]
 
 

@@ -3,22 +3,60 @@
 The reference is push-based over a live asyncio loop; unbounded mode here
 is Spark Structured Streaming (BASELINE.json: "Structured Streaming event
 handlers"). StreamFrame mirrors the EventFrame surface where streaming
-semantics exist:
+semantics exist. SCOREBOARD — every SURVEY.md §2 row is either a
+parity-tested twin or carries its batch-only reason (r7 VERDICT item 5):
 
-| batch op (frame.py)        | streaming twin                              |
-|----------------------------|---------------------------------------------|
-| filter / map / pluck       | same Column ops (stateless)                 |
-| running sum/count/mean/ema | applyInPandasWithState per key (emit-per-row)|
-| chunk / chunkwith(timer)   | tumbling window + ordered collect_list      |
-| debounce (on_last)         | session window, last value per burst        |
-| unique                     | dropDuplicatesWithinWatermark               |
-| merge                      | unionByName (arrival order)                 |
-| concat / switch / chain    | keyed first-emit cut state machine          |
-| zip / ziplatest            | two-queue / two-slot keyed state            |
-| sample                     | union + stateful latest, emit on timer tag  |
-| throttle                   | sliding-budget deque in the state store     |
-| count_min / hll (sketches) | ONE bounded-state aggregate (d*w / 2^p rows)|
-| interval_join              | native watermarked stream-stream join       |
+| §2 op (batch home)           | streaming twin / batch-only reason        |
+|------------------------------|-------------------------------------------|
+| filter / map / pluck / star  | same Column ops (stateless)               |
+| constant / timestamp         | same Column ops (stateless)               |
+| partial / pack               | same Column ops (stateless)               |
+| map (async, task_limit)      | same mapInPandas op per micro-batch       |
+| skip / take                  | per-key quota counter state               |
+| takewhile / dropwhile        | prefix-flip state machine                 |
+| takeuntil                    | notifier min-ts cut state                 |
+| changes                      | prev-value state, emit on change          |
+| unique                       | first-seen state / dropDuplicates[WW]     |
+| last                         | max_by aggregate (update/complete mode)   |
+| enumerate / count            | per-key counter state                     |
+| iterate                      | counter state indexing the literal side   |
+| previous / deque(n)          | bounded deque state                       |
+| pairwise                     | prev-value state, emit (prev, cur)        |
+| chunk (count-based)          | batch-only: a row-count boundary needs an |
+|                              |   unbounded array buffer per key in state; |
+|                              |   time-based tumbling_chunk is the idiom  |
+| chunkwith(timer)             | tumbling window + ordered collect_list    |
+| copy / deepcopy              | identity (rows immutable) — nothing to do |
+| emap + mergemap/chainmap/    | child-plan fan-out + keyed cut state      |
+|   concatmap/switchmap        |   (_emap_rows/_emap_cut)                  |
+| reduce (running sum/mean/    | running_agg state; arbitrary-Python folds |
+|   min/max/ema, any/all)      |   batch-only: a user accumulator has no   |
+|                              |   declarable state-store schema           |
+| product                      | batch-only: needs the log/sign/zero triple |
+|                              |   accumulator; Column folds via running_agg|
+| list (unbounded collect)     | batch-only: per-key state grows without   |
+|                              |   bound by design; deque(n) is the stream |
+|                              |   form (reference caps it the same way)   |
+| fork / joinop / addablejoin  | batch-only: plan-level fan-out — in       |
+|                              |   streaming, branch multiple writeStream  |
+|                              |   queries off one StreamFrame             |
+| merge                        | unionByName (arrival order)               |
+| concat / switch / chain      | keyed first-emit cut state machine        |
+| zip / ziplatest              | two-queue / two-slot keyed state          |
+| delay                        | event-time shift (stateless)              |
+| timeout                      | gap-flip cut state; sentinel emit is      |
+|                              |   batch-only until event-time timers      |
+|                              |   (tws_available) — no row to trigger it  |
+| debounce (on_first)          | last-ts gap state                         |
+| debounce (on_last)           | session window, last value per burst      |
+| throttle                     | sliding-budget deque in the state store   |
+| sample                       | union + stateful latest, emit on timer tag|
+| errors / end_on_error        | same error-column ops (stateless filter)  |
+| sources: Timer/Sequence      | rate_stream; Aiterate -> file_stream      |
+| sources: Wait/Repeat/Range/  | batch-only: bounded literal generators —  |
+|   Timerange/Marble           |   the unbounded analogs are rate/file     |
+| count_min / hll (sketches)   | ONE bounded-state aggregate (d*w / 2^p)   |
+| interval_join                | native watermarked stream-stream join     |
 
 Late data is governed by ``with_watermark``; every windowed/stateful op
 requires it in append mode. Tests drive these with file sources +
@@ -91,20 +129,38 @@ def _keys_prefix(df: DataFrame, keys) -> str:
     return "".join(f"{k} {_sql_type(df, k)}, " for k in keys)
 
 
-def _sorted_chunks(pdfs, by, ascending=True):
-    """Drain a stateful handler's Arrow chunk iterator and yield the
-    group's micro-batch as ONE DataFrame sorted by ``by`` across ALL
-    chunks. applyInPandasWithState hands each key group as an iterator
-    of pandas chunks (``spark.sql.execution.arrow.maxRecordsPerBatch``
-    rows apiece, default 10k); sorting per chunk would process rows out
-    of event-time order whenever a group's batch spans chunks, so
-    quota/counter/flip/cut state would update in the wrong order
-    (round-7 ADVICE, medium). Memory stays O(group-per-micro-batch) —
-    the same bound the handlers' ``outs`` buffers already carry."""
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        yield pdf.sort_values(by, ascending=ascending)
+def _make_sorted_chunks():
+    # Factory, not a plain module-level def: every stateful handler
+    # closure references this helper, and cloudpickle serializes a
+    # module-level function BY REFERENCE (import on the worker) — which
+    # breaks when the package is driver-side only (sys.path-injected
+    # repo checkout, no pip install on executors). A "<locals>" qualname
+    # is unresolvable as a module attribute, so cloudpickle falls back
+    # to by-VALUE serialization and the helper ships inside each
+    # handler's pickle, keeping handlers self-contained like the
+    # pre-r8 inline sorts they replaced.
+    def _sorted_chunks(pdfs, by, ascending=True):
+        """Drain a stateful handler's Arrow chunk iterator and yield the
+        group's micro-batch as ONE DataFrame sorted by ``by`` across ALL
+        chunks. applyInPandasWithState hands each key group as an
+        iterator of pandas chunks
+        (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows apiece,
+        default 10k); sorting per chunk would process rows out of
+        event-time order whenever a group's batch spans chunks, so
+        quota/counter/flip/cut state would update in the wrong order
+        (round-7 ADVICE, medium). Memory stays O(group-per-micro-batch)
+        — the same bound the handlers' ``outs`` buffers already carry."""
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            yield pdf.sort_values(by, ascending=ascending)
+
+    return _sorted_chunks
+
+
+_sorted_chunks = _make_sorted_chunks()
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> "StreamFrame":
@@ -1541,6 +1597,162 @@ class StreamFrame:
             .agg(F.max_by(v, F.col(self.ts_col)).alias("value"), F.max(self.ts_col).alias("last_ts"))
         )
         return agg.select(*self.key_cols, "last_ts", "value")
+
+    def delay(self, seconds: float) -> "StreamFrame":
+        """Streaming Delay (operators/timing.py:delay; eventkit
+        timing.py:8-28): a pure event-time shift — stateless Column op,
+        identical plan in batch and streaming. The shifted column stays
+        the frame's event time, so a downstream watermark governs the
+        shifted clock, matching the reference's re-stamped emits."""
+        shifted = F.timestamp_micros(
+            (
+                F.unix_micros(F.col(self.ts_col))
+                + F.lit(int(round(seconds * 1e6)))
+            ).cast("long")
+        )
+        return self._with(df=self.df.withColumn(self.ts_col, shifted))
+
+    def debounce_first(self, seconds: float) -> DataFrame:
+        """Streaming Debounce(on_first=True) (operators/timing.py:77-94;
+        eventkit timing.py:67-101): emit the first row of each burst —
+        a row closer than ``seconds`` to its predecessor drops. State =
+        last event-time per key (one long, forever-bounded); batch
+        parity on ordered replays pinned in
+        test_streaming_timing_twins."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+        gap_ns = int(round(seconds * 1e9))
+
+        def handler(key, pdfs, state: GroupState):
+            prev = state.get[0] if state.exists else None  # epoch ns
+            outs = []
+            for pdf in _sorted_chunks(pdfs, ts_col):
+                for _, row in pdf.iterrows():
+                    tns = row[ts_col].value
+                    if prev is None or tns - prev >= gap_ns:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": row[value_col],
+                            }
+                        )
+                    prev = tns
+            state.update((prev,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="prev long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def timeout(self, seconds: float) -> DataFrame:
+        """Streaming Timeout (operators/timing.py:timeout; eventkit
+        timing.py:31-64): cut the per-key stream forever at the first
+        inter-event gap > ``seconds`` — the prefix-flip state machine
+        (takewhile over gaps). The batch form's ``emit_sentinel`` row
+        is batch-only here: emitting AT prev + timeout with no
+        triggering row needs event-time timers
+        (transformWithStateInPandas, gated on ``tws_available``), so
+        this twin matches ``emit_sentinel=False``. State =
+        (flipped, prev event-time ns)."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+        gap_ns = int(round(seconds * 1e9))
+        NONE = -(2**62)
+
+        def handler(key, pdfs, state: GroupState):
+            flipped, prev = state.get if state.exists else (False, NONE)
+            outs = []
+            for pdf in _sorted_chunks(pdfs, ts_col):
+                for _, row in pdf.iterrows():
+                    tns = row[ts_col].value
+                    if not flipped and prev != NONE and tns - prev > gap_ns:
+                        flipped = True
+                    if not flipped:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": row[value_col],
+                            }
+                        )
+                        prev = tns
+            state.update((flipped, prev))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="flipped boolean, prev long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def iterate(self, values) -> DataFrame:
+        """Streaming Iterate (operators/transform.py:iterate; eventkit
+        transform.py:22-35): zip a driver-side iterable against the
+        stream — keys/time from the source, payload from the iterable,
+        ending at the shorter side. Enumerate's counter state machine
+        with a list lookup instead of the index: the literal values
+        ride in the closure (bounded by the reference's contract — the
+        iterable is driver-side data, like the batch broadcast side),
+        and rows past the end drop."""
+        from ..operators.transform import _lit_type
+
+        vals = list(values)
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {_lit_type(vals)}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            seen = state.get[0] if state.exists else 0
+            outs = []
+            for pdf in _sorted_chunks(pdfs, ts_col):
+                for _, row in pdf.iterrows():
+                    if seen < len(vals):
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": vals[seen],
+                            }
+                        )
+                    seen += 1
+            state.update((seen,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
 
     def cusum(self, target: float, h: float, slack: float = 0.0,
               reset: bool = True) -> DataFrame:

@@ -718,6 +718,26 @@ def test_profile_table_dotted_column_names(spark):
     assert rows["tag.v1"]["n_null"] == 1 and rows["tag.v1"]["min_str"] == "x"
 
 
+def test_bench_covers_registry():
+    """Every registered contract is benched or on the documented
+    multi-fit exclusion list (r7 VERDICT item 3: a query can be
+    driver-green yet perf-regress invisibly if bench.py never runs
+    it); no bench entry may point at an unregistered name."""
+    import re
+
+    import __spark_entry__ as e
+
+    src = open("bench.py").read()
+    m = re.search(r"HEADLINE = \[(.*?)\n\]", src, re.S)
+    headline = re.findall(r'"([^"]+)"', m.group(1))
+    assert len(headline) == len(set(headline)), "duplicate bench entries"
+    registered = set(e.queries())
+    assert not [n for n in headline if n not in registered]
+    excluded = {"opq_gain", "pq_encode", "ivfpq", "pq_topk"}
+    missing = [n for n in registered if n not in set(headline) | excluded]
+    assert not missing, f"registered but unbenched and undocumented: {missing}"
+
+
 def test_registry_front50_rotation():
     """Pin the round-8 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
