@@ -2182,6 +2182,57 @@ def test_winnow_overlap_detects_shifted_copies(spark):
     assert plan_report(out)["nested_loop_joins"] == 0
 
 
+def test_bounded_levenshtein_kernel(spark):
+    """The banded Arrow kernel == F.levenshtein(a, b, k) row-for-row
+    (r8: the builtin's threshold form still walks the full DP per row;
+    the kernel advances the Ukkonen band across the whole batch).
+    Random mutated pairs + unicode + empties + NULLs (NULL maps to -1,
+    equivalent under the callers' dist >= 0 filter), at several k."""
+    import random
+    import string
+
+    from eventkit_spark.llm.dedup import _bounded_levenshtein_kernel
+
+    random.seed(7)
+    alpha = string.ascii_lowercase + "éü漢字 "
+
+    def mutate(s):
+        s = list(s)
+        for _ in range(random.randint(0, 4)):
+            op = random.choice("ids")
+            i = random.randrange(max(len(s), 1))
+            if op == "i":
+                s.insert(i, random.choice("abcé漢x"))
+            elif op == "d" and s:
+                del s[i % len(s)]
+            elif s:
+                s[i % len(s)] = random.choice("abcé漢x")
+        return "".join(s)
+
+    rows = []
+    for i in range(800):
+        a = "".join(random.choice(alpha) for _ in range(random.randint(0, 40)))
+        b = mutate(a) if i % 2 == 0 else "".join(
+            random.choice(alpha) for _ in range(random.randint(0, 40))
+        )
+        rows.append((a, b))
+    rows += [("", ""), ("", "ab"), ("abc", ""), ("same", "same"),
+             (None, "x"), ("x", None), (None, None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    for k in (0, 1, 2, 5):
+        got = df.select(
+            _bounded_levenshtein_kernel(k)(F.col("a"), F.col("b")).alias("g"),
+            F.levenshtein("a", "b", k).alias("e"),
+        ).collect()
+        bad = [
+            (r["g"], r["e"])
+            for r in got
+            if (r["g"] if r["g"] is not None else -1)
+            != (r["e"] if r["e"] is not None else -1)
+        ]
+        assert not bad, (k, bad[:5])
+
+
 def test_edit_near_dups_finds_typo_variants(spark):
     """edit_near_dups: dist-0 exact dups and dist-1/2 typo variants
     surface through the sorted-neighborhood candidates + levenshtein
