@@ -2939,8 +2939,8 @@ def q_profile(spark, sf):
 
 def q_edit_dedup(spark, sf):
     # r6: typo-level near-dups (llm/dedup.edit_near_dups) — sorted-
-    # neighborhood candidates verified with the built-in levenshtein
-    # (threshold form short-circuits past max_dist). Every doc gets a
+    # neighborhood candidates verified with the banded levenshtein
+    # Arrow kernel (r8; builtin-parity pinned). Every doc gets a
     # one-char-appended variant, so each (orig, variant) pair sits at
     # dist 1; exact-dup groups and their variants add dist-0/1/2 pairs.
     # Oracle: naive global rank + bounded rank-range join + DuckDB's

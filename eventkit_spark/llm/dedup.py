@@ -1853,12 +1853,13 @@ def edit_near_dups(
 
     Candidates come from sorted-neighborhood blocking on ``key``
     (default: the text itself — near-identical strings sort adjacently);
-    the verify is Spark's built-in ``levenshtein`` on the candidate
-    pairs only, JVM-side and O(len^2) per pair, bounded by
-    O(n * window) pairs instead of all-pairs. ``max_len_gap`` skips the
-    quadratic verify when ``|len_a - len_b| > max_dist`` (a length gap
-    is a lower bound on edit distance — free pruning). Returns
-    ``(id_a, id_b, dist)`` with ``dist <= max_dist``.
+    the verify is the banded Levenshtein Arrow kernel on the candidate
+    pairs only, O(len * max_dist) per pair vectorized across the batch
+    (builtin-parity pinned), bounded by O(n * window) pairs instead of
+    all-pairs. ``max_len_gap`` skips the verify when
+    ``|len_a - len_b| > max_dist`` (a length gap is a lower bound on
+    edit distance — free pruning). Returns ``(id_a, id_b, dist)`` with
+    ``dist <= max_dist``.
 
     Caveat shared with every sorted-neighborhood design: only pairs
     within ``window`` sort positions are candidates — a typo in the
