@@ -1871,13 +1871,16 @@ def edit_near_dups(
     if max_dist < 0:
         raise ValueError("edit_near_dups() needs max_dist >= 0")
     k = F.col(text_col) if key is None else (F.col(key) if isinstance(key, str) else key)
-    cand = sorted_neighborhood_pairs(
-        docs, k, window=window, id_col=id_col
-    ).select("id_a", "id_b")
-    t = docs.select(F.col(id_col), F.col(text_col))
-    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    j = cand.join(a, "id_a").join(b, "id_b")
+    # carry= threads each pair's texts through the neighborhood join —
+    # the former two id-keyed join-backs re-planned the corpus scan
+    # four more times (r8: 12 -> 4 FileScans on the doubled contract)
+    j = sorted_neighborhood_pairs(
+        docs, k, window=window, id_col=id_col, carry=[text_col]
+    ).select(
+        "id_a", "id_b",
+        F.col(f"{text_col}_a").alias("__ta"),
+        F.col(f"{text_col}_b").alias("__tb"),
+    )
     if max_len_gap:
         j = j.filter(
             F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
@@ -1900,6 +1903,7 @@ def sorted_neighborhood_pairs(
     window: int = 2,
     id_col: str = "doc_id",
     partitions: int | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernandez-Stolfo 1995): order the
     corpus by a blocking key and emit every pair within ``window``
@@ -1924,7 +1928,12 @@ def sorted_neighborhood_pairs(
     the global rank. Neighbor pairs are ONE block-equi self-join (rank
     div window, probing own + next block) — never a cross join.
 
-    Returns (id_a, id_b, dist) with dist = rank distance in [1, window].
+    Returns (id_a, id_b, dist) with dist = rank distance in [1, window];
+    ``carry=`` payload columns ride through to the pair output as
+    ``<col>_a`` / ``<col>_b`` — a verify stage that needs each pair's
+    payloads (edit_near_dups' texts) gets them WITHOUT two id-keyed
+    join-backs, each of which re-planned the corpus scan (r8: the
+    edit_dedup contract went 12 -> 4 FileScans).
     Note: calling this runs the quantile sketch eagerly (one cheap
     driver action), like the unkeyed as-of join.
     """
@@ -1933,7 +1942,12 @@ def sorted_neighborhood_pairs(
     k = F.col(key) if isinstance(key, str) else key
     from pyspark.sql.types import NumericType
 
-    probe = docs.select(k.alias("__k"), F.col(id_col).alias("id"))
+    carry = list(carry or [])
+    probe = docs.select(
+        k.alias("__k"),
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+    )
     if isinstance(probe.schema["__k"].dataType, NumericType):
         # NULL keys would make the surrogate (and thus __bkt) NULL and
         # silently fall out of the bucket equi-join; pin them to -inf so
@@ -1972,21 +1986,30 @@ def sorted_neighborhood_pairs(
     rn = F.row_number().over(W.partitionBy("__bkt").orderBy("__k", "id"))
     ranked = (
         t.join(F.broadcast(offs), "__bkt")
-        .select("id", (F.col("__off") + rn - 1).cast("long").alias("__r"))
+        .select(
+            "id", (F.col("__off") + rn - 1).cast("long").alias("__r"), *carry
+        )
     )
     blk = lambda c: F.expr(f"{c} div {int(window)}")
     a = ranked.select(
-        F.col("id").alias("id_a"), F.col("__r").alias("__ra"), blk("__r").alias("__blk")
+        F.col("id").alias("id_a"), F.col("__r").alias("__ra"), blk("__r").alias("__blk"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = ranked.select(
-        F.col("id").alias("id_b"), F.col("__r").alias("__rb"), blk("__r").alias("__b0")
+        F.col("id").alias("id_b"), F.col("__r").alias("__rb"), blk("__r").alias("__b0"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
     )
-    b2 = b.select("id_b", "__rb", F.explode(F.array(F.col("__b0"), F.col("__b0") - 1)).alias("__blk"))
+    b2 = b.select(
+        "id_b", "__rb",
+        F.explode(F.array(F.col("__b0"), F.col("__b0") - 1)).alias("__blk"),
+        *[f"{c}_b" for c in carry],
+    )
     return (
         a.join(b2, "__blk")
         .filter((F.col("__rb") > F.col("__ra")) & (F.col("__rb") <= F.col("__ra") + window))
         .select(
-            "id_a", "id_b", (F.col("__rb") - F.col("__ra")).cast("long").alias("dist")
+            "id_a", "id_b", (F.col("__rb") - F.col("__ra")).cast("long").alias("dist"),
+            *[f"{c}_a" for c in carry], *[f"{c}_b" for c in carry],
         )
     )
 
