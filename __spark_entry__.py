@@ -3805,11 +3805,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     takewhile_scaled (r6): a green row on the post-change
     #     definitions closes the only "driver-green but unchecked as
     #     shipped" gap on the board;
-    # (3) positions 9-50: the 42 OLDEST green rows, oldest-first — all
+    # (3) positions 9-13: re-verdicts for code changed THIS round —
+    #     approx_agg (split mixed aggregate), edit_dedup (banded
+    #     levenshtein kernel + carried pair texts), sorted_neighborhood
+    #     (carry= parameter), hll_card/hll_by_key (register format
+    #     stamp in column metadata); line_dedup, substring_dedup and
+    #     decontaminate_bloom also changed and sit in block (4);
+    # (4) positions 14-50: the 37 OLDEST green rows, oldest-first — all
     #     five remaining r1 verdicts, all seventeen remaining r2, and
-    #     the first twenty r3 (registry order), including
-    #     substring_dedup whose NULL-text guard changed this round. At
-    #     this cadence no verdict stays older than ~5 rounds.
+    #     the first fifteen r3 (registry order). At this cadence no
+    #     verdict stays older than ~5 rounds.
     # The tail is everything driver-green in its current form; all
     # entries register full value oracles.
     return {
@@ -3821,6 +3826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "tpch_q11": q_tpch_q11,
         "takewhile_scaled": q_takewhile_scaled,
+        "approx_agg": q_approx_agg,
+        "edit_dedup": q_edit_dedup,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "hll_card": q_hll_card,
+        "hll_by_key": q_hll_by_key,
         "fork_minmax": q_fork_minmax,
         "product_trailing": q_product_trailing,
         "end_on_error": q_end_on_error,
@@ -3857,9 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
+        "substring_dedup": q_substring_dedup,
         "train_order": q_train_order,
         "ccnet_buckets": q_ccnet_buckets,
-        "substring_dedup": q_substring_dedup,
         "constant": q_constant,
         "star_pack": q_star_pack,
         "map_pandas": q_map_pandas,
@@ -3881,8 +3891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset": q_webdataset,
         "seasonal_decompose": q_seasonal_decompose,
         "last": q_last,
-        "hll_card": q_hll_card,
-        "hll_by_key": q_hll_by_key,
         "decontaminate": q_decontaminate,
         "bpe_encode": q_bpe_encode,
         "bpe_vocab": q_bpe_vocab,
@@ -3943,8 +3951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival": q_interarrival,
         "corpus_report": q_corpus_report,
         "corpus_diff": q_corpus_diff,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "edit_dedup": q_edit_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "event_paths": q_event_paths,
         "salted_join": q_salted_join,
@@ -4056,7 +4062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunkwith": q_chunkwith,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
-        "approx_agg": q_approx_agg,
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "embed_ivf_recall": q_embed_ivf_recall,
         "dedup_exact": q_dedup_exact,

@@ -755,18 +755,24 @@ def test_registry_front50_rotation():
         "any_all", "anti_join", "tfidf_cosine", "phrase_search",
         "tpch_q11", "takewhile_scaled",
     ]
+    code_changed_r8 = [
+        "approx_agg", "edit_dedup", "sorted_neighborhood",
+        "hll_card", "hll_by_key",
+    ]
     oldest_r1 = [
         "fork_minmax", "product_trailing", "end_on_error", "errors",
         "product_running",
     ]
     assert names[:2] == new_r8
     assert names[2:8] == devacuated
-    assert names[8:13] == oldest_r1
+    assert names[8:13] == code_changed_r8
+    assert names[13:18] == oldest_r1
     # the rest of the front block is r2 then r3 verdicts; spot-pin the
     # boundaries so the block can't silently shrink or reorder
-    assert names[13] == "source_range" and names[29] == "pivot"
-    assert names[30] == "mm_image_features" and names[49] == "map_pandas"
-    assert "substring_dedup" in names[:50]  # code changed r8 (NULL guard)
+    assert names[18] == "source_range" and names[34] == "pivot"
+    assert names[35] == "mm_image_features" and names[49] == "substring_dedup"
+    # the other r8 code-changed contracts ride the oldest-first block
+    assert {"line_dedup", "decontaminate_bloom"} <= set(names[:50])
     assert len(set(names)) == len(names) >= 256
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
