@@ -22,9 +22,9 @@ parity-tested twin or carries its batch-only reason (r7 VERDICT item 5):
 | iterate                      | counter state indexing the literal side   |
 | previous / deque(n)          | bounded deque state                       |
 | pairwise                     | prev-value state, emit (prev, cur)        |
-| chunk (count-based)          | batch-only: a row-count boundary needs an |
-|                              |   unbounded array buffer per key in state; |
-|                              |   time-based tumbling_chunk is the idiom  |
+| chunk (count-based)          | bounded buffer state (< size values/key); |
+|                              |   the final PARTIAL chunk waits for more  |
+|                              |   rows — no end-of-stream flush (r8)      |
 | chunkwith(timer)             | tumbling window + ordered collect_list    |
 | copy / deepcopy              | identity (rows immutable) — nothing to do |
 | emap + mergemap/chainmap/    | child-plan fan-out + keyed cut state      |
@@ -32,8 +32,8 @@ parity-tested twin or carries its batch-only reason (r7 VERDICT item 5):
 | reduce (running sum/mean/    | running_agg state; arbitrary-Python folds |
 |   min/max/ema, any/all)      |   batch-only: a user accumulator has no   |
 |                              |   declarable state-store schema           |
-| product                      | batch-only: needs the log/sign/zero triple |
-|                              |   accumulator; Column folds via running_agg|
+| product                      | one-double multiply state (r8; the batch  |
+|                              |   log/sign/zero trick is window-only)     |
 | list (unbounded collect)     | batch-only: per-key state grows without   |
 |                              |   bound by design; deque(n) is the stream |
 |                              |   form (reference caps it the same way)   |
@@ -803,6 +803,99 @@ class StreamFrame:
             handler,
             outputStructType=out_schema,
             stateStructType=f"buf array<{vt}>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def chunk(self, size: int) -> DataFrame:
+        """Streaming Chunk (operators/transform.py:chunk; eventkit
+        transform.py:158-176): group every ``size`` rows per key into
+        an array, emitting ``(keys, ts_of_last_row, value array)`` as
+        each chunk fills. State is BOUNDED — at most ``size - 1``
+        buffered values per key. One semantic difference inherent to
+        unbounded mode: the final partial chunk has no end-of-stream
+        to flush it, so it stays in state until more rows arrive
+        (batch flushes the remainder at end; the parity test compares
+        the full chunks)."""
+        if size < 1:
+            raise ValueError("chunk() needs size >= 1")
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value array<{vt}>"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            buf = list(state.get[0]) if state.exists else []
+            outs = []
+            for pdf in _sorted_chunks(pdfs, ts_col):
+                for _, row in pdf.iterrows():
+                    buf.append(row[value_col])
+                    if len(buf) == size:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": buf,
+                            }
+                        )
+                        buf = []
+            state.update((buf,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=f"buf array<{vt}>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def product(self, start: float = 1.0) -> DataFrame:
+        """Streaming running Product (operators/aggregate.py:product;
+        eventkit aggregate.py:60-64): per-key sequential multiply with
+        ONE double of state — unbounded mode sidesteps the batch
+        form's log/sign/zero decomposition entirely (that exists only
+        because Spark has no multiplicative window aggregate; a state
+        machine just multiplies). Values match batch to float
+        round-off (exp(sum(log)) vs sequential multiply), asserted at
+        rtol in the parity test."""
+        value_col = self.value_cols[0]
+        ts_col = self.ts_col
+        keys = self.key_cols
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value double"
+        )
+        start_f = float(start)
+
+        def handler(key, pdfs, state: GroupState):
+            acc = state.get[0] if state.exists else start_f
+            outs = []
+            for pdf in _sorted_chunks(pdfs, ts_col):
+                for _, row in pdf.iterrows():
+                    acc = acc * float(row[value_col])
+                    outs.append(
+                        {
+                            **{k: row[k] for k in keys},
+                            ts_col: row[ts_col],
+                            "value": acc,
+                        }
+                    )
+            state.update((acc,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="acc double",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

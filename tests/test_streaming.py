@@ -1331,3 +1331,40 @@ def test_streaming_iterate_parity(spark, stream_dir):
         .agg(F.max("count")).first()[0]
     )
     assert per_user_max > len(vals)
+
+
+def test_streaming_chunk_product_parity(spark, stream_dir):
+    """Streaming chunk(size) == batch chunk's FULL chunks per key (the
+    unbounded form can't flush the final partial — no end-of-stream);
+    streaming product == batch running product to float round-off
+    (sequential multiply vs the batch exp(sum(log)) decomposition)."""
+    from eventkit_spark.sources.tables import from_dataframe
+
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    sf = _stream(spark, stream_dir)
+
+    out_c = sf.run_available_now(sink_df=sf.chunk(7), name="ek_chunk")
+    got_c = {(r["user_id"], tuple(r["value"])) for r in out_c.collect()}
+    exp_c = {(r["user_id"], tuple(r["value"]))
+             for r in ef.chunk(7).df.collect() if len(r["value"]) == 7}
+    assert got_c == exp_c and got_c
+    # at least one key must have had a partial chunk withheld, or the
+    # full-chunks-only comparison is vacuous
+    n_partial = sum(1 for r in ef.chunk(7).df.collect() if len(r["value"]) < 7)
+    assert n_partial > 0
+
+    # keep the running product in double range: route through a bounded
+    # map first on the batch side and the same map on the stream side
+    sf2 = _stream(spark, stream_dir).map(lambda v: 1.0 + v / 1000.0)
+    out_p2 = sf2.run_available_now(sink_df=sf2.product(), name="ek_prod2")
+    got2 = {(r["user_id"], r["ts"]): r["value"] for r in out_p2.collect()}
+    ef2 = ef.map(lambda v: 1.0 + v / 1000.0)
+    exp2 = {(r["user_id"], r["ts"]): r["value"]
+            for r in ef2.product().df.collect()}
+    assert set(got2) == set(exp2) and got2
+    for key, v in exp2.items():
+        assert abs(got2[key] - v) <= 1e-9 * max(abs(v), 1.0), key
