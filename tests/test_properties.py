@@ -631,3 +631,46 @@ def test_scaled_selection_property(spark, xs, nparts, cut):
         seq_out = getattr(ef, op)(**kwargs).to_list()
         got = getattr(ef, op)(**kwargs, scaled=True, partitions=nparts).to_list()
         assert got == seq_out, (op, xs, nparts)
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "x"]
+docs_strat = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+    min_size=1, max_size=6,
+)
+
+
+@given(
+    docs=docs_strat,
+    terms=st.lists(st.sampled_from(VOCAB), min_size=1, max_size=2, unique=True),
+    phrase=st.tuples(st.sampled_from(VOCAB), st.sampled_from(VOCAB)),
+)
+@settings(
+    max_examples=4,  # two broadcast dims + anchor agg per example — pricey
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_blocklist_verdicts_model(spark, docs, terms, phrase):
+    """blocklist_verdicts == the obvious pure-Python count of term
+    occurrences + (overlapping) phrase occurrences, flagged docs only."""
+    from eventkit_spark.llm.text import blocklist_verdicts
+
+    phrases = [" ".join(phrase)]
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["term_hits"], r["phrase_hits"])
+        for r in blocklist_verdicts(df, terms, phrases).collect()
+    }
+    exp = {}
+    pw = list(phrase)
+    for i, words in enumerate(docs):
+        th = sum(words.count(t) for t in terms)
+        ph = sum(
+            1
+            for j in range(len(words) - 1)
+            if words[j : j + 2] == pw
+        )
+        if th or ph:
+            exp[i] = (th, ph)
+    assert got == exp
