@@ -889,6 +889,7 @@ def blocklist_verdicts(
         raise ValueError("blocklist_verdicts() needs terms and/or phrases")
     dim_rows, len_rows = [], []
     mid = 0
+    seen_terms, seen_phrases = set(), set()
     for t in terms or []:
         w = str(t).lower().strip()
         if not w or " " in w:
@@ -896,13 +897,19 @@ def blocklist_verdicts(
                 f"term {t!r} is empty or multi-word — multi-word entries "
                 "belong in phrases="
             )
+        if w in seen_terms:  # dedup like keyword_hits' kw.distinct()
+            continue
+        seen_terms.add(w)
         dim_rows.append((mid, 0, w))
         len_rows.append((mid, 0, 1))
         mid += 1
     for ph in phrases or []:
-        words = str(ph).lower().split()
+        words = tuple(str(ph).lower().split())
         if not words:
             raise ValueError(f"empty phrase {ph!r}")
+        if words in seen_phrases:
+            continue
+        seen_phrases.add(words)
         for j, w in enumerate(words):
             dim_rows.append((mid, j, w))
         len_rows.append((mid, 1, len(words)))
