@@ -718,6 +718,34 @@ def test_profile_table_dotted_column_names(spark):
     assert rows["tag.v1"]["n_null"] == 1 and rows["tag.v1"]["min_str"] == "x"
 
 
+def test_no_vacuous_oracles_at_smallest_sf():
+    """Every registered oracle must return at least one row at
+    sf0.001 — the round-7 lesson: the driver-generated testdata's value
+    ranges DRIFT between rounds, silently turning predicate contracts
+    vacuous (both engines compute the same empty result and the board
+    records a green that tests nothing). DuckDB-only, no Spark: this is
+    the tripwire, the value comparison lives in compare_oracle."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    zero, errs = [], []
+    for name, sql in e.oracle_sql().items():
+        try:
+            n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            if n == 0:
+                zero.append(name)
+        except Exception as ex:  # noqa: BLE001 — collect, report all at once
+            errs.append((name, str(ex)[:120]))
+    assert not errs, errs
+    assert not zero, f"vacuous (0-row) oracles at sf0.001: {zero}"
+
+
 def test_bench_covers_registry():
     """Every registered contract is benched or on the documented
     multi-fit exclusion list (r7 VERDICT item 3: a query can be
