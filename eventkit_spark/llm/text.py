@@ -1007,6 +1007,52 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical diversity: pretoken count, distinct types,
+    hapax legomena (types occurring exactly once), and the type-token
+    ratio in integer parts-per-million — the classic repetitiveness /
+    template-spam signal quality pipelines cut on (a boilerplate page
+    repeats its menu; TTR collapses).
+
+    Scale shape: one pretoken explode + TWO partial-combined hash
+    aggregates ((doc, word) then doc) — O(tokens), no window, no
+    in-row quadratic type scan. The integer-ppm ratio (``DIV``) keeps
+    the output engine-exact; docs with no pretokens survive with zeros
+    via the id-stream left join.
+    """
+    w = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
+        ).alias("word"),
+    )
+    per_word = w.groupBy(id_col, "word").agg(F.count("*").alias("cnt"))
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("cnt").alias("__tok"),
+        F.count("*").alias("__typ"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("__hap"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__typ"), F.lit(0)).cast("long").alias("n_types"),
+            F.coalesce(F.col("__hap"), F.lit(0)).cast("long").alias("n_hapax"),
+            F.when(
+                F.coalesce(F.col("__tok"), F.lit(0)) > 0,
+                F.expr("__typ * 1000000 DIV __tok"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ttr_ppm"),
+        )
+    )
+
+
 def linear_quality_classifier(
     docs: DataFrame,
     weights: list[float],
