@@ -286,6 +286,10 @@ HEADLINE = [
     "hard_negatives",
     "approx_agg",
     # text / tokenizer legs
+    "unigram_vocab",
+    "unigram_encode",
+    "unigram_fertility",
+    "lexical_diversity",
     "bpe_vocab",
     "bpe_vocab_bytes",
     "bpe_fertility",

@@ -103,6 +103,15 @@ SHUFFLE_CEILING = {
     "bpe_encode": 2,
     "bpe_encode_bytes": 2,
     "bpe_fertility": 3,
+    # r8 unigram family: vocab = word-type agg + substring agg + char
+    # agg + TakeOrdered; encode adds the type distinct, the per-word
+    # packed-map agg, the instance join-back and the per-doc agg;
+    # fertility adds the per-doc chars agg + the per-lang agg
+    "unigram_vocab": 4,
+    "unigram_encode": 8,
+    "unigram_fertility": 10,
+    # (doc, word) agg + per-doc agg; the id-stream join broadcasts
+    "lexical_diversity": 2,
     # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
     # + ONE min_by(struct) dedup aggregate; no join-back branch
     "unique_scaled": 4,
@@ -769,16 +778,20 @@ def test_bench_covers_registry():
 def test_registry_front50_rotation():
     """Pin the round-8 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
-    flagged a comment that drifted from the counted positions): the 2
-    round-8 additions lead, the 6 de-vacuated contracts whose r7
-    predicate changes postdate their last driver sample follow, then 42
-    oldest-green rows oldest-first (5 r1 + 17 r2 + 20 r3). Every
-    registered query must also carry an oracle_sql twin unless it is a
-    documented rows-only contract."""
+    flagged a comment that drifted from the counted positions): the 6
+    round-8 additions lead (unigram family + lexical_diversity +
+    moderation pipeline pair), the 6 de-vacuated contracts whose r7
+    predicate changes postdate their last driver sample follow, then
+    the oldest-green rows oldest-first. Every registered query must
+    also carry an oracle_sql twin unless it is a documented rows-only
+    contract."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r8 = ["pipeline_moderation", "blocklist_verdicts"]
+    new_r8 = [
+        "unigram_vocab", "unigram_encode", "unigram_fertility",
+        "lexical_diversity", "pipeline_moderation", "blocklist_verdicts",
+    ]
     devacuated = [
         "any_all", "anti_join", "tfidf_cosine", "phrase_search",
         "tpch_q11", "takewhile_scaled",
@@ -791,17 +804,22 @@ def test_registry_front50_rotation():
         "fork_minmax", "product_trailing", "end_on_error", "errors",
         "product_running",
     ]
-    assert names[:2] == new_r8
-    assert names[2:8] == devacuated
-    assert names[8:13] == code_changed_r8
-    assert names[13:18] == oldest_r1
+    assert names[:6] == new_r8
+    assert names[6:12] == devacuated
+    assert names[12:17] == code_changed_r8
+    assert names[17:22] == oldest_r1
     # the rest of the front block is r2 then r3 verdicts; spot-pin the
     # boundaries so the block can't silently shrink or reorder
-    assert names[18] == "source_range" and names[34] == "pivot"
-    assert names[35] == "mm_image_features" and names[49] == "substring_dedup"
+    assert names[22] == "source_range" and names[38] == "pivot"
+    assert names[39] == "mm_image_features" and names[49] == "substring_dedup"
     # the other r8 code-changed contracts ride the oldest-first block
     assert {"line_dedup", "decontaminate_bloom"} <= set(names[:50])
-    assert len(set(names)) == len(names) >= 256
+    # deferred to just past the cut to fund the four r8 additions —
+    # first in line for r9
+    assert names[50:54] == [
+        "reservoir", "temperature_mix", "sliding_chunks", "top_ngrams",
+    ]
+    assert len(set(names)) == len(names) >= 260
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
