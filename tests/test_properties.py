@@ -674,3 +674,86 @@ def test_blocklist_verdicts_model(spark, docs, terms, phrase):
         if th or ph:
             exp[i] = (th, ph)
     assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet="ab1 .é",  # letters + digit + punct + non-ASCII
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    vocab_size=st.integers(1, 12),
+)
+@settings(
+    max_examples=6,  # vocab agg + packed-map DP per example — pricey
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_unigram_encode_model(spark, docs, vocab_size):
+    """unigram_vocab + unigram_encode == the pure-Python integer
+    Viterbi on arbitrary text (mixed letter/digit/punct/non-ASCII
+    pretokens exercise the substring grid and the regex family)."""
+    import re
+
+    from eventkit_spark.llm.unigram import (
+        COST_BASE,
+        SCORE_CLAMP,
+        unigram_encode,
+    )
+
+    rx = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    INF = 1 << 62
+
+    freq = {}
+    for t in docs:
+        for w in rx.findall(t):
+            freq[w] = freq.get(w, 0) + 1
+    raw, chars = {}, {}
+    for w, f in freq.items():
+        for l in range(2, 5):
+            for s in range(len(w) - l + 1):
+                p = w[s : s + l]
+                raw[p] = raw.get(p, 0) + f
+        for c in w:
+            chars[c] = chars.get(c, 0) + f
+    top = sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = {p: min(r, SCORE_CLAMP) for p, r in top}
+    vocab.update({c: min(r, SCORE_CLAMP) for c, r in chars.items()})
+    L = max((len(p) for p in vocab), default=1)
+
+    def cost(word):
+        dp = [0] + [INF] * len(word)
+        for i in range(1, len(word) + 1):
+            best = INF
+            for l in range(1, min(L, i) + 1):
+                sc = vocab.get(word[i - l : i])
+                if sc is None and l == 1:
+                    sc = 0
+                if sc is None:
+                    continue
+                best = min(best, dp[i - l] + COST_BASE - sc)
+            dp[i] = best
+        return dp[len(word)]
+
+    exp = {}
+    for i, t in enumerate(docs):
+        p = s = 0
+        for w in rx.findall(t):
+            d = cost(w)
+            pieces = (d + COST_BASE - 1) // COST_BASE
+            p += pieces
+            s += pieces * COST_BASE - d
+        exp[i] = (p, s)
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum"])
+        for r in unigram_encode(df, vocab_size=vocab_size).collect()
+    }
+    assert got == exp

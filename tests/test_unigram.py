@@ -257,3 +257,24 @@ def test_lexical_diversity_counts(spark, docs):
         hap = sum(1 for c in cnt.values() if c == 1)
         ttr = typ * 1_000_000 // tok if tok else 0
         assert got[i] == (tok, typ, hap, ttr), f"doc {i}"
+
+
+def test_vocab_size_independence(spark, docs):
+    """The packed-map design's core claim: a vocabulary 100x larger
+    (dominated by pieces the corpus never contains) changes nothing
+    about the encode result or its feasibility — per-word DP work is
+    bounded by word structure, not vocabulary size."""
+    small = unigram_vocab(docs, vocab_size=20)
+    base = {p: s for p, s in ((r["piece"], r["score"]) for r in small.collect())}
+    # pad with thousands of alien pieces at scores that could never win
+    alien = [
+        (f"q{i:03d}x"[: 2 + i % 3], 1) for i in range(4000)
+    ]
+    alien = [(p, s) for p, s in alien if p not in base and len(p) >= 2]
+    big = spark.createDataFrame(
+        sorted(base.items()) + sorted(set(alien)),
+        "piece string, score long",
+    )
+    a = sorted(map(tuple, unigram_encode(docs, vocab=small).collect()))
+    b = sorted(map(tuple, unigram_encode(docs, vocab=big).collect()))
+    assert a == b
