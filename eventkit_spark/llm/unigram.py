@@ -49,6 +49,7 @@ from .tokenize import pretoken_counts
 __all__ = [
     "unigram_vocab",
     "unigram_encode",
+    "unigram_tokenize",
     "unigram_train",
     "unigram_store_init",
     "unigram_encode_with_store",
@@ -447,6 +448,69 @@ def unigram_train(
         wt.unpersist()
     return spark.createDataFrame(
         sorted(cur.items()), "piece string, score long"
+    )
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    vocab_size: int = 60,
+    min_len: int = 2,
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Materialized token sequences ``(id_col, tokens array<string>)``
+    with pretoken order preserved — the inference path users feed to a
+    model, twin of ``tokenize.bpe_apply_merges``.
+
+    Same plan shape as that function: each distinct word TYPE walks
+    its Viterbi-optimal pieces once (full-DP fold + backward walk,
+    both pure Column over the packed per-word score map), then the
+    join back to the (doc, position, word) stream and an
+    order-restoring re-aggregate. The join is the only exchange whose
+    width scales with the corpus. Documents with no pretokens yield
+    an empty array.
+    """
+    if vocab is None:
+        vocab = unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
+    L = _max_piece_len(vocab)
+    from .text import BPE_REGEX
+
+    pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
+    dw = docs.select(F.col(id_col), F.posexplode(pre).alias("wpos", "word"))
+    types = dw.select("word").distinct()
+    wm = _packed_scores(types, vocab, L)
+    enc = wm.select(
+        "word", "m", _dp_full(F.col("word"), F.col("m"), L).alias("__dparr")
+    ).select(
+        "word",
+        _walk_pieces(
+            F.col("word"), F.col("__dparr"), F.col("m"), L
+        ).alias("__toks"),
+    )
+    per_doc = (
+        dw.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "__toks"))),
+                    lambda x: x["__toks"],
+                )
+            ).alias(tokens_col)
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col(tokens_col), F.array().cast("array<string>")
+            ).alias(tokens_col),
+        )
     )
 
 

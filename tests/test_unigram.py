@@ -278,3 +278,22 @@ def test_vocab_size_independence(spark, docs):
     a = sorted(map(tuple, unigram_encode(docs, vocab=small).collect()))
     b = sorted(map(tuple, unigram_encode(docs, vocab=big).collect()))
     assert a == b
+
+
+def test_tokenize_tiles_words_and_matches_encode(spark, docs):
+    from eventkit_spark.llm.unigram import unigram_tokenize
+
+    toks = {
+        r["doc_id"]: list(r["tokens"])
+        for r in unigram_tokenize(docs, vocab_size=20).collect()
+    }
+    enc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_encode(docs, vocab_size=20).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        # order-preserving: concatenated tokens == concatenated pretokens
+        assert "".join(toks[i]) == "".join(RX.findall(t)), f"doc {i}"
+        # token count agrees with the packed-cost encode
+        assert len(toks[i]) == enc[i], f"doc {i}"
+    assert toks[5] == []
