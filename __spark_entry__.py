@@ -1096,6 +1096,35 @@ def q_unigram_fertility(spark, sf):
     )
 
 
+def q_unigram_store(spark, sf):
+    # r8: persisted unigram-tokenizer store lifecycle (llm/unigram.py
+    # unigram_store_init/unigram_encode_with_store — the tokenizer
+    # member of the persisted-store family): the vocabulary is fit
+    # ONCE on the doc_id % 3 != 0 seed slice, persisted, and the
+    # % 3 == 0 batch encodes against it without refitting. Batch
+    # characters the seed never saw take the 0-score <unk> char path —
+    # this contract exercises it under the driver's value hash. The
+    # oracle re-derives the seed-slice vocabulary and replays the
+    # batch-slice DP.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from eventkit_spark.llm.unigram import (
+        unigram_encode_with_store, unigram_store_init, unigram_vocab,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/eventkit_uni_store_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    unigram_store_init(
+        unigram_vocab(docs.filter(F.col("doc_id") % 3 != 0), vocab_size=40),
+        path,
+    )
+    return unigram_encode_with_store(docs.filter(F.col("doc_id") % 3 == 0), path)
+
+
 def q_lexical_diversity(spark, sf):
     # r8: per-doc type-token diversity (llm/text.lexical_diversity) —
     # tokens, types, hapax count, integer-ppm TTR; one explode + two
@@ -3860,37 +3889,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-8 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-6: the round-8 additions, never driver-checked —
-    #     the unigram tokenizer family (vocab/encode/fertility) and
-    #     lexical_diversity, then pipeline_moderation (multi-op
+    # (1) positions 1-7: the round-8 additions, never driver-checked —
+    #     the unigram tokenizer family (vocab/encode/fertility/store)
+    #     and lexical_diversity, then pipeline_moderation (multi-op
     #     showcase, r7 VERDICT item 7) and blocklist_verdicts (the
     #     fused term+phrase matcher it's built on);
-    # (2) positions 7-12: the six contracts whose predicates/constants
+    # (2) positions 8-13: the six contracts whose predicates/constants
     #     were de-vacuated by r7 commit 3d0cef5 AFTER their last driver
     #     sample (r7 VERDICT item 1) — any_all (verdict r1), anti_join
     #     (r2), tfidf_cosine (r4), phrase_search (r5), tpch_q11 and
     #     takewhile_scaled (r6): a green row on the post-change
     #     definitions closes the only "driver-green but unchecked as
     #     shipped" gap on the board;
-    # (3) positions 13-17: re-verdicts for code changed THIS round —
+    # (3) positions 14-18: re-verdicts for code changed THIS round —
     #     approx_agg (split mixed aggregate), edit_dedup (banded
     #     levenshtein kernel + carried pair texts), sorted_neighborhood
     #     (carry= parameter), hll_card/hll_by_key (register format
     #     stamp in column metadata); line_dedup, substring_dedup and
     #     decontaminate_bloom also changed and sit in block (4);
-    # (4) positions 18-50: the 33 OLDEST green rows, oldest-first — all
+    # (4) positions 19-50: the 32 OLDEST green rows, oldest-first — all
     #     five remaining r1 verdicts, then r2/r3 in registry order
-    #     (reservoir/temperature_mix/sliding_chunks/top_ngrams deferred
-    #     to just past the cut to make room for the four r8 additions
-    #     while keeping the r8-code-changed decontaminate_bloom and
-    #     substring_dedup inside the sampled block). At this cadence no
-    #     verdict stays older than ~5 rounds.
+    #     (unigram_logprob/reservoir/temperature_mix/sliding_chunks/
+    #     top_ngrams deferred to just past the cut to make room for the
+    #     five r8 additions while keeping the r8-code-changed
+    #     decontaminate_bloom and substring_dedup inside the sampled
+    #     block). At this cadence no verdict stays older than ~5 rounds.
     # The tail is everything driver-green in its current form; all
     # entries register full value oracles.
     return {
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode": q_unigram_encode,
         "unigram_fertility": q_unigram_fertility,
+        "unigram_store": q_unigram_store,
         "lexical_diversity": q_lexical_diversity,
         "pipeline_moderation": q_pipeline_moderation,
         "blocklist_verdicts": q_blocklist_verdicts,
@@ -3936,10 +3966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
-        "unigram_logprob": q_unigram_logprob,
         "substring_dedup": q_substring_dedup,
         # deferred from the r8 front block (see comment above): first in
         # line for the r9 rotation
+        "unigram_logprob": q_unigram_logprob,
         "reservoir": q_reservoir,
         "temperature_mix": q_temperature_mix,
         "sliding_chunks": q_sliding_chunks,
@@ -4408,15 +4438,17 @@ _UNI_INF = 1 << 62
 _UNI_CLAMP = 1 << 20
 
 
-def _unigram_vocab_ctes(top: int) -> str:
+def _unigram_vocab_ctes(top: int, vocab_where: str = "TRUE") -> str:
     """CTE chain replaying llm/unigram.unigram_vocab: word-type table,
     instance-weighted substring counts (len 2..4), vocab-sized top cut
     with the (score DESC, piece ASC) tie-break, full char alphabet.
-    Ends at ``v`` = (piece, score)."""
+    ``vocab_where`` restricts the fit slice (the store-lifecycle
+    contract fits on a seed slice). Ends at ``v`` = (piece, score)."""
     return f"""words AS (
       SELECT w AS word, count(*)::BIGINT AS freq
       FROM documents,
            unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)
+      WHERE {vocab_where}
       GROUP BY 1),
     uni_subs AS (
       SELECT substr(word, s, l) AS piece, freq
@@ -4444,15 +4476,25 @@ def _unigram_vocab_sql(top: int) -> str:
     SELECT piece, score FROM v"""
 
 
-def _unigram_enc_ctes(top: int) -> str:
+def _unigram_enc_ctes(
+    top: int, vocab_where: str = "TRUE", enc_where: str = "TRUE"
+) -> str:
     """Recursive-CTE Viterbi replay of llm/unigram's packed-cost DP
     (carry the last 4 dp cells per word, exactly the Column fold's
     accumulator; the throttle carried-list precedent). The CASE guards
     ``s.i >= l-1`` make the join-side substr clamping at position <= 0
-    harmless. Ends at ``enc`` = (word, p, sc) — ceiling unpack, since
-    an all-<unk> word carries score_sum 0."""
-    return f"""{_unigram_vocab_ctes(top)},
-    uni_wt AS (SELECT DISTINCT word FROM words),
+    harmless. ``vocab_where`` / ``enc_where`` split fit and encode
+    slices for the store-lifecycle contract (a batch word missing from
+    the seed vocabulary falls back to the 0-score <unk> char — the v1
+    coalesce). Ends at ``uni_agg`` = per-doc (n_tokens, score_sum);
+    ceiling unpack, since an all-<unk> word carries score_sum 0."""
+    return f"""{_unigram_vocab_ctes(top, vocab_where)},
+    uni_dw AS (
+      SELECT doc_id, w AS word
+      FROM documents,
+           unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)
+      WHERE {enc_where}),
+    uni_wt AS (SELECT DISTINCT word FROM uni_dw),
     uni_dp AS (
       SELECT word, 0 AS i,
              [{_UNI_INF}, {_UNI_INF}, {_UNI_INF}, 0]::BIGINT[] AS d
@@ -4483,21 +4525,20 @@ def _unigram_enc_ctes(top: int) -> str:
              ((dpv + {_UNI_BIG - 1}) // {_UNI_BIG}) * {_UNI_BIG} - dpv
                AS sc
       FROM uni_fin),
-    uni_dw AS (
-      SELECT doc_id, w AS word
-      FROM documents,
-           unnest(regexp_extract_all(text, '{_BPE_RX_SQL}')) AS u(w)),
     uni_agg AS (
       SELECT dw.doc_id, sum(e.p)::BIGINT AS n_tokens,
              sum(e.sc)::BIGINT AS score_sum
       FROM uni_dw dw JOIN enc e USING (word) GROUP BY 1)"""
 
 
-def _unigram_encode_sql(top: int) -> str:
-    return f"""WITH RECURSIVE {_unigram_enc_ctes(top)}
+def _unigram_encode_sql(
+    top: int, vocab_where: str = "TRUE", enc_where: str = "TRUE"
+) -> str:
+    return f"""WITH RECURSIVE {_unigram_enc_ctes(top, vocab_where, enc_where)}
     SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
            coalesce(a.score_sum, 0)::BIGINT AS score_sum
-    FROM documents d LEFT JOIN uni_agg a USING (doc_id)"""
+    FROM documents d LEFT JOIN uni_agg a USING (doc_id)
+    WHERE {enc_where}"""
 
 
 def _unigram_fertility_sql(top: int) -> str:
@@ -8044,6 +8085,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_vocab": _unigram_vocab_sql(40),
         "unigram_encode": _unigram_encode_sql(40),
         "unigram_fertility": _unigram_fertility_sql(40),
+        "unigram_store": _unigram_encode_sql(
+            40, vocab_where="doc_id % 3 <> 0", enc_where="doc_id % 3 = 0"
+        ),
         "bpe_train_bytes": _bpe_train_bytes_sql(6),
         "bpe_vocab_bytes": _bpe_vocab_bytes_sql(6, 40),
         "bpe_encode_bytes": _bpe_encode_bytes_sql(6),

@@ -289,6 +289,7 @@ HEADLINE = [
     "unigram_vocab",
     "unigram_encode",
     "unigram_fertility",
+    "unigram_store",
     "lexical_diversity",
     "bpe_vocab",
     "bpe_vocab_bytes",

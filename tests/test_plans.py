@@ -110,6 +110,9 @@ SHUFFLE_CEILING = {
     "unigram_vocab": 4,
     "unigram_encode": 8,
     "unigram_fertility": 10,
+    # store lifecycle probe: the persisted-vocab read replaces the fit
+    # branch, but the packed-map agg + type distinct + join-back stay
+    "unigram_store": 6,
     # (doc, word) agg + per-doc agg; the id-stream join broadcasts
     "lexical_diversity": 2,
     # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
@@ -790,7 +793,8 @@ def test_registry_front50_rotation():
     names = list(e.queries())
     new_r8 = [
         "unigram_vocab", "unigram_encode", "unigram_fertility",
-        "lexical_diversity", "pipeline_moderation", "blocklist_verdicts",
+        "unigram_store", "lexical_diversity", "pipeline_moderation",
+        "blocklist_verdicts",
     ]
     devacuated = [
         "any_all", "anti_join", "tfidf_cosine", "phrase_search",
@@ -804,22 +808,23 @@ def test_registry_front50_rotation():
         "fork_minmax", "product_trailing", "end_on_error", "errors",
         "product_running",
     ]
-    assert names[:6] == new_r8
-    assert names[6:12] == devacuated
-    assert names[12:17] == code_changed_r8
-    assert names[17:22] == oldest_r1
+    assert names[:7] == new_r8
+    assert names[7:13] == devacuated
+    assert names[13:18] == code_changed_r8
+    assert names[18:23] == oldest_r1
     # the rest of the front block is r2 then r3 verdicts; spot-pin the
     # boundaries so the block can't silently shrink or reorder
-    assert names[22] == "source_range" and names[38] == "pivot"
-    assert names[39] == "mm_image_features" and names[49] == "substring_dedup"
+    assert names[23] == "source_range" and names[39] == "pivot"
+    assert names[40] == "mm_image_features" and names[49] == "substring_dedup"
     # the other r8 code-changed contracts ride the oldest-first block
     assert {"line_dedup", "decontaminate_bloom"} <= set(names[:50])
-    # deferred to just past the cut to fund the four r8 additions —
+    # deferred to just past the cut to fund the five r8 additions —
     # first in line for r9
-    assert names[50:54] == [
-        "reservoir", "temperature_mix", "sliding_chunks", "top_ngrams",
+    assert names[50:55] == [
+        "unigram_logprob", "reservoir", "temperature_mix",
+        "sliding_chunks", "top_ngrams",
     ]
-    assert len(set(names)) == len(names) >= 260
+    assert len(set(names)) == len(names) >= 261
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
