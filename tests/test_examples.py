@@ -140,3 +140,16 @@ def test_content_moderation_end_to_end(spark):
     assert 0 < stats["kept"] < stats["input"]  # the gate actually fires
     assert stats["flagged_terms"] > 0 and stats["flagged_phrases"] > 0
     assert stats["profiled_columns"] >= 4
+
+
+def test_tokenizer_training_end_to_end(spark):
+    import tokenizer_training
+
+    stats = tokenizer_training.run(
+        spark, "/root/testdata/sf0.001", report=lambda *_: None
+    )
+    assert stats["seed"] > stats["batch"] > 0
+    # a trained multi-char vocab must beat 1 char/token on the batch
+    assert 0 < stats["uni_tokens"] and 0 < stats["bpe_tokens"]
+    assert stats["unigram_pieces"] > 0
+    assert stats["langs"] >= 1
