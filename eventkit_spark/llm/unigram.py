@@ -103,6 +103,10 @@ def unigram_vocab(
     piece ASC); scores clamp at ``SCORE_CLAMP`` so the encode cost
     packing stays exact. Deterministic in any engine.
     """
+    if min_len > max_len or min_len < 1:
+        raise ValueError(
+            f"need 1 <= min_len <= max_len, got [{min_len}, {max_len}]"
+        )
     wt = pretoken_counts(docs, text_col, min_freq)
     word = F.col("word")
     multi = (
@@ -425,10 +429,12 @@ def unigram_train(
                 .collect()
             )
             usage = {r["piece"]: int(r["usage"]) for r in usage_rows}
-            # linear schedule start_size -> vocab_size; chars immune
-            keep_n = (
-                vocab_size
-                + (start_size - vocab_size) * (iters - t) // iters
+            # linear schedule start_size -> vocab_size; chars immune;
+            # clamped so start_size < vocab_size can't prune below the
+            # requested size
+            keep_n = max(
+                vocab_size,
+                vocab_size + (start_size - vocab_size) * (iters - t) // iters,
             )
             ranked = sorted(multi, key=lambda p: (-usage.get(p, 0), p))[
                 :keep_n

@@ -297,3 +297,19 @@ def test_tokenize_tiles_words_and_matches_encode(spark, docs):
         # token count agrees with the packed-cost encode
         assert len(toks[i]) == enc[i], f"doc {i}"
     assert toks[5] == []
+
+
+def test_oracle_constants_match_engine():
+    """The DuckDB oracle replays the DP with its own copies of the
+    cost base / clamp — a silent drift in either side would fail
+    every unigram contract; pin them equal."""
+    import __spark_entry__ as e
+    from eventkit_spark.llm import unigram
+
+    assert e._UNI_BIG == unigram.COST_BASE
+    assert e._UNI_CLAMP == unigram.SCORE_CLAMP
+
+
+def test_vocab_rejects_bad_lengths(spark, docs):
+    with pytest.raises(ValueError):
+        unigram_vocab(docs, vocab_size=5, min_len=4, max_len=2)
