@@ -132,7 +132,13 @@ def unigram_vocab(
 
 def _max_piece_len(vocab: DataFrame) -> int:
     """One-row collect of the vocabulary's longest piece — the only
-    driver-side state encoding needs (an int, not the vocabulary)."""
+    driver-side state encoding needs (an int, not the vocabulary).
+
+    NOTE: this runs a (vocabulary-sized) Spark job at plan-CONSTRUCTION
+    time, so ``unigram_encode``/``unigram_tokenize`` are not fully lazy
+    — the DP carry width must be known to build the fold expression.
+    Callers that need laziness can pass a vocabulary whose max piece
+    length they already know via ``max_len``-sized training params."""
     row = vocab.agg(F.max(F.length("piece"))).first()
     return int(row[0] or 1)
 
@@ -253,6 +259,10 @@ def unigram_encode(
     independent, see ``_packed_scores``); the join back to the
     (doc, word) stream is the only corpus-width exchange, then one
     per-doc hash aggregate. Documents with no pretokens report 0.
+
+    Construction runs one vocabulary-sized job up front (the DP carry
+    width — see ``_max_piece_len``), so the returned frame is not
+    fully lazy.
     """
     if vocab is None:
         vocab = unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
