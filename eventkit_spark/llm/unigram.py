@@ -330,7 +330,10 @@ def _dp_full(word: Column, m: Column, L: int) -> Column:
                     F.lit(_INF).cast("long")
                 )
             )
-        return F.concat(acc, F.array(F.least(*cands)))
+        # F.least requires >= 2 columns: a chars-only vocabulary (L=1)
+        # has exactly one candidate per position
+        new_dp = F.least(*cands) if len(cands) > 1 else cands[0]
+        return F.concat(acc, F.array(new_dp))
 
     return F.aggregate(
         F.sequence(F.lit(1), n), F.array(F.lit(0).cast("long")), step

@@ -757,3 +757,15 @@ def test_unigram_encode_model(spark, docs, vocab_size):
         for r in unigram_encode(df, vocab_size=vocab_size).collect()
     }
     assert got == exp
+
+    # the inference walk must tile the pretokens exactly and agree
+    # with the DP count on the same random corpus
+    from eventkit_spark.llm.unigram import unigram_tokenize
+
+    toks = {
+        r["doc_id"]: list(r["tokens"])
+        for r in unigram_tokenize(df, vocab_size=vocab_size).collect()
+    }
+    for i, t in enumerate(docs):
+        assert "".join(toks[i]) == "".join(rx.findall(t))
+        assert len(toks[i]) == exp[i][0]
