@@ -66,11 +66,13 @@ COST_BASE = 1 << 42
 _INF = 1 << 62
 
 
-def _substr_pieces(word: Column, min_len: int, max_len: int) -> Column:
-    """All substrings of ``word`` with length in [min_len, max_len],
-    as an in-row array — the (start, len) grid is built over
+def _piece_grid(word: Column, min_len: int, max_len: int) -> Column:
+    """The valid (l, s) substring grid of ``word`` for lengths in
+    [min_len, max_len], as an in-row struct array — built over
     always-ascending ranges and filtered, so no sequence() call can
-    infer a negative step on degenerate input."""
+    infer a negative step on degenerate input. Shared by the vocab
+    builder and the packed-score join so the clamping can never drift
+    between them."""
     grid = F.flatten(
         F.transform(
             F.sequence(F.lit(min_len), F.lit(max_len)),
@@ -80,8 +82,15 @@ def _substr_pieces(word: Column, min_len: int, max_len: int) -> Column:
             ),
         )
     )
-    valid = F.filter(grid, lambda p: p["s"] + p["l"] - 1 <= F.length(word))
-    return F.transform(valid, lambda p: F.substr(word, p["s"], p["l"]))
+    return F.filter(grid, lambda p: p["s"] + p["l"] - 1 <= F.length(word))
+
+
+def _substr_pieces(word: Column, min_len: int, max_len: int) -> Column:
+    """All substrings of ``word`` with length in [min_len, max_len]."""
+    return F.transform(
+        _piece_grid(word, min_len, max_len),
+        lambda p: F.substr(word, p["s"], p["l"]),
+    )
 
 
 def unigram_vocab(
@@ -124,10 +133,36 @@ def unigram_vocab(
         .groupBy("piece")
         .agg(F.sum("freq").alias("raw"))
     )
-    return multi.unionByName(chars).select(
-        "piece",
-        F.least(F.col("raw"), F.lit(SCORE_CLAMP)).cast("long").alias("score"),
+    # with min_len=1 single chars reach BOTH branches with identical
+    # (piece, raw) rows — a duplicate piece would later break the
+    # packed-score map build (DUPLICATED_MAP_KEY), so dedup the union
+    return (
+        multi.unionByName(chars)
+        .dropDuplicates(["piece"])
+        .select(
+            "piece",
+            F.least(F.col("raw"), F.lit(SCORE_CLAMP))
+            .cast("long")
+            .alias("score"),
+        )
     )
+
+
+def _localized_vocab(vocab: DataFrame) -> tuple[DataFrame, int]:
+    """Collect a freshly-FIT vocabulary (vocabulary-sized by contract)
+    once and rebuild it as a local relation, returning it with the max
+    piece length. Deriving the DP carry width already forces a job;
+    without this the whole corpus-scanning fit plan would run AGAIN,
+    uncached, inside the packed-score broadcast join. Only used for
+    vocabularies this module itself fit — user-provided frames are
+    never silently collected (see ``_max_piece_len``)."""
+    rows = vocab.select("piece", "score").collect()
+    L = max((len(r["piece"]) for r in rows), default=1)
+    local = vocab.sparkSession.createDataFrame(
+        [(r["piece"], int(r["score"])) for r in rows],
+        "piece string, score long",
+    )
+    return local, L
 
 
 def _max_piece_len(vocab: DataFrame) -> int:
@@ -155,17 +190,9 @@ def _packed_scores(types: DataFrame, vocab: DataFrame, L: int) -> DataFrame:
     map via the left join. Output: ``(word, m)``.
     """
     word = F.col("word")
-    grid = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(L)),
-            lambda l: F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
-                lambda s: F.struct(l.alias("l"), s.alias("s")),
-            ),
-        )
-    )
-    valid = F.filter(grid, lambda p: p["s"] + p["l"] - 1 <= F.length(word))
-    cand = types.select(word, F.explode(valid).alias("c")).select(
+    cand = types.select(
+        word, F.explode(_piece_grid(word, 1, L)).alias("c")
+    ).select(
         word,
         F.col("c.s").alias("s"),
         F.col("c.l").alias("l"),
@@ -265,8 +292,11 @@ def unigram_encode(
     fully lazy.
     """
     if vocab is None:
-        vocab = unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
-    L = _max_piece_len(vocab)
+        vocab, L = _localized_vocab(
+            unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
+        )
+    else:
+        L = _max_piece_len(vocab)
     from .text import BPE_REGEX
 
     dw = docs.select(
@@ -493,8 +523,11 @@ def unigram_tokenize(
     an empty array.
     """
     if vocab is None:
-        vocab = unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
-    L = _max_piece_len(vocab)
+        vocab, L = _localized_vocab(
+            unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
+        )
+    else:
+        L = _max_piece_len(vocab)
     from .text import BPE_REGEX
 
     pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)

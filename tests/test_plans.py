@@ -781,9 +781,10 @@ def test_bench_covers_registry():
 def test_registry_front50_rotation():
     """Pin the round-8 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
-    flagged a comment that drifted from the counted positions): the 6
-    round-8 additions lead (unigram family + lexical_diversity +
-    moderation pipeline pair), the 6 de-vacuated contracts whose r7
+    flagged a comment that drifted from the counted positions): the 7
+    round-8 additions lead (unigram family incl. store +
+    lexical_diversity + moderation pipeline pair), the 6 de-vacuated
+    contracts whose r7
     predicate changes postdate their last driver sample follow, then
     the oldest-green rows oldest-first. Every registered query must
     also carry an oracle_sql twin unless it is a documented rows-only

@@ -313,3 +313,14 @@ def test_oracle_constants_match_engine():
 def test_vocab_rejects_bad_lengths(spark, docs):
     with pytest.raises(ValueError):
         unigram_vocab(docs, vocab_size=5, min_len=4, max_len=2)
+
+
+def test_min_len_one_vocab_encodes(spark, docs):
+    """min_len=1 puts single chars in BOTH vocab branches; the union
+    dedup must keep the packed-score map build free of duplicate keys
+    (previously DUPLICATED_MAP_KEY)."""
+    v = unigram_vocab(docs, vocab_size=10, min_len=1, max_len=3)
+    pieces = [r["piece"] for r in v.collect()]
+    assert len(pieces) == len(set(pieces))
+    out = unigram_encode(docs, vocab=v)
+    assert out.count() == len(TEXTS)
