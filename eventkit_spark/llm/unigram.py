@@ -133,18 +133,17 @@ def unigram_vocab(
         .groupBy("piece")
         .agg(F.sum("freq").alias("raw"))
     )
-    # with min_len=1 single chars reach BOTH branches with identical
-    # (piece, raw) rows — a duplicate piece would later break the
-    # packed-score map build (DUPLICATED_MAP_KEY), so dedup the union
-    return (
-        multi.unionByName(chars)
-        .dropDuplicates(["piece"])
-        .select(
-            "piece",
-            F.least(F.col("raw"), F.lit(SCORE_CLAMP))
-            .cast("long")
-            .alias("score"),
-        )
+    out = multi.unionByName(chars)
+    if min_len == 1:
+        # only then can single chars reach BOTH branches (identical
+        # (piece, raw) rows — same aggregation) and a duplicate piece
+        # would later break the packed-score map build
+        # (DUPLICATED_MAP_KEY); min_len >= 2 keeps the branches
+        # disjoint by length, no dedup exchange needed
+        out = out.dropDuplicates(["piece"])
+    return out.select(
+        "piece",
+        F.least(F.col("raw"), F.lit(SCORE_CLAMP)).cast("long").alias("score"),
     )
 
 
