@@ -324,3 +324,64 @@ def test_min_len_one_vocab_encodes(spark, docs):
     assert len(pieces) == len(set(pieces))
     out = unigram_encode(docs, vocab=v)
     assert out.count() == len(TEXTS)
+
+
+def test_walk_tie_break_matches_python_model(spark, docs):
+    """The backward walk's EXACT piece sequence (not just its cost):
+    smallest-l wins DP-identity ties, which the trainer's usage counts
+    depend on — a tie broken the other way would train a different
+    vocabulary while still passing the tiling/cost assertions."""
+    vocab_df = unigram_vocab(docs, vocab_size=20)
+    vocab = {r["piece"]: r["score"] for r in vocab_df.collect()}
+    L = max(len(p) for p in vocab)
+
+    def py_walk(word):
+        dp = [0] + [_INF] * len(word)
+        for i in range(1, len(word) + 1):
+            best = _INF
+            for l in range(1, min(L, i) + 1):
+                s = vocab.get(word[i - l : i])
+                if s is None and l == 1:
+                    s = 0
+                if s is None:
+                    continue
+                best = min(best, dp[i - l] + COST_BASE - s)
+            dp[i] = best
+        toks, pos = [], len(word)
+        while pos > 0:
+            for l in range(1, min(L, pos) + 1):
+                s = vocab.get(word[pos - l : pos])
+                if s is None and l == 1:
+                    s = 0
+                if s is None:
+                    continue
+                if dp[pos] == dp[pos - l] + COST_BASE - s:
+                    toks.append(word[pos - l : pos])
+                    pos -= l
+                    break
+        return list(reversed(toks))
+
+    types = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(RX.pattern), 0)
+            ).alias("word")
+        )
+        .distinct()
+    )
+    wm = _packed_scores(types, vocab_df, L)
+    rows = (
+        wm.select(
+            "word", "m", _dp_full(F.col("word"), F.col("m"), L).alias("d")
+        )
+        .select(
+            "word",
+            _walk_pieces(F.col("word"), F.col("d"), F.col("m"), L).alias(
+                "toks"
+            ),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert list(r["toks"]) == py_walk(r["word"]), r["word"]
