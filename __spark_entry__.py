@@ -25,6 +25,30 @@ from eventkit_spark.sources.tables import load_events, load_table
 _WIN = "PARTITION BY user_id ORDER BY event_id"
 _CUM = f"{_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
+# Session-scoped persisted stores for the build-once / query-many
+# lifecycle contracts: the store is built on FIRST use per (kind, sf)
+# and re-queried read-only afterwards — repeated calls in one process
+# (the bench's warm iterations, a notebook) pay the probe only, which
+# is the production shape those lifecycles exist to model (r8 VERDICT
+# item 6). Stores the contract MUTATES (accept-then-commit) still build
+# fresh per call; only read-only probes share. mkdtemp + atexit: no
+# fixed path for concurrent runs to race on (r8 ADVICE).
+_SESSION_STORES: dict[tuple[str, str], str] = {}
+
+
+def _session_store(kind: str, sf: str, build) -> str:
+    key = (kind, sf)
+    if key not in _SESSION_STORES:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"eventkit_{kind}_store_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        build(path)
+        _SESSION_STORES[key] = path
+    return _SESSION_STORES[key]
+
 
 def _ev(spark: SparkSession, sf_dir: str) -> EventFrame:
     return load_events(spark, sf_dir)
@@ -1106,21 +1130,21 @@ def q_unigram_store(spark, sf):
     # this contract exercises it under the driver's value hash. The
     # oracle re-derives the seed-slice vocabulary and replays the
     # batch-slice DP.
-    import hashlib
-    import shutil
-    import tempfile
-
     from eventkit_spark.llm.unigram import (
         unigram_encode_with_store, unigram_store_init, unigram_vocab,
     )
 
     docs = load_table(spark, sf, "documents")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/eventkit_uni_store_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
-    unigram_store_init(
-        unigram_vocab(docs.filter(F.col("doc_id") % 3 != 0), vocab_size=40),
-        path,
+    # _session_store: per-run unique mkdtemp path (no fixed sf-keyed
+    # path for two concurrent driver runs to rmtree out from under each
+    # other — r8 ADVICE) with atexit cleanup; the encode probe is
+    # read-only, so one session build serves every warm call.
+    path = _session_store(
+        "uni", sf,
+        lambda p: unigram_store_init(
+            unigram_vocab(docs.filter(F.col("doc_id") % 3 != 0), vocab_size=40),
+            p,
+        ),
     )
     return unigram_encode_with_store(docs.filter(F.col("doc_id") % 3 == 0), path)
 
@@ -2969,24 +2993,28 @@ def q_dedup_simhash_incremental(spark, sf):
     # every status EXACT-popcount verified (the store carries full
     # fingerprints, not just bucket occupancy). portable=True so DuckDB
     # replays the fingerprints and brute-forces the same Hamming
-    # verdicts. Fresh store per call so re-runs are deterministic.
-    import hashlib
-    import shutil
-    import tempfile
-
+    # verdicts. The seed store builds ONCE per session (_session_store)
+    # and the probe runs commit=False — the dry-run form — so the store
+    # is never mutated and every re-run is deterministic while paying
+    # only the fingerprint + probe legs warm (r8 VERDICT item 6; the
+    # commit leg stays driver-checked via dedup_incremental /
+    # dedup_minhash_incremental, which keep accept-then-commit shape).
     from eventkit_spark.llm.dedup import (
         simhash_dedup_incremental, simhash_store_init,
     )
 
     docs = load_table(spark, sf, "documents")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/eventkit_sh_store_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
-    simhash_store_init(
-        docs.filter(F.col("doc_id") % 3 != 0), path,
-        max_hamming=3, portable=True,
+    path = _session_store(
+        "sh",
+        sf,
+        lambda p: simhash_store_init(
+            docs.filter(F.col("doc_id") % 3 != 0), p,
+            max_hamming=3, portable=True,
+        ),
     )
-    return simhash_dedup_incremental(docs.filter(F.col("doc_id") % 3 == 0), path)
+    return simhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 3 == 0), path, commit=False
+    )
 
 
 def q_dedup_clusters(spark, sf):
@@ -3630,15 +3658,17 @@ def q_ivf_index(spark, sf):
     # (PartitionFilters), reading ~nprobe/n_cells of the index bytes.
     # Same portable seeds/params as embed_ivf, so its oracle applies
     # verbatim (the index round-trip must not change a single row).
-    import hashlib
-    import tempfile
-
+    # Build-once / query-many is the POINT of the persisted index: the
+    # session store builds on first call and later calls are
+    # partition-pruned probes only (r8 VERDICT item 6). ivf_index_topk
+    # never mutates the index, so sharing is safe.
     from eventkit_spark.llm.similarity import ivf_index_topk, ivf_index_write
 
     emb = load_table(spark, sf, "embeddings")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/eventkit_ivf_index_{tag}"
-    ivf_index_write(emb, path, n_cells=8, centroids="portable")
+    path = _session_store(
+        "ivf", sf,
+        lambda p: ivf_index_write(emb, p, n_cells=8, centroids="portable"),
+    )
     out = ivf_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=3
     )

@@ -1292,6 +1292,7 @@ def simhash_dedup_incremental(
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    commit: bool = True,
 ) -> DataFrame:
     """Batch-incremental near-dup dedup against a persisted SimHash
     store (init with ``simhash_store_init``). Returns one row per batch
@@ -1310,6 +1311,14 @@ def simhash_dedup_incremental(
     Accept-then-commit like the exact/minhash stores: statuses
     materialize to ``{store}/last_batch`` BEFORE survivors' postings
     append, so a recompute cannot double-filter against its own commit.
+
+    ``commit=False`` is the DRY-RUN probe: same statuses, store
+    untouched — the "what would tonight's dedup drop" preview, and the
+    probe-only form repeated benchmarks can run against one shared
+    seed store without mutating it (r8 VERDICT item 6). The dry run
+    skips both parquet commits and returns the status frame lazily
+    (the batch fingerprint stays persisted for its three uses; Spark's
+    LRU reclaims it).
 
     Scale shape: one fingerprint pass over the batch (persisted, reused
     by probe/competition/commit, then unpersisted); the store probe is
@@ -1376,6 +1385,8 @@ def simhash_dedup_incremental(
             .alias("status"),
         )
     )
+    if not commit:
+        return res.select(id_col, "status")
     res.write.mode("overwrite").parquet(f"{store_path}/last_batch")
     accepted = spark.read.parquet(f"{store_path}/last_batch")
     kept = accepted.filter(F.col("status") == "kept").select(

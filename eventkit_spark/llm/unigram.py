@@ -116,7 +116,19 @@ def unigram_vocab(
         raise ValueError(
             f"need 1 <= min_len <= max_len, got [{min_len}, {max_len}]"
         )
-    wt = pretoken_counts(docs, text_col, min_freq)
+    return _vocab_from_types(
+        pretoken_counts(docs, text_col, min_freq), vocab_size, min_len, max_len
+    )
+
+
+def _vocab_from_types(
+    wt: DataFrame, vocab_size: int, min_len: int, max_len: int
+) -> DataFrame:
+    """Seed-vocabulary body over an already-built word-type frame —
+    split out so ``unigram_train`` can seed from its persisted
+    ``pretoken_counts`` table instead of re-scanning the corpus (r8
+    ADVICE: the seed used to rebuild pretoken_counts from raw docs,
+    a second full corpus scan the cached frame was meant to avoid)."""
     word = F.col("word")
     multi = (
         wt.select(
@@ -177,7 +189,30 @@ def _max_piece_len(vocab: DataFrame) -> int:
     return int(row[0] or 1)
 
 
-def _packed_scores(types: DataFrame, vocab: DataFrame, L: int) -> DataFrame:
+def _piece_candidates(types: DataFrame, L: int) -> DataFrame:
+    """Vocabulary-INDEPENDENT candidate table ``(word, s, l, piece)``:
+    every substring of every word type with length in [1, L]. Split out
+    of ``_packed_scores`` so the trainer can persist it once and reuse
+    it across E-step iterations — the explode depends only on the word
+    types and the carry width, not on the evolving vocabulary (r8
+    VERDICT item 8)."""
+    word = F.col("word")
+    return types.select(
+        word, F.explode(_piece_grid(word, 1, L)).alias("c")
+    ).select(
+        word,
+        F.col("c.s").alias("s"),
+        F.col("c.l").alias("l"),
+        F.substr(word, F.col("c.s"), F.col("c.l")).alias("piece"),
+    )
+
+
+def _packed_scores(
+    types: DataFrame,
+    vocab: DataFrame,
+    L: int,
+    cand: DataFrame | None = None,
+) -> DataFrame:
     """Per word type, a position-indexed score map for every vocabulary
     piece the word contains: key ``(start-1)*L + len`` -> score.
 
@@ -187,16 +222,13 @@ def _packed_scores(types: DataFrame, vocab: DataFrame, L: int) -> DataFrame:
     ``len(word) * L`` entries. Words with no vocabulary piece at all
     (pure-unknown alphabet at inference time) survive with an empty
     map via the left join. Output: ``(word, m)``.
+
+    ``cand`` lets a caller supply a pre-built (persisted) candidate
+    table from ``_piece_candidates`` — it must have been built with the
+    SAME ``L``, since the map key packs positions by it.
     """
-    word = F.col("word")
-    cand = types.select(
-        word, F.explode(_piece_grid(word, 1, L)).alias("c")
-    ).select(
-        word,
-        F.col("c.s").alias("s"),
-        F.col("c.l").alias("l"),
-        F.substr(word, F.col("c.s"), F.col("c.l")).alias("piece"),
-    )
+    if cand is None:
+        cand = _piece_candidates(types, L)
     scored = cand.join(F.broadcast(vocab.select("piece", "score")), "piece")
     packed = scored.groupBy("word").agg(
         F.map_from_entries(
@@ -216,6 +248,16 @@ def _packed_scores(types: DataFrame, vocab: DataFrame, L: int) -> DataFrame:
     return types.join(packed, "word", "left").select(
         "word", F.coalesce(F.col("m"), empty).alias("m")
     )
+
+
+def _dedup_user_vocab(vocab: DataFrame) -> DataFrame:
+    """Collapse duplicate pieces in a USER-supplied vocabulary (max
+    score wins — deterministic): duplicate map keys would otherwise
+    fail the packed-score build at runtime with DUPLICATED_MAP_KEY (r8
+    ADVICE). Internally-fit vocabularies are unique by construction
+    and skip this aggregate; user frames are vocabulary-sized, so the
+    exchange is a broadcast-class frame, not a corpus scan."""
+    return vocab.groupBy("piece").agg(F.max("score").alias("score"))
 
 
 def _score_at(m: Column, i, l: int, L: int) -> Column:
@@ -286,6 +328,9 @@ def unigram_encode(
     (doc, word) stream is the only corpus-width exchange, then one
     per-doc hash aggregate. Documents with no pretokens report 0.
 
+    A user-supplied ``vocab`` may carry duplicate pieces — they are
+    collapsed (max score wins) before the packed-score build.
+
     Construction runs one vocabulary-sized job up front (the DP carry
     width — see ``_max_piece_len``), so the returned frame is not
     fully lazy.
@@ -295,6 +340,7 @@ def unigram_encode(
             unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
         )
     else:
+        vocab = _dedup_user_vocab(vocab)
         L = _max_piece_len(vocab)
     from .text import BPE_REGEX
 
@@ -437,23 +483,35 @@ def unigram_train(
     ``vocab_size``. Each E-step is ONE Spark job over the word-type
     frame; the M-step is a vocabulary-sized driver collect — the k-d
     driver-state discipline of ``cluster.kmeans``.
+
+    The corpus is scanned exactly ONCE: the persisted word-type table
+    seeds the vocabulary (no pretoken re-scan — r8 ADVICE) and its
+    substring-candidate explode is persisted once at the seed's carry
+    width and broadcast-joined by every E-step — pruning only shrinks
+    the vocabulary, never widens a piece, so the seed grid covers all
+    iterations (r8 VERDICT item 8).
     """
     spark = docs.sparkSession
     wt = pretoken_counts(docs, text_col, min_freq).persist()
+    cand = None
     try:
-        seed = unigram_vocab(
-            docs, start_size, min_len, max_len, text_col, min_freq
-        )
+        seed = _vocab_from_types(wt, start_size, min_len, max_len)
         cur = {r["piece"]: int(r["score"]) for r in seed.collect()}
         chars = {p: s for p, s in cur.items() if len(p) == 1}
         multi = {p: s for p, s in cur.items() if len(p) > 1}
+        # carry width is FIXED at the seed's longest piece: the map
+        # keys pack positions by it, so one persisted candidate table
+        # serves every iteration (extra DP lanes for since-pruned
+        # lengths probe an absent key and cost a no-op branch)
+        L = max((len(p) for p in cur), default=1)
+        types = wt.select("word")
+        cand = _piece_candidates(types, L).persist()
         for t in range(1, iters + 1):
             vocab_df = spark.createDataFrame(
                 sorted(cur.items()), "piece string, score long"
             )
-            L = max((len(p) for p in cur), default=1)
             wm = wt.join(
-                _packed_scores(wt.select("word"), vocab_df, L), "word"
+                _packed_scores(types, vocab_df, L, cand=cand), "word"
             )
             toks = _walk_pieces(
                 F.col("word"), F.col("__dparr"), F.col("m"), L
@@ -494,6 +552,8 @@ def unigram_train(
             }
     finally:
         wt.unpersist()
+        if cand is not None:
+            cand.unpersist()
     return spark.createDataFrame(
         sorted(cur.items()), "piece string, score long"
     )
@@ -520,12 +580,16 @@ def unigram_tokenize(
     order-restoring re-aggregate. The join is the only exchange whose
     width scales with the corpus. Documents with no pretokens yield
     an empty array.
+
+    A user-supplied ``vocab`` may carry duplicate pieces — they are
+    collapsed (max score wins) before the packed-score build.
     """
     if vocab is None:
         vocab, L = _localized_vocab(
             unigram_vocab(docs, vocab_size, min_len, max_len, text_col)
         )
     else:
+        vocab = _dedup_user_vocab(vocab)
         L = _max_piece_len(vocab)
     from .text import BPE_REGEX
 

@@ -163,6 +163,65 @@ def _make_sorted_chunks():
 _sorted_chunks = _make_sorted_chunks()
 
 
+def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
+    """Build the ``StatefulProcessor`` behind ``_running_agg_tws``.
+
+    Module-level factory (same pickling rationale as
+    ``_make_sorted_chunks``: the returned class has a ``<locals>``
+    qualname so cloudpickle ships the instance by value) — and, unlike
+    a class buried inside the method, unit-testable with a stub state
+    handle even while the TWS runtime itself stays protobuf-gated
+    (tests/test_streaming.py::test_tws_processor_sorts_across_chunks).
+
+    Rows are drained through ``_sorted_chunks`` — ONE frame per key
+    micro-batch, sorted across ALL Arrow chunks — so the running
+    counters update in event-time order even when a group's batch spans
+    ``maxRecordsPerBatch`` boundaries (the r7-ADVICE ordering bug class
+    its applyInPandasWithState siblings fixed in r8)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    w = 2.0 / (ema_n + 1)
+    state_schema = "rcount long, rsum double, rmin double, rmax double, ema double"
+    sorted_chunks = _sorted_chunks
+
+    class _Run(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                cnt, s, mn, mx, ema = self._st.get()
+            else:
+                cnt, s, mn, mx, ema = 0, 0.0, None, None, None
+            for pdf in sorted_chunks(rows, ts_col):
+                outs = []
+                for _, row in pdf.iterrows():
+                    x = float(row[value_col])
+                    cnt += 1
+                    s += x
+                    mn = x if mn is None else min(mn, x)
+                    mx = x if mx is None else max(mx, x)
+                    ema = x if ema is None else (1 - w) * ema + w * x
+                    outs.append({
+                        **{k: row[k] for k in keys},
+                        ts_col: row[ts_col],
+                        "value": x,
+                        "rcount": cnt,
+                        "rsum": s,
+                        "rmin": mn,
+                        "rmax": mx,
+                        "ema": ema,
+                    })
+                if outs:
+                    yield pd.DataFrame(outs)
+            self._st.update((cnt, s, mn, mx, ema))
+
+        def close(self):
+            pass
+
+    return _Run()
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> "StreamFrame":
     """The reference's Timer/Sequence analog: monotonically timestamped
     generated rows (eventkit/ops/create.py:100-112)."""
@@ -542,60 +601,20 @@ class StreamFrame:
         protobuf) — parity-tested where the runtime supports it
         (tests/test_streaming.py::test_running_agg_tws_parity,
         skipif-gated)."""
-        from pyspark.sql.streaming import StatefulProcessor
-
         value_col = self.value_cols[0]
         ts_col = self.ts_col
         keys = list(self.key_cols)
-        w = 2.0 / (ema_n + 1)
         out_schema = (
             _keys_prefix(self.df, keys)
             + f"{ts_col} {_sql_type(self.df, ts_col)}, value double, "
             + "rcount long, rsum double, rmin double, rmax double, ema double"
         )
-        state_schema = "rcount long, rsum double, rmin double, rmax double, ema double"
-
-        class _Run(StatefulProcessor):
-            def init(self, handle):
-                self._st = handle.getValueState("agg", state_schema)
-
-            def handleInputRows(self, key, rows, timerValues):
-                if self._st.exists():
-                    cnt, s, mn, mx, ema = self._st.get()
-                else:
-                    cnt, s, mn, mx, ema = 0, 0.0, None, None, None
-                for pdf in rows:
-                    pdf = pdf.sort_values(ts_col)
-                    outs = []
-                    for _, row in pdf.iterrows():
-                        x = float(row[value_col])
-                        cnt += 1
-                        s += x
-                        mn = x if mn is None else min(mn, x)
-                        mx = x if mx is None else max(mx, x)
-                        ema = x if ema is None else (1 - w) * ema + w * x
-                        outs.append({
-                            **{k: row[k] for k in keys},
-                            ts_col: row[ts_col],
-                            "value": x,
-                            "rcount": cnt,
-                            "rsum": s,
-                            "rmin": mn,
-                            "rmax": mx,
-                            "ema": ema,
-                        })
-                    if outs:
-                        yield pd.DataFrame(outs)
-                self._st.update((cnt, s, mn, mx, ema))
-
-            def close(self):
-                pass
-
+        processor = _make_running_agg_processor(keys, ts_col, value_col, ema_n)
         grouped = (
             self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         )
         return grouped.transformWithStateInPandas(
-            _Run(),
+            processor,
             outputStructType=out_schema,
             outputMode="append",
             timeMode="none",

@@ -881,6 +881,61 @@ def test_running_agg_tws_parity(spark, stream_dir):
             spark.conf.set(_PROVIDER_KEY, old)
 
 
+def test_tws_processor_sorts_across_chunks():
+    """The TWS processor must order rows by event time across ALL Arrow
+    chunks of a key's micro-batch, not per chunk (the r7-ADVICE bug
+    class). Drives handleInputRows directly with a stub state handle
+    and two chunks whose event times interleave — runnable even while
+    the TWS runtime itself is protobuf-gated."""
+    import pandas as pd
+
+    from eventkit_spark.streaming.stream import _make_running_agg_processor
+
+    class _StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _StubHandle:
+        def __init__(self):
+            self.state = _StubState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = _make_running_agg_processor(["k"], "ts", "v", ema_n=3)
+    handle = _StubHandle()
+    proc.init(handle)
+    # chunk 1 holds ts 0 and 2; chunk 2 holds ts 1 and 3 — a per-chunk
+    # sort would fold values in order 10,30,20,40 (rmax wrong at ts=2).
+    chunks = [
+        pd.DataFrame({"k": [1, 1], "ts": [0, 2], "v": [10.0, 30.0]}),
+        pd.DataFrame({"k": [1, 1], "ts": [1, 3], "v": [20.0, 40.0]}),
+    ]
+    outs = pd.concat(list(proc.handleInputRows((1,), iter(chunks), None)), ignore_index=True)
+    assert list(outs["ts"]) == [0, 1, 2, 3]
+    assert list(outs["rcount"]) == [1, 2, 3, 4]
+    assert list(outs["rsum"]) == [10.0, 30.0, 60.0, 100.0]
+    assert list(outs["rmax"]) == [10.0, 20.0, 30.0, 40.0]
+    # state committed once per micro-batch, after the full drain
+    assert handle.state.get() == (4, 100.0, 10.0, 40.0, outs["ema"].iloc[-1])
+    # a second micro-batch resumes from committed state
+    more = pd.concat(
+        list(proc.handleInputRows((1,), iter([pd.DataFrame({"k": [1], "ts": [4], "v": [0.0]})]), None)),
+        ignore_index=True,
+    )
+    assert list(more["rcount"]) == [5]
+    assert list(more["rmin"]) == [0.0]
+
+
 def test_streaming_store_dedup_and_probe(spark, tmp_path_factory):
     """The persisted-store lifecycle composes with Structured Streaming
     two ways: (a) ingest dedup — foreachBatch feeds each micro-batch

@@ -385,3 +385,45 @@ def test_walk_tie_break_matches_python_model(spark, docs):
     assert rows
     for r in rows:
         assert list(r["toks"]) == py_walk(r["word"]), r["word"]
+
+
+def test_user_vocab_duplicate_pieces_collapse(spark, docs):
+    # duplicate pieces in a USER-supplied vocabulary must not blow up
+    # the packed-score map (DUPLICATED_MAP_KEY); max score wins (r8
+    # ADVICE). Encoding must equal the deduped-vocab encoding.
+    base = py_vocab(TEXTS, 12)
+    rows = [(p, s) for p, s in base.items()] + [
+        (p, s - 1) for p, s in list(base.items())[:3]
+    ]
+    dup_df = spark.createDataFrame(rows, "piece string, score long")
+    clean_df = spark.createDataFrame(
+        sorted(base.items()), "piece string, score long"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum"])
+        for r in unigram_encode(docs, vocab=dup_df).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum"])
+        for r in unigram_encode(docs, vocab=clean_df).collect()
+    }
+    assert got == want
+
+
+def test_train_seed_equals_standalone_vocab(spark, docs):
+    # the trainer's wt-seeded vocabulary path (one corpus scan) must
+    # produce exactly the standalone unigram_vocab seed — the r8 ADVICE
+    # refactor may not drift the seed
+    from eventkit_spark.llm.tokenize import pretoken_counts
+    from eventkit_spark.llm.unigram import _vocab_from_types
+
+    a = {
+        r["piece"]: r["score"]
+        for r in unigram_vocab(docs, vocab_size=25).collect()
+    }
+    wt = pretoken_counts(docs, "text", 1)
+    b = {
+        r["piece"]: r["score"]
+        for r in _vocab_from_types(wt, 25, 2, 4).collect()
+    }
+    assert a == b
