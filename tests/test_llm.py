@@ -2445,3 +2445,101 @@ def test_dedup_report(spark):
     got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removed"])
            for r in dedup_report(labels).collect()}
     assert got == {3: (1, 3, 2), 1: (1, 1, 0), 2: (1, 2, 1)}
+
+
+def test_stupid_backoff_model(spark):
+    # trigram stupid backoff vs a pure-Python model: all three branches
+    # (trigram hit, bigram backoff, OOV unigram floor) must fire
+    import collections
+    import math
+
+    from eventkit_spark.llm.text import stupid_backoff_logprob
+
+    ref_texts = ["the cat sat on the mat", "the dog sat on the log", "a cat and a dog"]
+    doc_texts = ["the cat sat on the log", "zebra quantum flux", "the cat", "cat and the mat"]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id long, text string"
+    )
+
+    u, b, t = collections.Counter(), collections.Counter(), collections.Counter()
+    for s in ref_texts:
+        w = s.split()
+        u.update(w)
+        b.update(zip(w, w[1:]))
+        t.update(zip(w, w[1:], w[2:]))
+    N = sum(u.values())
+    want = {}
+    for i, s in enumerate(doc_texts):
+        w = s.split()
+        tris = list(zip(w, w[1:], w[2:]))
+        if not tris:
+            continue
+        tot, bo = 0.0, 0
+        for tg in tris:
+            if t[tg] > 0:
+                sc = t[tg] / b[(tg[0], tg[1])]
+            elif b[(tg[1], tg[2])] > 0:
+                sc = 0.4 * b[(tg[1], tg[2])] / u[tg[1]]
+                bo += 1
+            else:
+                sc = 0.4 * 0.4 * max(u[tg[2]], 0.5) / N
+                bo += 1
+            tot += math.log(sc)
+        want[i] = (len(tris), round(tot / len(tris), 6), bo * 1000000 // len(tris))
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+        for r in stupid_backoff_logprob(docs, ref).collect()
+    }
+    assert got == want
+    assert any(v[2] > 0 for v in got.values())  # backoff branch exercised
+    # docs with < 3 tokens are absent
+    assert 2 not in got
+    # self-scoring: every trigram is its own evidence — zero backoff
+    self_got = stupid_backoff_logprob(ref).collect()
+    assert all(r["bo_ppm"] == 0 for r in self_got)
+
+
+def test_token_quota_model_and_salted_equality(spark):
+    # strict-prefix token budget vs a Python model; the salted
+    # (range-partitioned two-pass) form must equal the unsalted window
+    import random
+
+    from eventkit_spark.llm.sampling import token_quota
+
+    random.seed(7)
+    rows = [
+        (i, f"src{i % 3}", " ".join(["w"] * random.randint(0, 12)) if i % 11 else "")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"src0": 50, "src1": 30, "*": 100}
+
+    KNUTH = 2654435761
+
+    def h(k):
+        return (k % 2**31) * KNUTH % 2**31 % 1_000_000
+
+    want = set()
+    for s in {"src0", "src1", "src2"}:
+        bud = budgets.get(s, budgets["*"])
+        cum = 0
+        for did, _, txt in sorted(
+            (r for r in rows if r[1] == s), key=lambda r: (h(r[0]), r[0])
+        ):
+            cum += len(txt.split()) if txt.strip() else 0
+            if cum <= bud:
+                want.add(did)
+    got = {r["doc_id"] for r in token_quota(df, budgets, "doc_id").collect()}
+    assert got == want
+    for n in (1, 3, 17):
+        salted = {
+            r["doc_id"] for r in token_quota(df, budgets, "doc_id", salt=n).collect()
+        }
+        assert salted == want, f"salt={n} diverged"
+    # a doc that overflows is dropped and NOT backfilled: global int
+    # budget smaller than any source's total keeps a strict prefix
+    small = {r["doc_id"] for r in token_quota(df, 10, "doc_id").collect()}
+    assert small < want or small == set()

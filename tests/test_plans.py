@@ -779,53 +779,45 @@ def test_bench_covers_registry():
 
 
 def test_registry_front50_rotation():
-    """Pin the round-8 front-50 composition the registry comment claims
+    """Pin the round-9 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
-    flagged a comment that drifted from the counted positions): the 7
-    round-8 additions lead (unigram family incl. store +
-    lexical_diversity + moderation pipeline pair), the 6 de-vacuated
-    contracts whose r7
-    predicate changes postdate their last driver sample follow, then
-    the oldest-green rows oldest-first. Every registered query must
-    also carry an oracle_sql twin unless it is a documented rows-only
-    contract."""
+    flagged a comment that drifted from the counted positions): the two
+    round-9 additions lead, the six contracts whose code changed this
+    round follow, then ALL 28 r3-era rows (the five rows deferred past
+    the r8 cut first), then the 14 oldest r4 rows — after which no
+    verdict on the board is older than r4. Every registered query must
+    also carry an oracle_sql twin."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r8 = [
+    new_r9 = ["stupid_backoff", "token_quota"]
+    code_changed_r9 = [
         "unigram_vocab", "unigram_encode", "unigram_fertility",
-        "unigram_store", "lexical_diversity", "pipeline_moderation",
-        "blocklist_verdicts",
+        "unigram_store", "dedup_simhash_incremental", "ivf_index",
     ]
-    devacuated = [
-        "any_all", "anti_join", "tfidf_cosine", "phrase_search",
-        "tpch_q11", "takewhile_scaled",
-    ]
-    code_changed_r8 = [
-        "approx_agg", "edit_dedup", "sorted_neighborhood",
-        "hll_card", "hll_by_key",
-    ]
-    oldest_r1 = [
-        "fork_minmax", "product_trailing", "end_on_error", "errors",
-        "product_running",
-    ]
-    assert names[:7] == new_r8
-    assert names[7:13] == devacuated
-    assert names[13:18] == code_changed_r8
-    assert names[18:23] == oldest_r1
-    # the rest of the front block is r2 then r3 verdicts; spot-pin the
-    # boundaries so the block can't silently shrink or reorder
-    assert names[23] == "source_range" and names[39] == "pivot"
-    assert names[40] == "mm_image_features" and names[49] == "substring_dedup"
-    # the other r8 code-changed contracts ride the oldest-first block
-    assert {"line_dedup", "decontaminate_bloom"} <= set(names[:50])
-    # deferred to just past the cut to fund the five r8 additions —
-    # first in line for r9
-    assert names[50:55] == [
+    deferred_from_r8 = [
         "unigram_logprob", "reservoir", "temperature_mix",
         "sliding_chunks", "top_ngrams",
     ]
-    assert len(set(names)) == len(names) >= 261
+    assert names[:2] == new_r9
+    assert names[2:8] == code_changed_r9
+    assert names[8:13] == deferred_from_r8
+    # the rest of the r3 block, registry order; spot-pin the boundaries
+    # so the block can't silently shrink or reorder
+    assert names[13] == "train_order" and names[35] == "pack_sequences"
+    r3_block = {
+        "train_order", "ccnet_buckets", "constant", "star_pack",
+        "map_pandas", "source_marble", "source_wait", "source_timer",
+        "chunkwith", "dedup_clusters", "embed_neardup",
+        "dedup_minhash_recall", "embed_ivf_recall", "dedup_exact",
+        "dedup_jaccard", "tfidf", "text_embed", "pipeline_corpus",
+        "text_stats", "text_quality", "split_by_hash",
+        "stratified_sample", "pack_sequences",
+    }
+    assert set(names[13:36]) == r3_block
+    # 14 oldest r4 rows close the block
+    assert names[36] == "timestamp" and names[49] == "quality_classifier"
+    assert len(set(names)) == len(names) >= 263
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
