@@ -13,6 +13,7 @@ parity-tested twin or carries its batch-only reason (r7 VERDICT item 5):
 | partial / pack               | same Column ops (stateless)               |
 | map (async, task_limit)      | same mapInPandas op per micro-batch       |
 | skip / take                  | per-key quota counter state               |
+| token_quota (llm batch)      | take_budget cost-cap state (r9)           |
 | takewhile / dropwhile        | prefix-flip state machine                 |
 | takeuntil                    | notifier min-ts cut state                 |
 | changes                      | prev-value state, emit on change          |
@@ -23,8 +24,10 @@ parity-tested twin or carries its batch-only reason (r7 VERDICT item 5):
 | previous / deque(n)          | bounded deque state                       |
 | pairwise                     | prev-value state, emit (prev, cur)        |
 | chunk (count-based)          | bounded buffer state (< size values/key); |
-|                              |   the final PARTIAL chunk waits for more  |
-|                              |   rows — no end-of-stream flush (r8)      |
+|                              |   flush_after=secs flushes the PARTIAL    |
+|                              |   chunk via an event-time timer once the  |
+|                              |   key goes silent (r9 — the done-event    |
+|                              |   flush analog; default: waits for rows)  |
 | chunkwith(timer)             | tumbling window + ordered collect_list    |
 | copy / deepcopy              | identity (rows immutable) — nothing to do |
 | emap + mergemap/chainmap/    | child-plan fan-out + keyed cut state      |
@@ -44,9 +47,10 @@ parity-tested twin or carries its batch-only reason (r7 VERDICT item 5):
 | concat / switch / chain      | keyed first-emit cut state machine        |
 | zip / ziplatest              | two-queue / two-slot keyed state          |
 | delay                        | event-time shift (stateless)              |
-| timeout                      | gap-flip cut state; sentinel emit is      |
-|                              |   batch-only until event-time timers      |
-|                              |   (tws_available) — no row to trigger it  |
+| timeout                      | gap-flip cut state; emit_sentinel=True    |
+|                              |   emits the NULL row inline on a gap AND  |
+|                              |   via EventTimeTimeout timers on silence  |
+|                              |   (r9 — needs with_watermark, no TWS)     |
 | debounce (on_first)          | last-ts gap state                         |
 | debounce (on_last)           | session window, last value per burst      |
 | throttle                     | sliding-budget deque in the state store   |
@@ -709,6 +713,54 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    def take_budget(self, budget: float, cost_col: str | None = None) -> DataFrame:
+        """Streaming COST-capped take — the ingest-time twin of the
+        batch ``token_quota`` sampler (llm/sampling.py): pass rows, in
+        event-time order, while the running cost total (inclusive of
+        the current row) stays within ``budget``. A row that overflows
+        still accrues its cost and is never back-filled — the same
+        strict rule as the batch window cumsum, so the kept set is
+        stable as more rows arrive. ``cost_col`` defaults to the value
+        column (budget in value units; pass a token-count column for
+        token budgets). State = one spent-total double per key, forever
+        bounded."""
+        value_col = self.value_cols[0]
+        cost = cost_col or value_col
+        ts_col = self.ts_col
+        keys = self.key_cols
+        vt = _sql_type(self.df, value_col)
+        out_schema = (
+            _keys_prefix(self.df, keys)
+            + f"{ts_col} {_sql_type(self.df, ts_col)}, value {vt}"
+        )
+
+        def handler(key, pdfs, state: GroupState):
+            spent = state.get[0] if state.exists else 0.0
+            outs = []
+            for pdf in _sorted_chunks(pdfs, ts_col):
+                for _, row in pdf.iterrows():
+                    spent += float(row[cost])
+                    if spent <= budget:
+                        outs.append(
+                            {
+                                **{k: row[k] for k in keys},
+                                ts_col: row[ts_col],
+                                "value": row[value_col],
+                            }
+                        )
+            state.update((spent,))
+            if outs:
+                yield pd.DataFrame(outs)
+
+        grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
+        return grouped.applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType="spent double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     def enumerate(self, start: int = 0, step: int = 1) -> DataFrame:
         """Streaming Enumerate (transform.py:38-50): prepend a running
         per-key index — the counter state machine, emitting
@@ -826,16 +878,21 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    def chunk(self, size: int) -> DataFrame:
+    def chunk(self, size: int, flush_after: float | None = None) -> DataFrame:
         """Streaming Chunk (operators/transform.py:chunk; eventkit
         transform.py:158-176): group every ``size`` rows per key into
         an array, emitting ``(keys, ts_of_last_row, value array)`` as
         each chunk fills. State is BOUNDED — at most ``size - 1``
-        buffered values per key. One semantic difference inherent to
-        unbounded mode: the final partial chunk has no end-of-stream
-        to flush it, so it stays in state until more rows arrive
-        (batch flushes the remainder at end; the parity test compares
-        the full chunks)."""
+        buffered values per key.
+
+        The reference flushes the final PARTIAL chunk on the done
+        event; unbounded mode has no end-of-stream, so by default the
+        partial stays in state until more rows arrive.
+        ``flush_after=seconds`` (r9) closes that cell with an
+        event-time timer: a key silent past its last buffered row +
+        ``flush_after`` (in watermark time) emits the partial chunk,
+        stamped with the last buffered row's event time like the batch
+        remainder. Requires ``with_watermark``."""
         if size < 1:
             raise ValueError("chunk() needs size >= 1")
         value_col = self.value_cols[0]
@@ -846,13 +903,31 @@ class StreamFrame:
             _keys_prefix(self.df, keys)
             + f"{ts_col} {_sql_type(self.df, ts_col)}, value array<{vt}>"
         )
+        NONE = -(2**62)
 
         def handler(key, pdfs, state: GroupState):
-            buf = list(state.get[0]) if state.exists else []
+            if flush_after is not None and state.hasTimedOut:
+                buf, last = state.get
+                state.update(([], NONE))
+                if len(buf):
+                    yield pd.DataFrame(
+                        [
+                            {
+                                **{k: key[i] for i, k in enumerate(keys)},
+                                ts_col: pd.Timestamp(last),
+                                "value": list(buf),
+                            }
+                        ]
+                    )
+                return
+            buf, last = (
+                (list(state.get[0]), state.get[1]) if state.exists else ([], NONE)
+            )
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
                 for _, row in pdf.iterrows():
                     buf.append(row[value_col])
+                    last = row[ts_col].value
                     if len(buf) == size:
                         outs.append(
                             {
@@ -862,7 +937,12 @@ class StreamFrame:
                             }
                         )
                         buf = []
-            state.update((buf,))
+            state.update((buf, last))
+            if flush_after is not None and buf and last != NONE:
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(last // 1_000_000 + int(round(flush_after * 1000)), wm + 1)
+                )
             if outs:
                 yield pd.DataFrame(outs)
 
@@ -870,9 +950,13 @@ class StreamFrame:
         return grouped.applyInPandasWithState(
             handler,
             outputStructType=out_schema,
-            stateStructType=f"buf array<{vt}>",
+            stateStructType=f"buf array<{vt}>, last long",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if flush_after is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
 
     def product(self, start: float = 1.0) -> DataFrame:
@@ -1769,16 +1853,26 @@ class StreamFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    def timeout(self, seconds: float) -> DataFrame:
+    def timeout(self, seconds: float, emit_sentinel: bool = False) -> DataFrame:
         """Streaming Timeout (operators/timing.py:timeout; eventkit
         timing.py:31-64): cut the per-key stream forever at the first
         inter-event gap > ``seconds`` — the prefix-flip state machine
-        (takewhile over gaps). The batch form's ``emit_sentinel`` row
-        is batch-only here: emitting AT prev + timeout with no
-        triggering row needs event-time timers
-        (transformWithStateInPandas, gated on ``tws_available``), so
-        this twin matches ``emit_sentinel=False``. State =
-        (flipped, prev event-time ns)."""
+        (takewhile over gaps). State = (flipped, prev event-time ns).
+
+        ``emit_sentinel=True`` (r9 — the last batch-only timing cell)
+        additionally emits the reference's one NULL-payload row at
+        prev + timeout, through BOTH channels the semantics need:
+        (a) INLINE — a row arriving with gap > timeout flips the state
+        and the sentinel rides the same micro-batch (exact batch-replay
+        parity, no timer involved); (b) EVENT-TIME TIMER — a key that
+        goes silent while the watermark advances past prev + timeout
+        fires the state timeout and the sentinel emits with no
+        triggering row (the live-stream case the reference's asyncio
+        timer handles, eventkit timing.py:44-52; this is
+        applyInPandasWithState + GroupStateTimeout.EventTimeTimeout —
+        no TWS needed). Requires a watermark (``with_watermark``);
+        the timer clamps to watermark + 1 ms so replays whose watermark
+        already passed prev + timeout still register it."""
         value_col = self.value_cols[0]
         ts_col = self.ts_col
         keys = self.key_cols
@@ -1791,13 +1885,34 @@ class StreamFrame:
         NONE = -(2**62)
 
         def handler(key, pdfs, state: GroupState):
+            if emit_sentinel and state.hasTimedOut:
+                flipped, prev = state.get
+                state.update((True, prev))
+                if not flipped and prev != NONE:
+                    yield pd.DataFrame(
+                        [
+                            {
+                                **{k: key[i] for i, k in enumerate(keys)},
+                                ts_col: pd.Timestamp(prev + gap_ns),
+                                "value": None,
+                            }
+                        ]
+                    )
+                return
             flipped, prev = state.get if state.exists else (False, NONE)
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
                 for _, row in pdf.iterrows():
-                    tns = row[ts_col].value
-                    if not flipped and prev != NONE and tns - prev > gap_ns:
+                    if not flipped and prev != NONE and row[ts_col].value - prev > gap_ns:
                         flipped = True
+                        if emit_sentinel:
+                            outs.append(
+                                {
+                                    **{k: row[k] for k in keys},
+                                    ts_col: pd.Timestamp(prev + gap_ns),
+                                    "value": None,
+                                }
+                            )
                     if not flipped:
                         outs.append(
                             {
@@ -1806,8 +1921,13 @@ class StreamFrame:
                                 "value": row[value_col],
                             }
                         )
-                        prev = tns
+                        prev = row[ts_col].value
             state.update((flipped, prev))
+            if emit_sentinel and not flipped and prev != NONE:
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(prev // 1_000_000 + int(round(seconds * 1000)), wm + 1)
+                )
             if outs:
                 yield pd.DataFrame(outs)
 
@@ -1817,7 +1937,11 @@ class StreamFrame:
             outputStructType=out_schema,
             stateStructType="flipped boolean, prev long",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if emit_sentinel
+                else GroupStateTimeout.NoTimeout
+            ),
         )
 
     def iterate(self, values) -> DataFrame:

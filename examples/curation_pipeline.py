@@ -3,7 +3,8 @@
 The full public-recipe chain (C4/Gopher cleaning -> PII redaction ->
 exact + fuzzy dedup -> component-keyed leak-safe split ->
 decontamination -> learned quality filter -> source temperature
-mixing -> DSIR target selection -> sequence packing -> seeded
+mixing -> DSIR target selection -> per-source token budgets +
+stupid-backoff novelty diagnostic -> sequence packing -> seeded
 train-order shuffle -> size-targeted partitioned export),
 composed purely from the engine's operators — every stage is the same
 code the driver contracts verify one-by-one.
@@ -119,14 +120,36 @@ def run(spark, sf_dir: str, out_dir: str, report=print) -> dict:
         mixed.join(w.filter(F.col("logw") >= med).select("doc_id"), "doc_id", "left_semi"),
     )
 
-    # 9. pack into fixed token budgets, stamp a seeded global train order
+    # 9. per-source TOKEN budgets (r9): training mixes are specified in
+    # tokens, not documents — cap every source's hash-prefix at a token
+    # budget so no domain exceeds its share regardless of doc lengths
+    from eventkit_spark.llm.sampling import token_quota
+
+    sel = stage("token_quota", token_quota(sel, 2000, "doc_id"))
+
+    # diagnostics (r9): trigram stupid-backoff novelty of the selection
+    # vs the held-out target — a high mean backoff rate means the
+    # selected mix is lexically far from the target distribution
+    from eventkit_spark.llm.text import stupid_backoff_logprob
+
+    sb = stupid_backoff_logprob(sel, ref=test)
+    row = sb.agg(
+        F.avg("bo_ppm").alias("bo"), F.avg("avg_logprob").alias("lp")
+    ).first()
+    stats["novelty_bo_ppm"] = int(row["bo"] or 0)
+    report(
+        f"  novelty vs target: mean backoff {stats['novelty_bo_ppm']} ppm, "
+        f"mean logprob {row['lp']}"
+    )
+
+    # 10. pack into fixed token budgets, stamp a seeded global train order
     packed = pack_sequences(sel, budget=512)
     ordered = train_order(packed, key_col="doc_id", seed=7)
     final = sel.join(
         ordered.select("doc_id", "pack_no", "rank"), "doc_id"
     ).select("doc_id", "lang", "source", "text", "pack_no", "rank")
 
-    # 10. size-targeted partitioned export
+    # 11. size-targeted partitioned export
     plan = write_dataset(final, out_dir, partition_by=("lang",), target_mb=64)
     stats["written"] = spark.read.parquet(out_dir).count()
     report(f"  written: {stats['written']} docs -> {out_dir} ({plan})")

@@ -89,13 +89,15 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     # every stage only removes docs (monotone funnel) ...
     order = ["load", "c4_clean", "exact_dedup", "fuzzy_dedup",
              "decontaminated", "quality_filtered", "temperature_mix",
-             "dsir_selected"]
+             "dsir_selected", "token_quota"]
     for a, b in zip(order, order[1:]):
         assert stats[b] <= stats[a], (a, b, stats)
     # ... but the funnel doesn't collapse, and what was selected is
     # exactly what was written, with the training columns present
-    assert stats["dsir_selected"] > 50
-    assert stats["written"] == stats["dsir_selected"]
+    assert stats["token_quota"] > 50
+    assert stats["written"] == stats["token_quota"]
+    # the novelty diagnostic ran over the final selection
+    assert 0 <= stats["novelty_bo_ppm"] <= 1_000_000
     back = spark.read.parquet(out)
     assert {"doc_id", "source", "text", "pack_no", "rank"} <= set(back.columns)
     n = back.count()

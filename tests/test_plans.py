@@ -115,6 +115,13 @@ SHUFFLE_CEILING = {
     "unigram_store": 6,
     # (doc, word) agg + per-doc agg; the id-stream join broadcasts
     "lexical_diversity": 2,
+    # r9: trigram stupid backoff = 3 ref count tables (uni/bi/tri) +
+    # the batch (doc,trigram) pre-agg + the count joins + final per-doc
+    # agg; all dimension joins broadcast at test SF (0 SortMergeJoin)
+    "stupid_backoff": 9,
+    # r9: token budget = ONE per-source window cumsum; scan prunes to
+    # (doc_id, text, source)
+    "token_quota": 1,
     # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
     # + ONE min_by(struct) dedup aggregate; no join-back branch
     "unique_scaled": 4,

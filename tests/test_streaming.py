@@ -1123,6 +1123,33 @@ def test_streaming_take_skip_parity(spark, stream_dir):
     assert not (got_t & got_s)
 
 
+def test_streaming_take_budget_parity(spark, stream_dir):
+    """Streaming take_budget == the batch window-cumsum rule (the
+    token_quota discipline): keep a row iff the running per-key cost
+    total INCLUSIVE of it stays within budget; overflowing rows still
+    accrue cost (no backfill)."""
+    sf = _stream(spark, stream_dir)
+    out = sf.run_available_now(sink_df=sf.take_budget(1500.0), name="ek_tbud")
+    got = {(r["user_id"], r["ts"], r["value"]) for r in out.collect()}
+
+    pdf = (
+        spark.read.parquet(stream_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    exp = set()
+    for uid, g in pdf.groupby("user_id"):
+        spent = 0.0
+        for _, row in g.iterrows():
+            spent += float(row["value"])
+            if spent <= 1500.0:
+                exp.add((uid, row["ts"].to_pydatetime(), row["value"]))
+    assert got == exp
+    assert exp  # non-vacuous: some rows kept
+    assert len(exp) < len(pdf)  # ...and some dropped
+
+
 def test_streaming_takeuntil_parity(spark, stream_dir):
     """Streaming takeuntil == batch takeuntil on an ordered replay:
     per-user 'error' events cut the per-user 'purchase' stream at the
@@ -1360,6 +1387,124 @@ def test_streaming_timing_twins(spark, stream_dir):
              for r in ef.debounce(1800.0, on_first=True).df.collect()}
     assert got_f == exp_f and got_f
     assert len(got_f) < spark.read.parquet(stream_dir).count()
+
+
+def test_streaming_timeout_sentinel(spark, stream_dir):
+    """timeout(emit_sentinel=True) streaming twin (r9 — the last
+    batch-only timing cell): every batch row — kept prefix AND the
+    NULL sentinel at prev + timeout for keys cut by an internal gap —
+    must appear in the streaming output (inline channel, exact
+    replay parity). If the engine also ran a final event-time-timer
+    batch, the only extra rows allowed are end-of-stream sentinels for
+    keys the batch form left UNCUT (the live-silence case batch replay
+    cannot see), at exactly last_kept_ts + timeout."""
+    import datetime
+
+    from eventkit_spark.sources.tables import from_dataframe
+
+    GAP = 3600.0
+    ef = from_dataframe(
+        spark.read.parquet(stream_dir),
+        value_cols=["value"], seq_col="event_id", ts_col="ts",
+        key_cols=["user_id"],
+    )
+    exp = {(r["user_id"], r["ts"], r["value"])
+           for r in ef.timeout(GAP, emit_sentinel=True).df.collect()}
+    assert any(v is None for _, _, v in exp)  # sentinel branch non-vacuous
+
+    sf = _stream(spark, stream_dir).with_watermark("0 seconds")
+    out = sf.run_available_now(
+        sink_df=sf.timeout(GAP, emit_sentinel=True), name="ek_tos"
+    )
+    got = {(r["user_id"], r["ts"], r["value"]) for r in out.collect()}
+    assert exp <= got, f"missing batch rows: {sorted(exp - got)[:5]}"
+
+    extras = got - exp
+    cut_keys = {uid for uid, _, v in exp if v is None}
+    last_kept = {}
+    for uid, ts, v in exp:
+        if v is not None and (uid not in last_kept or ts > last_kept[uid]):
+            last_kept[uid] = ts
+    for uid, ts, v in extras:
+        assert v is None and uid not in cut_keys, (uid, ts, v)
+        assert ts == last_kept[uid] + datetime.timedelta(seconds=GAP)
+
+
+def test_streaming_chunk_flush_after(spark, tmp_path):
+    """chunk(flush_after=...) flushes a PARTIAL buffer once the key is
+    silent past last_row + flush_after in watermark time (r9 — the
+    reference flushes the remainder on the done event; an event-time
+    timer is the unbounded analog). Driven as three checkpointed
+    availableNow drains: A buffers key 1's partial, B advances the
+    watermark past key 1's timer, C's first batch fires it."""
+    import datetime
+
+    from eventkit_spark.streaming import file_stream
+
+    d = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    seen: set = set()
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def _drain(name):
+        # file sink (memory sink cannot recover from a checkpoint):
+        # returns only the rows NEW in this drain
+        sf = file_stream(
+            spark, d,
+            schema="event_id long, ts timestamp, user_id long, value double",
+            value_cols=["value"], ts_col="ts", key_cols=["user_id"],
+        ).with_watermark("0 seconds")
+        out = sf.chunk(2, flush_after=60.0)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        allrows = {
+            (r["user_id"], r["ts"], tuple(r["value"]))
+            for r in spark.read.parquet(sink).collect()
+        }
+        new = allrows - seen
+        seen.update(allrows)
+        return [
+            {"user_id": u, "ts": t, "value": list(v)} for u, t, v in new
+        ]
+
+    # A: key 1, five rows -> two full chunks + one buffered partial
+    _write([(i, base + datetime.timedelta(seconds=i), 1, float(i)) for i in range(5)])
+    r1 = _drain("ek_cf1")
+    assert sorted(tuple(r["value"]) for r in r1) == [(0.0, 1.0), (2.0, 3.0)]
+
+    # B: key 2 an hour later -> the watermark jumps past key 1's timer
+    # and availableNow evaluates expired timers within the run: key 2's
+    # full chunk emits AND key 1's partial [4.0] flushes, stamped with
+    # its last row's event time
+    _write([(10 + i, base + datetime.timedelta(hours=1, seconds=i), 2, 100.0 + i)
+            for i in range(3)])
+    r2 = _drain("ek_cf2")
+    assert sorted(tuple(r["value"]) for r in r2) == [(4.0,), (100.0, 101.0)]
+    flushed = [r for r in r2 if r["user_id"] == 1]
+    assert flushed[0]["ts"] == base + datetime.timedelta(seconds=4)
+
+    # C: key 3 later still -> the only admissible new rows are key 2's
+    # flushed partial [102.0] (timer now expired); key 3's single row
+    # stays buffered (no end-of-stream, timer not yet past watermark)
+    _write([(20, base + datetime.timedelta(hours=2), 3, 777.0)])
+    r3 = _drain("ek_cf3")
+    assert all(r["user_id"] == 2 and r["value"] == [102.0] for r in r3)
+    assert [r for r in r3 if r["user_id"] == 2][0]["ts"] == base + datetime.timedelta(
+        hours=1, seconds=2
+    )
 
 
 def test_streaming_iterate_parity(spark, stream_dir):
