@@ -1217,6 +1217,23 @@ def q_stupid_backoff(spark, sf):
     )
 
 
+def q_ngram_lm_store(spark, sf):
+    # r9: persisted n-gram-LM lifecycle (llm/text.ngram_lm_store_init /
+    # stupid_backoff_with_store): count the %3!=0 seed ONCE into the
+    # session store, score the %3==0 batch from the parquet count
+    # tables. Must equal the in-memory stupid_backoff contract row for
+    # row — the store round-trip may not change a single value, so the
+    # same DuckDB oracle applies verbatim.
+    from eventkit_spark.llm.text import ngram_lm_store_init, stupid_backoff_with_store
+
+    docs = load_table(spark, sf, "documents")
+    path = _session_store(
+        "nglm", sf,
+        lambda p: ngram_lm_store_init(docs.filter(F.col("doc_id") % 3 != 0), p),
+    )
+    return stupid_backoff_with_store(docs.filter(F.col("doc_id") % 3 == 0), path)
+
+
 def q_reduce_py(spark, sf):
     # arbitrary-Python fold (no Column form): clamped running sum via the
     # applyInPandas reduce path; DuckDB mirrors it with a windowed
@@ -3950,23 +3967,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-9 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-2: the round-9 additions, never driver-checked —
-    #     stupid_backoff (trigram stupid-backoff LM scored seed->batch)
-    #     and token_quota (token-budget mixing sampler);
-    # (2) positions 3-8: re-verdicts for code changed THIS round —
+    # (1) positions 1-3: the round-9 additions, never driver-checked —
+    #     stupid_backoff (trigram stupid-backoff LM scored seed->batch),
+    #     token_quota (token-budget mixing sampler), and ngram_lm_store
+    #     (the persisted n-gram-LM lifecycle over the same scoring);
+    # (2) positions 4-9: re-verdicts for code changed THIS round —
     #     the unigram tokenizer family (seed now reads the persisted
     #     word-type table; E-steps share one persisted candidate
     #     explode; user vocabularies dedup; store contract moved to the
     #     session store) and the two store lifecycles rebuilt on the
     #     session-store + dry-run probe shape (dedup_simhash_incremental
     #     commit=False, ivf_index shared index);
-    # (3) positions 9-36: ALL 28 r3-era rows — the five rows deferred
+    # (3) positions 10-37: ALL 28 r3-era rows — the five rows deferred
     #     past the r8 cut first (unigram_logprob, reservoir,
     #     temperature_mix, sliding_chunks, top_ngrams — r8 VERDICT item
     #     1a), then the rest oldest-first in registry order (r8 VERDICT
     #     item 1b; dedup_minhash_recall is the recall==1 proof the
     #     fuzzy_dedup oracle leans on);
-    # (4) positions 37-50: the 14 oldest r4 rows in registry order.
+    # (4) positions 38-50: the 13 oldest r4 rows in registry order
+    #     (quality_classifier slips just past the cut to fund the third
+    #     r9 addition — first in line for r10).
     # After this rotation no verdict is older than r4; at this cadence
     # nothing stays stale past ~5 rounds. The tail is everything
     # driver-green in its current form; all entries register full value
@@ -3975,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "stupid_backoff": q_stupid_backoff,
         "token_quota": q_token_quota,
+        "ngram_lm_store": q_ngram_lm_store,
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode": q_unigram_encode,
         "unigram_fertility": q_unigram_fertility,
@@ -8688,6 +8709,9 @@ def oracle_sql() -> dict[str, str]:
             FROM agg""",
     }
     # bloom + exact-verify is value-identical to the join path by design
+    # the persisted n-gram-LM store round-trip is value-identical to
+    # the in-memory stupid-backoff scoring on the same seed/batch split
+    sqls["ngram_lm_store"] = sqls["stupid_backoff"]
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
     # persisted-store probe exact-verifies against the stored hash set,
     # so it is value-identical to the join form on the same split

@@ -305,6 +305,7 @@ HEADLINE = [
     # r9 additions
     "stupid_backoff",
     "token_quota",
+    "ngram_lm_store",
 ]
 
 

@@ -1255,92 +1255,81 @@ def bigram_logprob(
     )
 
 
-def stupid_backoff_logprob(
-    docs: DataFrame,
-    ref: DataFrame | None = None,
-    alpha: float = 0.4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-doc mean trigram log-score under a STUPID-BACKOFF LM fit on
-    ``ref`` (default: ``docs`` itself) — the Brants et al. 2007 ("Large
-    Language Models in Machine Translation") recipe, designed precisely
-    for distributed count-based LMs at web scale: no discounting, no
-    normalization pass, just counts and a fixed backoff penalty::
+def _ws_tokens(col: Column) -> Column:
+    a = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.filter(a, lambda w: w != "")
 
-        S(w3|w1,w2) = c(w1 w2 w3) / c(w1 w2)           if trigram seen
-                    = alpha * c(w2 w3) / c(w2)          elif bigram seen
-                    = alpha^2 * max(c(w3), 0.5) / N     otherwise
 
-    (the unigram floor scores OOV words as half a count — deterministic
-    in any engine). Returns ``(id_col, n_trigrams, avg_logprob,
-    bo_ppm)``: docs with fewer than 3 tokens are absent (no trigram to
-    score, like ``bigram_logprob``); ``bo_ppm`` is the integer-ppm
-    fraction of trigram instances that backed off — scoring a batch
-    under a SEED corpus LM (``ref=seed``) makes it a novelty signal
-    (high backoff = text the reference corpus has never seen) and makes
-    the backoff branches real, where self-scoring always finds its own
-    trigrams.
-
-    Scale shape (the ``bigram_logprob`` discipline, one order higher):
-    n-grams are built IN PLACE by zipping the token array against its
-    own tails (zero windows, zero extra scans); the count tables are
-    partial-combined hash aggregates of the REFERENCE corpus only; the
-    scoring side pre-aggregates per (doc, trigram) so hot trigrams
-    bound the join fan-out; the unigram table is vocabulary-sized
-    (broadcast-eligible) and N rides it as one aggregated row. All
-    joins are LEFT from the batch — unseen n-grams take the backoff
-    branch instead of dropping rows.
-    """
-    if ref is None:
-        ref = docs
-
-    def toks(col):
-        a = F.split(F.lower(F.trim(col)), r"\s+")
-        return F.filter(a, lambda w: w != "")
-
-    def tail_zip(arr, n):
-        # array of structs (w1..wn) for every n-gram position
-        slices = [
-            F.slice(arr, i + 1, F.greatest(F.size(arr) - n + 1, F.lit(0)))
-            for i in range(n)
-        ]
-        if n == 2:
-            return F.zip_with(
-                slices[0], slices[1],
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
+def _ngram_zip(arr: Column, n: int) -> Column:
+    """Array of (w1..wn) structs for every n-gram position — built by
+    zipping the token array against its own tails: zero windows, zero
+    extra scans."""
+    slices = [
+        F.slice(arr, i + 1, F.greatest(F.size(arr) - n + 1, F.lit(0)))
+        for i in range(n)
+    ]
+    if n == 2:
         return F.zip_with(
-            F.zip_with(
-                slices[0], slices[1],
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-            slices[2],
-            lambda ab, c: F.struct(
-                ab["a"].alias("w1"), ab["b"].alias("w2"), c.alias("w3")
-            ),
+            slices[0], slices[1],
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
-
-    rarr = toks(F.col(text_col))
-    ru = ref.select(F.explode(rarr).alias("w"))
-    ucnt = ru.groupBy("w").agg(F.count("*").alias("cu"))
-    tot = ucnt.agg(F.sum("cu").alias("n"))
-    rb = ref.select(F.explode(tail_zip(rarr, 2)).alias("p")).select("p.w1", "p.w2")
-    bcnt = rb.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    rt = ref.select(F.explode(tail_zip(rarr, 3)).alias("p")).select(
-        "p.w1", "p.w2", "p.w3"
+    return F.zip_with(
+        F.zip_with(
+            slices[0], slices[1],
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        slices[2],
+        lambda ab, c: F.struct(
+            ab["a"].alias("w1"), ab["b"].alias("w2"), c.alias("w3")
+        ),
     )
-    tcnt = rt.groupBy("w1", "w2", "w3").agg(F.count("*").alias("ct"))
 
-    darr = toks(F.col(text_col))
+
+def _sb_count_tables(
+    ref: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The stupid-backoff LM's whole state: unigram / bigram / trigram
+    count tables of the reference corpus (three partial-combined hash
+    aggregates; Zipf keeps all three vocabulary-shaped)."""
+    rarr = _ws_tokens(F.col(text_col))
+    ucnt = (
+        ref.select(F.explode(rarr).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    bcnt = (
+        ref.select(F.explode(_ngram_zip(rarr, 2)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    tcnt = (
+        ref.select(F.explode(_ngram_zip(rarr, 3)).alias("p"))
+        .select("p.w1", "p.w2", "p.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("ct"))
+    )
+    return ucnt, bcnt, tcnt
+
+
+def _sb_score(
+    docs: DataFrame,
+    ucnt: DataFrame,
+    bcnt: DataFrame,
+    tcnt: DataFrame,
+    alpha: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score ``docs`` against prepared count tables — the shared body
+    of ``stupid_backoff_logprob`` and ``stupid_backoff_with_store``."""
+    tot = ucnt.agg(F.sum("cu").alias("n"))
+    darr = _ws_tokens(F.col(text_col))
     dtg = docs.select(
-        F.col(id_col).alias("id"), F.explode(tail_zip(darr, 3)).alias("p")
+        F.col(id_col).alias("id"), F.explode(_ngram_zip(darr, 3)).alias("p")
     ).select("id", "p.w1", "p.w2", "p.w3")
     dpre = dtg.groupBy("id", "w1", "w2", "w3").agg(F.count("*").alias("c_d"))
-
-    c12 = bcnt.select(
-        F.col("w1"), F.col("w2"), F.col("cb").alias("c12")
-    )
+    c12 = bcnt.select(F.col("w1"), F.col("w2"), F.col("cb").alias("c12"))
     c23 = bcnt.select(
         F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("c23")
     )
@@ -1382,6 +1371,84 @@ def stupid_backoff_logprob(
         )
         .select(F.col("id").alias(id_col), "n_trigrams", "avg_logprob", "bo_ppm")
     )
+
+
+def stupid_backoff_logprob(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean trigram log-score under a STUPID-BACKOFF LM fit on
+    ``ref`` (default: ``docs`` itself) — the Brants et al. 2007 ("Large
+    Language Models in Machine Translation") recipe, designed precisely
+    for distributed count-based LMs at web scale: no discounting, no
+    normalization pass, just counts and a fixed backoff penalty::
+
+        S(w3|w1,w2) = c(w1 w2 w3) / c(w1 w2)           if trigram seen
+                    = alpha * c(w2 w3) / c(w2)          elif bigram seen
+                    = alpha^2 * max(c(w3), 0.5) / N     otherwise
+
+    (the unigram floor scores OOV words as half a count — deterministic
+    in any engine). Returns ``(id_col, n_trigrams, avg_logprob,
+    bo_ppm)``: docs with fewer than 3 tokens are absent (no trigram to
+    score, like ``bigram_logprob``); ``bo_ppm`` is the integer-ppm
+    fraction of trigram instances that backed off — scoring a batch
+    under a SEED corpus LM (``ref=seed``) makes it a novelty signal
+    (high backoff = text the reference corpus has never seen) and makes
+    the backoff branches real, where self-scoring always finds its own
+    trigrams.
+
+    Scale shape (the ``bigram_logprob`` discipline, one order higher):
+    n-grams are built IN PLACE by zipping the token array against its
+    own tails (zero windows, zero extra scans); the count tables are
+    partial-combined hash aggregates of the REFERENCE corpus only; the
+    scoring side pre-aggregates per (doc, trigram) so hot trigrams
+    bound the join fan-out; the unigram table is vocabulary-sized
+    (broadcast-eligible) and N rides it as one aggregated row. All
+    joins are LEFT from the batch — unseen n-grams take the backoff
+    branch instead of dropping rows.
+    """
+    if ref is None:
+        ref = docs
+    ucnt, bcnt, tcnt = _sb_count_tables(ref, text_col)
+    return _sb_score(docs, ucnt, bcnt, tcnt, alpha, text_col, id_col)
+
+
+def ngram_lm_store_init(
+    ref: DataFrame, store_path: str, text_col: str = "text"
+) -> None:
+    """Persist the stupid-backoff LM — the n-gram-LM member of the
+    persisted-store lifecycle family (``bpe_store_init`` /
+    ``unigram_store_init``): count the reference corpus ONCE, then
+    score any number of later batches without re-scanning it. The
+    store is the three count tables (unigram / bigram / trigram),
+    vocabulary-shaped by Zipf — constant-width state on disk, exactly
+    the discipline every other store in this engine keeps."""
+    ucnt, bcnt, tcnt = _sb_count_tables(ref, text_col)
+    ucnt.write.mode("overwrite").parquet(f"{store_path}/uni")
+    bcnt.write.mode("overwrite").parquet(f"{store_path}/bi")
+    tcnt.write.mode("overwrite").parquet(f"{store_path}/tri")
+
+
+def stupid_backoff_with_store(
+    docs: DataFrame,
+    store_path: str,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a batch under a PERSISTED stupid-backoff LM (init with
+    ``ngram_lm_store_init``) — the inference path: one scan of the
+    batch, three parquet count-table reads, zero reference-corpus
+    work. ``alpha`` is a scoring-time knob (the LM state is pure
+    counts), so one store serves any backoff penalty."""
+    spark = docs.sparkSession
+    ucnt = spark.read.parquet(f"{store_path}/uni")
+    bcnt = spark.read.parquet(f"{store_path}/bi")
+    tcnt = spark.read.parquet(f"{store_path}/tri")
+    return _sb_score(docs, ucnt, bcnt, tcnt, alpha, text_col, id_col)
 
 
 def top_collocations(

@@ -2543,3 +2543,34 @@ def test_token_quota_model_and_salted_equality(spark):
     # budget smaller than any source's total keeps a strict prefix
     small = {r["doc_id"] for r in token_quota(df, 10, "doc_id").collect()}
     assert small < want or small == set()
+
+
+def test_ngram_lm_store_roundtrip(spark, tmp_path):
+    # the persisted LM must score EXACTLY like the in-memory form, and
+    # alpha stays a scoring-time knob (one store, any backoff penalty)
+    from eventkit_spark.llm.text import (
+        ngram_lm_store_init,
+        stupid_backoff_logprob,
+        stupid_backoff_with_store,
+    )
+
+    ref_texts = ["the cat sat on the mat", "the dog sat on the log", "a cat and a dog"]
+    doc_texts = ["the cat sat on the log", "zebra quantum flux", "cat and the mat"]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "nglm")
+    ngram_lm_store_init(ref, path)
+    for alpha in (0.4, 0.1):
+        mem = {
+            r["doc_id"]: (r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+            for r in stupid_backoff_logprob(docs, ref, alpha=alpha).collect()
+        }
+        sto = {
+            r["doc_id"]: (r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+            for r in stupid_backoff_with_store(docs, path, alpha=alpha).collect()
+        }
+        assert mem == sto and mem

@@ -122,6 +122,10 @@ SHUFFLE_CEILING = {
     # r9: token budget = ONE per-source window cumsum; scan prunes to
     # (doc_id, text, source)
     "token_quota": 1,
+    # r9: store probe reads the three parquet count tables — only the
+    # batch pre-agg + per-doc agg + the trigram-keyed join shuffle; the
+    # seed corpus never re-plans
+    "ngram_lm_store": 3,
     # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
     # + ONE min_by(struct) dedup aggregate; no join-back branch
     "unique_scaled": 4,
@@ -797,7 +801,7 @@ def test_registry_front50_rotation():
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r9 = ["stupid_backoff", "token_quota"]
+    new_r9 = ["stupid_backoff", "token_quota", "ngram_lm_store"]
     code_changed_r9 = [
         "unigram_vocab", "unigram_encode", "unigram_fertility",
         "unigram_store", "dedup_simhash_incremental", "ivf_index",
@@ -806,12 +810,12 @@ def test_registry_front50_rotation():
         "unigram_logprob", "reservoir", "temperature_mix",
         "sliding_chunks", "top_ngrams",
     ]
-    assert names[:2] == new_r9
-    assert names[2:8] == code_changed_r9
-    assert names[8:13] == deferred_from_r8
+    assert names[:3] == new_r9
+    assert names[3:9] == code_changed_r9
+    assert names[9:14] == deferred_from_r8
     # the rest of the r3 block, registry order; spot-pin the boundaries
     # so the block can't silently shrink or reorder
-    assert names[13] == "train_order" and names[35] == "pack_sequences"
+    assert names[14] == "train_order" and names[36] == "pack_sequences"
     r3_block = {
         "train_order", "ccnet_buckets", "constant", "star_pack",
         "map_pandas", "source_marble", "source_wait", "source_timer",
@@ -821,10 +825,12 @@ def test_registry_front50_rotation():
         "text_stats", "text_quality", "split_by_hash",
         "stratified_sample", "pack_sequences",
     }
-    assert set(names[13:36]) == r3_block
-    # 14 oldest r4 rows close the block
-    assert names[36] == "timestamp" and names[49] == "quality_classifier"
-    assert len(set(names)) == len(names) >= 263
+    assert set(names[14:37]) == r3_block
+    # 13 oldest r4 rows close the block (quality_classifier slips just
+    # past the cut — first in line for r10)
+    assert names[37] == "timestamp" and names[49] == "fuzzy_dedup"
+    assert names[50] == "quality_classifier"
+    assert len(set(names)) == len(names) >= 264
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
