@@ -878,3 +878,102 @@ def test_zip_ziplatest_random_timings(spark, a, b, oa, ob):
     # single-column frames yield bare values; 2-source ziplatest yields
     # 2-tuples, so compare directly
     assert got == exp
+
+
+@given(
+    ref=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh".split()), min_size=0, max_size=8),
+        min_size=1, max_size=6,
+    ),
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh zz".split()), min_size=0, max_size=8),
+        min_size=1, max_size=6,
+    ),
+)
+@SET
+def test_stupid_backoff_property(spark, ref, docs):
+    """Random small-alphabet corpora vs the pure-Python stupid-backoff
+    model: every branch (trigram / bigram backoff / OOV floor) must
+    match, including the bo_ppm integer division."""
+    import collections
+    import math
+
+    from eventkit_spark.llm.text import stupid_backoff_logprob
+
+    ref_texts = [" ".join(w) for w in ref]
+    doc_texts = [" ".join(w) for w in docs]
+    rdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id long, text string"
+    )
+    u, b, t = collections.Counter(), collections.Counter(), collections.Counter()
+    for s in ref_texts:
+        w = s.split()
+        u.update(w)
+        b.update(zip(w, w[1:]))
+        t.update(zip(w, w[1:], w[2:]))
+    N = sum(u.values())
+    if N == 0:
+        return  # degenerate empty reference: engine yields NULL scores
+    want = {}
+    for i, s in enumerate(doc_texts):
+        w = s.split()
+        tris = list(zip(w, w[1:], w[2:]))
+        if not tris:
+            continue
+        tot, bo = 0.0, 0
+        for tg in tris:
+            if t[tg] > 0:
+                sc = t[tg] / b[(tg[0], tg[1])]
+            elif b[(tg[1], tg[2])] > 0:
+                sc = 0.4 * b[(tg[1], tg[2])] / u[tg[1]]
+                bo += 1
+            else:
+                sc = 0.4 * 0.4 * max(u[tg[2]], 0.5) / N
+                bo += 1
+            tot += math.log(sc)
+        want[i] = (len(tris), round(tot / len(tris), 6), bo * 1000000 // len(tris))
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+        for r in stupid_backoff_logprob(ddf, rdf).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10)),
+        min_size=0, max_size=30,
+    ),
+    budget=st.integers(0, 60),
+)
+@SET
+def test_token_quota_property(spark, rows, budget):
+    """Random (source, token-count) corpora vs the strict-prefix model:
+    kept set == the maximal hash-order prefix whose inclusive running
+    token total stays within the budget, per source."""
+    from eventkit_spark.llm.sampling import token_quota
+
+    data = [
+        (i, f"s{src}", " ".join(["w"] * n) if n else "")
+        for i, (src, n) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    KNUTH = 2654435761
+
+    def h(k):
+        return (k % 2**31) * KNUTH % 2**31 % 1_000_000
+
+    want = set()
+    for s in {r[1] for r in data}:
+        cum = 0
+        for did, _, txt in sorted(
+            (r for r in data if r[1] == s), key=lambda r: (h(r[0]), r[0])
+        ):
+            cum += len(txt.split()) if txt.strip() else 0
+            if cum <= budget:
+                want.add(did)
+    got = {r["doc_id"] for r in token_quota(df, budget, "doc_id").collect()}
+    assert got == want
