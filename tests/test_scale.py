@@ -122,3 +122,29 @@ def test_skew_report_mean_first_arithmetic(spark):
     assert got["hot"]["vs_mean_pct"] == 150
     assert got["hot"]["share_ppm"] == 500000
     assert got["warm"]["vs_mean_pct"] == 75
+
+
+def test_token_quota_salted_equals_plain_and_bounds_windows(spark):
+    """The salted token_quota (range-partitioned two-pass with broadcast
+    carries) must equal the plain per-source window cut on a mega-source
+    shape — ONE source carrying every row (the partition a single window
+    could not hold at corpus scale) — and the salted plan's windows must
+    partition by (source, bucket), never by source alone."""
+    from eventkit_spark.llm.sampling import token_quota
+    from eventkit_spark.plans.audit import physical_plan
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "source", F.lit("mega")
+    )
+    plain = {r["doc_id"] for r in token_quota(docs, 5000, "doc_id").collect()}
+    out = token_quota(docs, 5000, "doc_id", salt=16)
+    salted = {r["doc_id"] for r in out.collect()}
+    assert salted == plain and plain
+    # some docs kept, some dropped: the cut is real
+    assert len(plain) < docs.count()
+    # the heavy window runs per (source, bucket): no single-partition
+    # window over the mega-source in the salted plan
+    plan = physical_plan(out)
+    heavy = [ln for ln in plan.splitlines()
+             if "Window" in ln and "sum(__ntok" in ln]
+    assert heavy and all("__b" in ln for ln in heavy), heavy

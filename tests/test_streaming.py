@@ -1568,3 +1568,53 @@ def test_streaming_chunk_product_parity(spark, stream_dir):
     assert set(got2) == set(exp2) and got2
     for key, v in exp2.items():
         assert abs(got2[key] - v) <= 1e-9 * max(abs(v), 1.0), key
+
+
+def test_streaming_ngram_lm_scoring(spark, tmp_path_factory):
+    """The persisted n-gram-LM store composes with Structured
+    Streaming: foreachBatch scores each micro-batch against the frozen
+    count tables (nightly quality scoring — no reference re-scan per
+    batch), and the scores equal the batch form on the same rows."""
+    from eventkit_spark.llm.text import (
+        ngram_lm_store_init,
+        stupid_backoff_logprob,
+        stupid_backoff_with_store,
+    )
+    from eventkit_spark.streaming import file_stream
+
+    base = tmp_path_factory.mktemp("nglm_stream")
+    store = str(base / "store")
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the log")],
+        "doc_id long, text string",
+    )
+    ngram_lm_store_init(ref, store)
+    batch = spark.createDataFrame(
+        [(10, "the cat sat on the log"), (11, "zebra quantum flux jumps")],
+        "doc_id long, text string",
+    )
+    src = str(base / "in")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+
+    sf = file_stream(
+        spark, src, schema="doc_id long, text string",
+        value_cols=["text"], ts_col="doc_id",
+    )
+    scored = []
+
+    def score(bdf, _bid):
+        scored.extend(
+            (r["doc_id"], r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+            for r in stupid_backoff_with_store(bdf, store).collect()
+        )
+
+    q = sf.foreach_batch(score, available_now=True)
+    q.awaitTermination(120)
+    want = sorted(
+        (r["doc_id"], r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+        for r in stupid_backoff_logprob(batch, ref).collect()
+    )
+    assert sorted(scored) == want and want
+    # the novel doc backed off on every trigram
+    by_id = {t[0]: t for t in scored}
+    assert by_id[11][3] == 1_000_000 and by_id[10][3] < 1_000_000
