@@ -1316,9 +1316,10 @@ def simhash_dedup_incremental(
     untouched — the "what would tonight's dedup drop" preview, and the
     probe-only form repeated benchmarks can run against one shared
     seed store without mutating it (r8 VERDICT item 6). The dry run
-    skips both parquet commits and returns the status frame lazily
-    (the batch fingerprint stays persisted for its three uses; Spark's
-    LRU reclaims it).
+    skips both parquet commits and returns the status frame lazily —
+    nothing is persisted (a lazy return has no release point for a
+    cache entry), so each probe branch recomputes the one-scan batch
+    fingerprint pass instead.
 
     Scale shape: one fingerprint pass over the batch (persisted, reused
     by probe/competition/commit, then unpersisted); the store probe is
@@ -1330,7 +1331,15 @@ def simhash_dedup_incremental(
     """
     spark = new_docs.sparkSession
     m = spark.read.parquet(f"{store_path}/meta").first()
-    sh = simhash64(new_docs, text_col, id_col, portable=m.portable).persist()
+    # persist only when committing (the commit path materializes, then
+    # reuses the fingerprints for the append and unpersists). A dry run
+    # returns a LAZY frame, so a persist here would pin a cache entry
+    # with no release point — repeated probe calls would accumulate
+    # executor storage (r9 review); the probe plan recomputes the
+    # fingerprint pass per branch instead, one batch-text scan each.
+    sh = simhash64(new_docs, text_col, id_col, portable=m.portable)
+    if commit:
+        sh = sh.persist()
     chunks = _simhash_chunks(sh)
     store = spark.read.parquet(f"{store_path}/postings")
     hits = (

@@ -355,10 +355,9 @@ def token_quota(
             cond = F.col(source_col) == src
             budget = F.when(cond, b) if budget is None else budget.when(cond, b)
         budget = F.lit(default) if budget is None else budget.otherwise(default)
-    t = F.trim(F.col(text_col))
-    ntok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
-    ).cast("long")
+    from .text import whitespace_token_count
+
+    ntok = whitespace_token_count(F.col(text_col)).cast("long")
     order = [portable_hash(F.col(key_col)), F.col(key_col)]
     df = df.withColumn("__ntok", ntok)
     if salt is not None:
@@ -377,16 +376,27 @@ def token_quota(
             .orderBy("__b")
             .rowsBetween(W.unboundedPreceding, -1)
         )
+        # null-safe carry join: a NULL source is a legitimate window
+        # partition in the unsalted path, so the salted path must not
+        # drop it through a null-unsafe equi-join
         carries = (
             dfb.groupBy(source_col, "__b")
             .agg(F.sum("__ntok").alias("__bt"))
             .withColumn("__carry", F.coalesce(F.sum("__bt").over(wc), F.lit(0)))
-            .drop("__bt")
+            .select(
+                F.col(source_col).alias("__csrc"),
+                F.col("__b").alias("__cb"),
+                "__carry",
+            )
         )
         return (
-            dfb.join(F.broadcast(carries), [source_col, "__b"])
+            dfb.join(
+                F.broadcast(carries),
+                F.col(source_col).eqNullSafe(F.col("__csrc"))
+                & (F.col("__b") == F.col("__cb")),
+            )
             .filter(F.col("__carry") + F.col("__loc") <= budget)
-            .drop("__b", "__loc", "__carry", "__ntok")
+            .drop("__csrc", "__cb", "__b", "__loc", "__carry", "__ntok")
         )
     w = (
         W.partitionBy(source_col)

@@ -491,6 +491,10 @@ def unigram_train(
     the vocabulary, never widens a piece, so the seed grid covers all
     iterations (r8 VERDICT item 8).
     """
+    if min_len > max_len or min_len < 1:
+        raise ValueError(
+            f"need 1 <= min_len <= max_len, got [{min_len}, {max_len}]"
+        )
     spark = docs.sparkSession
     wt = pretoken_counts(docs, text_col, min_freq).persist()
     cand = None

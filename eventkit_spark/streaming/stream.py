@@ -739,7 +739,11 @@ class StreamFrame:
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
                 for _, row in pdf.iterrows():
-                    spent += float(row[cost])
+                    c = row[cost]
+                    # NULL cost counts 0, like the batch twin's window
+                    # SUM — accruing NaN would poison the persisted
+                    # total and mute the key forever (r9 review)
+                    spent += 0.0 if pd.isna(c) else float(c)
                     if spent <= budget:
                         outs.append(
                             {
@@ -920,14 +924,23 @@ class StreamFrame:
                         ]
                     )
                 return
-            buf, last = (
-                (list(state.get[0]), state.get[1]) if state.exists else ([], NONE)
-            )
+            if flush_after is None:
+                buf, last = (list(state.get[0]) if state.exists else []), NONE
+            else:
+                buf, last = (
+                    (list(state.get[0]), state.get[1])
+                    if state.exists
+                    else ([], NONE)
+                )
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
                 for _, row in pdf.iterrows():
                     buf.append(row[value_col])
-                    last = row[ts_col].value
+                    if flush_after is not None:
+                        # only the timer path needs the ns clock; a
+                        # numeric ts_col has no .value and must keep
+                        # working in the default mode (r9 review)
+                        last = row[ts_col].value
                     if len(buf) == size:
                         outs.append(
                             {
@@ -937,12 +950,20 @@ class StreamFrame:
                             }
                         )
                         buf = []
-            state.update((buf, last))
-            if flush_after is not None and buf and last != NONE:
-                wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(
-                    max(last // 1_000_000 + int(round(flush_after * 1000)), wm + 1)
-                )
+            if flush_after is None:
+                # state schema unchanged from pre-flush_after releases:
+                # existing checkpoints keep recovering
+                state.update((buf,))
+            else:
+                state.update((buf, last))
+                if buf and last != NONE:
+                    wm = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(
+                        max(
+                            last // 1_000_000 + int(round(flush_after * 1000)),
+                            wm + 1,
+                        )
+                    )
             if outs:
                 yield pd.DataFrame(outs)
 
@@ -950,7 +971,11 @@ class StreamFrame:
         return grouped.applyInPandasWithState(
             handler,
             outputStructType=out_schema,
-            stateStructType=f"buf array<{vt}>, last long",
+            stateStructType=(
+                f"buf array<{vt}>, last long"
+                if flush_after is not None
+                else f"buf array<{vt}>"
+            ),
             outputMode="append",
             timeoutConf=(
                 GroupStateTimeout.EventTimeTimeout

@@ -2574,3 +2574,18 @@ def test_ngram_lm_store_roundtrip(spark, tmp_path):
             for r in stupid_backoff_with_store(docs, path, alpha=alpha).collect()
         }
         assert mem == sto and mem
+
+
+def test_token_quota_null_source_salted_parity(spark):
+    # NULL source is a legitimate window partition; the salted carry
+    # join must be null-safe (r9 review: an inner equi-join dropped
+    # every NULL-source row)
+    from eventkit_spark.llm.sampling import token_quota
+
+    df = spark.createDataFrame(
+        [(1, None, "w w"), (2, None, "w"), (3, "s", "w w w")],
+        "doc_id long, source string, text string",
+    )
+    plain = {r["doc_id"] for r in token_quota(df, 100, "doc_id").collect()}
+    salted = {r["doc_id"] for r in token_quota(df, 100, "doc_id", salt=4).collect()}
+    assert plain == salted == {1, 2, 3}

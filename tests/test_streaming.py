@@ -1618,3 +1618,39 @@ def test_streaming_ngram_lm_scoring(spark, tmp_path_factory):
     # the novel doc backed off on every trigram
     by_id = {t[0]: t for t in scored}
     assert by_id[11][3] == 1_000_000 and by_id[10][3] < 1_000_000
+
+
+def test_streaming_chunk_numeric_ts_and_null_budget_cost(spark, tmp_path):
+    """r9 review regressions: (a) chunk() without flush_after must keep
+    working on a NUMERIC ts_col (the timer clock is only read when the
+    timer exists); (b) take_budget treats a NULL cost as 0 like the
+    batch window SUM instead of poisoning the spent state with NaN."""
+    from eventkit_spark.streaming import file_stream
+
+    d = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0), (4, 1, 40.0)],
+        "seq long, user_id long, value double",
+    ).coalesce(1).write.parquet(d)
+    sf = file_stream(
+        spark, d, schema="seq long, user_id long, value double",
+        value_cols=["value"], ts_col="seq", key_cols=["user_id"],
+    )
+    # (a) numeric ts chunking
+    out = sf.run_available_now(sink_df=sf.chunk(2), name="ek_numchunk")
+    got = sorted(tuple(r["value"]) for r in out.collect())
+    assert got == [(10.0, 20.0), (30.0, 40.0)]
+    # (b) NULL cost accrues 0 and the row still emits; budget 30 then
+    # admits the 20 (spent 30) and rejects the 30
+    d2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, None), (3, 1, 20.0), (4, 1, 30.0)],
+        "seq long, user_id long, value double",
+    ).coalesce(1).write.parquet(d2)
+    sf2 = file_stream(
+        spark, d2, schema="seq long, user_id long, value double",
+        value_cols=["value"], ts_col="seq", key_cols=["user_id"],
+    )
+    out2 = sf2.run_available_now(sink_df=sf2.take_budget(30.0), name="ek_nullbud")
+    vals = sorted((r["value"] is None, r["value"] or 0.0) for r in out2.collect())
+    assert [v for _, v in vals] == [10.0, 20.0, 0.0]

@@ -427,3 +427,11 @@ def test_train_seed_equals_standalone_vocab(spark, docs):
         for r in _vocab_from_types(wt, 25, 2, 4).collect()
     }
     assert a == b
+
+
+def test_train_rejects_bad_lengths(spark, docs):
+    # the r9 seed refactor must keep unigram_vocab's range validation
+    with pytest.raises(ValueError):
+        unigram_train(docs, min_len=0)
+    with pytest.raises(ValueError):
+        unigram_train(docs, min_len=5, max_len=4)
