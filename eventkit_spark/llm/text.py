@@ -1425,11 +1425,31 @@ def ngram_lm_store_init(
     score any number of later batches without re-scanning it. The
     store is the three count tables (unigram / bigram / trigram),
     vocabulary-shaped by Zipf — constant-width state on disk, exactly
-    the discipline every other store in this engine keeps."""
+    the discipline every other store in this engine keeps.
+
+    The tables are stored as MERGEABLE partial counts: readers re-sum
+    per key (a vocabulary-shaped, kilobyte-class aggregate), which is
+    what lets ``ngram_lm_store_append`` grow the LM nightly by
+    appending one batch's counts — no store read, no rewrite."""
     ucnt, bcnt, tcnt = _sb_count_tables(ref, text_col)
     ucnt.write.mode("overwrite").parquet(f"{store_path}/uni")
     bcnt.write.mode("overwrite").parquet(f"{store_path}/bi")
     tcnt.write.mode("overwrite").parquet(f"{store_path}/tri")
+
+
+def ngram_lm_store_append(
+    new_ref: DataFrame, store_path: str, text_col: str = "text"
+) -> None:
+    """Grow a persisted stupid-backoff LM with a new reference slice
+    (init with ``ngram_lm_store_init``): counts are mergeable, so the
+    nightly increment is ONE scan of the new slice appended as partial
+    count rows — the existing store is never read or rewritten.
+    Scoring against the grown store equals a from-scratch fit on the
+    union of all slices (counts are exact, not sketches)."""
+    ucnt, bcnt, tcnt = _sb_count_tables(new_ref, text_col)
+    ucnt.write.mode("append").parquet(f"{store_path}/uni")
+    bcnt.write.mode("append").parquet(f"{store_path}/bi")
+    tcnt.write.mode("append").parquet(f"{store_path}/tri")
 
 
 def stupid_backoff_with_store(
@@ -1440,14 +1460,25 @@ def stupid_backoff_with_store(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score a batch under a PERSISTED stupid-backoff LM (init with
-    ``ngram_lm_store_init``) — the inference path: one scan of the
-    batch, three parquet count-table reads, zero reference-corpus
-    work. ``alpha`` is a scoring-time knob (the LM state is pure
-    counts), so one store serves any backoff penalty."""
+    ``ngram_lm_store_init``, grown with ``ngram_lm_store_append``) —
+    the inference path: one scan of the batch, three parquet
+    count-table reads re-summed per key (vocabulary-shaped partials,
+    kilobyte exchanges), zero reference-corpus work. ``alpha`` is a
+    scoring-time knob (the LM state is pure counts), so one store
+    serves any backoff penalty."""
     spark = docs.sparkSession
-    ucnt = spark.read.parquet(f"{store_path}/uni")
-    bcnt = spark.read.parquet(f"{store_path}/bi")
-    tcnt = spark.read.parquet(f"{store_path}/tri")
+    ucnt = (
+        spark.read.parquet(f"{store_path}/uni")
+        .groupBy("w").agg(F.sum("cu").alias("cu"))
+    )
+    bcnt = (
+        spark.read.parquet(f"{store_path}/bi")
+        .groupBy("w1", "w2").agg(F.sum("cb").alias("cb"))
+    )
+    tcnt = (
+        spark.read.parquet(f"{store_path}/tri")
+        .groupBy("w1", "w2", "w3").agg(F.sum("ct").alias("ct"))
+    )
     return _sb_score(docs, ucnt, bcnt, tcnt, alpha, text_col, id_col)
 
 

@@ -2589,3 +2589,39 @@ def test_token_quota_null_source_salted_parity(spark):
     plain = {r["doc_id"] for r in token_quota(df, 100, "doc_id").collect()}
     salted = {r["doc_id"] for r in token_quota(df, 100, "doc_id", salt=4).collect()}
     assert plain == salted == {1, 2, 3}
+
+
+def test_ngram_lm_store_append_equals_union_fit(spark, tmp_path):
+    # counts are mergeable: init(A) + append(B) must score exactly like
+    # a from-scratch fit on A union B
+    from eventkit_spark.llm.text import (
+        ngram_lm_store_append,
+        ngram_lm_store_init,
+        stupid_backoff_logprob,
+        stupid_backoff_with_store,
+    )
+
+    a_texts = ["the cat sat on the mat", "a cat and a dog"]
+    b_texts = ["the dog sat on the log", "the cat sat on the log"]
+    doc_texts = ["the cat sat on the log", "zebra quantum flux"]
+    A = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(a_texts)], "doc_id long, text string"
+    )
+    B = spark.createDataFrame(
+        [(10 + i, t) for i, t in enumerate(b_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "nglm2")
+    ngram_lm_store_init(A, path)
+    ngram_lm_store_append(B, path)
+    grown = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+        for r in stupid_backoff_with_store(docs, path).collect()
+    }
+    union_fit = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"], r["bo_ppm"])
+        for r in stupid_backoff_logprob(docs, A.unionByName(B)).collect()
+    }
+    assert grown == union_fit and grown

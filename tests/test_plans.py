@@ -122,10 +122,12 @@ SHUFFLE_CEILING = {
     # r9: token budget = ONE per-source window cumsum; scan prunes to
     # (doc_id, text, source)
     "token_quota": 1,
-    # r9: store probe reads the three parquet count tables — only the
-    # batch pre-agg + per-doc agg + the trigram-keyed join shuffle; the
-    # seed corpus never re-plans
-    "ngram_lm_store": 3,
+    # r9: store probe = batch pre-agg + per-doc agg + trigram join,
+    # plus merge-on-read re-sums of the three count tables (one per
+    # lineage branch: uni x3 / bi x2 / tri x1) — count-table-width
+    # exchanges, never corpus-width; the seed corpus never re-plans.
+    # Merge-on-read is what makes ngram_lm_store_append append-only.
+    "ngram_lm_store": 9,
     # r7: rank machinery (pid agg + pid window + 1-task bucket offsets)
     # + ONE min_by(struct) dedup aggregate; no join-back branch
     "unique_scaled": 4,
