@@ -1,8 +1,13 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (clearly marked).  Round 3 replaces the earlier RNG-seeded fakes
+Decode support is two-tier (r9): UNCOMPRESSED formats decode for REAL
+with pure byte arithmetic — ``decode_wav_real`` (RIFF/PCM 8/16/32-bit,
+multi-channel), ``decode_image_real`` (PPM P6 + 24-bit BI_RGB BMP) —
+and plug into the same feature extractors via their ``decoder=``
+parameter.  Compressed codecs (JPEG/PNG/MP3/H.264) still need a codec
+library the container lacks, so those kernels are STUBBED (clearly
+marked).  Round 3 replaces the earlier RNG-seeded fakes
 with *modular-ramp* fakes: pixel / sample ``k`` of an asset is
 ``(seed + k*STEP) % M`` — a pure-integer recurrence that any engine can
 regenerate.  That choice is deliberate: the driver's DuckDB oracle can
@@ -104,13 +109,142 @@ def _ramp(s0: int, n: int, step: int, mod: int) -> np.ndarray:
     return out.astype(np.uint8) if mod <= 256 else out
 
 
-def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+# ---- REAL decoders for uncompressed container formats (r9) --------
+# PIL / soundfile / ffmpeg remain absent from this container, but the
+# UNCOMPRESSED formats need only byte arithmetic: WAV (RIFF + PCM),
+# PPM (P6) and BMP (24-bit, BI_RGB) parse exactly with numpy alone.
+# Compressed codecs (JPEG/PNG/MP3/H.264) still raise a clear
+# NotImplementedError until a codec library lands — the stubs above
+# remain the oracle-checkable path for the driver contracts.
+
+
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed formats -> (H, W, 3) uint8.
+
+    Supports PPM ``P6`` (maxval <= 255) and BMP (24-bit, BI_RGB,
+    bottom-up or top-down). PNG/JPEG payloads raise
+    NotImplementedError naming the missing codec; anything else raises
+    ValueError."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG need a codec library (PIL absent from this build); "
+            "uncompressed PPM/BMP decode natively"
+        )
+    raise ValueError("unrecognized image payload (not PPM/BMP/PNG/JPEG)")
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): ASCII header tokens (with # comments), one
+    whitespace byte, then raw RGB rows."""
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs a wide decoder")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP: BITMAPFILEHEADER (pixel offset at 10),
+    BITMAPINFOHEADER (w/h/bpp/compression), 4-byte-padded BGR rows,
+    bottom-up when height > 0."""
+
+    def le(off, sz, signed=False):
+        return int.from_bytes(payload[off : off + sz], "little", signed=signed)
+
+    data_off = le(10, 4)
+    w, h = le(18, 4, signed=True), le(22, 4, signed=True)
+    bpp, compression = le(28, 2), le(30, 4)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decodes natively (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up, h = h > 0, abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav_real(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL WAV decode -> (sample_rate, mono float64 samples in
+    [-1, 1]). PCM 8/16/32-bit via RIFF chunk walk; multi-channel input
+    averages to mono. Non-PCM (compressed) WAV raises
+    NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"compressed WAV (format {audio_format}) needs a codec library"
+        )
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM needs a wide decoder")
+    if channels > 1:
+        x = x[: (x.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return rate, x
+
+
+def image_features(
+    media: DataFrame,
+    batch_hint: int = 0,
+    decoder=None,
+    media_type: str = "image/png",
+) -> DataFrame:
     """Decode + extract per-image features (mean per channel, luma std,
     8-bin luma histogram) via mapInPandas.  Output schema is fixed-width.
 
     All statistics are computed from exact integer sums and divided /
     square-rooted in a fixed operation order so the DuckDB oracle (same
     formulas over ``generate_series``) reproduces identical doubles.
+
+    ``decoder`` swaps the stub for a REAL bytes->(H,W,3) decoder —
+    ``decode_image_real`` handles uncompressed PPM/BMP natively (r9);
+    pass a PIL-backed callable for PNG/JPEG once codecs exist. The
+    feature math is identical either way. ``media_type`` selects which
+    assets this extractor claims.
     """
     out_schema = (
         "asset_id long, mean_r double, mean_g double, mean_b double, "
@@ -125,9 +259,12 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 # int64 ACCUMULATORS (sum dtype) instead of widening the
                 # whole image to int64 first — same exact integer sums,
                 # ~1.5x less memory traffic per image
-                img = _decode_image_bytes(
-                    row["payload"], int(row["width"]), int(row["height"])
-                )
+                if decoder is None:
+                    img = _decode_image_bytes(
+                        row["payload"], int(row["width"]), int(row["height"])
+                    )
+                else:
+                    img = decoder(row["payload"])
                 n = img.shape[0] * img.shape[1]
                 luma3 = img.sum(axis=2, dtype=np.int32)  # r+g+b, 0..765
                 s1 = int(luma3.sum(dtype=np.int64))
@@ -147,7 +284,7 @@ def image_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "mean_r", "mean_g", "mean_b", "std_luma", "hist"])
 
-    flat = media.filter(F.col("meta.media_type") == "image/png").select(
+    flat = media.filter(F.col("meta.media_type") == media_type).select(
         "asset_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
     return _spread(flat).mapInPandas(kernel, schema=out_schema)
@@ -172,11 +309,21 @@ def _audio_ints(payload: bytes, n_bytes: int) -> np.ndarray:
     return _ramp(s0, max(1, n_bytes // 2), _AUDIO_STEP, 2001) - 1000
 
 
-def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+def audio_features(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    decoder=None,
+    media_type: str = "audio/wav",
+) -> DataFrame:
     """Decode + extract per-clip waveform features (duration, RMS,
     zero-crossing rate, peak) via mapInPandas — the audio sibling of
-    ``image_features``; swapping the stub for a real decoder changes
-    only the kernel."""
+    ``image_features``.
+
+    ``decoder`` swaps the stub for a REAL bytes->(rate, samples)
+    decoder — ``decode_wav_real`` parses PCM WAV natively (r9), and
+    the clip's own sample rate drives duration; compressed audio needs
+    a codec-backed callable. The stub path keeps the exact-integer
+    oracle math."""
     out_schema = (
         "asset_id long, n_samples long, duration_s double, rms double, "
         "zcr double, peak double"
@@ -186,27 +333,38 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                u = _audio_ints(row["payload"], int(row["n_bytes"]))
-                n = int(u.size)
-                s2 = int((u * u).sum(dtype=np.int64))
-                neg = u < 0
-                zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
-                rows.append(
-                    {
-                        "asset_id": row["asset_id"],
+                if decoder is None:
+                    u = _audio_ints(row["payload"], int(row["n_bytes"]))
+                    n = int(u.size)
+                    s2 = int((u * u).sum(dtype=np.int64))
+                    neg = u < 0
+                    zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
+                    feats = {
                         "n_samples": n,
                         "duration_s": n / (sample_rate * 1.0),
                         "rms": math.sqrt(s2 / (n * 1000000.0)),
                         "zcr": zc / (n - 1.0) if n > 1 else 0.0,
                         "peak": int(np.abs(u).max()) / 1000.0,
                     }
-                )
+                else:
+                    rate, x = decoder(row["payload"])
+                    n = int(x.size)
+                    neg = x < 0
+                    zc = int(np.count_nonzero(neg[:-1] != neg[1:]))
+                    feats = {
+                        "n_samples": n,
+                        "duration_s": n / float(rate),
+                        "rms": math.sqrt(float((x * x).sum()) / n) if n else 0.0,
+                        "zcr": zc / (n - 1.0) if n > 1 else 0.0,
+                        "peak": float(np.abs(x).max()) if n else 0.0,
+                    }
+                rows.append({"asset_id": row["asset_id"], **feats})
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "n_samples", "duration_s", "rms", "zcr", "peak"],
             )
 
-    flat = media.filter(F.col("meta.media_type") == "audio/wav").select(
+    flat = media.filter(F.col("meta.media_type") == media_type).select(
         "asset_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
     )
     return _spread(flat).mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,162 @@
+"""Scale-smoke: run flagship operators on a corpus N x larger than the
+largest driver testdata (sf0.1) to back the 100 TB design claims with a
+MEASURED super-SF run, not just plan pins (r8 VERDICT "What's missing"
+item 4 — sf>0.1 data doesn't exist, so we derive it).
+
+The scaled corpus is built from sf0.1 by cross-joining each table with
+a replica index: ids are re-keyed per replica (id * N + r) so keys stay
+unique, and document text gets a per-replica salt token appended so the
+scaled corpus is not one giant exact-duplicate class (dedup keeps real
+work). Written once to /tmp and reused.
+
+Run:  python scripts/scale_smoke.py [N] [sf_dir]
+Prints ONE JSON line: {"scale": N, "rows": {...}, "queries": {name: sec}}.
+Recorded runs live in SCALE.md ("Measured super-SF smoke").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_scaled(spark, sf_dir: str, n: int, out_dir: str) -> None:
+    from eventkit_spark.sources.tables import load_table
+
+    rep = spark.range(n).select(F.col("id").alias("__r"))
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") * n + F.col("__r")).alias("doc_id"),
+            "lang",
+            "source",
+            F.concat(
+                F.col("text"), F.lit(" rep"), F.col("__r").cast("string")
+            ).alias("text"),
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") * n + F.col("__r")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * n + F.col("__r")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") * n + F.col("__r")).alias("vec_id"),
+            "embedding",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/eventkit_scale_x{n}"
+    from eventkit_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        build_scaled(spark, sf_dir, n, out_dir)
+
+    # the derived tables were WRITTEN by Spark from already-normalized
+    # frames, so read them bare (load_table's timestamp-flavor shim is
+    # for the driver-generated parquet only)
+    docs = spark.read.parquet(f"{out_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{out_dir}/events.parquet")
+    emb = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+    rows = {
+        "documents": docs.count(),
+        "events": ev.count(),
+        "embeddings": emb.count(),
+    }
+
+    from pyspark.sql import Window as W
+
+    from eventkit_spark.llm.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        simhash64,
+    )
+    from eventkit_spark.llm.sampling import token_quota, train_order
+    from eventkit_spark.llm.text import c4_filters, stupid_backoff_logprob
+    from eventkit_spark.llm.unigram import unigram_encode, unigram_vocab
+
+    def _flag(name, df):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 2)
+
+    times: dict[str, float] = {}
+    # keyed window stream op at scale: running sum over every user
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    _flag(
+        "running_sum",
+        ev.select("user_id", "event_id", F.sum("value").over(w).alias("s")),
+    )
+    _flag("exact_dedup", exact_dedup(docs))
+    _flag(
+        "minhash_candidates",
+        minhash_lsh_candidates(docs, num_hashes=16, bands=4),
+    )
+    _flag("simhash", simhash64(docs))
+    _flag("c4_filters", c4_filters(docs))
+    _flag("token_quota", token_quota(docs, 5000, "doc_id"))
+    _flag(
+        "stupid_backoff",
+        stupid_backoff_logprob(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            ref=docs.filter(F.col("doc_id") % 3 != 0),
+        ),
+    )
+    _flag("train_order", train_order(docs, key_col="doc_id", seed=7))
+    _flag(
+        "unigram_encode",
+        unigram_encode(docs, vocab=None, vocab_size=60),
+    )
+    # brute-force ANN stays bounded by the query side
+    from eventkit_spark.llm.similarity import brute_force_topk
+
+    _flag(
+        "embed_topk",
+        brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5),
+    )
+    print(
+        json.dumps(
+            {
+                "scale": n,
+                "vs": sf_dir,
+                "rows": rows,
+                "total_sec": round(sum(times.values()), 2),
+                "queries": times,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2625,3 +2625,100 @@ def test_ngram_lm_store_append_equals_union_fit(spark, tmp_path):
         for r in stupid_backoff_logprob(docs, A.unionByName(B)).collect()
     }
     assert grown == union_fit and grown
+
+
+def _ppm_bytes(arr):
+    import numpy as np
+
+    h, w, _ = arr.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + np.asarray(arr, dtype=np.uint8).tobytes()
+
+
+def _bmp_bytes(arr):
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = np.asarray(arr[r], dtype=np.uint8)[:, ::-1].tobytes()  # RGB->BGR
+        rows += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40
+    size = data_off + len(rows)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return head + dib + bytes(rows)
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    import struct
+
+    import numpy as np
+
+    pcm = (np.asarray(samples, dtype=np.float64) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_uncompressed_decoders(spark):
+    """r9: WAV/PPM/BMP decode NATIVELY (pure byte arithmetic — no PIL
+    needed); the same mapInPandas feature extractors run on real bytes
+    end-to-end, and compressed formats fail with a clear message."""
+    import numpy as np
+    import pytest as _pytest
+
+    from eventkit_spark.llm.multimodal import (
+        audio_features,
+        decode_image_real,
+        decode_wav_real,
+        image_features,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    # kernel-level roundtrips are exact
+    assert (decode_image_real(_ppm_bytes(img)) == img).all()
+    assert (decode_image_real(_bmp_bytes(img)) == img).all()
+    samples = np.sin(np.linspace(0, 20, 160))
+    rate, mono = decode_wav_real(_wav_bytes(samples, rate=8000))
+    assert rate == 8000 and mono.size == 160
+    pcm = (samples * 32767).astype(np.int16)  # same truncation as the writer
+    assert np.abs(mono - pcm / 32768.0).max() < 1e-12
+    # stereo averages to mono
+    stereo = np.stack([samples, -samples], axis=1).ravel()
+    _, m2 = decode_wav_real(_wav_bytes(stereo, rate=8000, channels=2))
+    assert np.abs(m2).max() < 1e-4
+
+    # distributed path: real bytes through the same extractors
+    rows = [
+        (1, bytearray(_ppm_bytes(img)), ("image/ppm", 3, 5, len(_ppm_bytes(img)))),
+        (2, bytearray(_bmp_bytes(img)), ("image/bmp", 3, 5, len(_bmp_bytes(img)))),
+        (3, bytearray(_wav_bytes(samples)), ("audio/wav", 0, 0, len(_wav_bytes(samples)))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "asset_id long, payload binary, "
+        "meta struct<media_type string, width int, height int, n_bytes int>",
+    )
+    got_ppm = image_features(media, decoder=decode_image_real, media_type="image/ppm").first()
+    got_bmp = image_features(media, decoder=decode_image_real, media_type="image/bmp").first()
+    n = img.shape[0] * img.shape[1]
+    assert got_ppm["mean_r"] == int(img[:, :, 0].sum()) / n
+    assert got_bmp["mean_g"] == int(img[:, :, 1].sum()) / n
+    assert got_ppm["std_luma"] == got_bmp["std_luma"]  # same pixels
+    got_wav = audio_features(media, decoder=decode_wav_real).first()
+    assert got_wav["n_samples"] == 160
+    assert abs(got_wav["duration_s"] - 160 / 8000) < 1e-12
+    assert 0.0 < got_wav["rms"] < 1.0 and got_wav["peak"] <= 1.0
+
+    # compressed formats name the missing codec instead of mis-decoding
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    wav = _wav_bytes(samples)
+    with _pytest.raises(NotImplementedError):
+        # audio_format lives at byte 20 (RIFF 12 + 'fmt ' id/size 8)
+        decode_wav_real(wav[:20] + b"\x55\x00" + wav[22:])
