@@ -3773,6 +3773,21 @@ def q_token_quota(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q_upsample_mix(spark, sf):
+    # r9: per-source repeat factors (llm/sampling.upsample_mix) — the
+    # up-sampling dual of token_quota: integer copies + a key-hash-
+    # selected fractional copy, factor 0.5 doubling as deterministic
+    # downsampling. Pure explode, zero exchanges.
+    from eventkit_spark.llm.sampling import upsample_mix
+
+    out = upsample_mix(
+        load_table(spark, sf, "documents"),
+        {"src0": 2.25, "src1": 0.5, "*": 1.0},
+        "doc_id",
+    )
+    return out.select("doc_id", "source", "copy_no")
+
+
 def q_asof_join(spark, sf):
     from eventkit_spark.operators.relational import asof_join
 
@@ -3967,26 +3982,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-9 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-3: the round-9 additions, never driver-checked —
+    # (1) positions 1-4: the round-9 additions, never driver-checked —
     #     stupid_backoff (trigram stupid-backoff LM scored seed->batch),
-    #     token_quota (token-budget mixing sampler), and ngram_lm_store
-    #     (the persisted n-gram-LM lifecycle over the same scoring);
-    # (2) positions 4-9: re-verdicts for code changed THIS round —
+    #     token_quota (token-budget mixing sampler), ngram_lm_store
+    #     (the persisted n-gram-LM lifecycle over the same scoring),
+    #     and upsample_mix (per-source repeat factors, the up-sampling
+    #     dual of token_quota);
+    # (2) positions 5-10: re-verdicts for code changed THIS round —
     #     the unigram tokenizer family (seed now reads the persisted
     #     word-type table; E-steps share one persisted candidate
     #     explode; user vocabularies dedup; store contract moved to the
     #     session store) and the two store lifecycles rebuilt on the
     #     session-store + dry-run probe shape (dedup_simhash_incremental
     #     commit=False, ivf_index shared index);
-    # (3) positions 10-37: ALL 28 r3-era rows — the five rows deferred
+    # (3) positions 11-38: ALL 28 r3-era rows — the five rows deferred
     #     past the r8 cut first (unigram_logprob, reservoir,
     #     temperature_mix, sliding_chunks, top_ngrams — r8 VERDICT item
     #     1a), then the rest oldest-first in registry order (r8 VERDICT
     #     item 1b; dedup_minhash_recall is the recall==1 proof the
     #     fuzzy_dedup oracle leans on);
-    # (4) positions 38-50: the 13 oldest r4 rows in registry order
-    #     (quality_classifier slips just past the cut to fund the third
-    #     r9 addition — first in line for r10).
+    # (4) positions 39-50: the 12 oldest r4 rows in registry order
+    #     (fuzzy_dedup and quality_classifier slip just past the cut to
+    #     fund the 3rd/4th r9 additions — first in line for r10).
     # After this rotation no verdict is older than r4; at this cadence
     # nothing stays stale past ~5 rounds. The tail is everything
     # driver-green in its current form; all entries register full value
@@ -3996,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         "token_quota": q_token_quota,
         "ngram_lm_store": q_ngram_lm_store,
+        "upsample_mix": q_upsample_mix,
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode": q_unigram_encode,
         "unigram_fertility": q_unigram_fertility,
@@ -8139,6 +8157,15 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY (doc_id * 2654435761) % 2147483648 % 1000000, doc_id) rn
               FROM documents
             ) WHERE rn <= (CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5 ELSE 20 END)""",
+        "upsample_mix": """
+            SELECT doc_id, source, unnest(range(n)) AS copy_no FROM (
+              SELECT doc_id, source,
+                (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+                + (CASE WHEN (doc_id * 2654435761) % 2147483648 % 1000000 <
+                     (CASE source WHEN 'src0' THEN 250000 WHEN 'src1' THEN 500000 ELSE 0 END)
+                   THEN 1 ELSE 0 END) AS n
+              FROM documents
+            ) WHERE n > 0""",
         "token_quota": r"""
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

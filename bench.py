@@ -306,6 +306,7 @@ HEADLINE = [
     "stupid_backoff",
     "token_quota",
     "ngram_lm_store",
+    "upsample_mix",
 ]
 
 

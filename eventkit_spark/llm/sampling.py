@@ -410,6 +410,65 @@ def token_quota(
     )
 
 
+def upsample_mix(
+    df: DataFrame,
+    factors: float | dict[str, float],
+    key_col: str,
+    source_col: str = "source",
+    copy_col: str = "copy_no",
+) -> DataFrame:
+    """Apply a training-mix REPEAT factor per source — the up-sampling
+    dual of ``token_quota``'s budget cap (the static form of DoReMi /
+    Pile-style domain weights): factor 2.25 keeps every doc twice plus
+    a deterministic hash-selected quarter a third time; factor 0.5
+    keeps a hash-selected half once — one op covers up- AND
+    down-sampling, epochs-fraction style.
+
+    ``factors`` is a global number or {source: factor} with a ``"*"``
+    default (1.0). Output repeats each kept row with ``copy_col`` =
+    0..n-1, so downstream ``train_order`` can shuffle copies
+    independently by (key, copy). The fractional copy is selected by
+    key-hash threshold — deterministic, unbiased for uniform hashes,
+    and stable as the corpus grows (the same keys stay selected).
+
+    Scale shape: a pure projection + in-row sequence explode — ZERO
+    exchanges; output size is exactly sum(factor_s * |s|) rows up to
+    hash rounding.
+    """
+
+    def parts(f: float) -> tuple[int, int]:
+        if f < 0:
+            raise ValueError(f"repeat factor must be >= 0, got {f}")
+        k = int(f)
+        return k, int(round((f - k) * 1_000_000))
+
+    if isinstance(factors, (int, float)):
+        k, thr = parts(float(factors))
+        base, extra_thr = F.lit(k), F.lit(thr)
+    else:
+        dk, dthr = parts(float(factors.get("*", 1.0)))
+        base, extra_thr = None, None
+        for src, f in factors.items():
+            if src == "*":
+                continue
+            k, thr = parts(float(f))
+            cond = F.col(source_col) == src
+            base = F.when(cond, k) if base is None else base.when(cond, k)
+            extra_thr = (
+                F.when(cond, thr) if extra_thr is None else extra_thr.when(cond, thr)
+            )
+        base = F.lit(dk) if base is None else base.otherwise(dk)
+        extra_thr = F.lit(dthr) if extra_thr is None else extra_thr.otherwise(dthr)
+    n = base + F.when(portable_hash(F.col(key_col)) < extra_thr, 1).otherwise(0)
+    out = df.withColumn("__n", n).filter(F.col("__n") > 0)
+    return out.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.col("__n") - 1).cast("long"))
+        ).alias(copy_col),
+    ).drop("__n")
+
+
 def sliding_chunks(
     docs: DataFrame,
     size: int = 256,

@@ -2722,3 +2722,39 @@ def test_real_uncompressed_decoders(spark):
     with _pytest.raises(NotImplementedError):
         # audio_format lives at byte 20 (RIFF 12 + 'fmt ' id/size 8)
         decode_wav_real(wav[:20] + b"\x55\x00" + wav[22:])
+
+
+def test_upsample_mix_model(spark):
+    # per-source repeat factors vs the Python model: integer copies +
+    # hash-thresholded fractional copy; factor 0.5 downsamples; the op
+    # plans ZERO exchanges
+    from eventkit_spark.llm.sampling import upsample_mix
+    from eventkit_spark.plans.audit import count_shuffles
+
+    rows = [(i, f"src{i % 3}", "t") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    factors = {"src0": 2.25, "src1": 0.5, "*": 1.0}
+    out = upsample_mix(df, factors, "doc_id")
+    assert count_shuffles(out) == 0
+    got = sorted(
+        (r["doc_id"], r["source"], r["copy_no"])
+        for r in out.select("doc_id", "source", "copy_no").collect()
+    )
+    KNUTH = 2654435761
+
+    def h(k):
+        return (k % 2**31) * KNUTH % 2**31 % 1_000_000
+
+    want = []
+    for did, src, _ in rows:
+        f = factors.get(src, 1.0)
+        k, thr = int(f), int(round((f - int(f)) * 1_000_000))
+        n = k + (1 if h(did) < thr else 0)
+        want += [(did, src, c) for c in range(n)]
+    assert got == sorted(want)
+    # global scalar factor form and the >=0 guard
+    assert upsample_mix(df, 2.0, "doc_id").count() == 600
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsample_mix(df, -0.5, "doc_id")

@@ -122,6 +122,8 @@ SHUFFLE_CEILING = {
     # r9: token budget = ONE per-source window cumsum; scan prunes to
     # (doc_id, text, source)
     "token_quota": 1,
+    # r9: repeat factors are a pure projection + in-row explode
+    "upsample_mix": 0,
     # r9: store probe = batch pre-agg + per-doc agg + trigram join,
     # plus merge-on-read re-sums of the three count tables (one per
     # lineage branch: uni x3 / bi x2 / tri x1) — count-table-width
@@ -803,7 +805,7 @@ def test_registry_front50_rotation():
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r9 = ["stupid_backoff", "token_quota", "ngram_lm_store"]
+    new_r9 = ["stupid_backoff", "token_quota", "ngram_lm_store", "upsample_mix"]
     code_changed_r9 = [
         "unigram_vocab", "unigram_encode", "unigram_fertility",
         "unigram_store", "dedup_simhash_incremental", "ivf_index",
@@ -812,12 +814,12 @@ def test_registry_front50_rotation():
         "unigram_logprob", "reservoir", "temperature_mix",
         "sliding_chunks", "top_ngrams",
     ]
-    assert names[:3] == new_r9
-    assert names[3:9] == code_changed_r9
-    assert names[9:14] == deferred_from_r8
+    assert names[:4] == new_r9
+    assert names[4:10] == code_changed_r9
+    assert names[10:15] == deferred_from_r8
     # the rest of the r3 block, registry order; spot-pin the boundaries
     # so the block can't silently shrink or reorder
-    assert names[14] == "train_order" and names[36] == "pack_sequences"
+    assert names[15] == "train_order" and names[37] == "pack_sequences"
     r3_block = {
         "train_order", "ccnet_buckets", "constant", "star_pack",
         "map_pandas", "source_marble", "source_wait", "source_timer",
@@ -827,12 +829,12 @@ def test_registry_front50_rotation():
         "text_stats", "text_quality", "split_by_hash",
         "stratified_sample", "pack_sequences",
     }
-    assert set(names[14:37]) == r3_block
-    # 13 oldest r4 rows close the block (quality_classifier slips just
-    # past the cut — first in line for r10)
-    assert names[37] == "timestamp" and names[49] == "fuzzy_dedup"
-    assert names[50] == "quality_classifier"
-    assert len(set(names)) == len(names) >= 264
+    assert set(names[15:38]) == r3_block
+    # 12 oldest r4 rows close the block (fuzzy_dedup and
+    # quality_classifier slip just past the cut — first in line for r10)
+    assert names[38] == "timestamp" and names[49] == "dedup_simhash"
+    assert names[50:52] == ["fuzzy_dedup", "quality_classifier"]
+    assert len(set(names)) == len(names) >= 265
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
