@@ -210,9 +210,25 @@ def decode_wav_real(payload: bytes) -> tuple[int, np.ndarray]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 3:
+        # IEEE-float PCM: uncompressed, same byte arithmetic as int PCM
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit IEEE-float WAV is nonstandard")
+        if channels > 1:
+            x = (
+                x[: (x.size // channels) * channels]
+                .reshape(-1, channels)
+                .mean(axis=1)
+            )
+        return rate, x
     if audio_format != 1:
         raise NotImplementedError(
-            f"compressed WAV (format {audio_format}) needs a codec library"
+            f"WAV format {audio_format} (not integer/float PCM) needs a "
+            "codec library"
         )
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0

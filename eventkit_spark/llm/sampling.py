@@ -361,8 +361,15 @@ def token_quota(
     order = [portable_hash(F.col(key_col)), F.col(key_col)]
     df = df.withColumn("__ntok", ntok)
     if salt is not None:
+        if int(salt) < 1:
+            raise ValueError(f"salt must be >= 1, got {salt}")
         width = (1_000_000 + int(salt) - 1) // int(salt)
-        bucket = F.floor(portable_hash(F.col(key_col)) / F.lit(width))
+        # NULL-key rows hash to NULL -> coalesce the bucket to a
+        # sentinel so the carry equi-join keeps them, matching the
+        # unsalted window path (NULL is a legitimate partition there).
+        bucket = F.coalesce(
+            F.floor(portable_hash(F.col(key_col)) / F.lit(width)), F.lit(-1)
+        )
         wloc = (
             W.partitionBy(F.col(source_col), F.col("__b"))
             .orderBy(*order)

@@ -78,7 +78,14 @@ def main() -> None:
     from eventkit_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
-    if not os.path.exists(f"{out_dir}/documents.parquet"):
+    # reuse only a COMPLETE prior build: Spark writes _SUCCESS last, so
+    # a run killed mid-write leaves the dir without it and we rebuild
+    # instead of silently timing against a partial corpus
+    markers = [
+        f"{out_dir}/{t}.parquet/_SUCCESS"
+        for t in ("documents", "events", "embeddings")
+    ]
+    if not all(os.path.exists(m) for m in markers):
         build_scaled(spark, sf_dir, n, out_dir)
 
     # the derived tables were WRITTEN by Spark from already-normalized

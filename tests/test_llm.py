@@ -2591,6 +2591,29 @@ def test_token_quota_null_source_salted_parity(spark):
     assert plain == salted == {1, 2, 3}
 
 
+def test_token_quota_null_key_salted_parity_and_salt_guard(spark):
+    # r10 (r9 ADVICE): a NULL key hashes to a NULL bucket — the salted
+    # carry join must keep such rows exactly like the unsalted window
+    # path does; and salt<1 is a loud ValueError, not ZeroDivisionError
+    import pytest as _pytest
+
+    from eventkit_spark.llm.sampling import token_quota
+
+    df = spark.createDataFrame(
+        [(None, "s", "w w"), (2, "s", "w"), (3, "s", "w w w w w w w w w")],
+        "doc_id long, source string, text string",
+    )
+    # NULL hash sorts first (2 tokens <= 5); doc 3 hashes before doc 2,
+    # and the STRICT-PREFIX rule counts its 9 dropped tokens, so doc 2
+    # is cut too — the point is the NULL-key row survives BOTH paths
+    plain = {r["doc_id"] for r in token_quota(df, 5, "doc_id").collect()}
+    salted = {r["doc_id"] for r in token_quota(df, 5, "doc_id", salt=4).collect()}
+    assert plain == salted == {None}
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="salt"):
+            token_quota(df, 5, "doc_id", salt=bad)
+
+
 def test_ngram_lm_store_append_equals_union_fit(spark, tmp_path):
     # counts are mergeable: init(A) + append(B) must score exactly like
     # a from-scratch fit on A union B
@@ -2722,6 +2745,38 @@ def test_real_uncompressed_decoders(spark):
     with _pytest.raises(NotImplementedError):
         # audio_format lives at byte 20 (RIFF 12 + 'fmt ' id/size 8)
         decode_wav_real(wav[:20] + b"\x55\x00" + wav[22:])
+
+
+def _wav_float_bytes(samples, rate=8000, channels=1, bits=32):
+    import struct
+
+    import numpy as np
+
+    dt = "<f4" if bits == 32 else "<f8"
+    pcm = np.asarray(samples, dtype=np.float64).astype(dt).tobytes()
+    bs = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 3, channels, rate, rate * bs, bs, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_ieee_float_decodes():
+    # r10 (r9 ADVICE): format 3 is UNCOMPRESSED IEEE-float PCM — decode
+    # it with the same byte arithmetic instead of calling it compressed
+    import numpy as np
+
+    from eventkit_spark.llm.multimodal import decode_wav_real
+
+    samples = np.sin(np.linspace(0, 20, 160))
+    rate, mono = decode_wav_real(_wav_float_bytes(samples, bits=32))
+    assert rate == 8000 and mono.size == 160
+    assert np.abs(mono - samples.astype(np.float32)).max() < 1e-7
+    _, m64 = decode_wav_real(_wav_float_bytes(samples, bits=64))
+    assert np.abs(m64 - samples).max() == 0.0
+    stereo = np.stack([samples, -samples], axis=1).ravel()
+    _, m2 = decode_wav_real(_wav_float_bytes(stereo, channels=2))
+    assert np.abs(m2).max() < 1e-7
 
 
 def test_upsample_mix_model(spark):
