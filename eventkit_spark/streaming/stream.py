@@ -77,6 +77,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -559,34 +560,52 @@ class StreamFrame:
         def handler(
             key, pdfs: Iterator[pd.DataFrame], state: GroupState
         ) -> Iterator[pd.DataFrame]:
+            # vectorized recurrences (r9 VERDICT: the per-row Python
+            # loop was the micro-batch throughput ceiling). Each carry
+            # is PREPENDED to the chunk before the accumulate so the
+            # float operation order matches the sequential loop exactly
+            # — cumsum(seed, x1, x2) folds seed first, like `s += x`.
             if state.exists:
                 cnt, s, mn, mx, ema = state.get
             else:
                 cnt, s, mn, mx, ema = 0, 0.0, None, None, None
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    x = float(row[value_col])
-                    cnt += 1
-                    s += x
-                    mn = x if mn is None else min(mn, x)
-                    mx = x if mx is None else max(mx, x)
-                    ema = x if ema is None else (1 - w) * ema + w * x
-                    outs.append(
-                        {
-                            **{k: row[k] for k in keys},
-                            ts_col: row[ts_col],
-                            "value": x,
-                            "rcount": cnt,
-                            "rsum": s,
-                            "rmin": mn,
-                            "rmax": mx,
-                            "ema": ema,
-                        }
+                if pdf.empty:
+                    continue
+                x = pdf[value_col].to_numpy(dtype=np.float64)
+                n = x.size
+                rcount = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
+                rsum = np.cumsum(np.concatenate(([s], x)))[1:]
+                seed_mn = x[0] if mn is None else mn
+                seed_mx = x[0] if mx is None else mx
+                rmin = np.minimum.accumulate(np.concatenate(([seed_mn], x)))[1:]
+                rmax = np.maximum.accumulate(np.concatenate(([seed_mx], x)))[1:]
+                # ewm(adjust=False) IS the reference recurrence
+                # e = (1-w)*e + w*x (aggregate.py closed form); seeding
+                # by prepending the carried ema keeps it cross-batch
+                if ema is None:
+                    rema = pd.Series(x).ewm(alpha=w, adjust=False).mean().to_numpy()
+                else:
+                    rema = (
+                        pd.Series(np.concatenate(([ema], x)))
+                        .ewm(alpha=w, adjust=False)
+                        .mean()
+                        .to_numpy()[1:]
                     )
+                out = pdf[keys + [ts_col]].copy() if keys else pdf[[ts_col]].copy()
+                out["value"] = x
+                out["rcount"] = rcount
+                out["rsum"] = rsum
+                out["rmin"] = rmin
+                out["rmax"] = rmax
+                out["ema"] = rema
+                outs.append(out)
+                cnt, s = cnt + n, float(rsum[-1])
+                mn, mx, ema = float(rmin[-1]), float(rmax[-1]), float(rema[-1])
             state.update((cnt, s, mn, mx, ema))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -686,23 +705,24 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # arange-offset mask instead of a per-row loop (r9 VERDICT)
             seen = state.get[0] if state.exists else 0
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    inside = seen < count
-                    if inside == keep_first:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": row[value_col],
-                            }
-                        )
-                    seen += 1
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                inside = np.arange(seen, seen + n) < count
+                mask = inside if keep_first else ~inside
+                if mask.any():
+                    out = pdf.loc[mask, keys + [ts_col, value_col]].rename(
+                        columns={value_col: "value"}
+                    )
+                    outs.append(out)
+                seen += n
             state.update((seen,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -735,26 +755,29 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # the strict-prefix rule is a pure cumsum (r9 VERDICT) —
+            # seed prepended so float fold order matches the loop form.
+            # NULL cost counts 0, like the batch twin's window SUM —
+            # accruing NaN would poison the persisted total and mute
+            # the key forever (r9 review)
             spent = state.get[0] if state.exists else 0.0
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    c = row[cost]
-                    # NULL cost counts 0, like the batch twin's window
-                    # SUM — accruing NaN would poison the persisted
-                    # total and mute the key forever (r9 review)
-                    spent += 0.0 if pd.isna(c) else float(c)
-                    if spent <= budget:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": row[value_col],
-                            }
+                if pdf.empty:
+                    continue
+                c = pdf[cost].to_numpy(dtype=np.float64)
+                cum = np.cumsum(np.concatenate(([spent], np.nan_to_num(c, nan=0.0))))[1:]
+                mask = cum <= budget
+                if mask.any():
+                    outs.append(
+                        pdf.loc[mask, keys + [ts_col, value_col]].rename(
+                            columns={value_col: "value"}
                         )
+                    )
+                spent = float(cum[-1])
             state.update((spent,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -789,22 +812,27 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # i = start + step*rank is an arange (r9 VERDICT)
             seen = state.get[0] if state.exists else 0
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    i = start + step * seen
-                    rec = {**{k: row[k] for k in keys}, ts_col: row[ts_col]}
-                    if keep_value:
-                        rec["i"] = i
-                        rec["value"] = row[value_col]
-                    else:
-                        rec["value"] = i
-                    outs.append(rec)
-                    seen += 1
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                idx = start + step * np.arange(seen, seen + n, dtype=np.int64)
+                if keep_value:
+                    out = pdf[keys + [ts_col, value_col]].rename(
+                        columns={value_col: "value"}
+                    )
+                    out.insert(len(keys) + 1, "i", idx)
+                else:
+                    out = pdf[keys + [ts_col]].copy()
+                    out["value"] = idx
+                outs.append(out)
+                seen += n
             state.update((seen,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
