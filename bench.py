@@ -323,6 +323,30 @@ def main():
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     runs: list[dict[str, float]] = []
     errors: dict[str, str] = {}
+
+    # Session-store contracts (unigram/nglm/simhash/ivf lifecycles)
+    # build their persisted store eagerly on FIRST call in a process,
+    # and the build costs 5-20x the warm probe the contract exists to
+    # model. Trigger the builds BEFORE any timed iteration and report
+    # them as their own metric, so the per-query numbers reflect the
+    # production probe shape instead of build pollution (r9 VERDICT
+    # item 2: BENCH_r09 recorded 10.46 s for a 3 s probe).
+    store_build: dict[str, float] = {}
+    for name in (
+        "unigram_store",
+        "ngram_lm_store",
+        "dedup_simhash_incremental",
+        "ivf_index",
+    ):
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir)  # frame stays lazy; store build is eager
+        except Exception as ex:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            continue
+        store_build[name] = round(time.perf_counter() - t0, 3)
     for _ in range(iters):
         times: dict[str, float] = {}
         for name in HEADLINE:
@@ -356,6 +380,8 @@ def main():
     }
     if errors:
         out["errors"] = errors
+    if store_build:
+        out["session_store_build_sec"] = store_build
     if iters > 1:
         out["queries_cold"] = {n: runs[0][n] for n in ok if n in runs[0]}
         out["value_cold"] = round(sum(out["queries_cold"].values()), 3)

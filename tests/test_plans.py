@@ -391,6 +391,45 @@ def test_dedup_pair_queries_scan_budget(spark):
     assert count_shuffles(prod_mh) <= 3
 
 
+def test_simhash_dryrun_probe_single_fingerprint_pass(spark):
+    """r10 (r9 VERDICT item 4): the commit=False probe must fingerprint
+    the batch text ONCE. The persist-free form recomputed the shingle
+    pass per status branch (up to 3 batch-text scans); the lazy
+    localCheckpoint shares one pass across hits / competition / status,
+    so the probe plan reads the batch parquet only for the id column
+    and never for text."""
+    import re
+    import tempfile
+
+    import __spark_entry__ as e
+    from eventkit_spark.llm.dedup import (
+        simhash_dedup_incremental,
+        simhash_store_init,
+    )
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    path = tempfile.mkdtemp(prefix="ek_shpin_")
+    simhash_store_init(
+        docs.filter(F.col("doc_id") % 3 != 0), path, max_hamming=3, portable=True
+    )
+    res = simhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 3 == 0), path, commit=False
+    )
+    plan = physical_plan(res)
+    scans = re.findall(r"FileScan[^\n]*", plan)
+    text_scans = [sc for sc in scans if "text" in sc]
+    assert not text_scans, f"probe plan scans batch text: {text_scans}"
+    doc_scans = [sc for sc in scans if "doc_id" in sc and "simhash" not in sc]
+    assert len(doc_scans) <= 1  # the id-only status join scan
+    # the one fingerprint pass is the checkpointed RDD, read per branch
+    assert plan.count("ExistingRDD") >= 2
+    # and it still answers correctly
+    statuses = {r["status"] for r in res.collect()}
+    assert statuses <= {"kept", "dup_store", "dup_batch"}
+
+
 def test_embed_neardup_prefilter_buckets_once(spark):
     """embedding_near_dups(prefilter='rp_lsh') must run the Arrow
     bucketing pass exactly once: the old bucketed a⋈b self-join planned
