@@ -3788,6 +3788,52 @@ def q_upsample_mix(spark, sf):
     return out.select("doc_id", "source", "copy_no")
 
 
+_TQS_RUNS = [0]
+
+
+def q_token_quota_stream(spark, sf):
+    """r10: the STREAMING lane made driver-visible for the first time
+    (r9 VERDICT item 8). Replays the events table through a REAL
+    structured-streaming query — file source -> ``take_budget`` (the
+    applyInPandasWithState cumsum kernel, streaming/stream.py) ->
+    availableNow memory sink — keeping each row while its user's
+    running value total (inclusive) stays within budget, strict-prefix,
+    no backfill. The replay writes ONE parquet file, so the whole table
+    is one micro-batch whose kernel sorts by event time per key
+    ((user_id, ts) is unique in the fixture -> deterministic), making
+    the kept set exactly the batch window-cumsum rule the oracle
+    states in SQL — the streaming/batch parity that
+    test_streaming_take_budget_parity pins, now driver-checked.
+    Reference: run-to-completion drain semantics (eventkit
+    event.py:235-257 ``Event.run``)."""
+    from eventkit_spark.streaming import file_stream
+
+    path = _session_store(
+        "tqs",
+        sf,
+        lambda p: load_table(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    sfr = file_stream(
+        spark,
+        path,
+        schema="event_id long, ts timestamp, user_id long, value double",
+        value_cols=["value"],
+        ts_col="ts",
+        key_cols=["user_id"],
+    )
+    _TQS_RUNS[0] += 1
+    out = sfr.run_available_now(
+        sink_df=sfr.take_budget(1500.0), name=f"ek_tqs_{_TQS_RUNS[0]}"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+
+
 def q_asof_join(spark, sf):
     from eventkit_spark.operators.relational import asof_join
 
@@ -3979,46 +4025,89 @@ def q_weighted_sample_grouped(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
-    # whatever has the weakest current verdict. Round-9 rotation
+    # whatever has the weakest current verdict. Round-10 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-4: the round-9 additions, never driver-checked —
-    #     stupid_backoff (trigram stupid-backoff LM scored seed->batch),
-    #     token_quota (token-budget mixing sampler), ngram_lm_store
-    #     (the persisted n-gram-LM lifecycle over the same scoring),
-    #     and upsample_mix (per-source repeat factors, the up-sampling
-    #     dual of token_quota);
-    # (2) positions 5-10: re-verdicts for code changed THIS round —
-    #     the unigram tokenizer family (seed now reads the persisted
-    #     word-type table; E-steps share one persisted candidate
-    #     explode; user vocabularies dedup; store contract moved to the
-    #     session store) and the two store lifecycles rebuilt on the
-    #     session-store + dry-run probe shape (dedup_simhash_incremental
-    #     commit=False, ivf_index shared index);
-    # (3) positions 11-38: ALL 28 r3-era rows — the five rows deferred
-    #     past the r8 cut first (unigram_logprob, reservoir,
-    #     temperature_mix, sliding_chunks, top_ngrams — r8 VERDICT item
-    #     1a), then the rest oldest-first in registry order (r8 VERDICT
-    #     item 1b; dedup_minhash_recall is the recall==1 proof the
-    #     fuzzy_dedup oracle leans on);
-    # (4) positions 39-50: the 12 oldest r4 rows in registry order
-    #     (fuzzy_dedup and quality_classifier slip just past the cut to
-    #     fund the 3rd/4th r9 additions — first in line for r10).
-    # After this rotation no verdict is older than r4; at this cadence
+    # (1) position 1: the round-10 addition, never driver-checked —
+    #     token_quota_stream (the streaming take_budget kernel replayed
+    #     through a real availableNow query; first driver-visible
+    #     streaming contract);
+    # (2) positions 2-4: re-verdicts for code changed THIS round —
+    #     token_quota (NULL-key salted-bucket coalesce + salt guard),
+    #     dedup_simhash_incremental (dry-run probe now shares ONE
+    #     checkpointed fingerprint pass), mm_audio_features (WAV decoder
+    #     gained the IEEE-float PCM branch);
+    # (3) positions 5-39: ALL 35 r4-era rows in registry order —
+    #     fuzzy_dedup and quality_classifier first (r9 VERDICT item 1:
+    #     "first in line for r10"), then the r4 block (tpch-adjacent
+    #     relational battery, window/sessionize/funnel/attribution,
+    #     text-analysis core);
+    # (4) positions 40-50: the 11 oldest r5 rows in registry order
+    #     (kmeans/pq/ivf compression family, throttle, dedup_minhash,
+    #     bpe_train/fertility).
+    # After this rotation no verdict is older than r5; at this cadence
     # nothing stays stale past ~5 rounds. The tail is everything
     # driver-green in its current form; all entries register full value
     # oracles.
     return {
-
-        "stupid_backoff": q_stupid_backoff,
+        "token_quota_stream": q_token_quota_stream,
         "token_quota": q_token_quota,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
+        "mm_audio_features": q_mm_audio_features,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "quality_classifier": q_quality_classifier,
+        "semantic_dedup": q_semantic_dedup,
+        "array_anyall": q_array_anyall,
+        "partial": q_partial,
+        "set_ops": q_set_ops,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "attribution": q_attribution,
+        "multi_touch": q_multi_touch,
+        "zorder_key": q_zorder_key,
+        "skew_report": q_skew_report,
+        "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
+        "chunk": q_chunk,
+        "list": q_list,
+        "deque": q_deque,
+        "ema": q_ema,
+        "gopher_rules": q_gopher_rules,
+        "bm25": q_bm25,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "overlap_join": q_overlap_join,
+        "topk_per_group": q_topk_per_group,
+        "retention": q_retention,
+        "histogram": q_histogram,
+        "resample": q_resample,
+        "rollup_cascade": q_rollup_cascade,
+        "rolling_time": q_rolling_time,
+        "url_canonicalize": q_url_canonicalize,
+        "host_stats": q_host_stats,
+        "bigram_logprob": q_bigram_logprob,
+        "collocations": q_collocations,
+        "dsir": q_dsir,
+        "char_entropy": q_char_entropy,
+        "kmeans": q_kmeans,
+        "pq_encode": q_pq_encode,
+        "ivfpq": q_ivfpq,
+        "embed_ivf": q_embed_ivf,
+        "throttle": q_throttle,
+        "embed_rp_lsh": q_embed_rp_lsh_topk,
+        "dedup_minhash": q_dedup_minhash,
+        "sq_encode": q_sq_encode,
+        "sq_topk": q_sq_topk,
+        "bpe_train": q_bpe_train,
+        "bpe_fertility": q_bpe_fertility,
+        # ---- tail: driver-green in current form, oldest verdicts r5+ ----
+        "stupid_backoff": q_stupid_backoff,
         "ngram_lm_store": q_ngram_lm_store,
         "upsample_mix": q_upsample_mix,
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode": q_unigram_encode,
         "unigram_fertility": q_unigram_fertility,
         "unigram_store": q_unigram_store,
-        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "ivf_index": q_ivf_index,
         "unigram_logprob": q_unigram_logprob,
         "reservoir": q_reservoir,
@@ -4060,9 +4149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_unkeyed": q_asof_join_unkeyed,
         "dedup_simhash": q_dedup_simhash,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "quality_classifier": q_quality_classifier,
-        # ---- tail: driver-green in current form, oldest verdicts r4+ ----
         "lexical_diversity": q_lexical_diversity,
         "pipeline_moderation": q_pipeline_moderation,
         "blocklist_verdicts": q_blocklist_verdicts,
@@ -4100,7 +4186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "pivot": q_pivot,
         "mm_image_features": q_mm_image_features,
-        "mm_audio_features": q_mm_audio_features,
         "mm_video_features": q_mm_video_features,
         "fork_merge": q_fork_merge,
         "reduce_py": q_reduce_py,
@@ -4202,17 +4287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dropwhile_scaled": q_dropwhile_scaled,
         "skip_scaled": q_skip_scaled,
         "bpe_train_bytes": q_bpe_train_bytes,
-        "kmeans": q_kmeans,
-        "pq_encode": q_pq_encode,
-        "ivfpq": q_ivfpq,
-        "embed_ivf": q_embed_ivf,
-        "throttle": q_throttle,
-        "embed_rp_lsh": q_embed_rp_lsh_topk,
-        "dedup_minhash": q_dedup_minhash,
-        "sq_encode": q_sq_encode,
-        "sq_topk": q_sq_topk,
-        "bpe_train": q_bpe_train,
-        "bpe_fertility": q_bpe_fertility,
         "hard_negatives": q_hard_negatives,
         "dedup_safe_split": q_dedup_safe_split,
         "cms_counts": q_cms_counts,
@@ -4243,39 +4317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
         "bm25_search": q_bm25_search,
-        "semantic_dedup": q_semantic_dedup,
-        "array_anyall": q_array_anyall,
-        "partial": q_partial,
-        "set_ops": q_set_ops,
-        "interval_join": q_interval_join,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "attribution": q_attribution,
-        "multi_touch": q_multi_touch,
-        "zorder_key": q_zorder_key,
-        "skew_report": q_skew_report,
-        "embed_rp_lsh_recall": q_embed_rp_lsh_recall,
-        "chunk": q_chunk,
-        "list": q_list,
-        "deque": q_deque,
-        "ema": q_ema,
-        "gopher_rules": q_gopher_rules,
-        "bm25": q_bm25,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "overlap_join": q_overlap_join,
-        "topk_per_group": q_topk_per_group,
-        "retention": q_retention,
-        "histogram": q_histogram,
-        "resample": q_resample,
-        "rollup_cascade": q_rollup_cascade,
-        "rolling_time": q_rolling_time,
-        "url_canonicalize": q_url_canonicalize,
-        "host_stats": q_host_stats,
-        "bigram_logprob": q_bigram_logprob,
-        "collocations": q_collocations,
-        "dsir": q_dsir,
-        "char_entropy": q_char_entropy,
     }
 
 
@@ -8166,6 +8207,13 @@ def oracle_sql() -> dict[str, str]:
                    THEN 1 ELSE 0 END) AS n
               FROM documents
             ) WHERE n > 0""",
+        "token_quota_stream": """
+            SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+              SELECT user_id, ts, value,
+                     sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM events
+            ) WHERE cum <= 1500.0""",
         "token_quota": r"""
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

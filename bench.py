@@ -307,6 +307,10 @@ HEADLINE = [
     "token_quota",
     "ngram_lm_store",
     "upsample_mix",
+    # r10: the streaming lane's first driver contract (a real
+    # availableNow structured-streaming replay; time includes the
+    # streaming-query startup, ~1-2 s fixed)
+    "token_quota_stream",
 ]
 
 

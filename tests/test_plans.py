@@ -833,47 +833,45 @@ def test_bench_covers_registry():
 
 
 def test_registry_front50_rotation():
-    """Pin the round-9 front-50 composition the registry comment claims
+    """Pin the round-10 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
-    flagged a comment that drifted from the counted positions): the two
-    round-9 additions lead, the six contracts whose code changed this
-    round follow, then ALL 28 r3-era rows (the five rows deferred past
-    the r8 cut first), then the 14 oldest r4 rows — after which no
-    verdict on the board is older than r4. Every registered query must
-    also carry an oracle_sql twin."""
+    flagged a comment that drifted from the counted positions): the
+    round-10 streaming contract leads, the three contracts whose code
+    changed this round follow, then ALL 35 r4-era rows in registry
+    order, then the 11 oldest r5 rows — after which no verdict on the
+    board is older than r5. Every registered query must also carry an
+    oracle_sql twin."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r9 = ["stupid_backoff", "token_quota", "ngram_lm_store", "upsample_mix"]
-    code_changed_r9 = [
-        "unigram_vocab", "unigram_encode", "unigram_fertility",
-        "unigram_store", "dedup_simhash_incremental", "ivf_index",
+    assert names[0] == "token_quota_stream"  # new in r10
+    code_changed_r10 = [
+        "token_quota", "dedup_simhash_incremental", "mm_audio_features",
     ]
-    deferred_from_r8 = [
-        "unigram_logprob", "reservoir", "temperature_mix",
-        "sliding_chunks", "top_ngrams",
-    ]
-    assert names[:4] == new_r9
-    assert names[4:10] == code_changed_r9
-    assert names[10:15] == deferred_from_r8
-    # the rest of the r3 block, registry order; spot-pin the boundaries
+    assert names[1:4] == code_changed_r10
+    # the full r4 block, registry order; pin the boundaries and the set
     # so the block can't silently shrink or reorder
-    assert names[15] == "train_order" and names[37] == "pack_sequences"
-    r3_block = {
-        "train_order", "ccnet_buckets", "constant", "star_pack",
-        "map_pandas", "source_marble", "source_wait", "source_timer",
-        "chunkwith", "dedup_clusters", "embed_neardup",
-        "dedup_minhash_recall", "embed_ivf_recall", "dedup_exact",
-        "dedup_jaccard", "tfidf", "text_embed", "pipeline_corpus",
-        "text_stats", "text_quality", "split_by_hash",
-        "stratified_sample", "pack_sequences",
+    assert names[4:6] == ["fuzzy_dedup", "quality_classifier"]
+    r4_block = {
+        "fuzzy_dedup", "quality_classifier", "semantic_dedup",
+        "array_anyall", "partial", "set_ops", "interval_join",
+        "sessionize", "funnel", "attribution", "multi_touch",
+        "zorder_key", "skew_report", "embed_rp_lsh_recall", "chunk",
+        "list", "deque", "ema", "gopher_rules", "bm25",
+        "asof_join_forward", "asof_join_nearest", "overlap_join",
+        "topk_per_group", "retention", "histogram", "resample",
+        "rollup_cascade", "rolling_time", "url_canonicalize",
+        "host_stats", "bigram_logprob", "collocations", "dsir",
+        "char_entropy",
     }
-    assert set(names[15:38]) == r3_block
-    # 12 oldest r4 rows close the block (fuzzy_dedup and
-    # quality_classifier slip just past the cut — first in line for r10)
-    assert names[38] == "timestamp" and names[49] == "dedup_simhash"
-    assert names[50:52] == ["fuzzy_dedup", "quality_classifier"]
-    assert len(set(names)) == len(names) >= 265
+    assert set(names[4:39]) == r4_block
+    r5_fill = [
+        "kmeans", "pq_encode", "ivfpq", "embed_ivf", "throttle",
+        "embed_rp_lsh", "dedup_minhash", "sq_encode", "sq_topk",
+        "bpe_train", "bpe_fertility",
+    ]
+    assert names[39:50] == r5_fill
+    assert len(set(names)) == len(names) >= 266
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
