@@ -152,6 +152,77 @@ def main() -> None:
         "embed_topk",
         brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5),
     )
+
+    # ---- r10 additions (r9 VERDICT item 6): the families whose
+    # windows/joins are most shape-sensitive to scale ----
+    # multi-stream combinators: per-source rank machinery (zip) and
+    # union+as-of carry (ziplatest) are the stressed shapes
+    from eventkit_spark.sources.tables import from_dataframe
+
+    def _typed_scaled(etype):
+        return from_dataframe(
+            ev.filter(F.col("event_type") == etype),
+            value_cols=["value"],
+            seq_col="event_id",
+            ts_col="ts",
+            key_cols=["user_id"],
+        )
+
+    a, b = _typed_scaled("purchase"), _typed_scaled("click")
+    _flag("merge", a.merge(b).df)
+    _flag("zip", a.zip(b).df)
+    _flag("ziplatest", a.ziplatest(b).df)
+
+    # temporal joins: keyed as-of (union + running-last carry) and the
+    # binned point-in-interval join (both replace an inequality-only
+    # BroadcastNestedLoop plan)
+    from eventkit_spark.operators.relational import asof_join, interval_join
+
+    trades = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    quotes = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("qvalue"))
+    )
+    _flag(
+        "asof_join",
+        asof_join(trades, quotes, "ts", by="user_id", right_cols=["qvalue"]),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end"),
+    )
+    _flag(
+        "interval_join",
+        interval_join(clicks, purchases, by="user_id", right_cols=["pid"]),
+    )
+
+    # store-lifecycle probe: seed store built once per scale (untimed,
+    # like bench.py's session-store prebuild), then the commit=False
+    # dry-run probe — the production nightly-dedup shape
+    from eventkit_spark.llm.dedup import (
+        simhash_dedup_incremental,
+        simhash_store_init,
+    )
+
+    store = f"{out_dir}/simhash_store"
+    if not os.path.exists(f"{store}/meta"):
+        simhash_store_init(
+            docs.filter(F.col("doc_id") % 3 != 0), store, max_hamming=3
+        )
+    _flag(
+        "simhash_probe",
+        simhash_dedup_incremental(
+            docs.filter(F.col("doc_id") % 3 == 0), store, commit=False
+        ),
+    )
     print(
         json.dumps(
             {

@@ -836,22 +836,26 @@ def test_registry_front50_rotation():
     """Pin the round-10 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
     flagged a comment that drifted from the counted positions): the
-    round-10 streaming contract leads, the three contracts whose code
-    changed this round follow, then ALL 35 r4-era rows in registry
-    order, then the 11 oldest r5 rows — after which no verdict on the
+    four round-10 streaming contracts lead, the three contracts whose
+    code changed this round follow, then ALL 35 r4-era rows in registry
+    order, then the 8 oldest r5 rows — after which no verdict on the
     board is older than r5. Every registered query must also carry an
     oracle_sql twin."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    assert names[0] == "token_quota_stream"  # new in r10
+    new_r10 = [
+        "token_quota_stream", "running_agg_stream", "changes_stream",
+        "take_stream",
+    ]
+    assert names[:4] == new_r10
     code_changed_r10 = [
         "token_quota", "dedup_simhash_incremental", "mm_audio_features",
     ]
-    assert names[1:4] == code_changed_r10
+    assert names[4:7] == code_changed_r10
     # the full r4 block, registry order; pin the boundaries and the set
     # so the block can't silently shrink or reorder
-    assert names[4:6] == ["fuzzy_dedup", "quality_classifier"]
+    assert names[7:9] == ["fuzzy_dedup", "quality_classifier"]
     r4_block = {
         "fuzzy_dedup", "quality_classifier", "semantic_dedup",
         "array_anyall", "partial", "set_ops", "interval_join",
@@ -864,14 +868,13 @@ def test_registry_front50_rotation():
         "host_stats", "bigram_logprob", "collocations", "dsir",
         "char_entropy",
     }
-    assert set(names[4:39]) == r4_block
+    assert set(names[7:42]) == r4_block
     r5_fill = [
         "kmeans", "pq_encode", "ivfpq", "embed_ivf", "throttle",
-        "embed_rp_lsh", "dedup_minhash", "sq_encode", "sq_topk",
-        "bpe_train", "bpe_fertility",
+        "embed_rp_lsh", "dedup_minhash", "sq_encode",
     ]
-    assert names[39:50] == r5_fill
-    assert len(set(names)) == len(names) >= 266
+    assert names[42:50] == r5_fill
+    assert len(set(names)) == len(names) >= 269
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
