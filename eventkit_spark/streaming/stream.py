@@ -656,19 +656,32 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # shift-compare instead of a per-row loop (r10): emit where
+            # the previous value is absent/NaN (both always re-emit, as
+            # in the loop form) or differs from the current one
             prev = state.get[0] if state.exists else None
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    x = row[value_col]
-                    if prev is None or x != prev:
-                        outs.append(
-                            {**{k: row[k] for k in keys}, ts_col: row[ts_col], "value": x}
+                if pdf.empty:
+                    continue
+                x = pdf[value_col]
+                shifted = x.shift(1)
+                if prev is not None:
+                    shifted.iloc[0] = prev
+                mask = (shifted.isna() | (x != shifted)).to_numpy()
+                if mask.any():
+                    outs.append(
+                        pdf.loc[mask, keys + [ts_col, value_col]].rename(
+                            columns={value_col: "value"}
                         )
-                    prev = x
+                    )
+                last = x.iloc[-1]
+                prev = None if pd.isna(last) else (
+                    last.item() if hasattr(last, "item") else last
+                )
             state.update((prev,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -883,23 +896,26 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # slice arithmetic (r10): the row at global position p
+            # (carry-buffer + chunk offset) emits total[p - count] once
+            # p >= count — one slice per chunk instead of a deque loop
             buf = list(state.get[0]) if state.exists else []
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    if len(buf) == count:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": buf[0],
-                            }
-                        )
-                        buf.pop(0)
-                    buf.append(row[value_col])
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                total = buf + list(pdf[value_col])
+                first_emit = max(count, len(buf))  # global position
+                if len(buf) + n > count:
+                    mask = np.arange(len(buf), len(buf) + n) >= count
+                    out = pdf.loc[mask, keys + [ts_col]].copy()
+                    out["value"] = total[first_emit - count : len(buf) + n - count]
+                    outs.append(out)
+                buf = total[-count:] if len(total) >= count else total
             state.update((buf,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -1031,21 +1047,22 @@ class StreamFrame:
         start_f = float(start)
 
         def handler(key, pdfs, state: GroupState):
+            # seeded cumprod (r10): same sequential multiply order as
+            # the loop form, so values are bit-identical
             acc = state.get[0] if state.exists else start_f
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    acc = acc * float(row[value_col])
-                    outs.append(
-                        {
-                            **{k: row[k] for k in keys},
-                            ts_col: row[ts_col],
-                            "value": acc,
-                        }
-                    )
+                if pdf.empty:
+                    continue
+                x = pdf[value_col].to_numpy(dtype=np.float64)
+                run = np.cumprod(np.concatenate(([acc], x)))[1:]
+                out = pdf[keys + [ts_col]].copy()
+                out["value"] = run
+                outs.append(out)
+                acc = float(run[-1])
             state.update((acc,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -1089,24 +1106,32 @@ class StreamFrame:
         take = mode == "takewhile"
 
         def handler(key, pdfs, state: GroupState):
-            # flipped=True once the predicate has failed for this key
+            # flipped=True once the predicate has failed for this key;
+            # the flip is a prefix-OR of failures = cummax (r10), and
+            # it includes the failing row itself, like the loop form
             flipped = state.get[0] if state.exists else False
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    if not flipped and row["__p"] == 0:
-                        flipped = True
-                    if flipped != take:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": row[value_col],
-                            }
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                if flipped:
+                    flip_arr = np.ones(n, dtype=bool)
+                else:
+                    flip_arr = np.maximum.accumulate(
+                        pdf["__p"].to_numpy() == 0
+                    )
+                mask = flip_arr != take
+                if mask.any():
+                    outs.append(
+                        pdf.loc[mask, keys + [ts_col, value_col]].rename(
+                            columns={value_col: "value"}
                         )
+                    )
+                flipped = bool(flip_arr[-1])
             state.update((flipped,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = (
             tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
@@ -1192,24 +1217,32 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # shift pairing (r10): every row from the 2nd on emits
+            # (prev, cur); the chunk's first row emits only when a
+            # carried prev exists
             prev = state.get[0] if state.exists else None
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    x = row[value_col]
-                    if prev is not None:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "prev": prev,
-                                "cur": x,
-                            }
-                        )
-                    prev = x
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                x = pdf[value_col]
+                shifted = x.shift(1)
+                mask = np.ones(n, dtype=bool)
+                if prev is not None:
+                    shifted.iloc[0] = prev
+                else:
+                    mask[0] = False
+                out = pdf[keys + [ts_col]].copy()
+                out["prev"] = shifted
+                out["cur"] = x.to_numpy()
+                if mask.any():
+                    outs.append(out.loc[mask])
+                last = x.iloc[-1]
+                prev = last.item() if hasattr(last, "item") else last
             state.update((prev,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -1242,20 +1275,38 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # vectorized latest-per-side (r10): last-occurrence index
+            # via a running max over tagged positions, NULL-safe (a
+            # null ARRIVAL updates the side to null, which a plain
+            # ffill would wrongly skip as a gap)
             v0, v1 = state.get if state.exists else (None, None)
             outs = []
             for pdf in _sorted_chunks(pdfs, [ts_col, "__tag"]):
-                for _, row in pdf.iterrows():
-                    if int(row["__tag"]) == 0:
-                        v0 = row["__v"]
-                    else:
-                        v1 = row["__v"]
-                    outs.append(
-                        {**{k: row[k] for k in keys}, ts_col: row[ts_col], "v0": v0, "v1": v1}
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                tag = pdf["__tag"].to_numpy()
+                vals = pdf["__v"].to_numpy(dtype=object)
+                idx = np.arange(n)
+                out = pdf[keys + [ts_col]].copy()
+                for side, carry, col in ((0, v0, "v0"), (1, v1, "v1")):
+                    last = np.maximum.accumulate(np.where(tag == side, idx, -1))
+                    picked = np.where(
+                        last >= 0,
+                        vals[np.clip(last, 0, None)],
+                        np.full(n, carry, dtype=object),
                     )
+                    out[col] = picked
+                    if side == 0:
+                        v0 = picked[-1]
+                    else:
+                        v1 = picked[-1]
+                outs.append(out)
+            v0 = v0.item() if hasattr(v0, "item") else v0
+            v1 = v1.item() if hasattr(v1, "item") else v1
             state.update((v0, v1))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
