@@ -1342,6 +1342,12 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # vectorized two-queue pairing (r10): pair j completes on
+            # the row where min(side-0 count, side-1 count) first
+            # reaches j — a cumulative-min scan. The loop invariant (at
+            # most one queue non-empty between rows) means each row
+            # completes at most one pair, so "paired increments" is the
+            # emit mask and fancy indexing gathers both sides' values.
             if state.exists:
                 q0, q1, emitted = state.get
                 q0, q1 = list(q0), list(q1)
@@ -1349,22 +1355,31 @@ class StreamFrame:
                 q0, q1, emitted = [], [], 0
             outs = []
             for pdf in _sorted_chunks(pdfs, [ts_col, "__tag"]):
-                for _, row in pdf.iterrows():
-                    (q0 if int(row["__tag"]) == 0 else q1).append(row["__v"])
-                    if q0 and q1:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "pair_no": emitted,
-                                "v0": q0.pop(0),
-                                "v1": q1.pop(0),
-                            }
-                        )
-                        emitted += 1
+                if pdf.empty:
+                    continue
+                tag = pdf["__tag"].to_numpy()
+                vals = pdf["__v"].to_numpy(dtype=object)
+                c0 = len(q0) + np.cumsum(tag == 0)
+                c1 = len(q1) + np.cumsum(tag == 1)
+                paired = np.minimum(c0, c1)
+                diff = np.diff(np.concatenate(([min(len(q0), len(q1))], paired)))
+                mask = diff == 1
+                all0 = np.array(q0 + list(vals[tag == 0]), dtype=object)
+                all1 = np.array(q1 + list(vals[tag == 1]), dtype=object)
+                if mask.any():
+                    p = paired[mask]  # 1-based pair counts at emit rows
+                    out = pdf.loc[mask, keys + [ts_col]].copy()
+                    out["pair_no"] = emitted + p - 1
+                    out["v0"] = all0[p - 1]
+                    out["v1"] = all1[p - 1]
+                    outs.append(out)
+                total_pairs = int(paired[-1])
+                emitted += total_pairs - min(len(q0), len(q1))
+                q0 = list(all0[total_pairs:])
+                q1 = list(all1[total_pairs:])
             state.update((q0, q1, emitted))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -1399,20 +1414,39 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # vectorized latest-scan (r10): same last-occurrence index
+            # trick as ziplatest; timer rows emit once a source value
+            # has been seen. The loop form skipped only a literal
+            # Python None ("no source yet" / object-typed null) and DID
+            # emit float NaN arrivals — preserved exactly here.
             latest = state.get[0] if state.exists else None
             outs = []
             for pdf in _sorted_chunks(pdfs, [ts_col, "__tag"]):
-                for _, row in pdf.iterrows():
-                    if int(row["__tag"]) == 0:
-                        latest = row["__v"]
-                    elif latest is not None:
-                        outs.append(
-                            {**{k: row[k] for k in keys}, ts_col: row[ts_col],
-                             "sampled": latest}
-                        )
+                if pdf.empty:
+                    continue
+                n = len(pdf)
+                tag = pdf["__tag"].to_numpy()
+                vals = pdf["__v"].to_numpy(dtype=object)
+                idx = np.arange(n)
+                last0 = np.maximum.accumulate(np.where(tag == 0, idx, -1))
+                picked = np.where(
+                    last0 >= 0,
+                    vals[np.clip(last0, 0, None)],
+                    np.full(n, latest, dtype=object),
+                )
+                mask = (tag == 1) & np.fromiter(
+                    (v is not None for v in picked), dtype=bool, count=n
+                )
+                if mask.any():
+                    out = pdf.loc[mask, keys + [ts_col]].copy()
+                    out["sampled"] = picked[mask]
+                    outs.append(out)
+                latest = picked[-1]
+                if hasattr(latest, "item"):
+                    latest = latest.item()
             state.update((latest,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
