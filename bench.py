@@ -307,10 +307,13 @@ HEADLINE = [
     "token_quota",
     "ngram_lm_store",
     "upsample_mix",
-    # r10: the streaming lane's first driver contract (a real
-    # availableNow structured-streaming replay; time includes the
+    # r10: the streaming lane's driver contracts (real availableNow
+    # structured-streaming replays; each time includes the
     # streaming-query startup, ~1-2 s fixed)
     "token_quota_stream",
+    "running_agg_stream",
+    "changes_stream",
+    "take_stream",
 ]
 
 
@@ -351,6 +354,15 @@ def main():
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
             continue
         store_build[name] = round(time.perf_counter() - t0, 3)
+    # the streaming contracts share one single-file replay of the
+    # events table; write it outside timing like the other stores
+    if hasattr(entrymod, "_replay_stream"):
+        t0 = time.perf_counter()
+        try:
+            entrymod._replay_stream(spark, sf_dir)
+            store_build["replay_dir"] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            errors["replay_dir"] = f"{type(ex).__name__}: {ex}"[:300]
     for _ in range(iters):
         times: dict[str, float] = {}
         for name in HEADLINE:
