@@ -884,6 +884,21 @@ def q_tfidf_cosine(spark, sf):
     return tfidf_cosine_pairs(docs, threshold=0.3, max_df=max_df)
 
 
+def q_coreset_sample(spark, sf):
+    """r10: cluster-balanced coreset sampling (llm/cluster.py
+    coreset_sample — the SemDeDup/DataComp prototypicality step): exact
+    fixed-point k-means (8 cells, 5 Lloyd iterations, the q_kmeans
+    replay), then the 20 most prototypical vectors per cluster, ranked
+    by integer distance with id tiebreaks. The oracle replays the full
+    Lloyd chain as CTEs and adds the per-cluster rank window."""
+    from eventkit_spark.llm.cluster import coreset_sample
+
+    emb = load_table(spark, sf, "embeddings")
+    return coreset_sample(
+        emb, per_cluster=20, k=8, max_iter=5, replay_scale=1_000_000
+    )
+
+
 def q_kmeans(spark, sf):
     # engine-native Lloyd's k-means in EXACT-REPLAY fixed-point mode
     # (cluster.py kmeans replay_scale): integer micro-unit vectors,
@@ -4090,28 +4105,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-10 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-4: the round-10 additions, never driver-checked —
-    #     the STREAMING lane made driver-visible for the first time:
-    #     token_quota_stream (take_budget cost-cap kernel),
-    #     running_agg_stream (vectorized count/sum/min/max/ema kernel),
-    #     changes_stream (dedup-consecutive state kernel), take_stream
-    #     (quota counter kernel) — each a real availableNow structured-
-    #     streaming replay checked against a batch SQL oracle;
-    # (2) positions 5-7: re-verdicts for code changed THIS round —
+    # (1) positions 1-5: the round-10 additions, never driver-checked —
+    #     the STREAMING lane made driver-visible for the first time
+    #     (token_quota_stream / running_agg_stream / changes_stream /
+    #     take_stream: real availableNow structured-streaming replays
+    #     checked against batch SQL oracles), plus coreset_sample
+    #     (cluster-balanced prototypicality sampling over the exact
+    #     fixed-point k-means replay);
+    # (2) positions 6-8: re-verdicts for code changed THIS round —
     #     token_quota (NULL-key salted-bucket coalesce + salt guard),
     #     dedup_simhash_incremental (dry-run probe now shares ONE
     #     checkpointed fingerprint pass), mm_audio_features (WAV decoder
     #     gained the IEEE-float PCM branch);
-    # (3) positions 8-42: ALL 35 r4-era rows in registry order —
+    # (3) positions 9-43: ALL 35 r4-era rows in registry order —
     #     fuzzy_dedup and quality_classifier first (r9 VERDICT item 1:
     #     "first in line for r10"), then the rest of the r4 block
     #     (relational battery, sessionize/funnel/attribution,
     #     text-analysis core);
-    # (4) positions 43-50: the 8 oldest r5 rows in registry order
-    #     (kmeans/pq/ivf compression family, throttle, dedup_minhash,
-    #     sq_encode; sq_topk/bpe_train/bpe_fertility slip just past the
-    #     cut to fund the four streaming additions — first in line for
-    #     r11).
+    # (4) positions 44-50: the 7 oldest r5 rows in registry order
+    #     (kmeans/pq/ivf compression family, throttle, dedup_minhash;
+    #     sq_encode/sq_topk/bpe_train/bpe_fertility slip just past the
+    #     cut to fund the five r10 additions — first in line for r11).
     # After this rotation no verdict is older than r5; at this cadence
     # nothing stays stale past ~5 rounds. The tail is everything
     # driver-green in its current form; all entries register full value
@@ -4121,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_agg_stream": q_running_agg_stream,
         "changes_stream": q_changes_stream,
         "take_stream": q_take_stream,
+        "coreset_sample": q_coreset_sample,
         "token_quota": q_token_quota,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "mm_audio_features": q_mm_audio_features,
@@ -4166,8 +4181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle": q_throttle,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "dedup_minhash": q_dedup_minhash,
-        "sq_encode": q_sq_encode,
         # ---- tail: driver-green in current form, oldest verdicts r5+ ----
+        "sq_encode": q_sq_encode,
         "sq_topk": q_sq_topk,
         "bpe_train": q_bpe_train,
         "bpe_fertility": q_bpe_fertility,
@@ -5038,6 +5053,27 @@ def _kmeans_oracle() -> str:
 )
 SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist2
 FROM fin WHERE rn = 1"""
+
+
+def _coreset_oracle(n: int = 20) -> str:
+    ctes, cent = _int_kmeans_ctes(k=8, iters=5, m=1)
+    return f"""{ctes}
+, fin AS (
+  SELECT v.id, c.cluster,
+         CAST(sum((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS d2,
+         row_number() OVER (PARTITION BY v.id
+           ORDER BY sum((v.x - c.c) * (v.x - c.c)), c.cluster) AS rn
+  FROM vex v JOIN {cent} c ON c.sub = v.sub AND c.dim = v.dim
+  GROUP BY v.id, c.cluster
+), assign AS (
+  SELECT id, cluster, d2 FROM fin WHERE rn = 1
+)
+SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, d2 AS dist2, crank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+             ORDER BY d2, id) AS INT) AS crank
+  FROM assign
+) WHERE crank <= {n}"""
 
 
 def _cluster_topics_oracle() -> str:
@@ -8388,6 +8424,7 @@ def oracle_sql() -> dict[str, str]:
         # exact-replay fixed-point clustering oracles (chained-CTE Lloyd
         # replays; see _int_kmeans_ctes)
         "kmeans": _kmeans_oracle(),
+        "coreset_sample": _coreset_oracle(20),
         "cluster_topics": _cluster_topics_oracle(),
         "pq_encode": _pq_encode_oracle(),
         # BPE trainer: 6 merge iterations replayed as chained

@@ -314,6 +314,9 @@ HEADLINE = [
     "running_agg_stream",
     "changes_stream",
     "take_stream",
+    # r10: cluster-balanced coreset sampling (exact-replay kmeans +
+    # two-phase per-cluster top-N)
+    "coreset_sample",
 ]
 
 

@@ -210,6 +210,68 @@ def kmeans(
     return assignments, cent, n_iter
 
 
+def coreset_sample(
+    corpus: DataFrame,
+    per_cluster: int,
+    k: int = 8,
+    mode: str = "prototypical",
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    replay_scale: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced coreset sampling over an embedding column — the
+    SemDeDup/DataComp-style curation step (Abbas et al. 2023; Gadre et
+    al. 2023): k-means the corpus, then keep ``per_cluster`` examples
+    per cluster ranked by distance to their centroid.
+
+    ``mode="prototypical"`` keeps the CLOSEST examples (canonical
+    representatives — the prototypicality filter); ``mode="diverse"``
+    keeps the FARTHEST (boundary/coverage sampling). Ties break on id,
+    so the draw is fully deterministic; ``replay_scale`` switches the
+    underlying k-means to exact-replay fixed-point mode (integer
+    distances, SQL-replayable end to end).
+
+    Returns ``(id_col, cluster, dist2, crank)`` with crank = 1-based
+    rank within the cluster.
+
+    Scale shape: the k-means cost (one scan per iteration, k x d driver
+    state) plus a TWO-PHASE top-N per cluster: a per-Spark-partition
+    prefilter window ((cluster, partition_id) partitions — parallelism
+    = input splits) keeps at most ``per_cluster`` rows per cluster per
+    split, then the global rank window sees <= per_cluster x splits
+    rows per cluster. With small k a single global window would funnel
+    the whole corpus through k tasks; the prefilter is a strict
+    superset of every global top-N, so the result is unchanged.
+    """
+    if mode not in ("prototypical", "diverse"):
+        raise ValueError(f"mode must be prototypical|diverse, got {mode!r}")
+    from pyspark.sql import Window as W
+
+    assignments, _, _ = kmeans(
+        corpus,
+        k=k,
+        max_iter=max_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        replay_scale=replay_scale,
+    )
+    order = [
+        F.col("dist2").asc() if mode == "prototypical" else F.col("dist2").desc(),
+        F.col(id_col).asc(),
+    ]
+    wloc = W.partitionBy("cluster", F.spark_partition_id()).orderBy(*order)
+    pre = (
+        assignments.withColumn("__lr", F.row_number().over(wloc))
+        .filter(F.col("__lr") <= per_cluster)
+        .drop("__lr")
+    )
+    wglob = W.partitionBy("cluster").orderBy(*order)
+    return pre.withColumn(
+        "crank", F.row_number().over(wglob).cast("int")
+    ).filter(F.col("crank") <= per_cluster)
+
+
 def pq_encode(
     corpus: DataFrame,
     m: int = 8,

@@ -363,3 +363,49 @@ def test_ivfopq_composition_preserves_search(spark):
     for r in out:
         true_d2 = float(np.sum((Q[r["query_id"]] - E[r["neighbor_id"]]) ** 2))
         assert abs(r["dist2"] - round(true_d2, 6)) < 1e-4, r
+
+
+def test_coreset_sample_modes_and_two_phase_equivalence(spark):
+    """r10: cluster-balanced coreset sampling. Prototypical mode keeps
+    the per-cluster nearest-to-centroid set, diverse the farthest; the
+    two-phase top-N (per-partition prefilter + global rank) must equal
+    the naive single-window form exactly; mode is validated."""
+    import pytest as _pytest
+    from pyspark.sql import Window as W, functions as F
+
+    from eventkit_spark.llm.cluster import coreset_sample, kmeans
+    from eventkit_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = coreset_sample(emb, per_cluster=5, k=4, max_iter=3)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append((r["crank"], r["dist2"], r["vec_id"]))
+    # exactly <=5 per cluster, ranks contiguous from 1, dist ascending
+    for c, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        dists = [x[1] for x in lst]
+        assert dists == sorted(dists)
+        assert len(lst) <= 5
+    # equals the naive single-window top-N on the same assignments
+    assignments, _, _ = kmeans(emb, k=4, max_iter=3)
+    w = W.partitionBy("cluster").orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+    naive = (
+        assignments.withColumn("crank", F.row_number().over(w).cast("int"))
+        .filter(F.col("crank") <= 5)
+    )
+    assert {tuple(r) for r in rows} == {tuple(r) for r in naive.collect()}
+    # diverse mode keeps the farthest instead
+    div = coreset_sample(emb, per_cluster=3, k=4, max_iter=3, mode="diverse")
+    dd = {}
+    for r in div.collect():
+        dd.setdefault(r["cluster"], []).append(r["dist2"])
+    ad = {}
+    for r in assignments.collect():
+        ad.setdefault(r["cluster"], []).append(r["dist2"])
+    for c, lst in dd.items():
+        assert sorted(lst, reverse=True)[0] == max(ad[c])
+    with _pytest.raises(ValueError, match="mode"):
+        coreset_sample(emb, per_cluster=3, mode="nope")
