@@ -1174,26 +1174,35 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # seeded cummin cut (r10): the running cut is the min
+            # notifier ts seen so far; +inf sentinels "no cut yet".
+            # Exact integer nanoseconds — no float anywhere.
+            NO_CUT = np.iinfo(np.int64).max
             cut = state.get[0] if state.exists else None  # epoch ns
             outs = []
             # notifier first at equal ts: the batch cut is STRICT
             # (ts < min notifier ts), so a tied source row drops
             for pdf in _sorted_chunks(pdfs, [ts_col, "__n"], ascending=[True, False]):
-                for _, row in pdf.iterrows():
-                    tns = row[ts_col].value
-                    if row["__n"] == 1:
-                        cut = tns if cut is None else min(cut, tns)
-                    elif cut is None or tns < cut:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": row["__v"],
-                            }
-                        )
+                if pdf.empty:
+                    continue
+                tns = (
+                    pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                )
+                isn = pdf["__n"].to_numpy() == 1
+                seed = NO_CUT if cut is None else cut
+                rcut = np.minimum.accumulate(
+                    np.concatenate(([seed], np.where(isn, tns, NO_CUT)))
+                )[1:]
+                mask = (~isn) & (tns < rcut)
+                if mask.any():
+                    out = pdf.loc[mask, keys + [ts_col, "__v"]].rename(
+                        columns={"__v": "value"}
+                    )
+                    outs.append(out)
+                cut = None if rcut[-1] == NO_CUT else int(rcut[-1])
             state.update((cut,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = both.groupBy(*keys) if keys else both.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -1964,23 +1973,29 @@ class StreamFrame:
         gap_ns = int(round(seconds * 1e9))
 
         def handler(key, pdfs, state: GroupState):
+            # pure integer diff mask (r10): prev advances on EVERY row
+            # (kept or dropped), so the gap test is exactly ts.diff()
             prev = state.get[0] if state.exists else None  # epoch ns
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    tns = row[ts_col].value
-                    if prev is None or tns - prev >= gap_ns:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": row[value_col],
-                            }
+                if pdf.empty:
+                    continue
+                tns = (
+                    pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                )
+                gaps = np.diff(tns, prepend=tns[0])
+                mask = gaps >= gap_ns
+                mask[0] = prev is None or tns[0] - prev >= gap_ns
+                if mask.any():
+                    outs.append(
+                        pdf.loc[mask, keys + [ts_col, value_col]].rename(
+                            columns={value_col: "value"}
                         )
-                    prev = tns
+                    )
+                prev = int(tns[-1])
             state.update((prev,))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
