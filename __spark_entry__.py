@@ -3911,6 +3911,88 @@ def q_take_stream(spark, sf):
     )
 
 
+def q_pairwise_stream(spark, sf):
+    """r10: streaming Pairwise (shift-pairing kernel) replayed
+    availableNow — (prev, cur) per user from the 2nd row on; oracle is
+    the lag() window."""
+    _TQS_RUNS[0] += 1
+    sfr = _replay_stream(spark, sf)
+    out = sfr.run_available_now(
+        sink_df=sfr.pairwise(), name=f"ek_pws_{_TQS_RUNS[0]}"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "prev", "cur"
+    )
+
+
+def q_debounce_stream(spark, sf):
+    """r10: streaming Debounce(on_first) (integer ts.diff kernel)
+    replayed availableNow — keep the first row of each burst (gap from
+    the predecessor >= 3600 s); oracle is the lag(ts) gap filter."""
+    _TQS_RUNS[0] += 1
+    sfr = _replay_stream(spark, sf)
+    out = sfr.run_available_now(
+        sink_df=sfr.debounce_first(3600.0), name=f"ek_dbs_{_TQS_RUNS[0]}"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+
+
+def q_sample_stream(spark, sf):
+    """r10: streaming Sample (latest-scan kernel) replayed availableNow
+    — each 'error' event samples the user's latest 'view' value at or
+    before it; the oracle is a DuckDB ASOF JOIN (inner: timers before
+    any source row emit nothing, like the kernel)."""
+    _TQS_RUNS[0] += 1
+    src = _replay_stream(spark, sf)
+    src.df = src.df.filter(F.col("event_type") == "view")
+    tmr = _replay_stream(spark, sf)
+    tmr.df = tmr.df.filter(F.col("event_type") == "error")
+    out = src.run_available_now(
+        sink_df=src.sample(tmr), name=f"ek_sps_{_TQS_RUNS[0]}"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "sampled"
+    )
+
+
+def q_zip_stream(spark, sf):
+    """r10: streaming Zip (two-queue pairing as a cumulative-min scan)
+    replayed availableNow — the j-th purchase pairs the j-th click per
+    user, emitted at the later arrival's event time ((user_id, ts) is
+    unique, so 'later' is well-defined); oracle is the per-side
+    row_number equi-join with greatest(ts)."""
+    _TQS_RUNS[0] += 1
+    a = _replay_stream(spark, sf)
+    a.df = a.df.filter(F.col("event_type") == "purchase")
+    b = _replay_stream(spark, sf)
+    b.df = b.df.filter(F.col("event_type") == "click")
+    out = a.run_available_now(sink_df=a.zip(b), name=f"ek_zps_{_TQS_RUNS[0]}")
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "pair_no", "v0", "v1",
+    )
+
+
+def q_ziplatest_stream(spark, sf):
+    """r10: streaming Ziplatest (NULL-safe last-occurrence index scan)
+    replayed availableNow — every purchase/click arrival emits the pair
+    of latest side values (NULL before a side's first emit); oracle is
+    two last_value(... IGNORE NULLS) windows over the tagged union."""
+    _TQS_RUNS[0] += 1
+    a = _replay_stream(spark, sf)
+    a.df = a.df.filter(F.col("event_type") == "purchase")
+    b = _replay_stream(spark, sf)
+    b.df = b.df.filter(F.col("event_type") == "click")
+    out = a.run_available_now(
+        sink_df=a.ziplatest(b), name=f"ek_zls_{_TQS_RUNS[0]}"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "v0", "v1"
+    )
+
+
 def q_asof_join(spark, sf):
     from eventkit_spark.operators.relational import asof_join
 
@@ -4105,27 +4187,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-10 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-5: the round-10 additions, never driver-checked —
-    #     the STREAMING lane made driver-visible for the first time
+    # (1) positions 1-10: the round-10 additions, never driver-checked —
+    #     the STREAMING lane made driver-visible for the first time:
+    #     NINE real availableNow structured-streaming replay contracts
     #     (token_quota_stream / running_agg_stream / changes_stream /
-    #     take_stream: real availableNow structured-streaming replays
-    #     checked against batch SQL oracles), plus coreset_sample
-    #     (cluster-balanced prototypicality sampling over the exact
-    #     fixed-point k-means replay);
-    # (2) positions 6-8: re-verdicts for code changed THIS round —
+    #     take_stream / pairwise_stream / debounce_stream /
+    #     sample_stream / zip_stream / ziplatest_stream), each
+    #     hash-checked against a batch SQL oracle and sharing one
+    #     single-file replay of the events table per session, plus
+    #     coreset_sample (cluster-balanced prototypicality sampling
+    #     over the exact fixed-point k-means replay);
+    # (2) positions 11-13: re-verdicts for code changed THIS round —
     #     token_quota (NULL-key salted-bucket coalesce + salt guard),
     #     dedup_simhash_incremental (dry-run probe now shares ONE
     #     checkpointed fingerprint pass), mm_audio_features (WAV decoder
     #     gained the IEEE-float PCM branch);
-    # (3) positions 9-43: ALL 35 r4-era rows in registry order —
+    # (3) positions 14-48: ALL 35 r4-era rows in registry order —
     #     fuzzy_dedup and quality_classifier first (r9 VERDICT item 1:
     #     "first in line for r10"), then the rest of the r4 block
     #     (relational battery, sessionize/funnel/attribution,
     #     text-analysis core);
-    # (4) positions 44-50: the 7 oldest r5 rows in registry order
-    #     (kmeans/pq/ivf compression family, throttle, dedup_minhash;
-    #     sq_encode/sq_topk/bpe_train/bpe_fertility slip just past the
-    #     cut to fund the five r10 additions — first in line for r11).
+    # (4) positions 49-50: the 2 oldest r5 rows (kmeans, pq_encode;
+    #     the rest of the r5 block — ivfpq, embed_ivf, throttle,
+    #     embed_rp_lsh, dedup_minhash, sq_encode, sq_topk, bpe_train,
+    #     bpe_fertility, ... — slips just past the cut to fund the ten
+    #     r10 additions: first in line for r11).
     # After this rotation no verdict is older than r5; at this cadence
     # nothing stays stale past ~5 rounds. The tail is everything
     # driver-green in its current form; all entries register full value
@@ -4135,6 +4221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_agg_stream": q_running_agg_stream,
         "changes_stream": q_changes_stream,
         "take_stream": q_take_stream,
+        "pairwise_stream": q_pairwise_stream,
+        "debounce_stream": q_debounce_stream,
+        "sample_stream": q_sample_stream,
+        "zip_stream": q_zip_stream,
+        "ziplatest_stream": q_ziplatest_stream,
         "coreset_sample": q_coreset_sample,
         "token_quota": q_token_quota,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
@@ -4176,12 +4267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "kmeans": q_kmeans,
         "pq_encode": q_pq_encode,
+        # ---- tail: driver-green in current form, oldest verdicts r5+ ----
         "ivfpq": q_ivfpq,
         "embed_ivf": q_embed_ivf,
         "throttle": q_throttle,
         "embed_rp_lsh": q_embed_rp_lsh_topk,
         "dedup_minhash": q_dedup_minhash,
-        # ---- tail: driver-green in current form, oldest verdicts r5+ ----
         "sq_encode": q_sq_encode,
         "sq_topk": q_sq_topk,
         "bpe_train": q_bpe_train,
@@ -8346,6 +8437,54 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
               FROM events
             ) WHERE rn <= 10""",
+        "pairwise_stream": """
+            SELECT user_id, epoch_us(ts) AS ts_us, prev, cur FROM (
+              SELECT user_id, ts, value AS cur,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) prev
+              FROM events
+            ) WHERE prev IS NOT NULL""",
+        "debounce_stream": """
+            SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+              SELECT user_id, ts, value,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) gap_us
+              FROM events
+            ) WHERE gap_us IS NULL OR gap_us >= 3600000000""",
+        "sample_stream": """
+            SELECT t.user_id, epoch_us(t.ts) AS ts_us, s.value AS sampled
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') t
+            ASOF JOIN (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'view') s
+              ON t.user_id = s.user_id AND s.ts <= t.ts""",
+        "zip_stream": """
+            WITH a AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+              FROM events WHERE event_type = 'purchase'
+            ), b AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT a.user_id, epoch_us(greatest(a.ts, b.ts)) AS ts_us,
+                   CAST(a.rn - 1 AS BIGINT) AS pair_no,
+                   a.value AS v0, b.value AS v1
+            FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn""",
+        "ziplatest_stream": """
+            WITH u AS (
+              SELECT user_id, ts,
+                     CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END tag,
+                     value
+              FROM events WHERE event_type IN ('purchase', 'click')
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
+                     OVER w AS v0,
+                   last_value(CASE WHEN tag = 1 THEN value END IGNORE NULLS)
+                     OVER w AS v1
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "token_quota_stream": """
             SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
               SELECT user_id, ts, value,

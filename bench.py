@@ -314,6 +314,11 @@ HEADLINE = [
     "running_agg_stream",
     "changes_stream",
     "take_stream",
+    "pairwise_stream",
+    "debounce_stream",
+    "sample_stream",
+    "zip_stream",
+    "ziplatest_stream",
     # r10: cluster-balanced coreset sampling (exact-replay kmeans +
     # two-phase per-cluster top-N)
     "coreset_sample",

@@ -836,9 +836,9 @@ def test_registry_front50_rotation():
     """Pin the round-10 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
     flagged a comment that drifted from the counted positions): the
-    five round-10 additions lead (four streaming replays + the coreset
+    ten round-10 additions lead (nine streaming replays + the coreset
     sampler), the three contracts whose code changed this round follow,
-    then ALL 35 r4-era rows in registry order, then the 7 oldest r5
+    then ALL 35 r4-era rows in registry order, then the 2 oldest r5
     rows — after which no verdict on the
     board is older than r5. Every registered query must also carry an
     oracle_sql twin."""
@@ -847,16 +847,18 @@ def test_registry_front50_rotation():
     names = list(e.queries())
     new_r10 = [
         "token_quota_stream", "running_agg_stream", "changes_stream",
-        "take_stream", "coreset_sample",
+        "take_stream", "pairwise_stream", "debounce_stream",
+        "sample_stream", "zip_stream", "ziplatest_stream",
+        "coreset_sample",
     ]
-    assert names[:5] == new_r10
+    assert names[:10] == new_r10
     code_changed_r10 = [
         "token_quota", "dedup_simhash_incremental", "mm_audio_features",
     ]
-    assert names[5:8] == code_changed_r10
+    assert names[10:13] == code_changed_r10
     # the full r4 block, registry order; pin the boundaries and the set
     # so the block can't silently shrink or reorder
-    assert names[8:10] == ["fuzzy_dedup", "quality_classifier"]
+    assert names[13:15] == ["fuzzy_dedup", "quality_classifier"]
     r4_block = {
         "fuzzy_dedup", "quality_classifier", "semantic_dedup",
         "array_anyall", "partial", "set_ops", "interval_join",
@@ -869,13 +871,10 @@ def test_registry_front50_rotation():
         "host_stats", "bigram_logprob", "collocations", "dsir",
         "char_entropy",
     }
-    assert set(names[8:43]) == r4_block
-    r5_fill = [
-        "kmeans", "pq_encode", "ivfpq", "embed_ivf", "throttle",
-        "embed_rp_lsh", "dedup_minhash",
-    ]
-    assert names[43:50] == r5_fill
-    assert len(set(names)) == len(names) >= 270
+    assert set(names[13:48]) == r4_block
+    r5_fill = ["kmeans", "pq_encode"]
+    assert names[48:50] == r5_fill
+    assert len(set(names)) == len(names) >= 275
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
