@@ -3911,6 +3911,29 @@ def q_take_stream(spark, sf):
     )
 
 
+def q_last_stream(spark, sf):
+    """r10: streaming Last as a NATIVE streaming aggregation
+    (max_by(struct(ts, value), ts), one struct of state per key,
+    complete output mode) — the lane's only contract exercising
+    Spark's built-in stateful aggregation rather than an
+    applyInPandasWithState kernel. Oracle: per-user argmax by ts."""
+    _TQS_RUNS[0] += 1
+    sfr = _replay_stream(spark, sf)
+    name = f"ek_lst_{_TQS_RUNS[0]}"
+    q = (
+        sfr.last()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+
+
 def q_pairwise_stream(spark, sf):
     """r10: streaming Pairwise (shift-pairing kernel) replayed
     availableNow — (prev, cur) per user from the 2nd row on; oracle is
@@ -4187,31 +4210,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whatever has the weakest current verdict. Round-10 rotation
     # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
     # positions are counted, not asserted by comment):
-    # (1) positions 1-10: the round-10 additions, never driver-checked —
+    # (1) positions 1-11: the round-10 additions, never driver-checked —
     #     the STREAMING lane made driver-visible for the first time:
-    #     NINE real availableNow structured-streaming replay contracts
+    #     TEN real availableNow structured-streaming replay contracts
     #     (token_quota_stream / running_agg_stream / changes_stream /
     #     take_stream / pairwise_stream / debounce_stream /
-    #     sample_stream / zip_stream / ziplatest_stream), each
-    #     hash-checked against a batch SQL oracle and sharing one
+    #     sample_stream / zip_stream / ziplatest_stream / last_stream —
+    #     the last one a NATIVE complete-mode streaming aggregation),
+    #     each hash-checked against a batch SQL oracle and sharing one
     #     single-file replay of the events table per session, plus
     #     coreset_sample (cluster-balanced prototypicality sampling
     #     over the exact fixed-point k-means replay);
-    # (2) positions 11-13: re-verdicts for code changed THIS round —
+    # (2) positions 12-14: re-verdicts for code changed THIS round —
     #     token_quota (NULL-key salted-bucket coalesce + salt guard),
     #     dedup_simhash_incremental (dry-run probe now shares ONE
     #     checkpointed fingerprint pass), mm_audio_features (WAV decoder
     #     gained the IEEE-float PCM branch);
-    # (3) positions 14-48: ALL 35 r4-era rows in registry order —
+    # (3) positions 15-49: ALL 35 r4-era rows in registry order —
     #     fuzzy_dedup and quality_classifier first (r9 VERDICT item 1:
     #     "first in line for r10"), then the rest of the r4 block
     #     (relational battery, sessionize/funnel/attribution,
     #     text-analysis core);
-    # (4) positions 49-50: the 2 oldest r5 rows (kmeans, pq_encode;
-    #     the rest of the r5 block — ivfpq, embed_ivf, throttle,
-    #     embed_rp_lsh, dedup_minhash, sq_encode, sq_topk, bpe_train,
-    #     bpe_fertility, ... — slips just past the cut to fund the ten
-    #     r10 additions: first in line for r11).
+    # (4) position 50: the oldest r5 row (kmeans; the rest of the r5
+    #     block — pq_encode, ivfpq, embed_ivf, throttle, embed_rp_lsh,
+    #     dedup_minhash, sq_encode, ... — slips just past the cut to
+    #     fund the eleven r10 additions: first in line for r11).
     # After this rotation no verdict is older than r5; at this cadence
     # nothing stays stale past ~5 rounds. The tail is everything
     # driver-green in its current form; all entries register full value
@@ -4226,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stream": q_sample_stream,
         "zip_stream": q_zip_stream,
         "ziplatest_stream": q_ziplatest_stream,
+        "last_stream": q_last_stream,
         "coreset_sample": q_coreset_sample,
         "token_quota": q_token_quota,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
@@ -4266,8 +4290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "char_entropy": q_char_entropy,
         "kmeans": q_kmeans,
-        "pq_encode": q_pq_encode,
         # ---- tail: driver-green in current form, oldest verdicts r5+ ----
+        "pq_encode": q_pq_encode,
         "ivfpq": q_ivfpq,
         "embed_ivf": q_embed_ivf,
         "throttle": q_throttle,
@@ -8437,6 +8461,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
               FROM events
             ) WHERE rn <= 10""",
+        "last_stream": """
+            SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC) rn
+              FROM events
+            ) WHERE rn = 1""",
         "pairwise_stream": """
             SELECT user_id, epoch_us(ts) AS ts_us, prev, cur FROM (
               SELECT user_id, ts, value AS cur,

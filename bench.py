@@ -319,6 +319,7 @@ HEADLINE = [
     "sample_stream",
     "zip_stream",
     "ziplatest_stream",
+    "last_stream",
     # r10: cluster-balanced coreset sampling (exact-replay kmeans +
     # two-phase per-cluster top-N)
     "coreset_sample",

@@ -836,10 +836,9 @@ def test_registry_front50_rotation():
     """Pin the round-10 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
     flagged a comment that drifted from the counted positions): the
-    ten round-10 additions lead (nine streaming replays + the coreset
+    eleven round-10 additions lead (ten streaming replays + the coreset
     sampler), the three contracts whose code changed this round follow,
-    then ALL 35 r4-era rows in registry order, then the 2 oldest r5
-    rows — after which no verdict on the
+    then ALL 35 r4-era rows in registry order, then the oldest r5 row — after which no verdict on the
     board is older than r5. Every registered query must also carry an
     oracle_sql twin."""
     import __spark_entry__ as e
@@ -849,16 +848,16 @@ def test_registry_front50_rotation():
         "token_quota_stream", "running_agg_stream", "changes_stream",
         "take_stream", "pairwise_stream", "debounce_stream",
         "sample_stream", "zip_stream", "ziplatest_stream",
-        "coreset_sample",
+        "last_stream", "coreset_sample",
     ]
-    assert names[:10] == new_r10
+    assert names[:11] == new_r10
     code_changed_r10 = [
         "token_quota", "dedup_simhash_incremental", "mm_audio_features",
     ]
-    assert names[10:13] == code_changed_r10
+    assert names[11:14] == code_changed_r10
     # the full r4 block, registry order; pin the boundaries and the set
     # so the block can't silently shrink or reorder
-    assert names[13:15] == ["fuzzy_dedup", "quality_classifier"]
+    assert names[14:16] == ["fuzzy_dedup", "quality_classifier"]
     r4_block = {
         "fuzzy_dedup", "quality_classifier", "semantic_dedup",
         "array_anyall", "partial", "set_ops", "interval_join",
@@ -871,10 +870,9 @@ def test_registry_front50_rotation():
         "host_stats", "bigram_logprob", "collocations", "dsir",
         "char_entropy",
     }
-    assert set(names[13:48]) == r4_block
-    r5_fill = ["kmeans", "pq_encode"]
-    assert names[48:50] == r5_fill
-    assert len(set(names)) == len(names) >= 275
+    assert set(names[14:49]) == r4_block
+    assert names[49] == "kmeans"  # the one r5 row that fits
+    assert len(set(names)) == len(names) >= 276
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
