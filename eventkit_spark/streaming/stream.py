@@ -194,31 +194,46 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
             self._st = handle.getValueState("agg", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
+            # same vectorized seeded scans as the
+            # applyInPandasWithState sibling (r10): carries prepended
+            # so float fold order matches the sequential form exactly
+            import numpy as np
+
             if self._st.exists():
                 cnt, s, mn, mx, ema = self._st.get()
             else:
                 cnt, s, mn, mx, ema = 0, 0.0, None, None, None
             for pdf in sorted_chunks(rows, ts_col):
-                outs = []
-                for _, row in pdf.iterrows():
-                    x = float(row[value_col])
-                    cnt += 1
-                    s += x
-                    mn = x if mn is None else min(mn, x)
-                    mx = x if mx is None else max(mx, x)
-                    ema = x if ema is None else (1 - w) * ema + w * x
-                    outs.append({
-                        **{k: row[k] for k in keys},
-                        ts_col: row[ts_col],
-                        "value": x,
-                        "rcount": cnt,
-                        "rsum": s,
-                        "rmin": mn,
-                        "rmax": mx,
-                        "ema": ema,
-                    })
-                if outs:
-                    yield pd.DataFrame(outs)
+                if pdf.empty:
+                    continue
+                x = pdf[value_col].to_numpy(dtype=np.float64)
+                n = x.size
+                out = pdf[list(keys) + [ts_col]].copy()
+                out["value"] = x
+                out["rcount"] = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
+                rsum = np.cumsum(np.concatenate(([s], x)))[1:]
+                rmin = np.minimum.accumulate(
+                    np.concatenate(([x[0] if mn is None else mn], x))
+                )[1:]
+                rmax = np.maximum.accumulate(
+                    np.concatenate(([x[0] if mx is None else mx], x))
+                )[1:]
+                if ema is None:
+                    rema = pd.Series(x).ewm(alpha=w, adjust=False).mean().to_numpy()
+                else:
+                    rema = (
+                        pd.Series(np.concatenate(([ema], x)))
+                        .ewm(alpha=w, adjust=False)
+                        .mean()
+                        .to_numpy()[1:]
+                    )
+                out["rsum"] = rsum
+                out["rmin"] = rmin
+                out["rmax"] = rmax
+                out["ema"] = rema
+                yield out
+                cnt, s = cnt + n, float(rsum[-1])
+                mn, mx, ema = float(rmin[-1]), float(rmax[-1]), float(rema[-1])
             self._st.update((cnt, s, mn, mx, ema))
 
         def close(self):
