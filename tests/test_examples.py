@@ -155,3 +155,19 @@ def test_tokenizer_training_end_to_end(spark):
     assert 0 < stats["uni_tokens"] and 0 < stats["bpe_tokens"]
     assert stats["unigram_pieces"] > 0
     assert stats["langs"] >= 1
+
+
+def test_stream_replay_gate_end_to_end(spark):
+    """r10: the streaming replay example — availableNow kernels checked
+    against batch forms inline, plus a complete-mode native agg."""
+    import stream_replay_gate
+
+    from eventkit_spark.sources.tables import load_table
+
+    stats = stream_replay_gate.run(spark, "/root/testdata/sf0.001")
+    assert stats["budget_kept"] == stats["budget_kept_batch"] > 0
+    true_users = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id").distinct().count()
+    )
+    assert stats["n_users"] == true_users
