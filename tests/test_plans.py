@@ -876,3 +876,64 @@ def test_registry_front50_rotation():
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
+
+
+def test_streaming_kernels_single_exchange(spark, tmp_path):
+    """r10: the streaming lane's scale shape — every stateful kernel
+    plans exactly ONE hashpartitioning exchange (the groupBy-key
+    shuffle applyInPandasWithState requires) and nothing else; the
+    two-input kernels union their sides BEFORE that one exchange. At
+    1000 executors the lane's cost is one shuffle per hop, same as the
+    batch discipline ('one key exchange per operator chain')."""
+    import contextlib
+    import io
+
+    from eventkit_spark.sources.tables import load_table
+    from eventkit_spark.streaming import file_stream
+
+    d = str(tmp_path / "plan_src")
+    load_table(spark, SF, "events").write.mode("overwrite").parquet(d)
+
+    def frame(etype=None):
+        sf = file_stream(
+            spark, d,
+            schema=("event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, session_id long"),
+            value_cols=["value"], ts_col="ts", key_cols=["user_id"],
+        )
+        if etype:
+            sf.df = sf.df.filter(F.col("event_type") == etype)
+        return sf
+
+    def n_exchanges(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()  # simple mode: each physical node printed once
+        plan = buf.getvalue()
+        return plan.count("Exchange hashpartitioning")
+
+    one_input = {
+        "take_budget": lambda s: s.take_budget(100.0),
+        "running_agg": lambda s: s.running_agg(ema_n=10),
+        "changes": lambda s: s.changes(),
+        "take": lambda s: s.take(3),
+        "enumerate": lambda s: s.enumerate(),
+        "previous": lambda s: s.previous(2),
+        "product": lambda s: s.product(),
+        "takewhile": lambda s: s.takewhile("value < 100"),
+        "debounce_first": lambda s: s.debounce_first(60.0),
+        "pairwise": lambda s: s.pairwise(),
+        "last": lambda s: s.last(),
+    }
+    for name, mk in one_input.items():
+        n = n_exchanges(mk(frame()))
+        assert n == 1, f"{name}: {n} exchanges (want 1)"
+    two_input = {
+        "zip": lambda: frame("purchase").zip(frame("click")),
+        "ziplatest": lambda: frame("purchase").ziplatest(frame("click")),
+        "takeuntil": lambda: frame("purchase").takeuntil(frame("error")),
+        "sample": lambda: frame("view").sample(frame("error")),
+    }
+    for name, mk in two_input.items():
+        n = n_exchanges(mk())
+        assert n == 1, f"{name}: {n} exchanges (want 1)"
