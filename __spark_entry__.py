@@ -8471,9 +8471,10 @@ def oracle_sql() -> dict[str, str]:
         "pairwise_stream": """
             SELECT user_id, epoch_us(ts) AS ts_us, prev, cur FROM (
               SELECT user_id, ts, value AS cur,
-                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) prev
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) prev,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
               FROM events
-            ) WHERE prev IS NOT NULL""",
+            ) WHERE rn > 1""",
         "debounce_stream": """
             SELECT user_id, epoch_us(ts) AS ts_us, value FROM (
               SELECT user_id, ts, value,
@@ -8508,11 +8509,17 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM events WHERE event_type IN ('purchase', 'click')
             )
+            -- struct wrap: a NULL VALUE arrival is still a non-null
+            -- struct, so IGNORE NULLS only skips the other side's rows
+            -- (the kernel propagates null arrivals as the new side
+            -- value — a bare IGNORE NULLS would wrongly skip them)
             SELECT user_id, epoch_us(ts) AS ts_us,
-                   last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS)
-                     OVER w AS v0,
-                   last_value(CASE WHEN tag = 1 THEN value END IGNORE NULLS)
-                     OVER w AS v1
+                   (last_value(CASE WHEN tag = 0
+                      THEN struct_pack(v := value) END IGNORE NULLS)
+                     OVER w).v AS v0,
+                   (last_value(CASE WHEN tag = 1
+                      THEN struct_pack(v := value) END IGNORE NULLS)
+                     OVER w).v AS v1
             FROM u
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",

@@ -367,8 +367,14 @@ def token_quota(
         # NULL-key rows hash to NULL -> coalesce the bucket to a
         # sentinel so the carry equi-join keeps them, matching the
         # unsalted window path (NULL is a legitimate partition there).
+        # The sentinel must sort BEFORE every real bucket because the
+        # unsalted orderBy puts NULL hashes first: Spark's % follows
+        # the dividend's sign, so negative keys land in buckets down
+        # to floor(-(2^31-1)/width) — -1 would collide (r10 review);
+        # -2^31 is strictly below any reachable bucket.
         bucket = F.coalesce(
-            F.floor(portable_hash(F.col(key_col)) / F.lit(width)), F.lit(-1)
+            F.floor(portable_hash(F.col(key_col)) / F.lit(width)),
+            F.lit(-(2**31)),
         )
         wloc = (
             W.partitionBy(F.col(source_col), F.col("__b"))

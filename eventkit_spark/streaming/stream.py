@@ -195,8 +195,9 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
 
         def handleInputRows(self, key, rows, timerValues):
             # same vectorized seeded scans as the
-            # applyInPandasWithState sibling (r10): carries prepended
-            # so float fold order matches the sequential form exactly
+            # applyInPandasWithState sibling (r10): carries prepended,
+            # sum fold order sequential, min/max NULL-ignoring (fmin/
+            # fmax), ema within ~1 ulp of the bare recurrence
             import numpy as np
 
             if self._st.exists():
@@ -211,12 +212,14 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
                 out = pdf[list(keys) + [ts_col]].copy()
                 out["value"] = x
                 out["rcount"] = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
-                rsum = np.cumsum(np.concatenate(([s], x)))[1:]
-                rmin = np.minimum.accumulate(
-                    np.concatenate(([x[0] if mn is None else mn], x))
+                rsum = np.cumsum(
+                    np.concatenate(([s], np.nan_to_num(x, nan=0.0)))
                 )[1:]
-                rmax = np.maximum.accumulate(
-                    np.concatenate(([x[0] if mx is None else mx], x))
+                rmin = np.fmin.accumulate(
+                    np.concatenate(([np.nan if mn is None else mn], x))
+                )[1:]
+                rmax = np.fmax.accumulate(
+                    np.concatenate(([np.nan if mx is None else mx], x))
                 )[1:]
                 if ema is None:
                     rema = pd.Series(x).ewm(alpha=w, adjust=False).mean().to_numpy()
@@ -233,7 +236,9 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
                 out["ema"] = rema
                 yield out
                 cnt, s = cnt + n, float(rsum[-1])
-                mn, mx, ema = float(rmin[-1]), float(rmax[-1]), float(rema[-1])
+                mn = None if np.isnan(rmin[-1]) else float(rmin[-1])
+                mx = None if np.isnan(rmax[-1]) else float(rmax[-1])
+                ema = float(rema[-1])
             self._st.update((cnt, s, mn, mx, ema))
 
         def close(self):
@@ -578,8 +583,13 @@ class StreamFrame:
             # vectorized recurrences (r9 VERDICT: the per-row Python
             # loop was the micro-batch throughput ceiling). Each carry
             # is PREPENDED to the chunk before the accumulate so the
-            # float operation order matches the sequential loop exactly
-            # — cumsum(seed, x1, x2) folds seed first, like `s += x`.
+            # float operation order matches the sequential loop for
+    
+            # sum — cumsum(seed, x1, x2) folds seed first, like
+            # `s += x`. NULL values: sum counts them 0 and min/max
+            # IGNORE them (np.fmin/fmax skip NaN) — the batch window
+            # twin's and the SQL oracle's null semantics, NOT the old
+            # loop's asymmetric Python-min behavior (r10 review).
             if state.exists:
                 cnt, s, mn, mx, ema = state.get
             else:
@@ -591,14 +601,17 @@ class StreamFrame:
                 x = pdf[value_col].to_numpy(dtype=np.float64)
                 n = x.size
                 rcount = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
-                rsum = np.cumsum(np.concatenate(([s], x)))[1:]
-                seed_mn = x[0] if mn is None else mn
-                seed_mx = x[0] if mx is None else mx
-                rmin = np.minimum.accumulate(np.concatenate(([seed_mn], x)))[1:]
-                rmax = np.maximum.accumulate(np.concatenate(([seed_mx], x)))[1:]
-                # ewm(adjust=False) IS the reference recurrence
-                # e = (1-w)*e + w*x (aggregate.py closed form); seeding
-                # by prepending the carried ema keeps it cross-batch
+                rsum = np.cumsum(np.concatenate(([s], np.nan_to_num(x, nan=0.0))))[1:]
+                seed_mn = np.nan if mn is None else mn
+                seed_mx = np.nan if mx is None else mx
+                rmin = np.fmin.accumulate(np.concatenate(([seed_mn], x)))[1:]
+                rmax = np.fmax.accumulate(np.concatenate(([seed_mx], x)))[1:]
+                # ewm(adjust=False) implements the reference recurrence
+                # e = (1-w)*e + w*x with a normalizing divide, so it
+                # matches the sequential form within ~1 ulp (~1e-14) —
+                # NOT bit-for-bit; contracts round to 6dp. Seeding by
+                # prepending the carried ema keeps it cross-batch; NaN
+                # inputs are skipped (pandas missing-value semantics).
                 if ema is None:
                     rema = pd.Series(x).ewm(alpha=w, adjust=False).mean().to_numpy()
                 else:
@@ -617,7 +630,9 @@ class StreamFrame:
                 out["ema"] = rema
                 outs.append(out)
                 cnt, s = cnt + n, float(rsum[-1])
-                mn, mx, ema = float(rmin[-1]), float(rmax[-1]), float(rema[-1])
+                mn = None if np.isnan(rmin[-1]) else float(rmin[-1])
+                mx = None if np.isnan(rmax[-1]) else float(rmax[-1])
+                ema = float(rema[-1])
             state.update((cnt, s, mn, mx, ema))
             if outs:
                 yield pd.concat(outs, ignore_index=True)

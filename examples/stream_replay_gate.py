@@ -71,9 +71,11 @@ def run(spark, sf_dir: str) -> dict:
     # 2. running aggregates (count/sum/min/max/ema in one stateful hop)
     ra = sfr.run_available_now(sink_df=sfr.running_agg(ema_n=10), name="ex_ra")
     last = (
-        ra.orderBy(F.desc("rcount"))
-        .groupBy("user_id")
-        .agg(F.max("rcount").alias("n"), F.max("rsum").alias("total"))
+        ra.groupBy("user_id")
+        .agg(
+            F.max("rcount").alias("n"),
+            F.max_by("rsum", "rcount").alias("total"),  # the FINAL total
+        )
         .orderBy("user_id")
         .limit(3)
         .collect()

@@ -2614,6 +2614,25 @@ def test_token_quota_null_key_salted_parity_and_salt_guard(spark):
             token_quota(df, 5, "doc_id", salt=bad)
 
 
+def test_token_quota_negative_keys_salted_parity(spark):
+    # r10 review: Spark's % follows the dividend's sign, so negative
+    # keys produce negative hash buckets — the NULL sentinel must sort
+    # strictly below them (-1 collided with the first negative bucket)
+    from eventkit_spark.llm.sampling import token_quota
+
+    rows = [(k, "s", "w " * (abs(k) % 7 + 1)) for k in range(-40, 40) if k]
+    rows.append((None, "s", "w w"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for budget in (10, 60, 200):
+        plain = {r["doc_id"] for r in token_quota(df, budget, "doc_id").collect()}
+        for salt in (2, 5, 13):
+            salted = {
+                r["doc_id"]
+                for r in token_quota(df, budget, "doc_id", salt=salt).collect()
+            }
+            assert plain == salted, (budget, salt)
+
+
 def test_ngram_lm_store_append_equals_union_fit(spark, tmp_path):
     # counts are mergeable: init(A) + append(B) must score exactly like
     # a from-scratch fit on A union B

@@ -898,7 +898,7 @@ def test_streaming_kernels_single_exchange(spark, tmp_path):
         sf = file_stream(
             spark, d,
             schema=("event_id long, ts timestamp, user_id long, "
-                    "event_type string, value double, session_id long"),
+                    "event_type string, value double, props string"),
             value_cols=["value"], ts_col="ts", key_cols=["user_id"],
         )
         if etype:

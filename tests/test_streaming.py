@@ -1729,13 +1729,10 @@ def test_streaming_cross_batch_state_parity(spark, stream_dir, tmp_path):
             sf = frame(multi)
             out = sf.run_available_now(sink_df=mk(sf), name=f"ek_xb_{name}_{multi}")
             rows = out.collect()
-            if name == "running_agg":
-                # float carries: ema/rsum recompute in a different fold
-                # grouping across batches only via the prepended seed —
-                # must still be EXACT, so no rounding here
-                acc.extend(sorted(tuple(r) for r in rows))
-            else:
-                acc.extend(sorted(tuple(r) for r in rows))
+            # no rounding anywhere: the float carries are prepended to
+            # each batch's scan, so multi-batch sums/mins/maxes/emas
+            # must equal the single-batch fold exactly
+            acc.extend(sorted(tuple(r) for r in rows))
         assert got == exp and got, f"{name}: multi-batch != single-batch"
 
     # two-input kernels: zip / ziplatest / takeuntil / sample
