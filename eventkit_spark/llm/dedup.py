@@ -1322,9 +1322,13 @@ def simhash_dedup_incremental(
     fingerprint pass (r9 VERDICT item 4 — the persist-free form paid up
     to 3 batch-text scans per probe). Unlike a persist, the checkpoint
     RDD is released by the ContextCleaner when the returned frame is
-    garbage collected, so repeated probes don't accumulate executor
-    storage; the lineage cut is safe here because a probe is a bounded
-    read-only job (an executor loss just reruns the probe).
+    garbage collected — callers should drop references to probe frames
+    promptly, since a harness that keeps them alive pins that executor
+    storage across probes. The lineage cut has a cost: after the
+    checkpoint materializes, an executor loss FAILS the in-flight job
+    (no lineage to recompute from) and the caller must re-invoke the
+    probe — acceptable here because a probe is a bounded read-only job
+    with no side effects to unwind.
 
     Scale shape: one fingerprint pass over the batch (persisted, reused
     by probe/competition/commit, then unpersisted); the store probe is

@@ -210,6 +210,13 @@ def decode_wav_real(payload: bytes) -> tuple[int, np.ndarray]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    # a truncated/odd-length data chunk would otherwise surface as
+    # np.frombuffer's opaque "buffer size must be a multiple of
+    # element size" — trim to whole samples, like the channel fold
+    # already trims to whole frames (applies to every PCM branch)
+    width = max(bits // 8, 1)
+    if len(data) % width:
+        data = data[: len(data) - (len(data) % width)]
     if audio_format == 3:
         # IEEE-float PCM: uncompressed, same byte arithmetic as int PCM
         if bits == 32:

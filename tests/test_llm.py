@@ -2798,6 +2798,24 @@ def test_wav_ieee_float_decodes():
     assert np.abs(m2).max() < 1e-7
 
 
+def test_wav_truncated_data_chunk_trims_to_whole_samples():
+    # r11 (r10 ADVICE): a truncated/odd-length data chunk must decode
+    # the whole samples that ARE there, not die inside np.frombuffer
+    # with "buffer size must be a multiple of element size"
+    import numpy as np
+
+    from eventkit_spark.llm.multimodal import decode_wav_real
+
+    samples = np.linspace(-1, 1, 64)
+    f32 = _wav_float_bytes(samples, bits=32)
+    _, mono = decode_wav_real(f32[:-3])  # cut into the last f4 sample
+    assert mono.size == 63
+    assert np.abs(mono - samples[:63].astype(np.float32)).max() < 1e-7
+    i16 = _wav_bytes(samples)
+    _, m16 = decode_wav_real(i16[:-1])  # odd-length int16 data chunk
+    assert m16.size == 63
+
+
 def test_upsample_mix_model(spark):
     # per-source repeat factors vs the Python model: integer copies +
     # hash-thresholded fractional copy; factor 0.5 downsamples; the op
