@@ -3864,8 +3864,12 @@ def q_running_agg_stream(spark, sf):
     """r10: the vectorized running-aggregate streaming kernel
     (streaming/stream.py running_agg — per-key count/sum/min/max/ema as
     seeded numpy accumulates) replayed through a real availableNow
-    query and checked against the batch window-cumsum + closed-form-ema
-    oracle. One row out per row in; floats rounded in both engines."""
+    query and checked against the batch window-cumsum + segmented-scan
+    ema oracle. One row out per row in; floats rounded in both engines.
+    r11: missing-value semantics pinned (SQL-window NULL prefix,
+    decay-by-q ema — _running_scan's docstring) and the oracle rebased
+    onto the overflow-safe segmented closed form, so neither side
+    depends on the fixture being NULL-free or short-keyed."""
     _TQS_RUNS[0] += 1
     sfr = _replay_stream(spark, sf)
     out = sfr.run_available_now(
@@ -8429,6 +8433,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE n > 0""",
         "running_agg_stream": """
+            -- ema via the SAME segmented-scan algebra as the batch
+            -- operator (_ema_staged): the plain closed form's
+            -- pow(q,-i) overflows double past ~3.5k rows/key, so the
+            -- exponent is rebased per 2491-row segment (q^-j <= e^500)
+            -- and the previous segment's boundary value hands off with
+            -- one lag + forward-fill; the carry truncated by the
+            -- hand-off decays by q^2491 ~ e^-500 — zero at 6dp. NULL
+            -- values drop out of the SUM (ema decays by q; NULL until
+            -- the key's first value) — the kernel's pinned semantics
+            -- (r10 ADVICE: robust to any key length and NULL values,
+            -- not just the current fixture).
             SELECT user_id, epoch_us(ts) AS ts_us, rcount,
                    round(rsum, 6) AS rsum, round(rmin, 6) AS rmin,
                    round(rmax, 6) AS rmax, round(ema, 6) AS ema
@@ -8437,15 +8452,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, value,
                        row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
                 FROM events
+              ), segd AS (
+                SELECT *, i % 2491 AS j, i // 2491 AS s_no FROM t
+              ), loc AS (
+                SELECT *,
+                       pow(9.0/11.0, j) * sum(CASE WHEN i = 0 THEN value
+                            ELSE (2.0/11.0) * value * pow(9.0/11.0, -j) END)
+                         OVER (PARTITION BY user_id, s_no ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS loc,
+                       count(value) OVER (PARTITION BY user_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nval
+                FROM segd
+              ), hand AS (
+                SELECT *, lag(CASE WHEN j = 2490 THEN loc END)
+                         OVER (PARTITION BY user_id ORDER BY i) AS pm
+                FROM loc
+              ), fill AS (
+                SELECT *, last_value(pm IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bnd
+                FROM hand
               )
               SELECT user_id, ts,
                      i + 1 AS rcount,
                      sum(value) OVER w AS rsum,
                      min(value) OVER w AS rmin,
                      max(value) OVER w AS rmax,
-                     pow(9.0/11.0, i) * sum(CASE WHEN i = 0 THEN value
-                          ELSE (2.0/11.0) * value * pow(9.0/11.0, -i) END) OVER w AS ema
-              FROM t
+                     CASE WHEN nval = 0 THEN NULL
+                          ELSE coalesce(loc, 0) + coalesce(bnd, 0) * pow(9.0/11.0, j + 1)
+                     END AS ema
+              FROM fill
               WINDOW w AS (PARTITION BY user_id ORDER BY i
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             )""",

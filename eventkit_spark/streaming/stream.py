@@ -168,6 +168,102 @@ def _make_sorted_chunks():
 _sorted_chunks = _make_sorted_chunks()
 
 
+def _make_running_scan():
+    # factory for the same by-VALUE cloudpickle rationale as
+    # _make_sorted_chunks: both running_agg kernels (classic +
+    # transformWithStateInPandas) ship this helper inside their pickle.
+    def _running_scan(x, w, cnt, s, mn, mx, ema):
+        """One chunk of the per-key running aggregates as seeded
+        vectorized scans, with SQL-WINDOW missing-value semantics
+        pinned (r10 VERDICT/ADVICE — the batch window twin's and the
+        closed-form oracle's behavior, decided explicitly):
+
+        - a missing value (SQL NULL; NaN after Arrow transfer) never
+          updates min/max/sum — and every aggregate is NULL until the
+          key's FIRST value arrives (SQL aggregates over an all-NULL
+          prefix are NULL, not 0);
+        - after the first value, a missing row leaves rsum/rmin/rmax
+          unchanged and DECAYS the ema by (1-w) — exactly the
+          closed-form algebra ``ema_i = q^i * sum(c_j x_j q^-j)``
+          where NULL terms drop out of the SUM (operators/aggregate.py
+          ``_ema_staged``), NOT pandas ``ewm(ignore_na=...)``'s
+          carry-and-renormalize;
+        - the stream's literal first row seeds the ema with full
+          weight (reference ema_0 = x_0, eventkit aggregate.py:95-111)
+          only when that row HAS a value; with a NULL first row the
+          first value later weighs w, like the SUM algebra says;
+        - rcount counts ROWS (the oracle's row_number), values or not.
+
+        Returns ``(cols, new_state)`` where ``cols`` maps output name
+        -> column array (object-dtype with None where SQL NULL is
+        required — Arrow turns None into proper nulls, while a float64
+        NaN would round-trip as NaN, not NULL) and ``new_state`` is
+        the carried ``(cnt, s, mn, mx, ema)`` tuple (``ema`` stays
+        None until the first value, so an all-NULL micro-batch cannot
+        poison the carry with NaN — r10 ADVICE)."""
+        import numpy as np
+        import pandas as pd
+
+        n = x.size
+        rcount = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
+        xf = np.nan_to_num(x, nan=0.0)
+        rsum = np.cumsum(np.concatenate(([s], xf)))[1:]
+        rmin = np.fmin.accumulate(
+            np.concatenate(([np.nan if mn is None else mn], x))
+        )[1:]
+        rmax = np.fmax.accumulate(
+            np.concatenate(([np.nan if mx is None else mx], x))
+        )[1:]
+        if ema is not None:
+            rema = (
+                pd.Series(np.concatenate(([ema], xf)))
+                .ewm(alpha=w, adjust=False)
+                .mean()
+                .to_numpy()[1:]
+            )
+        elif cnt == 0 and not np.isnan(x[0]):
+            rema = pd.Series(xf).ewm(alpha=w, adjust=False).mean().to_numpy()
+        else:
+            # no value seen yet and no full-weight seed owed: a zero
+            # seed makes the first value score w*x, the closed form's
+            # coefficient for any row past index 0
+            rema = (
+                pd.Series(np.concatenate(([0.0], xf)))
+                .ewm(alpha=w, adjust=False)
+                .mean()
+                .to_numpy()[1:]
+            )
+        unseen = np.isnan(rmin)  # fmin stays NaN until the first value
+
+        def _masked(arr):
+            if not unseen.any():
+                return arr
+            out = arr.astype(object)
+            out[unseen] = None
+            return out
+
+        cols = {
+            "rcount": rcount,
+            "rsum": _masked(rsum),
+            "rmin": _masked(rmin),
+            "rmax": _masked(rmax),
+            "ema": _masked(rema),
+        }
+        new_state = (
+            cnt + n,
+            float(rsum[-1]),
+            None if np.isnan(rmin[-1]) else float(rmin[-1]),
+            None if np.isnan(rmax[-1]) else float(rmax[-1]),
+            None if unseen[-1] else float(rema[-1]),
+        )
+        return cols, new_state
+
+    return _running_scan
+
+
+_running_scan = _make_running_scan()
+
+
 def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
     """Build the ``StatefulProcessor`` behind ``_running_agg_tws``.
 
@@ -188,6 +284,7 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
     w = 2.0 / (ema_n + 1)
     state_schema = "rcount long, rsum double, rmin double, rmax double, ema double"
     sorted_chunks = _sorted_chunks
+    running_scan = _running_scan
 
     class _Run(StatefulProcessor):
         def init(self, handle):
@@ -196,8 +293,9 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
         def handleInputRows(self, key, rows, timerValues):
             # same vectorized seeded scans as the
             # applyInPandasWithState sibling (r10): carries prepended,
-            # sum fold order sequential, min/max NULL-ignoring (fmin/
-            # fmax), ema within ~1 ulp of the bare recurrence
+            # sum fold order sequential, ema within ~1 ulp of the bare
+            # recurrence; missing-value semantics pinned in
+            # _running_scan (NULL prefix, decay-by-q ema — r11)
             import numpy as np
 
             if self._st.exists():
@@ -208,37 +306,17 @@ def _make_running_agg_processor(keys, ts_col, value_col, ema_n):
                 if pdf.empty:
                     continue
                 x = pdf[value_col].to_numpy(dtype=np.float64)
-                n = x.size
+                cols, (cnt, s, mn, mx, ema) = running_scan(
+                    x, w, cnt, s, mn, mx, ema
+                )
                 out = pdf[list(keys) + [ts_col]].copy()
-                out["value"] = x
-                out["rcount"] = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
-                rsum = np.cumsum(
-                    np.concatenate(([s], np.nan_to_num(x, nan=0.0)))
-                )[1:]
-                rmin = np.fmin.accumulate(
-                    np.concatenate(([np.nan if mn is None else mn], x))
-                )[1:]
-                rmax = np.fmax.accumulate(
-                    np.concatenate(([np.nan if mx is None else mx], x))
-                )[1:]
-                if ema is None:
-                    rema = pd.Series(x).ewm(alpha=w, adjust=False).mean().to_numpy()
-                else:
-                    rema = (
-                        pd.Series(np.concatenate(([ema], x)))
-                        .ewm(alpha=w, adjust=False)
-                        .mean()
-                        .to_numpy()[1:]
-                    )
-                out["rsum"] = rsum
-                out["rmin"] = rmin
-                out["rmax"] = rmax
-                out["ema"] = rema
+                miss = np.isnan(x)
+                out["value"] = (
+                    np.where(miss, None, x.astype(object)) if miss.any() else x
+                )
+                for name, arr in cols.items():
+                    out[name] = arr
                 yield out
-                cnt, s = cnt + n, float(rsum[-1])
-                mn = None if np.isnan(rmin[-1]) else float(rmin[-1])
-                mx = None if np.isnan(rmax[-1]) else float(rmax[-1])
-                ema = float(rema[-1])
             self._st.update((cnt, s, mn, mx, ema))
 
         def close(self):
@@ -583,13 +661,14 @@ class StreamFrame:
             # vectorized recurrences (r9 VERDICT: the per-row Python
             # loop was the micro-batch throughput ceiling). Each carry
             # is PREPENDED to the chunk before the accumulate so the
-            # float operation order matches the sequential loop for
-    
-            # sum — cumsum(seed, x1, x2) folds seed first, like
-            # `s += x`. NULL values: sum counts them 0 and min/max
-            # IGNORE them (np.fmin/fmax skip NaN) — the batch window
-            # twin's and the SQL oracle's null semantics, NOT the old
-            # loop's asymmetric Python-min behavior (r10 review).
+            # float operation order matches the sequential loop form
+            # (cumsum(seed, x1, x2) folds seed first, like `s += x`;
+            # ewm(adjust=False) runs e=(1-w)e+wx with a normalizing
+            # divide — within ~1 ulp of the bare recurrence, NOT
+            # bit-for-bit; contracts round to 6dp). Missing-value
+            # semantics (NULL prefix, decay-by-q ema) are pinned in
+            # _running_scan's docstring — the batch window twin's and
+            # the SQL oracle's behavior (r10 VERDICT item 4).
             if state.exists:
                 cnt, s, mn, mx, ema = state.get
             else:
@@ -599,40 +678,18 @@ class StreamFrame:
                 if pdf.empty:
                     continue
                 x = pdf[value_col].to_numpy(dtype=np.float64)
-                n = x.size
-                rcount = np.arange(cnt + 1, cnt + n + 1, dtype=np.int64)
-                rsum = np.cumsum(np.concatenate(([s], np.nan_to_num(x, nan=0.0))))[1:]
-                seed_mn = np.nan if mn is None else mn
-                seed_mx = np.nan if mx is None else mx
-                rmin = np.fmin.accumulate(np.concatenate(([seed_mn], x)))[1:]
-                rmax = np.fmax.accumulate(np.concatenate(([seed_mx], x)))[1:]
-                # ewm(adjust=False) implements the reference recurrence
-                # e = (1-w)*e + w*x with a normalizing divide, so it
-                # matches the sequential form within ~1 ulp (~1e-14) —
-                # NOT bit-for-bit; contracts round to 6dp. Seeding by
-                # prepending the carried ema keeps it cross-batch; NaN
-                # inputs are skipped (pandas missing-value semantics).
-                if ema is None:
-                    rema = pd.Series(x).ewm(alpha=w, adjust=False).mean().to_numpy()
-                else:
-                    rema = (
-                        pd.Series(np.concatenate(([ema], x)))
-                        .ewm(alpha=w, adjust=False)
-                        .mean()
-                        .to_numpy()[1:]
-                    )
+                cols, (cnt, s, mn, mx, ema) = _running_scan(
+                    x, w, cnt, s, mn, mx, ema
+                )
                 out = pdf[keys + [ts_col]].copy() if keys else pdf[[ts_col]].copy()
-                out["value"] = x
-                out["rcount"] = rcount
-                out["rsum"] = rsum
-                out["rmin"] = rmin
-                out["rmax"] = rmax
-                out["ema"] = rema
+                # a missing input echoes as NULL, not NaN
+                miss = np.isnan(x)
+                out["value"] = (
+                    np.where(miss, None, x.astype(object)) if miss.any() else x
+                )
+                for name, arr in cols.items():
+                    out[name] = arr
                 outs.append(out)
-                cnt, s = cnt + n, float(rsum[-1])
-                mn = None if np.isnan(rmin[-1]) else float(rmin[-1])
-                mx = None if np.isnan(rmax[-1]) else float(rmax[-1])
-                ema = float(rema[-1])
             state.update((cnt, s, mn, mx, ema))
             if outs:
                 yield pd.concat(outs, ignore_index=True)

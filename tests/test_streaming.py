@@ -1758,3 +1758,95 @@ def test_streaming_cross_batch_state_parity(spark, stream_dir, tmp_path):
             else:
                 exp = res
         assert got == exp and got, f"{name}: multi-batch != single-batch"
+
+
+def test_running_agg_null_semantics(spark, tmp_path):
+    """r11 (r10 VERDICT item 4 + ADVICE): running_agg's missing-value
+    behavior is DECIDED and pinned — SQL-window semantics, matching the
+    batch twin and the closed-form oracle algebra:
+
+    - every aggregate is NULL until the key's first value (SQL
+      aggregates over an all-NULL prefix are NULL);
+    - after that, a NULL row keeps rsum/rmin/rmax and DECAYS the ema
+      by (1-w) (the NULL term drops out of the closed-form SUM);
+    - a NULL literal first row forfeits the full-weight ema seed (the
+      first value later weighs w);
+    - rcount counts rows.
+
+    Cases per the ADVICE: NULL first value (u=1), NULL mid-stream
+    (u=2), an entire all-NULL FIRST micro-batch (u=3, multi-file
+    replay — the cross-batch None carry), plus an all-NULL key (u=4).
+    Both the single-batch and the maxFilesPerTrigger=1 multi-batch
+    replays must equal the batch SQL windows exactly."""
+    import shutil
+    import time as _time
+
+    from eventkit_spark.streaming.stream import StreamFrame
+
+    rows = []  # (seq, user, value) — ts is a long for simplicity
+    rows += [(1, 1, None), (2, 1, 10.0), (3, 1, None), (4, 1, 30.0)]
+    rows += [(1, 2, 5.0), (2, 2, None), (3, 2, None), (4, 2, 7.0)]
+    rows += [(1, 3, None), (2, 3, None), (3, 3, 4.0), (4, 3, None), (5, 3, 6.0)]
+    rows += [(1, 4, None), (2, 4, None)]
+    schema = "ts long, user_id long, value double"
+    src = spark.createDataFrame(rows, schema)
+
+    # two files split at ts<=2 / ts>2: u=3's first micro-batch is
+    # all-NULL, u=4 never sees a value at all
+    multi_dir = str(tmp_path / "multi")
+    os.makedirs(multi_dir)
+    t0 = _time.time()
+    for i, pred in enumerate(["ts <= 2", "ts > 2"], start=1):
+        stage = str(tmp_path / f"stage_{i}")
+        src.filter(pred).coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(multi_dir, f"f{i}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    # batch SQL twin: window aggregates + the closed-form ema (the
+    # oracle algebra — NULL terms drop out of the SUM)
+    w, q = 2.0 / 11.0, 9.0 / 11.0
+    exp_rows = spark.sql(
+        f"""
+        WITH t AS (
+          SELECT user_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
+          FROM {{src}}
+        )
+        SELECT user_id, ts, value,
+               i + 1 AS rcount,
+               sum(value) OVER win AS rsum,
+               min(value) OVER win AS rmin,
+               max(value) OVER win AS rmax,
+               pow({q}, i) * sum(CASE WHEN i = 0 THEN value
+                    ELSE {w} * value * pow({q}, -i) END) OVER win AS ema
+        FROM t
+        WINDOW win AS (PARTITION BY user_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        src=src,
+    ).collect()
+
+    def canon(r):
+        def f(v):
+            return None if v is None else round(float(v), 9)
+
+        return (r["user_id"], r["ts"], f(r["value"]), r["rcount"],
+                f(r["rsum"]), f(r["rmin"]), f(r["rmax"]), f(r["ema"]))
+
+    expected = sorted(canon(r) for r in exp_rows)
+
+    for multi in (False, True):
+        reader = spark.readStream.format("parquet").schema(schema)
+        if multi:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        sf = StreamFrame(
+            reader.load(multi_dir),
+            value_cols=["value"], ts_col="ts", key_cols=["user_id"],
+        )
+        out = sf.run_available_now(
+            sink_df=sf.running_agg(ema_n=10), name=f"ek_nulls_{multi}"
+        )
+        got = sorted(canon(r) for r in out.collect())
+        assert got == expected, f"multi={multi}"
