@@ -323,6 +323,16 @@ HEADLINE = [
     # r10: cluster-balanced coreset sampling (exact-replay kmeans +
     # two-phase per-cluster top-N)
     "coreset_sample",
+    # r11: the multibatch carry contract (4 micro-batches) + seven
+    # more availableNow kernel contracts
+    "running_agg_stream_multibatch",
+    "enumerate_stream",
+    "skip_stream",
+    "previous_stream",
+    "product_stream",
+    "takewhile_stream",
+    "dropwhile_stream",
+    "takeuntil_stream",
 ]
 
 
@@ -352,6 +362,7 @@ def main():
         "unigram_store",
         "ngram_lm_store",
         "dedup_simhash_incremental",
+        "dedup_minhash_incremental",
         "ivf_index",
     ):
         if name not in qs:
@@ -372,6 +383,14 @@ def main():
             store_build["replay_dir"] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # noqa: BLE001
             errors["replay_dir"] = f"{type(ex).__name__}: {ex}"[:300]
+    # r11: the 4-file multibatch replay directory, same discipline
+    if hasattr(entrymod, "_replay_stream_multi"):
+        t0 = time.perf_counter()
+        try:
+            entrymod._replay_stream_multi(spark, sf_dir)
+            store_build["replay_multi_dir"] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            errors["replay_multi_dir"] = f"{type(ex).__name__}: {ex}"[:300]
     for _ in range(iters):
         times: dict[str, float] = {}
         for name in HEADLINE:

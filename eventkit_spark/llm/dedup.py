@@ -397,6 +397,7 @@ def minhash_dedup_incremental(
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    commit: bool = True,
 ) -> DataFrame:
     """Batch-incremental NEAR-dup dedup against a persisted LSH store
     (init with ``minhash_store_init``). Returns one row per batch doc:
@@ -422,6 +423,19 @@ def minhash_dedup_incremental(
     result cannot double-filter against its own commit (the
     ``exact_dedup_incremental`` pattern).
 
+    ``commit=False`` is the DRY-RUN probe (r11, the
+    ``simhash_dedup_incremental`` shape — r10 VERDICT item 3): same
+    statuses, store untouched — the "what would tonight's dedup drop"
+    preview, and the form repeated benchmarks run against one shared
+    seed store without mutating it. The dry run skips both parquet
+    writes and returns the status frame lazily; the batch band-bucket
+    pass is ``localCheckpoint(eager=False)``-ed so the hits /
+    bucket-competition / status branches all read ONE banding pass.
+    The checkpoint RDD is released by the ContextCleaner when the
+    returned frame is GC'd (drop probe-frame references promptly);
+    after it materializes, an executor loss fails the in-flight job —
+    acceptable for a bounded read-only probe, re-invoke it.
+
     Scale shape: one shingle+minhash pass over the batch (persisted and
     reused across the probe/competition/commit consumers, then
     unpersisted), store probe is a bucket equi-join (hashes only; AQE
@@ -435,7 +449,8 @@ def minhash_dedup_incremental(
     m = spark.read.parquet(f"{store_path}/meta").first()
     banded = _band_buckets(
         new_docs, m.num_hashes, m.bands, m.k, text_col, id_col, m.portable
-    ).persist()
+    )
+    banded = banded.persist() if commit else banded.localCheckpoint(eager=False)
     store = spark.read.parquet(f"{store_path}/buckets").select("band", "bucket")
     hits = (
         banded.join(store, ["band", "bucket"], "left_semi").select("id").distinct()
@@ -460,6 +475,8 @@ def minhash_dedup_incremental(
             .alias("status"),
         )
     )
+    if not commit:
+        return res
     res.write.mode("overwrite").parquet(f"{store_path}/last_batch")
     accepted = spark.read.parquet(f"{store_path}/last_batch")
     kept = accepted.filter(F.col("status") == "kept").select(

@@ -349,9 +349,18 @@ def file_stream(
     value_cols: Sequence[str] = ("value",),
     ts_col: str = "ts",
     key_cols: Sequence[str] = (),
+    max_files_per_trigger: int | None = None,
 ) -> "StreamFrame":
-    """File-arrival source (the Aiterate analog: drain whatever appears)."""
-    sdf = spark.readStream.format(fmt).schema(schema).load(path)
+    """File-arrival source (the Aiterate analog: drain whatever appears).
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    files (FileStreamSource picks pending files oldest-modified-first),
+    so an availableNow drain of a K-file directory runs K micro-batches
+    — the replay shape that exercises cross-batch state carries."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    sdf = reader.load(path)
     return StreamFrame(sdf, value_cols=value_cols, ts_col=ts_col, key_cols=key_cols)
 
 
@@ -1065,22 +1074,31 @@ class StreamFrame:
                 )
             outs = []
             for pdf in _sorted_chunks(pdfs, ts_col):
-                for _, row in pdf.iterrows():
-                    buf.append(row[value_col])
-                    if flush_after is not None:
-                        # only the timer path needs the ns clock; a
-                        # numeric ts_col has no .value and must keep
-                        # working in the default mode (r9 review)
-                        last = row[ts_col].value
-                    if len(buf) == size:
-                        outs.append(
-                            {
-                                **{k: row[k] for k in keys},
-                                ts_col: row[ts_col],
-                                "value": buf,
-                            }
-                        )
-                        buf = []
+                if pdf.empty:
+                    continue
+                # vectorized (r11, r10 VERDICT item 5): with b carried
+                # values, the m = (b+n)//size complete chunks emit at
+                # chunk-relative rows (j+1)*size - 1 - b — pure index
+                # arithmetic instead of the per-row append/flush loop
+                pdf = pdf.reset_index(drop=True)
+                vals = buf + pdf[value_col].tolist()
+                n, b = len(pdf), len(buf)
+                m = (b + n) // size
+                if flush_after is not None:
+                    # only the timer path needs the ns clock; a
+                    # numeric ts_col has no .value and must keep
+                    # working in the default mode (r9 review)
+                    last = pdf[ts_col].iloc[-1].value
+                if m:
+                    emit_rows = (np.arange(1, m + 1) * size - 1) - b
+                    out = pdf.loc[emit_rows, keys + [ts_col]].reset_index(
+                        drop=True
+                    )
+                    out["value"] = [
+                        vals[j * size : (j + 1) * size] for j in range(m)
+                    ]
+                    outs.append(out)
+                buf = vals[m * size :]
             if flush_after is None:
                 # state schema unchanged from pre-flush_after releases:
                 # existing checkpoints keep recovering
@@ -1096,7 +1114,7 @@ class StreamFrame:
                         )
                     )
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = self.df.groupBy(*keys) if keys else self.df.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(
@@ -1634,21 +1652,50 @@ class StreamFrame:
         )
 
         def handler(key, pdfs, state: GroupState):
+            # vectorized (r11, r10 VERDICT item 5): each left row's
+            # "latest right at-or-before" is a cummax over right-row
+            # POSITIONS in the (ts, tag)-sorted chunk — right rows
+            # failing the out-of-order guard (older than the carried
+            # right ts) are masked before the scan, and positions with
+            # no in-batch right row patch in the cross-batch carry
             r_ts, r_v = state.get if state.exists else (None, None)
             outs = []
             for pdf in _sorted_chunks(pdfs, [ts_col, "__tag"]):
-                for _, row in pdf.iterrows():
-                    if int(row["__tag"]) == 0:
-                        if r_ts is None or row[ts_col] >= r_ts:
-                            r_ts, r_v = row[ts_col], row["__rv"]
-                    else:
-                        outs.append(
-                            {**{k: row[k] for k in keys}, ts_col: row[ts_col],
-                             "value": row["__lv"], "value_r": r_v, "ts_r": r_ts}
-                        )
+                if pdf.empty:
+                    continue
+                pdf = pdf.reset_index(drop=True)
+                isr = pdf["__tag"].to_numpy() == 0
+                ok = isr.copy()
+                if r_ts is not None:
+                    ok &= (pdf[ts_col] >= r_ts).to_numpy()
+                pos = np.where(ok, np.arange(len(pdf)), -1)
+                last_r = np.maximum.accumulate(pos)
+                li = np.flatnonzero(~isr)
+                if li.size:
+                    sel = last_r[li]
+                    sel_safe = np.where(sel >= 0, sel, 0)
+                    out = pdf.loc[li, keys + [ts_col]].reset_index(drop=True)
+                    out["value"] = pdf["__lv"].to_numpy()[li]
+                    rvv = pdf["__rv"].iloc[sel_safe].reset_index(drop=True)
+                    tsr = pdf[ts_col].iloc[sel_safe].reset_index(drop=True)
+                    carry = np.flatnonzero(sel < 0)
+                    if carry.size:
+                        # astype(object) keeps the loop form's value
+                        # classes (Timestamp/None) so Arrow round-trips
+                        rvv = rvv.astype(object)
+                        tsr = tsr.astype(object)
+                        rvv.iloc[carry] = r_v
+                        tsr.iloc[carry] = r_ts
+                    out["value_r"] = rvv
+                    out["ts_r"] = tsr
+                    outs.append(out)
+                ridx = np.flatnonzero(ok)
+                if ridx.size:
+                    r_ts = pdf[ts_col].iloc[ridx[-1]]
+                    r_v = pdf["__rv"].iloc[ridx[-1]]
             state.update((r_ts, r_v))
             if outs:
-                yield pd.DataFrame(outs)
+                yield pd.concat(outs, ignore_index=True)
 
         grouped = tagged.groupBy(*keys) if keys else tagged.groupBy(F.lit(0).alias("__g"))
         return grouped.applyInPandasWithState(

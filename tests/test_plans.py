@@ -833,46 +833,43 @@ def test_bench_covers_registry():
 
 
 def test_registry_front50_rotation():
-    """Pin the round-10 front-50 composition the registry comment claims
+    """Pin the round-11 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
     flagged a comment that drifted from the counted positions): the
-    eleven round-10 additions lead (ten streaming replays + the coreset
-    sampler), the three contracts whose code changed this round follow,
-    then ALL 35 r4-era rows in registry order, then the oldest r5 row — after which no verdict on the
-    board is older than r5. Every registered query must also carry an
-    oracle_sql twin."""
+    eight round-11 additions lead (the multibatch carry contract first,
+    then seven availableNow kernel contracts), the two contracts whose
+    code changed this round follow, then ALL 40 r5-era rows in registry
+    order — after which no verdict on the board is older than r6. Every
+    registered query must also carry an oracle_sql twin."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r10 = [
-        "token_quota_stream", "running_agg_stream", "changes_stream",
-        "take_stream", "pairwise_stream", "debounce_stream",
-        "sample_stream", "zip_stream", "ziplatest_stream",
-        "last_stream", "coreset_sample",
+    new_r11 = [
+        "running_agg_stream_multibatch", "enumerate_stream",
+        "skip_stream", "previous_stream", "product_stream",
+        "takewhile_stream", "dropwhile_stream", "takeuntil_stream",
     ]
-    assert names[:11] == new_r10
-    code_changed_r10 = [
-        "token_quota", "dedup_simhash_incremental", "mm_audio_features",
-    ]
-    assert names[11:14] == code_changed_r10
-    # the full r4 block, registry order; pin the boundaries and the set
+    assert names[:8] == new_r11
+    code_changed_r11 = ["running_agg_stream", "mm_audio_features"]
+    assert names[8:10] == code_changed_r11
+    # the full r5 block, registry order; pin the boundaries and the set
     # so the block can't silently shrink or reorder
-    assert names[14:16] == ["fuzzy_dedup", "quality_classifier"]
-    r4_block = {
-        "fuzzy_dedup", "quality_classifier", "semantic_dedup",
-        "array_anyall", "partial", "set_ops", "interval_join",
-        "sessionize", "funnel", "attribution", "multi_touch",
-        "zorder_key", "skew_report", "embed_rp_lsh_recall", "chunk",
-        "list", "deque", "ema", "gopher_rules", "bm25",
-        "asof_join_forward", "asof_join_nearest", "overlap_join",
-        "topk_per_group", "retention", "histogram", "resample",
-        "rollup_cascade", "rolling_time", "url_canonicalize",
-        "host_stats", "bigram_logprob", "collocations", "dsir",
-        "char_entropy",
+    assert names[10:13] == ["pq_encode", "ivfpq", "embed_ivf"]
+    r5_block = {
+        "pq_encode", "ivfpq", "embed_ivf", "throttle", "embed_rp_lsh",
+        "dedup_minhash", "sq_encode", "sq_topk", "bpe_train",
+        "bpe_fertility", "hard_negatives", "dedup_safe_split",
+        "cms_counts", "embed_moments", "cluster_topics", "rollup_ts",
+        "hybrid_rrf", "variant_pluck", "running_sum_scaled",
+        "dedup_incremental", "dedup_minhash_incremental",
+        "decontaminate_store", "pagerank", "central_dedup", "triangles",
+        "bootstrap_ci", "ab_lift", "cuped", "holt", "kalman", "cusum",
+        "anomaly", "pq_topk", "containment", "novelty", "rfm",
+        "percentiles", "winsorize", "quantile_bins", "bm25_search",
     }
-    assert set(names[14:49]) == r4_block
-    assert names[49] == "kmeans"  # the one r5 row that fits
-    assert len(set(names)) == len(names) >= 276
+    assert set(names[10:50]) == r5_block
+    assert names[49] == "bm25_search"
+    assert len(set(names)) == len(names) >= 284
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]
     assert not missing, f"queries without oracles: {missing}"
@@ -937,3 +934,50 @@ def test_streaming_kernels_single_exchange(spark, tmp_path):
     for name, mk in two_input.items():
         n = n_exchanges(mk())
         assert n == 1, f"{name}: {n} exchanges (want 1)"
+
+
+def test_minhash_dryrun_probe_single_banding_pass(spark):
+    """r11 (r10 VERDICT item 3): minhash_dedup_incremental's
+    commit=False probe adopts the simhash dry-run shape — the batch
+    band/bucket pass is computed ONCE (lazy localCheckpoint) and shared
+    by the hits / bucket-competition / status branches, so the probe
+    plan reads the batch parquet only for the id column and never for
+    text."""
+    import re
+    import tempfile
+
+    from eventkit_spark.llm.dedup import (
+        minhash_dedup_incremental,
+        minhash_store_init,
+    )
+    from eventkit_spark.plans.audit import physical_plan
+    from eventkit_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    path = tempfile.mkdtemp(prefix="ek_mhpin_")
+    minhash_store_init(
+        docs.filter(F.col("doc_id") % 3 != 0), path,
+        num_hashes=32, bands=8, k=3, portable=True,
+    )
+    res = minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 3 == 0), path, commit=False
+    )
+    plan = physical_plan(res)
+    scans = re.findall(r"FileScan[^\n]*", plan)
+    text_scans = [sc for sc in scans if "text" in sc]
+    assert not text_scans, f"probe plan scans batch text: {text_scans}"
+    doc_scans = [sc for sc in scans if "doc_id" in sc and "bucket" not in sc]
+    assert len(doc_scans) <= 1  # the id-only status join scan
+    # the one banding pass is the checkpointed RDD, read per branch
+    assert plan.count("ExistingRDD") >= 2
+    # and it still answers correctly, identically to the commit form
+    dry = {(r["doc_id"], r["status"]) for r in res.collect()}
+    path2 = tempfile.mkdtemp(prefix="ek_mhpin2_")
+    minhash_store_init(
+        docs.filter(F.col("doc_id") % 3 != 0), path2,
+        num_hashes=32, bands=8, k=3, portable=True,
+    )
+    wet = minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 3 == 0), path2, commit=True
+    )
+    assert dry == {(r["doc_id"], r["status"]) for r in wet.collect()} and dry
