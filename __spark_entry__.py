@@ -4155,14 +4155,21 @@ def q_previous_stream(spark, sf):
 def q_product_stream(spark, sf):
     """r11: streaming running Product (seeded-cumprod kernel — ONE
     double of state, no log/sign/zero decomposition needed in
-    unbounded mode) replayed availableNow over 1 + value/1e6 (keeps
+    unbounded mode) replayed availableNow over 1 + value/1e4 (keeps
     the product in float-safe range at any stream length; raw event
-    values would overflow in ~160 rows). Oracle is DuckDB's windowed
-    product(); both sequential ascending multiplies, rounded 6dp.
+    values would overflow in ~160 rows). The 1e4 scale is deliberate:
+    the fixture's 2-decimal values then yield factors whose shortest
+    decimal repr terminates at the 6th decimal, so the contract's
+    round(x, 6) never lands on a half-way boundary — Spark rounds the
+    SHORTEST repr (BigDecimal.valueOf) while DuckDB rounds the true
+    binary expansion, and a 1e6 scale put first-prefix products
+    exactly on 7th-decimal ...5 boundaries (3 flips in 100k rows at
+    sf0.1). Oracle folds the same prefixes sequentially via
+    list_reduce, so the doubles are bit-identical before rounding.
     Reference: eventkit aggregate.py:60-64."""
     _TQS_RUNS[0] += 1
     sfr = _replay_stream(spark, sf)
-    scaled = sfr.map(lambda v: F.lit(1.0) + v / F.lit(1e6))
+    scaled = sfr.map(lambda v: F.lit(1.0) + v / F.lit(1e4))
     out = scaled.run_available_now(
         sink_df=scaled.product(), name=f"ek_prs_{_TQS_RUNS[0]}"
     )
@@ -8791,11 +8798,26 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE rn > 2""",
         "product_stream": """
-            SELECT user_id, epoch_us(ts) AS ts_us,
-                   round(product(1.0 + value / 1000000.0) OVER (
-                     PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
-            FROM events""",
+            -- sequential left-to-right prefix folds (list_reduce over
+            -- xs[1:j]), NOT the windowed product() aggregate: DuckDB's
+            -- window products fold via a segment tree, whose float
+            -- re-association differs from the kernel's cumprod by
+            -- ~1e-13. Same multiply order = bit-identical doubles at
+            -- any scale (the 1e4 factor scale dodges the engines'
+            -- round-half disagreement — see the contract docstring).
+            WITH g AS (
+              SELECT user_id,
+                     list(ts ORDER BY ts) AS tss,
+                     list(1.0 + value / 10000.0 ORDER BY ts) AS xs
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, round(prod, 6) AS value
+            FROM (
+              SELECT user_id, unnest(tss) AS ts,
+                     unnest([list_reduce(xs[1:j], (a, b) -> a * b)
+                             for j in generate_series(1, len(xs))]) AS prod
+              FROM g
+            )""",
         "takewhile_stream": """
             WITH t AS (
               SELECT user_id, ts, value,
