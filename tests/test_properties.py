@@ -977,3 +977,199 @@ def test_token_quota_property(spark, rows, budget):
                 want.add(did)
     got = {r["doc_id"] for r in token_quota(df, budget, "doc_id").collect()}
     assert got == want
+
+
+# ---- r11: pure-Python hypothesis models for the vectorized stateful
+# kernel scans (no Spark session — these pin the numpy index/scan
+# algebra against brutally simple sequential loops, across arbitrary
+# chunk splits, so the cross-batch carry path is fuzzed rather than
+# sampled) ----
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
+        min_size=1, max_size=60,
+    ),
+    cuts=st.lists(st.integers(0, 59), max_size=4),
+    n=st.integers(1, 20),
+)
+@settings(deadline=None, max_examples=200)
+def test_running_scan_model(vals, cuts, n):
+    """_running_scan (streaming/stream.py) vs the sequential SQL-window
+    reference: NULL until the key's first value; NULL rows keep
+    sum/min/max and decay the ema by (1-w); a non-NULL literal first
+    row seeds the ema full-weight; rcount counts rows. The value list
+    is split at arbitrary points into 'micro-batches' and the carried
+    state threaded through — results must be split-invariant AND match
+    the reference."""
+    import math
+
+    import numpy as np
+
+    from eventkit_spark.streaming.stream import _running_scan
+
+    w = 2.0 / (n + 1)
+    # sequential reference (the closed-form SUM semantics, looped)
+    exp, seen = [], False
+    cnt = 0
+    s = 0.0
+    mn = mx = ema = None
+    for v in vals:
+        cnt += 1
+        if v is not None:
+            if not seen:
+                ema = v if cnt == 1 else w * v
+                mn = mx = v
+                seen = True
+            else:
+                ema = (1 - w) * ema + w * v
+                mn, mx = min(mn, v), max(mx, v)
+            s += v
+        elif seen:
+            ema = (1 - w) * ema
+        exp.append(
+            (cnt, s if seen else None, mn, mx, ema if seen else None)
+        )
+
+    bounds = sorted({c for c in cuts if 0 < c < len(vals)})
+    pieces, prev = [], 0
+    for c in bounds + [len(vals)]:
+        if c > prev:
+            pieces.append(vals[prev:c])
+            prev = c
+    state = (0, 0.0, None, None, None)
+    got = []
+    for piece in pieces:
+        x = np.array(
+            [np.nan if v is None else v for v in piece], dtype=np.float64
+        )
+        cols, state = _running_scan(x, w, *state)
+        for i in range(len(piece)):
+            got.append(
+                tuple(
+                    None if (val := cols[k][i]) is None else val
+                    for k in ("rcount", "rsum", "rmin", "rmax", "ema")
+                )
+            )
+
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g[0] == e[0]
+        for gi, ei in zip(g[1:], e[1:]):
+            if ei is None:
+                # a masked output must be a true None (SQL NULL), not
+                # a NaN smuggled through a float column
+                assert gi is None
+            else:
+                assert gi is not None and not math.isnan(gi)
+                assert abs(gi - ei) < 1e-9 * max(1.0, abs(ei))
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    size=st.integers(1, 9),
+    cuts=st.lists(st.integers(1, 59), max_size=4),
+)
+@settings(deadline=None, max_examples=200)
+def test_chunk_index_arithmetic_model(vals, size, cuts):
+    """The vectorized chunk flush rule — m = (carry+n)//size chunks,
+    emitted at chunk-relative rows (j+1)*size-1-carry — vs the obvious
+    append/flush loop, across arbitrary micro-batch splits. Emitted
+    chunk CONTENTS and the emitting row indices must both match."""
+    exp_chunks, exp_rows, buf = [], [], []
+    for i, v in enumerate(vals):
+        buf.append(v)
+        if len(buf) == size:
+            exp_chunks.append(list(buf))
+            exp_rows.append(i)
+            buf = []
+
+    bounds = sorted({c for c in cuts if 0 < c < len(vals)})
+    pieces, prev = [], 0
+    for c in bounds + [len(vals)]:
+        if c > prev:
+            pieces.append(vals[prev:c])
+            prev = c
+    got_chunks, got_rows, carry = [], [], []
+    base = 0
+    import numpy as np
+
+    for piece in pieces:
+        total = carry + list(piece)
+        b, n = len(carry), len(piece)
+        m = (b + n) // size
+        if m:
+            emit = (np.arange(1, m + 1) * size - 1) - b
+            got_rows.extend((base + e) for e in emit.tolist())
+            got_chunks.extend(
+                total[j * size : (j + 1) * size] for j in range(m)
+            )
+        carry = total[m * size:]
+        base += n
+    assert got_chunks == exp_chunks and got_rows == exp_rows
+    assert carry == buf
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(0, 40),   # ts
+            st.booleans(),        # is_right
+            st.integers(-99, 99), # payload
+        ),
+        min_size=1, max_size=60,
+    ),
+    cuts=st.lists(st.integers(1, 59), max_size=3),
+)
+@settings(deadline=None, max_examples=200)
+def test_asof_position_scan_model(evs, cuts):
+    """The vectorized asof_join scan — cummax over guarded right-row
+    positions, carry patched at -1 — vs the sequential guard loop,
+    across arbitrary micro-batch splits of the (ts, tag)-sorted
+    union. Ties at equal ts deliver right-before-left in both."""
+    import numpy as np
+
+    # (ts, tag) sort with right (tag 0) first at ties, stable on input
+    rows = sorted(
+        [(ts, 0 if isr else 1, p) for (ts, isr, p) in evs],
+        key=lambda r: (r[0], r[1]),
+    )
+    # sequential reference
+    exp = []
+    r_ts = r_v = None
+    for ts, tag, p in rows:
+        if tag == 0:
+            if r_ts is None or ts >= r_ts:
+                r_ts, r_v = ts, p
+        else:
+            exp.append((ts, p, r_v, r_ts))
+
+    bounds = sorted({c for c in cuts if 0 < c < len(rows)})
+    pieces, prev = [], 0
+    for c in bounds + [len(rows)]:
+        if c > prev:
+            pieces.append(rows[prev:c])
+            prev = c
+    got = []
+    r_ts = r_v = None
+    for piece in pieces:
+        ts = np.array([r[0] for r in piece])
+        tag = np.array([r[1] for r in piece])
+        pay = np.array([r[2] for r in piece])
+        isr = tag == 0
+        ok = isr.copy()
+        if r_ts is not None:
+            ok &= ts >= r_ts
+        pos = np.where(ok, np.arange(len(piece)), -1)
+        last_r = np.maximum.accumulate(pos)
+        for i in np.flatnonzero(~isr):
+            sel = last_r[i]
+            if sel >= 0:
+                got.append((int(ts[i]), int(pay[i]), int(pay[sel]), int(ts[sel])))
+            else:
+                got.append((int(ts[i]), int(pay[i]), r_v, r_ts))
+        ridx = np.flatnonzero(ok)
+        if ridx.size:
+            r_ts, r_v = int(ts[ridx[-1]]), int(pay[ridx[-1]])
+    assert got == exp
