@@ -3019,8 +3019,13 @@ def q_dedup_minhash_incremental(spark, sf):
     # r10, so the store is never mutated, re-runs stay deterministic,
     # and each call pays one banding pass + the probe legs instead of a
     # fresh store build (BENCH dedup_minhash_incremental 4.8 s -> the
-    # warm-probe shape). The commit leg stays driver-checked via
-    # dedup_incremental, which keeps accept-then-commit shape.
+    # warm-probe shape). The MINHASH commit leg (last_batch snapshot,
+    # kept-filter, bucket append) is no longer driver-checked — it is
+    # covered by tests/test_llm.py::test_minhash_incremental_store_lifecycle
+    # and by the dry==commit equality assert in
+    # tests/test_plans.py::test_minhash_dryrun_probe_single_banding_pass;
+    # the accept-then-commit DISCIPLINE stays driver-checked via the
+    # exact-hash dedup_incremental contract.
     from eventkit_spark.llm.dedup import (
         minhash_dedup_incremental, minhash_store_init,
     )
@@ -4049,9 +4054,12 @@ def _replay_stream_multi(spark, sf, value_cols=("value",)):
         src = load_table(spark, sf, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
+        # eager localCheckpoint: the ntile needs one single-partition
+        # global sort, and the per-file filters below would otherwise
+        # re-run it 4 times (one full scan+sort per quartile written)
         q = src.withColumn(
             "__q", F.ntile(4).over(_W.orderBy("ts", "event_id"))
-        )
+        ).localCheckpoint()
         _os.makedirs(p, exist_ok=True)
         t0 = _time.time()
         for i in range(1, 5):
@@ -4169,7 +4177,11 @@ def q_product_stream(spark, sf):
     Reference: eventkit aggregate.py:60-64."""
     _TQS_RUNS[0] += 1
     sfr = _replay_stream(spark, sf)
-    scaled = sfr.map(lambda v: F.lit(1.0) + v / F.lit(1e4))
+    # coalesce: a NULL value would reach the kernel as NaN and poison
+    # the cumprod forever, while DuckDB's list_reduce would propagate
+    # NULL — NaN != NULL in the hash compare, so the contract maps
+    # missing to the multiplicative identity on BOTH sides
+    scaled = sfr.map(lambda v: F.lit(1.0) + F.coalesce(v, F.lit(0.0)) / F.lit(1e4))
     out = scaled.run_available_now(
         sink_df=scaled.product(), name=f"ek_prs_{_TQS_RUNS[0]}"
     )
@@ -8677,7 +8689,15 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nval
                 FROM segd
               ), hand AS (
-                SELECT *, lag(CASE WHEN j = 2490 THEN loc END)
+                -- coalesce(loc, 0): an ALL-NULL segment's own sum is
+                -- NULL, and a bare mark would make IGNORE NULLS skip
+                -- to an OLDER boundary with only q^(j+1) decay — an
+                -- O(value) error. Zero is the correct hand-off: the
+                -- prior boundary's true contribution through a full
+                -- segment is B*q^2491 ~ B*e^-500, unrepresentable at
+                -- 6dp (the same truncation the non-NULL hand-off
+                -- already relies on).
+                SELECT *, lag(CASE WHEN j = 2490 THEN coalesce(loc, 0) END)
                          OVER (PARTITION BY user_id ORDER BY i) AS pm
                 FROM loc
               ), fill AS (
@@ -8808,7 +8828,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id,
                      list(ts ORDER BY ts) AS tss,
-                     list(1.0 + value / 10000.0 ORDER BY ts) AS xs
+                     list(1.0 + coalesce(value, 0.0) / 10000.0
+                          ORDER BY ts) AS xs
               FROM events GROUP BY user_id
             )
             SELECT user_id, epoch_us(ts) AS ts_us, round(prod, 6) AS value
@@ -8819,23 +8840,31 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )""",
         "takewhile_stream": """
+            -- cut condition includes NULL values: the kernel's
+            -- predicate tag is when(pred, 1).otherwise(0), so a NULL
+            -- 'value < 300' tags 0 and FLIPS the key — the oracle's
+            -- cut must treat a NULL value as a failing row too, or a
+            -- NULL-bearing fixture would flip the two engines apart
             WITH t AS (
               SELECT user_id, ts, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
               FROM events
             ), c AS (
-              SELECT user_id, min(rn) AS cut FROM t WHERE value >= 300 GROUP BY user_id
+              SELECT user_id, min(rn) AS cut FROM t
+              WHERE value >= 300 OR value IS NULL GROUP BY user_id
             )
             SELECT t.user_id, epoch_us(t.ts) AS ts_us, t.value
             FROM t LEFT JOIN c USING (user_id)
             WHERE c.cut IS NULL OR t.rn < c.cut""",
         "dropwhile_stream": """
+            -- NULL values fail the predicate tag, same as takewhile
             WITH t AS (
               SELECT user_id, ts, value,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts) rn
               FROM events
             ), c AS (
-              SELECT user_id, min(rn) AS cut FROM t WHERE value >= 300 GROUP BY user_id
+              SELECT user_id, min(rn) AS cut FROM t
+              WHERE value >= 300 OR value IS NULL GROUP BY user_id
             )
             SELECT t.user_id, epoch_us(t.ts) AS ts_us, t.value
             FROM t JOIN c USING (user_id)

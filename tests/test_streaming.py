@@ -1894,3 +1894,41 @@ def test_multibatch_replay_runs_multiple_batches(spark):
         sink_df=single.running_agg(ema_n=10), name="ek_mb_single"
     )
     assert multi == sorted(tuple(r) for r in out.collect()) and multi
+
+
+def test_prefix_flag_null_value_flips(spark, tmp_path):
+    """r11 (round self-review finding #2): _prefix_flag tags the
+    predicate with when(pred, 1).otherwise(0), so a NULL value fails
+    the predicate and FLIPS the key — takewhile stops at (and drops)
+    the NULL row, dropwhile starts at (and emits) it. The stream
+    oracles' cut conditions include `OR value IS NULL` to match."""
+    from eventkit_spark.streaming import file_stream
+
+    d = str(tmp_path / "nullflip")
+    spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, None), (3, 1, 200.0),
+         (1, 2, 400.0), (2, 2, 50.0)],
+        "seq long, user_id long, value double",
+    ).coalesce(1).write.parquet(d)
+
+    def frame():
+        return file_stream(
+            spark, d, schema="seq long, user_id long, value double",
+            value_cols=["value"], ts_col="seq", key_cols=["user_id"],
+        )
+
+    tw = frame()
+    out = tw.run_available_now(
+        sink_df=tw.takewhile("value < 300"), name="ek_nf_tw"
+    )
+    assert sorted((r["user_id"], r["value"]) for r in out.collect()) == [
+        (1, 100.0)  # u1 flips at the NULL row; u2 flips at row 1
+    ]
+    dw = frame()
+    out2 = dw.run_available_now(
+        sink_df=dw.dropwhile("value < 300"), name="ek_nf_dw"
+    )
+    assert sorted(
+        (r["user_id"], r["value"] if r["value"] is not None else -1.0)
+        for r in out2.collect()
+    ) == [(1, -1.0), (1, 200.0), (2, 50.0), (2, 400.0)]
