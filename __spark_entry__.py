@@ -5908,15 +5908,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    round(product(round(value, 0)) OVER ({_WIN} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 0) AS tprod
             FROM events""",
+        # r11: same overflow-safe segmented closed form as the
+        # running_agg_stream oracle (and as the batch operator's own
+        # _ema_staged algebra): the plain pow(q,-i) form overflows
+        # double past ~3.5k rows/key. coalesce(loc, 0) on the segment
+        # hand-off carries correctly through an all-NULL segment
+        # (decays to ~e^-500 ~ zero at 6dp); nval masks the NULL
+        # prefix.
         "ema": f"""
             WITH t AS (
-              SELECT event_id, user_id, value, row_number() OVER ({_WIN}) - 1 AS i FROM events
+              SELECT event_id, user_id, value,
+                     row_number() OVER ({_WIN}) - 1 AS i FROM events
+            ), segd AS (
+              SELECT *, i % 2491 AS j, i // 2491 AS s_no FROM t
+            ), loc AS (
+              SELECT *,
+                     pow(9.0/11.0, j) * sum(CASE WHEN i = 0 THEN value
+                          ELSE (2.0/11.0) * value * pow(9.0/11.0, -j) END)
+                       OVER (PARTITION BY user_id, s_no ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS loc,
+                     count(value) OVER (PARTITION BY user_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nval
+              FROM segd
+            ), hand AS (
+              SELECT *, lag(CASE WHEN j = 2490 THEN coalesce(loc, 0) END)
+                       OVER (PARTITION BY user_id ORDER BY i) AS pm
+              FROM loc
+            ), fill AS (
+              SELECT *, last_value(pm IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bnd
+              FROM hand
             )
             SELECT event_id, user_id,
-                   round(pow(9.0/11.0, i) * sum(CASE WHEN i = 0 THEN value
-                        ELSE (2.0/11.0) * value * pow(9.0/11.0, -i) END)
-                        OVER ({_WIN.replace('event_id', 'i')} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema
-            FROM t""",
+                   round(CASE WHEN nval = 0 THEN NULL
+                        ELSE coalesce(loc, 0) + coalesce(bnd, 0) * pow(9.0/11.0, j + 1)
+                   END, 6) AS ema
+            FROM fill""",
         "deque": f"""
             SELECT event_id, user_id,
                    array_to_string(
