@@ -986,6 +986,18 @@ def test_token_quota_property(spark, rows, budget):
 # sampled) ----
 
 
+def _split_at(seq, cuts):
+    """Split a sequence into non-empty 'micro-batch' pieces at the
+    hypothesis-drawn cut points (out-of-range/duplicate cuts drop)."""
+    bounds = sorted({c for c in cuts if 0 < c < len(seq)})
+    pieces, prev = [], 0
+    for c in bounds + [len(seq)]:
+        if c > prev:
+            pieces.append(seq[prev:c])
+            prev = c
+    return pieces
+
+
 @given(
     vals=st.lists(
         st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
@@ -1032,12 +1044,7 @@ def test_running_scan_model(vals, cuts, n):
             (cnt, s if seen else None, mn, mx, ema if seen else None)
         )
 
-    bounds = sorted({c for c in cuts if 0 < c < len(vals)})
-    pieces, prev = [], 0
-    for c in bounds + [len(vals)]:
-        if c > prev:
-            pieces.append(vals[prev:c])
-            prev = c
+    pieces = _split_at(vals, cuts)
     state = (0, 0.0, None, None, None)
     got = []
     for piece in pieces:
@@ -1085,12 +1092,7 @@ def test_chunk_index_arithmetic_model(vals, size, cuts):
             exp_rows.append(i)
             buf = []
 
-    bounds = sorted({c for c in cuts if 0 < c < len(vals)})
-    pieces, prev = [], 0
-    for c in bounds + [len(vals)]:
-        if c > prev:
-            pieces.append(vals[prev:c])
-            prev = c
+    pieces = _split_at(vals, cuts)
     got_chunks, got_rows, carry = [], [], []
     base = 0
     import numpy as np
@@ -1145,12 +1147,7 @@ def test_asof_position_scan_model(evs, cuts):
         else:
             exp.append((ts, p, r_v, r_ts))
 
-    bounds = sorted({c for c in cuts if 0 < c < len(rows)})
-    pieces, prev = [], 0
-    for c in bounds + [len(rows)]:
-        if c > prev:
-            pieces.append(rows[prev:c])
-            prev = c
+    pieces = _split_at(rows, cuts)
     got = []
     r_ts = r_v = None
     for piece in pieces:
