@@ -10,10 +10,13 @@ This example shows the replay pattern on its own, outside the
 contract harness: write a bounded frame as ONE parquet file, stream
 it back (one file -> one micro-batch -> deterministic event-time
 order per key), run a stateful kernel, and check the result against
-the equivalent batch computation. Swap maxFilesPerTrigger=1 over a
-multi-file directory to exercise cross-micro-batch state carries
-(tests/test_streaming.py::test_streaming_cross_batch_state_parity
-does exactly that for 17 kernels).
+the equivalent batch computation. The final section swaps in a
+ts-range-partitioned multi-file directory with maxFilesPerTrigger=1
+— K files -> K micro-batches — and shows the cross-batch state
+carries land on exactly the same rows (the r11 driver contract
+running_agg_stream_multibatch is this shape; the pytest matrix
+tests/test_streaming.py::test_streaming_cross_batch_state_parity
+pins it for 19 kernels).
 
 Run:  python examples/stream_replay_gate.py [sf_dir]
 """
@@ -96,7 +99,66 @@ def run(spark, sf_dir: str) -> dict:
     q.awaitTermination()
     n_users = spark.sql("SELECT count(*) c FROM ex_last").first()["c"]
     print(f"last: {n_users} users with a latest-value row (complete mode)")
-    return {"budget_kept": ns, "budget_kept_batch": nb, "n_users": n_users}
+
+    # 4. cross-micro-batch carries (r11): split the same table into 4
+    # ts-range files, drain them one per trigger, and the running
+    # aggregates — whose count/sum/min/max/ema state hands off across
+    # 3 micro-batch boundaries per key — equal the single-batch drain
+    # row-for-row. Range-splitting on (ts, event_id) preserves each
+    # key's arrival order, which is what makes the comparison exact.
+    import shutil
+    import time as _time
+
+    multi = tempfile.mkdtemp(prefix="ek_replay_multi_")
+    ranked = ev.withColumn(
+        "__q", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    ).localCheckpoint()
+    t0 = _time.time()
+    for i in range(1, 5):
+        stage = f"{multi}__stage_{i}"
+        ranked.filter(F.col("__q") == i).drop("__q").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(multi, f"f{i}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))  # oldest-first pickup order
+        shutil.rmtree(stage, ignore_errors=True)
+    sfm = file_stream(
+        spark,
+        multi,
+        schema=(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ),
+        value_cols=["value"],
+        ts_col="ts",
+        key_cols=["user_id"],
+        max_files_per_trigger=1,
+    )
+    qm = (
+        sfm.running_agg(ema_n=10)
+        .writeStream.format("memory")
+        .queryName("ex_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qm.awaitTermination()
+    n_batches = len([p for p in qm.recentProgress if p["numInputRows"] > 0])
+    multi_rows = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ex_multi").collect()
+    )
+    single_rows = sorted(tuple(r) for r in ra.collect())
+    assert n_batches >= 4 and multi_rows == single_rows, n_batches
+    print(f"multibatch: {n_batches} micro-batches, state carries exact "
+          f"({len(multi_rows)} rows == single-batch drain)")
+    return {
+        "budget_kept": ns,
+        "budget_kept_batch": nb,
+        "n_users": n_users,
+        "n_batches": n_batches,
+    }
 
 
 def main() -> None:
