@@ -1932,3 +1932,37 @@ def test_prefix_flag_null_value_flips(spark, tmp_path):
         (r["user_id"], r["value"] if r["value"] is not None else -1.0)
         for r in out2.collect()
     ) == [(1, -1.0), (1, 200.0), (2, 50.0), (2, 400.0)]
+
+
+def test_passthrough_kernels_preserve_null_values(spark, tmp_path):
+    """Ambient assumption pinned (r11): every pass-through kernel
+    (take/skip, enumerate, previous, ...) carries the value column
+    through pandas as float64, where SQL NULL becomes NaN — and
+    pyspark's Arrow serializer converts float NaN back to SQL NULL on
+    the way out (pa.Array.from_pandas semantics). The whole streaming
+    lane's NULL transparency rests on that round-trip; if a Spark
+    upgrade ever changed it, NULLs would silently become NaNs and
+    every oracle comparison on a NULL-bearing stream would flip."""
+    from eventkit_spark.streaming import file_stream
+
+    d = str(tmp_path / "nullpass")
+    spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, None), (3, 1, 30.0)],
+        "seq long, user_id long, value double",
+    ).coalesce(1).write.parquet(d)
+
+    def frame():
+        return file_stream(
+            spark, d, schema="seq long, user_id long, value double",
+            value_cols=["value"], ts_col="seq", key_cols=["user_id"],
+        )
+
+    tk = frame()
+    out = tk.run_available_now(sink_df=tk.take(3), name="ek_np_take")
+    vals = {r["seq"]: r["value"] for r in out.collect()}
+    assert vals[2] is None and vals[1] == 10.0 and vals[3] == 30.0
+    # previous(1): row 3 must emit row 2's value as a true NULL
+    pv = frame()
+    out2 = pv.run_available_now(sink_df=pv.previous(1), name="ek_np_prev")
+    prev = {r["seq"]: r["value"] for r in out2.collect()}
+    assert prev[3] is None and prev[2] == 10.0
