@@ -4244,6 +4244,76 @@ def q_takeuntil_stream(spark, sf):
     )
 
 
+def q_count_stream(spark, sf):
+    """r11: streaming Count (the counter kernel with keep_value=False,
+    streaming/stream.py _counter_rows) replayed availableNow — the
+    payload replaced by the running per-key count, completing the
+    counter pair with enumerate_stream; oracle is row_number()-1.
+    Reference: eventkit aggregate.py:10-15."""
+    _TQS_RUNS[0] += 1
+    sfr = _replay_stream(spark, sf)
+    out = sfr.run_available_now(
+        sink_df=sfr.count(), name=f"ek_cts_{_TQS_RUNS[0]}"
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+
+
+def q_cms_stream(spark, sf):
+    """r11: streaming Count-Min sketch as a NATIVE complete-mode
+    streaming aggregation (streaming/stream.py count_min — cells are
+    pure sums, so state AND output stay d*w rows no matter how long
+    the stream runs): the lane's second built-in-stateful-agg contract
+    after last_stream, and the first whose state is a SKETCH rather
+    than per-key scalars. Cell values replay bit-identically in SQL
+    (the same md5-fold + (A*h+B) mod P family as the batch cms_counts
+    oracle, here over event_type)."""
+    _TQS_RUNS[0] += 1
+    sfr = _replay_stream(spark, sf)
+    name = f"ek_cmss_{_TQS_RUNS[0]}"
+    q = (
+        sfr.count_min("event_type", d=4, w=16)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.col("row").cast("int").alias("row_"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").alias("cnt"),
+    )
+
+
+def q_hll_stream(spark, sf):
+    """r11: streaming HyperLogLog registers as a NATIVE complete-mode
+    streaming aggregation (streaming/stream.py hll — registers are a
+    max per bucket, order- and micro-batch-independent, so state and
+    output are bounded by 2**p rows forever): the streaming
+    distinct-counter. Register values replay exactly in SQL (the same
+    60-bit md5 fold as the batch hll_card oracle, p=9 over
+    event_id)."""
+    _TQS_RUNS[0] += 1
+    sfr = _replay_stream(spark, sf)
+    name = f"ek_hlls_{_TQS_RUNS[0]}"
+    q = (
+        sfr.hll("event_id", p=9)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("reg").cast("int").alias("reg"),
+    )
+
+
 def q_asof_join(spark, sf):
     from eventkit_spark.operators.relational import asof_join
 
@@ -4521,6 +4591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_stream": q_zip_stream,
         "ziplatest_stream": q_ziplatest_stream,
         "last_stream": q_last_stream,
+        "count_stream": q_count_stream,
+        "cms_stream": q_cms_stream,
+        "hll_stream": q_hll_stream,
         "coreset_sample": q_coreset_sample,
         "token_quota": q_token_quota,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
@@ -9484,6 +9557,48 @@ def oracle_sql() -> dict[str, str]:
     # both), so the multibatch contract shares the batch SQL oracle —
     # the whole point is that only the state-carry path differs
     sqls["running_agg_stream_multibatch"] = sqls["running_agg_stream"]
+    # streaming Count: the arange counter kernel == row_number()-1
+    sqls["count_stream"] = """
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                    - 1)::BIGINT AS value
+            FROM events"""
+    # streaming CMS cells / HLL registers: both are order- and
+    # micro-batch-independent aggregates (pure sums / max per bucket),
+    # so the sunk sketch tables replay bit-identically in SQL — the
+    # same md5-fold hash families as the batch cms_counts / hll_card
+    # oracles, here over event_type / event_id
+    from eventkit_spark.llm.sketch import CMS_A, CMS_B, CMS_P
+
+    _cmss_rows = "\n              UNION ALL ".join(
+        f"SELECT CAST({j} AS INT) AS row_,"
+        f" (({CMS_A[j]} * h + {CMS_B[j]}) % {CMS_P}) % 16 AS bucket"
+        " FROM folded"
+        for j in range(4)
+    )
+    sqls["cms_stream"] = f"""
+            WITH folded AS (
+              SELECT CAST(concat('0x', substr(md5(event_type), 1, 15)) AS BIGINT)
+                     % 2147483648 AS h
+              FROM events WHERE event_type IS NOT NULL
+            ), hashed AS (
+              {_cmss_rows}
+            )
+            SELECT row_, bucket, count(*)::BIGINT AS cnt
+            FROM hashed GROUP BY 1, 2"""
+    sqls["hll_stream"] = """
+            WITH folded AS (
+              SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM events WHERE event_id IS NOT NULL
+            ), parts AS (
+              SELECT (h >> 51)::INT AS bucket, h & 2251799813685247 AS w
+              FROM folded
+            )
+            SELECT bucket,
+                   max(CASE WHEN w = 0 THEN 52
+                       ELSE 52 - length(bin(w)) END)::INT AS reg
+            FROM parts GROUP BY bucket"""
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
     # persisted-store probe exact-verifies against the stored hash set,
     # so it is value-identical to the join form on the same split

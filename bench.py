@@ -333,6 +333,11 @@ HEADLINE = [
     "takewhile_stream",
     "dropwhile_stream",
     "takeuntil_stream",
+    # r11 late: the counter twin + the two native complete-mode sketch
+    # aggregations (bounded-state streaming counters)
+    "count_stream",
+    "cms_stream",
+    "hll_stream",
 ]
 
 
