@@ -641,6 +641,71 @@ def test_streaming_hll_parity(spark, stream_dir):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_sketch_multibatch_invariance(spark, stream_dir, tmp_path):
+    """r11: the native complete-mode sketch aggregations behind the
+    cms_stream / hll_stream contracts must be micro-batch-COUNT
+    invariant — cells merge by pure sum, registers by max, so a 4-file
+    maxFilesPerTrigger=1 replay must sink the exact cell/register
+    table the single-batch replay does. (The single-batch == batch
+    parity is pinned separately above; this pins the incremental
+    complete-mode state merge path the contracts never exercise.)"""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from eventkit_spark.streaming.stream import StreamFrame
+
+    src = spark.read.parquet(stream_dir)
+    qt = src.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    multi_dir = str(tmp_path / "multi")
+    os.makedirs(multi_dir)
+    t0 = _time.time()
+    for i in range(1, 5):
+        stage = str(tmp_path / f"stage_{i}")
+        qt.filter(F.col("__q") == i).drop("__q").coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(multi_dir, f"f{i}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def frame(multi):
+        reader = spark.readStream.format("parquet").schema(schema)
+        if multi:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        return StreamFrame(
+            reader.load(multi_dir), value_cols=["value"],
+            ts_col="ts", key_cols=["user_id"],
+        )
+
+    def run_complete(df, name):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        return spark.sql(f"SELECT * FROM {name}"), n_batches
+
+    for label, mk in {
+        "cms": lambda sf: sf.count_min("event_type", d=3, w=8),
+        "hll": lambda sf: sf.hll("event_id", p=7),
+    }.items():
+        res = {}
+        for multi in (True, False):
+            out, n_batches = run_complete(
+                mk(frame(multi)), f"ek_skx_{label}_{multi}"
+            )
+            if multi:
+                assert n_batches >= 4, (label, n_batches)
+            res[multi] = sorted(tuple(r) for r in out.collect())
+        assert res[True] == res[False] and res[True], label
+
+
 def test_streaming_heavy_hitters_guarantee(spark, stream_dir):
     """Streaming MG summary per user: the latest snapshot's candidate
     set must contain every event_type with true count > n/k, keep at
