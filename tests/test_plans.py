@@ -935,6 +935,28 @@ def test_streaming_kernels_single_exchange(spark, tmp_path):
         n = n_exchanges(mk())
         assert n == 1, f"{name}: {n} exchanges (want 1)"
 
+    # r11: the native complete-mode sketch aggregations (cms_stream /
+    # hll_stream) must plan a PARTIAL HashAggregate below their single
+    # exchange — map-side combine collapses every input partition to
+    # <= d*w / 2^p rows before any shuffle, which is what makes the
+    # sketch lane O(sketch) not O(data) on the wire at 100 TB
+    def plan_text(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    for name, df in {
+        "count_min": frame().count_min("event_type", d=4, w=16),
+        "hll": frame().hll("event_id", p=9),
+    }.items():
+        plan = plan_text(df)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+        assert "HashAggregate" in below_exchange, (
+            f"{name}: no map-side partial aggregate below the exchange"
+        )
+
 
 def test_minhash_dryrun_probe_single_banding_pass(spark):
     """r11 (r10 VERDICT item 3): minhash_dedup_incremental's
