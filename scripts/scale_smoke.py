@@ -247,7 +247,7 @@ def main() -> None:
             sfr.df = sfr.df.filter(F.col("event_type") == etype)
         return sfr
 
-    def _stream_flag(name, sink_df, n_rows):
+    def _stream_flag(name, sink_df, n_rows, output_mode="append"):
         t0 = time.perf_counter()
         q = (
             sink_df.writeStream.format("noop")
@@ -255,6 +255,7 @@ def main() -> None:
                 "checkpointLocation",
                 f"{out_dir}/ckpt_{name}_{time.time_ns()}",
             )
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -271,6 +272,21 @@ def main() -> None:
     _stream_flag("stream_take_budget", s2.take_budget(1500.0), n_ev)
     za, zb = _sf_events("purchase"), _sf_events("click")
     _stream_flag("stream_zip", za.zip(zb), n_pc)
+    # r11 late: the native complete-mode sketch aggregations at
+    # production-ish sizes (d*w = 4k cells, 2^12 registers) — the
+    # partial aggregate collapses each partition to sketch size
+    # before the one exchange, so wall time should track the SCAN,
+    # not the state store
+    s3 = _sf_events()
+    _stream_flag(
+        "stream_cms", s3.count_min("event_type", d=4, w=1024), n_ev,
+        output_mode="complete",
+    )
+    s4 = _sf_events()
+    _stream_flag(
+        "stream_hll", s4.hll("event_id", p=12), n_ev,
+        output_mode="complete",
+    )
     print(
         json.dumps(
             {
