@@ -3933,17 +3933,12 @@ def q_last_stream(spark, sf):
     applyInPandasWithState kernel. Oracle: per-user argmax by ts."""
     _TQS_RUNS[0] += 1
     sfr = _replay_stream(spark, sf)
-    name = f"ek_lst_{_TQS_RUNS[0]}"
-    q = (
-        sfr.last()
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = sfr.run_available_now(
+        sink_df=sfr.last(),
+        name=f"ek_lst_{_TQS_RUNS[0]}",
+        output_mode="complete",
     )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}").select(
+    return out.select(
         "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
     )
 
@@ -4271,17 +4266,12 @@ def q_cms_stream(spark, sf):
     oracle, here over event_type)."""
     _TQS_RUNS[0] += 1
     sfr = _replay_stream(spark, sf)
-    name = f"ek_cmss_{_TQS_RUNS[0]}"
-    q = (
-        sfr.count_min("event_type", d=4, w=16)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = sfr.run_available_now(
+        sink_df=sfr.count_min("event_type", d=4, w=16),
+        name=f"ek_cmss_{_TQS_RUNS[0]}",
+        output_mode="complete",
     )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}").select(
+    return out.select(
         F.col("row").cast("int").alias("row_"),
         F.col("bucket").cast("long").alias("bucket"),
         F.col("cnt").alias("cnt"),
@@ -4298,17 +4288,12 @@ def q_hll_stream(spark, sf):
     event_id)."""
     _TQS_RUNS[0] += 1
     sfr = _replay_stream(spark, sf)
-    name = f"ek_hlls_{_TQS_RUNS[0]}"
-    q = (
-        sfr.hll("event_id", p=9)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = sfr.run_available_now(
+        sink_df=sfr.hll("event_id", p=9),
+        name=f"ek_hlls_{_TQS_RUNS[0]}",
+        output_mode="complete",
     )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}").select(
+    return out.select(
         F.col("bucket").cast("int").alias("bucket"),
         F.col("reg").cast("int").alias("reg"),
     )

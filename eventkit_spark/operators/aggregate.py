@@ -202,6 +202,18 @@ def _ema_staged(ef, w_: float, q: float):
     satisfied by the key exchange — Catalyst plans ONE shuffle, extra
     local sorts only; asserted in tests/test_plans.py). For streams short
     of L rows this reduces exactly to the old single-window closed form.
+
+    Missing values follow the pinned SQL-window algebra (the streaming
+    ``_running_scan`` twin and the DuckDB oracle share it): the ema is
+    NULL until the key's first non-NULL value, a NULL row decays the
+    running ema by q (its SUM term simply drops), and only a non-NULL
+    LITERAL first row seeds full-weight. Concretely that needs two
+    coalesces the value-dense path never exercises: a segment whose
+    prefix is all-NULL has a NULL in-segment sum (LOC) that must read
+    as 0 so the decayed carry still shows through, and an all-NULL
+    segment's boundary hand-off must mark 0 (its true carry decays by
+    q^L = e^-500 — numerically zero) rather than stay NULL and let the
+    forward-fill reach a STALE older boundary at only q^(j+1) decay.
     """
     v = value_col(ef)
     I, SEG, J, LOC, PM = "__ek_i", "__ek_seg", "__ek_j", "__ek_loc", "__ek_pm"
@@ -227,7 +239,13 @@ def _ema_staged(ef, w_: float, q: float):
     term = coeff * v * F.pow(F.lit(q), -F.col(J))
     df = df.withColumn(LOC, F.pow(F.lit(q), F.col(J)) * F.sum(term).over(wseg))
     if L is None:
-        return df, F.col(LOC)
+        # q=1 (w=0): NULL-prefix mask only — no boundaries to hand off
+        nval = F.count(v).over(
+            W.partitionBy(*keyparts)
+            .orderBy(F.col(ef.seq_col))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return df, F.when(nval > 0, F.coalesce(F.col(LOC), F.lit(0.0)))
     # boundary hand-off: mark each segment's last row, shift by one row so
     # a segment only ever sees the PREVIOUS segment's boundary, then
     # forward-fill with a running last_value (growing frame, O(n)).
@@ -235,13 +253,15 @@ def _ema_staged(ef, w_: float, q: float):
     # monotone in seq) but matches the segment window's sort key, so
     # these windows reuse that sort instead of planning a third one.
     worder2 = W.partitionBy(*keyparts).orderBy(F.col(SEG), F.col(ef.seq_col))
-    mark = F.when(F.col(J) == L - 1, F.col(LOC))
+    mark = F.when(F.col(J) == L - 1, F.coalesce(F.col(LOC), F.lit(0.0)))
     df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
-    boundary = F.last(F.col(PM), ignorenulls=True).over(
-        worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    ema_col = F.col(LOC) + F.coalesce(boundary, F.lit(0.0)) * F.pow(
-        F.lit(q), F.col(J) + 1
+    grow = worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    boundary = F.last(F.col(PM), ignorenulls=True).over(grow)
+    nval = F.count(v).over(grow)
+    ema_col = F.when(
+        nval > 0,
+        F.coalesce(F.col(LOC), F.lit(0.0))
+        + F.coalesce(boundary, F.lit(0.0)) * F.pow(F.lit(q), F.col(J) + 1),
     )
     return df, ema_col
 
@@ -300,35 +320,52 @@ def ema_scaled(ef, n: int | None = None, weight: float | None = None,
     term = coeff * v * F.pow(F.lit(q), -F.col(J))
     df = df.withColumn(LOC, F.pow(F.lit(q), F.col(J)) * F.sum(term).over(wseg))
     worder2 = W.partitionBy("__pid").orderBy(F.col(SEG), F.col(ef.seq_col))
-    mark = F.when(F.col(J) == L - 1, F.col(LOC))
+    # NULL algebra mirrors _ema_staged: an all-NULL segment hands off a
+    # 0 boundary (true carry ~ q^L = e^-500), a NULL in-segment prefix
+    # reads 0 so the carry shows through; the NULL-prefix mask is
+    # applied at the END over the stream-global value count (a later
+    # bucket's NULL prefix must still emit the cross-bucket carry)
+    mark = F.when(F.col(J) == L - 1, F.coalesce(F.col(LOC), F.lit(0.0)))
     df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
-    boundary = F.last(F.col(PM), ignorenulls=True).over(
-        worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    grow = worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    boundary = F.last(F.col(PM), ignorenulls=True).over(grow)
+    local = F.coalesce(F.col(LOC), F.lit(0.0)) + F.coalesce(
+        boundary, F.lit(0.0)
+    ) * F.pow(F.lit(q), F.col(J) + 1)
+    df = df.withColumn("__ek_local", local).withColumn(
+        "__ek_nval", F.count(v).over(grow)
     )
-    local = F.col(LOC) + F.coalesce(boundary, F.lit(0.0)) * F.pow(
-        F.lit(q), F.col(J) + 1
-    )
-    df = df.withColumn("__ek_local", local)
-    # pass 2: per-bucket (n, tail) -> driver fold (<= #buckets rows,
-    # same bounded-driver-state discipline as the quantile sketch)
+    # pass 2: per-bucket (n, tail, value count) -> driver fold
+    # (<= #buckets rows, same bounded-driver-state discipline as the
+    # quantile sketch)
     summ = (
         df.groupBy("__pid")
         .agg(
             F.count("*").alias("__n"),
             F.max_by("__ek_local", F.col(ef.seq_col)).alias("__tail"),
+            F.count(v).alias("__nv"),
         )
         .collect()
     )
-    carry = {}
+    carry, prior_nv = {}, {}
     c = 0.0
+    nv = 0
     for r in sorted(summ, key=lambda r: r["__pid"]):
         carry[int(r["__pid"])] = c
+        prior_nv[int(r["__pid"])] = nv
         c = float(r["__tail"]) + (q ** int(r["__n"])) * c
+        nv += int(r["__nv"])
     cmap = F.create_map(
         *[F.lit(x) for kv in carry.items() for x in kv]
     )
-    out = F.col("__ek_local") + cmap[F.col("__pid")] * F.pow(
-        F.lit(q), F.col(J) + 1 + (F.col(SEG) * L)
+    pmap = F.create_map(
+        *[F.lit(x) for kv in prior_nv.items() for x in kv]
+    )
+    out = F.when(
+        pmap[F.col("__pid")] + F.col("__ek_nval") > 0,
+        F.col("__ek_local")
+        + cmap[F.col("__pid")]
+        * F.pow(F.lit(q), F.col(J) + 1 + (F.col(SEG) * L)),
     )
     cols = [F.col(c_) for c_ in cols_meta] + [out.alias(name)]
     return ef._with(df=df.select(*cols), value_cols=[name])

@@ -2644,15 +2644,22 @@ class StreamFrame:
             .start()
         )
 
-    def run_available_now(self, sink_df: DataFrame | None = None, name: str = "ek_out"):
+    def run_available_now(
+        self,
+        sink_df: DataFrame | None = None,
+        name: str = "ek_out",
+        output_mode: str = "append",
+    ):
         """Drain everything currently available into a memory sink and
         return the collected result (the test/driver terminal path —
-        streaming's ``run()``, event.py:235-257)."""
+        streaming's ``run()``, event.py:235-257). Pass
+        ``output_mode="complete"`` for native streaming aggregations
+        (``last`` / ``count_min`` / ``hll``)."""
         df = sink_df if sink_df is not None else self.df
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )

@@ -71,6 +71,92 @@ def test_ema_long_stream_no_overflow(spark):
     assert diff < 1e-6, f"segmented vs exact EMA diverged by {diff}"
 
 
+def _seq_ema_model(vals, n=10):
+    """Sequential SUM-algebra reference (the pinned missing-value
+    semantics — same model test_running_scan_model pins for the
+    streaming twin): NULL until the first value, NULL rows decay by q,
+    full-weight seed only for a non-NULL literal first row."""
+    w = 2.0 / (n + 1)
+    exp, ema, seen, cnt = [], None, False, 0
+    for v in vals:
+        cnt += 1
+        if v is not None:
+            if not seen:
+                ema = v if cnt == 1 else w * v
+                seen = True
+            else:
+                ema = (1 - w) * ema + w * v
+        elif seen:
+            ema = (1 - w) * ema
+        exp.append(ema if seen else None)
+    return exp
+
+
+def _assert_ema_matches(got, exp, label):
+    assert len(got) == len(exp), label
+    for i, (g, e) in enumerate(zip(got, exp)):
+        if e is None:
+            assert g is None, (label, i, g)
+        else:
+            assert g is not None, (label, i)
+            assert abs(g - e) <= 1e-9 + 1e-9 * abs(e), (label, i, g, e)
+
+
+def test_ema_null_segment_semantics(spark):
+    """r11 review: the NULL-boundary coalesces the rebased DuckDB
+    oracle carries must exist in the KERNEL too — an all-NULL segment
+    hands off a 0 boundary (its true carry decays by q^L = e^-500), a
+    NULL segment prefix emits the decayed carry instead of NULL, and
+    the ema stays NULL until the key's first value. Shapes cross the
+    L=2491 segment boundary so the hand-off path actually runs."""
+    from eventkit_spark.frame import EventFrame
+
+    L = 2491
+    shapes = {
+        # stale-boundary repro: a whole all-NULL segment, then a value
+        "all_null_mid_segment": [1.0] * L + [None] * L + [2.0],
+        # segment-opening NULL: the in-segment sum is NULL at (1, 0)
+        "null_at_segment_start": [1.0] * L + [None, 3.0],
+        # NULL-led key: NULL until the first value; w-weight seed
+        "null_led_key": [None] * 3 + [5.0, None, 7.0],
+        # all-NULL key: NULL everywhere
+        "all_null_key": [None] * 5,
+    }
+    for name, vals in shapes.items():
+        rows = [(0, i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, seq long, value double")
+        ef = EventFrame(
+            df, value_cols=["value"], seq_col="seq", ts_col=None,
+            key_cols=["k"],
+        )
+        got = [r["value"] for r in ef.ema(n=10).df.orderBy("seq").collect()]
+        _assert_ema_matches(got, _seq_ema_model(vals), name)
+
+
+def test_ema_scaled_null_semantics(spark):
+    """The bucketed form shares the NULL algebra: a NULL-led first
+    bucket masks via the STREAM-global value count (not per-bucket),
+    an all-NULL bucket folds a decayed (never NULL) tail into the
+    carry, and a later bucket's NULL prefix still emits the
+    cross-bucket carry."""
+    from eventkit_spark.frame import EventFrame
+
+    vals = (
+        [None] * 4 + [2.0] + [None] * 12 + [4.0, 1.0] + [None] * 21
+    )  # 40 rows / 4 buckets: NULL-led bucket 0, all-NULL buckets 2-3
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "seq long, value double")
+    ef = EventFrame(
+        df, value_cols=["value"], seq_col="seq", ts_col=None, key_cols=[]
+    )
+    got = [
+        r["value"]
+        for r in ef.ema(n=10, scaled=True, partitions=4).df
+        .orderBy("seq").collect()
+    ]
+    _assert_ema_matches(got, _seq_ema_model(vals), "scaled")
+
+
 def test_ema_single_shuffle(spark):
     """Segmented EMA's (key, seg) windows must reuse the key exchange —
     one shuffle total, not one per window spec."""

@@ -902,12 +902,14 @@ def test_streaming_kernels_single_exchange(spark, tmp_path):
             sf.df = sf.df.filter(F.col("event_type") == etype)
         return sf
 
-    def n_exchanges(df):
+    def plan_text(df):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain()  # simple mode: each physical node printed once
-        plan = buf.getvalue()
-        return plan.count("Exchange hashpartitioning")
+        return buf.getvalue()
+
+    def n_exchanges(df):
+        return plan_text(df).count("Exchange hashpartitioning")
 
     one_input = {
         "take_budget": lambda s: s.take_budget(100.0),
@@ -940,12 +942,6 @@ def test_streaming_kernels_single_exchange(spark, tmp_path):
     # exchange — map-side combine collapses every input partition to
     # <= d*w / 2^p rows before any shuffle, which is what makes the
     # sketch lane O(sketch) not O(data) on the wire at 100 TB
-    def plan_text(df):
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain()
-        return buf.getvalue()
-
     for name, df in {
         "count_min": frame().count_min("event_type", d=4, w=16),
         "hll": frame().hll("event_id", p=9),

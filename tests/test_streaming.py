@@ -657,9 +657,12 @@ def test_streaming_sketch_multibatch_invariance(spark, stream_dir, tmp_path):
     from eventkit_spark.streaming.stream import StreamFrame
 
     src = spark.read.parquet(stream_dir)
+    # eager pin: the four per-quartile writes below would otherwise
+    # re-run the global ntile sort once each (the r11 self-review
+    # fixed the same pattern in examples/stream_replay_gate.py)
     qt = src.withColumn(
         "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    )
+    ).localCheckpoint()
     multi_dir = str(tmp_path / "multi")
     os.makedirs(multi_dir)
     t0 = _time.time()
