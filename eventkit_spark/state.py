@@ -19,18 +19,37 @@ from pyspark.sql import functions as F
 
 def ema_exact(ef, n: int | None = None, weight: float | None = None):
     """Linear-scan EMA recurrence per key — use when per-key streams are
-    too long for the closed-form window formulation (> ~6000 rows)."""
+    too long for the closed-form window formulation (> ~6000 rows).
+
+    Missing values follow the same pinned algebra as the window form
+    (``_ema_staged``) and the streaming scan: NULL until the key's
+    first value, a NULL row decays the ema by (1-w), full-weight seed
+    only for a non-NULL literal first row (a NaN here would otherwise
+    poison the recurrence forever; NaN round-trips to NULL through
+    Arrow — pinned in tests)."""
     w = weight if weight is not None else 2.0 / (n + 1)
     value_col = ef.value_cols[0]
     seq_col = ef.seq_col
     schema = ef.df.schema
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(seq_col)
         x = pdf[value_col].to_numpy(dtype="float64")
-        out = x.copy()
-        for i in range(1, len(out)):
-            out[i] = (1.0 - w) * out[i - 1] + w * x[i]
+        out = np.full_like(x, np.nan)
+        ema, seen = np.nan, False
+        for i, v in enumerate(x):
+            if not np.isnan(v):
+                if not seen:
+                    ema = v if i == 0 else w * v
+                    seen = True
+                else:
+                    ema = (1.0 - w) * ema + w * v
+            elif seen:
+                ema = (1.0 - w) * ema
+            if seen:
+                out[i] = ema
         pdf[value_col] = out
         return pdf
 

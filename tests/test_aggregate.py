@@ -131,6 +131,11 @@ def test_ema_null_segment_semantics(spark):
         )
         got = [r["value"] for r in ef.ema(n=10).df.orderBy("seq").collect()]
         _assert_ema_matches(got, _seq_ema_model(vals), name)
+        # the exact pandas recurrence shares the pinned NULL algebra
+        got_x = [
+            r["value"] for r in ef.ema_exact(n=10).df.orderBy("seq").collect()
+        ]
+        _assert_ema_matches(got_x, _seq_ema_model(vals), f"{name}_exact")
 
 
 def test_ema_scaled_null_semantics(spark):
