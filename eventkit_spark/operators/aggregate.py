@@ -182,8 +182,13 @@ def product(ef, start=1):
     return _running(ef, lambda v, w: _product_expr(v, w, start))
 
 
-def _ema_staged(ef, w_: float, q: float):
+def _ema_staged(ef, w_: float, q: float, seg_len: int | None = None):
     """Stage the segmented-scan EMA columns; returns (staged_df, ema_col).
+
+    ``seg_len`` overrides the computed segment length L — test-only: a
+    tiny L makes the boundary hand-off reachable at fuzz sizes (the
+    truncation it implies, dropping carries older than one segment, is
+    only numerically exact at the production L = 500/|ln q|).
 
     Reference recurrence: ema_0 = x_0; ema_t = q*ema_{t-1} + w*x_t. The
     plain closed form ema_i = q^i * sum_{j<=i}(c_j x_j q^{-j}) overflows
@@ -225,7 +230,7 @@ def _ema_staged(ef, w_: float, q: float):
     else:
         import math
 
-        L = max(2, int(500.0 / abs(math.log(q))))
+        L = seg_len or max(2, int(500.0 / abs(math.log(q))))
         df = df.withColumn(J, F.col(I) % L).withColumn(
             SEG, F.floor(F.col(I) / F.lit(L))
         )

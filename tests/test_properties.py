@@ -92,6 +92,75 @@ def test_ema_recurrence_model(spark, xs, n):
     assert got == pytest.approx(exp, rel=1e-9, abs=1e-9)
 
 
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=25,
+    ),
+    L=st.integers(2, 5),
+    n=st.integers(2, 10),
+)
+@SET
+def test_ema_segmented_handoff_model(spark, vals, L, n):
+    """_ema_staged's segment hand-off algebra vs a pure-Python replay
+    of the SAME truncated segmented scan (the seg_len override makes
+    boundaries reachable at fuzz sizes; the truncation — carries older
+    than one segment dropped — is shared by both sides, numerically
+    exact only at the production L). Catches coalesce / hand-off /
+    NULL-mask defects: the r11 stale-boundary bug fails this within a
+    few examples."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.frame import EventFrame
+    from eventkit_spark.operators.aggregate import _ema_staged
+
+    w = 2.0 / (n + 1)
+    q = 1.0 - w
+    rows = [(0, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, seq long, value double")
+    ef = EventFrame(
+        df, value_cols=["value"], seq_col="seq", ts_col=None,
+        key_cols=["k"],
+    )
+    sdf, col = _ema_staged(ef, w, q, seg_len=L)
+    got = [
+        r["e"]
+        for r in sdf.select("seq", col.alias("e")).orderBy("seq").collect()
+    ]
+
+    exp = []
+    prev_boundary = 0.0  # mark of the last COMPLETED earlier segment
+    cur_boundary = 0.0
+    ssum, has, nval = 0.0, False, 0
+    for i, v in enumerate(vals):
+        j = i % L
+        if j == 0 and i > 0:
+            prev_boundary = cur_boundary
+        if j == 0:
+            ssum, has = 0.0, False
+        if v is not None:
+            c = 1.0 if i == 0 else w
+            ssum += c * v * q ** (-j)
+            has = True
+            nval += 1
+        locv = (q ** j) * ssum if has else None
+        if j == L - 1:
+            cur_boundary = locv if locv is not None else 0.0
+        if nval == 0:
+            exp.append(None)
+        else:
+            exp.append(
+                (locv if locv is not None else 0.0)
+                + prev_boundary * q ** (j + 1)
+            )
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        if e is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(e, rel=1e-9, abs=1e-9)
+
+
 @given(a=streams, b=streams, off=st.floats(0.001, 0.009))
 @SET
 def test_merge_concat_switch_models(spark, a, b, off):
