@@ -161,6 +161,51 @@ def test_ema_segmented_handoff_model(spark, vals, L, n):
             assert g == pytest.approx(e, rel=1e-9, abs=1e-9)
 
 
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=2, max_size=40,
+    ),
+    parts=st.integers(2, 5),
+    n=st.integers(2, 10),
+)
+@SET
+def test_ema_scaled_bucket_fold_model(spark, vals, parts, n):
+    """ema_scaled's cross-bucket carry fold vs the sequential
+    SUM-algebra model on NULL-bearing streams: NULL-led buckets,
+    all-NULL buckets (a NULL tail used to crash the driver fold), and
+    NULL prefixes after a carry must all match the pinned missing-
+    value semantics. At fuzz sizes every bucket is one segment, so
+    the sequential model is exact up to carry re-association."""
+    from eventkit_spark.frame import EventFrame
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "seq long, value double")
+    ef = EventFrame(
+        df, value_cols=["value"], seq_col="seq", ts_col=None, key_cols=[]
+    )
+    got = [
+        r["value"]
+        for r in ef.ema(n=n, scaled=True, partitions=parts).df
+        .orderBy("seq").collect()
+    ]
+    w = 2.0 / (n + 1)
+    exp, ema, seen = [], None, False
+    for i, v in enumerate(vals):
+        if v is not None:
+            ema = (v if i == 0 else w * v) if not seen else (1 - w) * ema + w * v
+            seen = True
+        elif seen:
+            ema = (1 - w) * ema
+        exp.append(ema if seen else None)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        if e is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(e, rel=1e-9, abs=1e-9)
+
+
 @given(a=streams, b=streams, off=st.floats(0.001, 0.009))
 @SET
 def test_merge_concat_switch_models(spark, a, b, off):
