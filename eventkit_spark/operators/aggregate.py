@@ -182,6 +182,35 @@ def product(ef, start=1):
     return _running(ef, lambda v, w: _product_expr(v, w, start))
 
 
+def _segmented_handoff(df, partcols, seq_col, q: float, L: int, v):
+    """Shared segment-boundary hand-off for the segmented EMA scans
+    (``_ema_staged`` / ``ema_scaled`` — factored into ONE copy so a
+    NULL-algebra fix cannot land in one form only, the r11 drift that
+    left the kernel broken after the oracle was fixed): mark each
+    segment's last zero-carry value coalesced to 0 (an all-NULL
+    segment's true carry decays by q^L = e^-500 — numerically zero),
+    lag one row so a segment only ever sees the PREVIOUS segment's
+    boundary, forward-fill, and add it q^(j+1)-decayed to the
+    NULL-coalesced in-segment value. Returns ``(df, local, nval)``
+    where ``nval`` counts non-NULL values over the partition prefix —
+    the caller applies its own NULL-prefix mask (keyed forms mask
+    directly; the bucketed form threads a stream-global count through
+    its driver fold first)."""
+    J, LOC, PM = "__ek_j", "__ek_loc", "__ek_pm"
+    worder2 = W.partitionBy(*partcols).orderBy(
+        F.col("__ek_seg"), F.col(seq_col)
+    )
+    mark = F.when(F.col(J) == L - 1, F.coalesce(F.col(LOC), F.lit(0.0)))
+    df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
+    grow = worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    boundary = F.last(F.col(PM), ignorenulls=True).over(grow)
+    nval = F.count(v).over(grow)
+    local = F.coalesce(F.col(LOC), F.lit(0.0)) + F.coalesce(
+        boundary, F.lit(0.0)
+    ) * F.pow(F.lit(q), F.col(J) + 1)
+    return df, local, nval
+
+
 def _ema_staged(ef, w_: float, q: float, seg_len: int | None = None):
     """Stage the segmented-scan EMA columns; returns (staged_df, ema_col).
 
@@ -251,24 +280,14 @@ def _ema_staged(ef, w_: float, q: float, seg_len: int | None = None):
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         return df, F.when(nval > 0, F.coalesce(F.col(LOC), F.lit(0.0)))
-    # boundary hand-off: mark each segment's last row, shift by one row so
-    # a segment only ever sees the PREVIOUS segment's boundary, then
-    # forward-fill with a running last_value (growing frame, O(n)).
-    # Ordering by (seg, seq) is IDENTICAL to (seq) per key (seg is
-    # monotone in seq) but matches the segment window's sort key, so
-    # these windows reuse that sort instead of planning a third one.
-    worder2 = W.partitionBy(*keyparts).orderBy(F.col(SEG), F.col(ef.seq_col))
-    mark = F.when(F.col(J) == L - 1, F.coalesce(F.col(LOC), F.lit(0.0)))
-    df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
-    grow = worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
-    boundary = F.last(F.col(PM), ignorenulls=True).over(grow)
-    nval = F.count(v).over(grow)
-    ema_col = F.when(
-        nval > 0,
-        F.coalesce(F.col(LOC), F.lit(0.0))
-        + F.coalesce(boundary, F.lit(0.0)) * F.pow(F.lit(q), F.col(J) + 1),
+    # boundary hand-off (shared helper; ordering by (seg, seq) is
+    # IDENTICAL to (seq) per key — seg is monotone in seq — but matches
+    # the segment window's sort key, so these windows reuse that sort
+    # instead of planning a third one) + keyed NULL-prefix mask
+    df, local, nval = _segmented_handoff(
+        df, keyparts, ef.seq_col, q, L, v
     )
-    return df, ema_col
+    return df, F.when(nval > 0, local)
 
 
 def ema_scaled(ef, n: int | None = None, weight: float | None = None,
@@ -324,22 +343,14 @@ def ema_scaled(ef, n: int | None = None, weight: float | None = None,
     ).otherwise(F.lit(w_))
     term = coeff * v * F.pow(F.lit(q), -F.col(J))
     df = df.withColumn(LOC, F.pow(F.lit(q), F.col(J)) * F.sum(term).over(wseg))
-    worder2 = W.partitionBy("__pid").orderBy(F.col(SEG), F.col(ef.seq_col))
-    # NULL algebra mirrors _ema_staged: an all-NULL segment hands off a
-    # 0 boundary (true carry ~ q^L = e^-500), a NULL in-segment prefix
-    # reads 0 so the carry shows through; the NULL-prefix mask is
-    # applied at the END over the stream-global value count (a later
-    # bucket's NULL prefix must still emit the cross-bucket carry)
-    mark = F.when(F.col(J) == L - 1, F.coalesce(F.col(LOC), F.lit(0.0)))
-    df = df.withColumn(PM, F.lag(mark, 1).over(worder2))
-    grow = worder2.rowsBetween(W.unboundedPreceding, W.currentRow)
-    boundary = F.last(F.col(PM), ignorenulls=True).over(grow)
-    local = F.coalesce(F.col(LOC), F.lit(0.0)) + F.coalesce(
-        boundary, F.lit(0.0)
-    ) * F.pow(F.lit(q), F.col(J) + 1)
-    df = df.withColumn("__ek_local", local).withColumn(
-        "__ek_nval", F.count(v).over(grow)
+    # NULL algebra via the shared hand-off helper; the NULL-prefix
+    # mask is applied at the END over the STREAM-global value count (a
+    # later bucket's NULL prefix must still emit the cross-bucket
+    # carry), so the per-bucket nval only feeds the driver fold
+    df, local, nval = _segmented_handoff(
+        df, [F.col("__pid")], ef.seq_col, q, L, v
     )
+    df = df.withColumn("__ek_local", local).withColumn("__ek_nval", nval)
     # pass 2: per-bucket (n, tail, value count) -> driver fold
     # (<= #buckets rows, same bounded-driver-state discipline as the
     # quantile sketch)
@@ -390,7 +401,11 @@ def ema(ef, n: int | None = None, weight: float | None = None):
     if q == 0.0:
         # w=1 (n=1): ema_t = x_t — the closed form would divide by q^i
         return _running(ef, lambda v, win: v * 1.0)
-    if q < 0.0:
+    if q < 0.0 or q > 1.0:
+        # outside 0 <= q <= 1 the segmented truncation is invalid:
+        # carries GROW by q^L instead of decaying (q > 1, weight < 0)
+        # or alternate sign (q < 0, weight > 1), and q^{-j} overflows —
+        # both regimes route to the exact linear-scan recurrence
         from .. import state as _state
 
         return _state.ema_exact(ef, weight=w_)

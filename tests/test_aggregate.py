@@ -71,25 +71,7 @@ def test_ema_long_stream_no_overflow(spark):
     assert diff < 1e-6, f"segmented vs exact EMA diverged by {diff}"
 
 
-def _seq_ema_model(vals, n=10):
-    """Sequential SUM-algebra reference (the pinned missing-value
-    semantics — same model test_running_scan_model pins for the
-    streaming twin): NULL until the first value, NULL rows decay by q,
-    full-weight seed only for a non-NULL literal first row."""
-    w = 2.0 / (n + 1)
-    exp, ema, seen, cnt = [], None, False, 0
-    for v in vals:
-        cnt += 1
-        if v is not None:
-            if not seen:
-                ema = v if cnt == 1 else w * v
-                seen = True
-            else:
-                ema = (1 - w) * ema + w * v
-        elif seen:
-            ema = (1 - w) * ema
-        exp.append(ema if seen else None)
-    return exp
+from conftest import seq_ema_model as _seq_ema_model
 
 
 def _assert_ema_matches(got, exp, label):
@@ -136,6 +118,30 @@ def test_ema_null_segment_semantics(spark):
             r["value"] for r in ef.ema_exact(n=10).df.orderBy("seq").collect()
         ]
         _assert_ema_matches(got_x, _seq_ema_model(vals), f"{name}_exact")
+
+
+def test_ema_degenerate_weights_route_exact(spark):
+    """weight < 0 (q > 1) and weight > 1 (q < 0) both route to the
+    exact linear-scan recurrence — the segmented truncation is valid
+    only for DECAYING carries (r11 review: weight < 0 reached
+    _ema_staged, where the dropped older-boundary term grows by q^L
+    instead of vanishing and q^-j overflows)."""
+    from eventkit_spark.frame import EventFrame
+
+    vals = [3.0, None, 4.0, 1.0, None, 5.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "seq long, value double")
+    ef = EventFrame(
+        df, value_cols=["value"], seq_col="seq", ts_col=None, key_cols=[]
+    )
+    for wt in (-0.5, 1.5):
+        got = [
+            r["value"]
+            for r in ef.ema(weight=wt).df.orderBy("seq").collect()
+        ]
+        _assert_ema_matches(
+            got, _seq_ema_model(vals, weight=wt), f"weight={wt}"
+        )
 
 
 def test_ema_scaled_null_semantics(spark):

@@ -189,15 +189,9 @@ def test_ema_scaled_bucket_fold_model(spark, vals, parts, n):
         for r in ef.ema(n=n, scaled=True, partitions=parts).df
         .orderBy("seq").collect()
     ]
-    w = 2.0 / (n + 1)
-    exp, ema, seen = [], None, False
-    for i, v in enumerate(vals):
-        if v is not None:
-            ema = (v if i == 0 else w * v) if not seen else (1 - w) * ema + w * v
-            seen = True
-        elif seen:
-            ema = (1 - w) * ema
-        exp.append(ema if seen else None)
+    from conftest import seq_ema_model
+
+    exp = seq_ema_model(vals, n=n)
     assert len(got) == len(exp)
     for g, e in zip(got, exp):
         if e is None:

@@ -480,11 +480,9 @@ def test_streaming_resample_parity(spark, tmp_path_factory):
         key_cols=["user_id"],
     )
     agg = sf.resample("1 hour")
-    q = (
-        agg.writeStream.format("memory").queryName("ek_resample")
-        .outputMode("complete").trigger(availableNow=True).start()
+    sf.run_available_now(
+        sink_df=agg, name="ek_resample", output_mode="complete"
     )
-    q.awaitTermination()
     out = spark.sql(
         "SELECT user_id, unix_micros(win_start) AS ws, open, high, low, close, n, vsum"
         " FROM ek_resample"
@@ -559,14 +557,11 @@ def test_streaming_count_min_parity(spark, stream_dir):
     from eventkit_spark.llm.sketch import count_min_cells, count_min_estimate
 
     sf = _stream(spark, stream_dir)
-    cells = sf.count_min("event_type", d=3, w=8)
-    q = (
-        cells.writeStream.format("memory").queryName("ek_cms")
-        .outputMode("complete").trigger(availableNow=True).start()
+    cells = sf.run_available_now(
+        sink_df=sf.count_min("event_type", d=3, w=8),
+        name="ek_cms", output_mode="complete",
     )
-    q.awaitTermination()
-    got = {(r["row"], r["bucket"]): r["cnt"]
-           for r in spark.sql("SELECT * FROM ek_cms").collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in cells.collect()}
     batch_df = spark.read.parquet(stream_dir)
     exp = {(r["row"], r["bucket"]): r["cnt"]
            for r in count_min_cells(batch_df, "event_type", d=3, w=8).collect()}
@@ -628,14 +623,11 @@ def test_streaming_hll_parity(spark, stream_dir):
     from eventkit_spark.llm.sketch import hll_registers
 
     sf = _stream(spark, stream_dir)
-    regs = sf.hll("event_id", p=7)
-    q = (
-        regs.writeStream.format("memory").queryName("ek_hll")
-        .outputMode("complete").trigger(availableNow=True).start()
+    regs = sf.run_available_now(
+        sink_df=sf.hll("event_id", p=7), name="ek_hll",
+        output_mode="complete",
     )
-    q.awaitTermination()
-    got = {(r["bucket"]): r["reg"]
-           for r in spark.sql("SELECT * FROM ek_hll").collect()}
+    got = {(r["bucket"]): r["reg"] for r in regs.collect()}
     exp = {(r["bucket"]): r["reg"]
            for r in hll_registers(spark.read.parquet(stream_dir), "event_id", p=7).collect()}
     assert got == exp and len(got) > 0
@@ -686,6 +678,8 @@ def test_streaming_sketch_multibatch_invariance(spark, stream_dir, tmp_path):
         )
 
     def run_complete(df, name):
+        # hand-rolled (not run_available_now): this test must read the
+        # query handle's recentProgress to prove >= 4 micro-batches ran
         q = (
             df.writeStream.format("memory").queryName(name)
             .outputMode("complete").trigger(availableNow=True).start()
