@@ -369,6 +369,9 @@ def main():
         "dedup_simhash_incremental",
         "dedup_minhash_incremental",
         "ivf_index",
+        # r11: decontaminate_store joins the session-store discipline
+        # (was an rmtree + full store rebuild inside the timed region)
+        "decontaminate_store",
     ):
         if name not in qs:
             continue

@@ -161,6 +161,13 @@ def kmeans(
         else _as_double(F.col(vec_col))
     )
     base = corpus.select(F.col(id_col).alias("id"), vexpr.alias("v"))
+    # The Lloyd loop scans `base` once per iteration (plus seeding and
+    # the final assignment pass). Persist it so every pass after the
+    # first reads the materialized (id, v) pairs instead of re-running
+    # the parquet scan + unit conversion (guide §5: reuse justifies the
+    # cache; storage is id + one vector per row). Released before
+    # return — the final lazy assignment pass pays one recompute.
+    base = base.persist()
     if replay_scale:
         cent = _seed_centroids(
             corpus, k, id_col, vec_col, portable=True, scale=replay_scale
@@ -174,25 +181,77 @@ def kmeans(
     n_iter = 0
     for _ in range(max_iter):
         n_iter += 1
-        assigned = base.withColumn("a", _assign_kernel(cent)(F.col("v")))
-        sums = (
-            assigned.select(
-                F.col("a.cluster").alias("c"),
-                F.posexplode(F.col("v")).alias("dim", "x"),
+        if replay_scale:
+            # Integer-units mode: fold the per-cluster (count, sum)
+            # partials INSIDE the same BLAS pass that assigns clusters
+            # (guide §2.3 "aggregate before you shuffle" — here the
+            # posexplode + (c, dim) hash-aggregate exchange disappears
+            # entirely; each iteration is one scan -> k x d partials per
+            # Arrow batch -> kilobyte collect). Exact: the vectors are
+            # int64 units, so partial-sum order cannot change a digit,
+            # and the distance/argmin math below is verbatim
+            # _assign_kernel. Float mode keeps the partial-aggregated
+            # exchange form, whose accumulation order the plan fixes.
+            cm = cent
+
+            def _partials(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    A = np.stack(pdf["v"].to_numpy())
+                    d2 = (
+                        (A * A).sum(axis=1, keepdims=True)
+                        - 2.0 * (A @ cm.T)
+                        + (cm * cm).sum(axis=1)
+                    )
+                    idx = np.argmin(d2, axis=1)
+                    cs, ns, ss = [], [], []
+                    for c in np.unique(idx):
+                        m = idx == c
+                        cs.append(int(c))
+                        ns.append(int(m.sum()))
+                        ss.append(A[m].sum(axis=0).tolist())
+                    yield pd.DataFrame({"c": cs, "n": ns, "s": ss})
+
+            parts = base.mapInPandas(
+                _partials, "c int, n long, s array<long>"
+            ).collect()
+            d = cent.shape[1]
+            tot_s = {}
+            tot_n = {}
+            for r in parts:
+                c = r["c"]
+                tot_n[c] = tot_n.get(c, 0) + int(r["n"])
+                acc = tot_s.setdefault(c, [0] * d)
+                for j, x in enumerate(r["s"]):
+                    acc[j] += int(x)
+            new_cent = cent.copy()
+            counts = np.zeros(k)
+            for c, sv in tot_s.items():
+                n = tot_n[c]
+                counts[c] = n
+                for j in range(d):
+                    # FLOORED integer mean — Python // floors exactly
+                    # like the oracle's floor(sum/n)
+                    new_cent[c, j] = sv[j] // n
+        else:
+            assigned = base.withColumn("a", _assign_kernel(cent)(F.col("v")))
+            sums = (
+                assigned.select(
+                    F.col("a.cluster").alias("c"),
+                    F.posexplode(F.col("v")).alias("dim", "x"),
+                )
+                .groupBy("c", "dim")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
             )
-            .groupBy("c", "dim")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        new_cent = cent.copy()
-        counts = np.zeros(k)
-        for r in sums:
-            # replay mode: FLOORED integer mean — Python // floors
-            # exactly like the oracle's floor(sum/n)
-            new_cent[r["c"], r["dim"]] = (
-                int(r["s"]) // int(r["n"]) if replay_scale else r["s"] / r["n"]
-            )
-            counts[r["c"]] = r["n"]
+            new_cent = cent.copy()
+            counts = np.zeros(k)
+            for r in sums:
+                new_cent[r["c"], r["dim"]] = r["s"] / r["n"]
+                counts[r["c"]] = r["n"]
         shift = float(((new_cent - cent) ** 2).sum(axis=1).max())
         cent = new_cent
         if not replay_scale and shift < tol:
@@ -202,6 +261,7 @@ def kmeans(
         if replay_scale
         else F.round(F.col("a.dist2"), 6)
     )
+    base.unpersist(blocking=False)
     assignments = base.withColumn("a", _assign_kernel(cent)(F.col("v"))).select(
         F.col("id").alias(id_col),
         F.col("a.cluster").alias("cluster"),

@@ -540,40 +540,89 @@ def reduce_(ef, merge_expr, initializer=None, result_type="double"):
     return ef._with(df=ef.df.select(*cols), value_cols=["value"])
 
 
+_UNSET_KEY = object()  # sentinel unequal to any real key tuple
+
+
 def _reduce_python(ef, func, initializer, result_type):
-    """Arbitrary-Python running fold: per-key sorted linear scan via
-    applyInPandas (pattern: state.ema_exact)."""
+    """Arbitrary-Python running fold: per-PARTITION linear scan via
+    mapInPandas over repartition+sortWithinPartitions (the
+    state.throttle kernel shape). With thousands of small keys,
+    per-group applyInPandas pays one Python/Arrow round trip per KEY;
+    this pays one per Arrow batch — same fold, same per-key seq order,
+    same seeding, state carried across a key split over adjacent
+    batches. NULL-safe key runs (two NULL keys compare equal, matching
+    groupBy)."""
     vname = ef.value_cols[0]
     seq_col = ef.seq_col
     schema = ef.df.schema
+    key_cols = list(ef.key_cols)
 
-    def kernel(pdf):
+    def kernel(batches):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(seq_col)
-        out = []
+        def same_key(a, b):
+            if b is _UNSET_KEY:
+                return False
+            return all(
+                (x == y) or (pd.isna(x) and pd.isna(y)) for x, y in zip(a, b)
+            )
+
+        cur_key = _UNSET_KEY
         acc = initializer
-        for i, x in enumerate(pdf[vname]):
-            if i == 0 and initializer is None:
-                acc = x
+        seeded = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vname].to_numpy()
+            out = np.empty(len(vals), dtype=object)
+            if key_cols:
+                kmat = pdf[key_cols]
+                shifted = kmat.shift()
+                changed = (
+                    (kmat.ne(shifted) & ~(kmat.isna() & shifted.isna()))
+                    .any(axis=1)
+                    .to_numpy()
+                )
+                changed[0] = True
+                starts = np.flatnonzero(changed)
+                for bi, s in enumerate(starts):
+                    e = starts[bi + 1] if bi + 1 < len(starts) else len(vals)
+                    k = tuple(pdf[kc].iloc[s] for kc in key_cols)
+                    # only the batch's first run may continue the carry
+                    if bi > 0 or not same_key(k, cur_key):
+                        acc, seeded = initializer, False
+                    cur_key = k
+                    for i in range(s, e):
+                        x = vals[i]
+                        if not seeded and initializer is None:
+                            acc = x
+                        else:
+                            acc = func(acc, x)
+                        seeded = True
+                        out[i] = acc
             else:
-                acc = func(acc, x)
-            out.append(acc)
-        pdf = pdf.assign(**{vname: pd.Series(out, index=pdf.index)})
-        return pdf
+                for i in range(len(vals)):
+                    x = vals[i]
+                    if not seeded and initializer is None:
+                        acc = x
+                    else:
+                        acc = func(acc, x)
+                    seeded = True
+                    out[i] = acc
+            yield pdf.assign(**{vname: pd.Series(out, index=pdf.index)})
 
     out_schema = ", ".join(
         f"{f.name} {result_type if f.name == vname else f.dataType.simpleString()}"
         for f in schema.fields
     )
-    grouped = (
-        ef.df.groupBy(*ef.key_cols)
-        if ef.key_cols
-        else ef.df.groupBy(F.lit(0).alias("__g"))
-    )
-    df = grouped.applyInPandas(kernel, schema=out_schema)
-    if not ef.key_cols and "__g" in df.columns:
-        df = df.drop("__g")
+    if key_cols:
+        arranged = ef.df.repartition(*[F.col(c) for c in key_cols]).sortWithinPartitions(
+            *key_cols, seq_col
+        )
+    else:
+        arranged = ef.df.repartition(1).sortWithinPartitions(seq_col)
+    df = arranged.mapInPandas(kernel, schema=out_schema)
     return ef._with(df=df.select(*[f.name for f in schema.fields]), value_cols=[vname])
 
 

@@ -229,6 +229,37 @@ def test_reduce_python_callable(ints, spark):
         assert abs(r_out["value"] - acc) < 1e-9
 
 
+def test_reduce_python_cross_batch_carry(spark):
+    """The mapInPandas reduce kernel (r11 optimization: one Arrow
+    crossing per batch, not per key) must carry (acc, seeded) across an
+    Arrow batch boundary that splits one key's run — forced here by
+    shrinking maxRecordsPerBatch below the per-key row count."""
+    from eventkit_spark.sources.tables import load_events
+
+    func = lambda a, x: min(50.0, a + abs(x))  # noqa: E731 — no Column form
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # events per user ~66 at sf0.001
+        got = (
+            ev.reduce(func, initializer=0.0, result_type="double")
+            .df.select("user_id", "event_id", "value")
+            .collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    raw = ev.df.select("user_id", "event_id", "value").collect()
+    accs: dict = {}
+    exp = {}
+    for r in sorted(raw, key=lambda r: (r["user_id"], r["event_id"])):
+        accs[r["user_id"]] = func(accs.get(r["user_id"], 0.0), r["value"])
+        exp[(r["user_id"], r["event_id"])] = accs[r["user_id"]]
+    assert len(got) == len(exp)
+    for r in got:
+        assert abs(r["value"] - exp[(r["user_id"], r["event_id"])]) < 1e-9
+
+
 def test_list(ints):
     assert ints.list().to_list() == [list(range(10))]
 
