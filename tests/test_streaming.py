@@ -2028,3 +2028,62 @@ def test_passthrough_kernels_preserve_null_values(spark, tmp_path):
     out2 = pv.run_available_now(sink_df=pv.previous(1), name="ek_np_prev")
     prev = {r["seq"]: r["value"] for r in out2.collect()}
     assert prev[3] is None and prev[2] == 10.0
+
+
+def test_stream_state_width_derivation(spark, stream_dir):
+    """r11 optimization (guide §2.2 applied to streaming): the state
+    shuffle of a streaming run is width-derived from the SOURCE BYTES
+    (AQE cannot coalesce stateful streaming shuffles) — but only for
+    JVM-native state. The pandas state kernels keep the session width:
+    their cost is per key group in Python, and narrowing them measured
+    4-5x slower (running_agg 1.9 s -> 7.8 s at one partition)."""
+    from eventkit_spark.streaming.stream import (
+        _size_to_bytes,
+        _stream_shuffle_partitions,
+    )
+
+    assert _size_to_bytes("64m") == 64 << 20
+    assert _size_to_bytes("2097152") == 2 << 20
+    assert _size_to_bytes("1g") == 1 << 30
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adv = _size_to_bytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    )
+    # ceil(bytes/advisory), clamped to [1, session width]; unknown -> None
+    assert _stream_shuffle_partitions(spark, None) is None
+    assert _stream_shuffle_partitions(spark, 1) == 1
+    assert _stream_shuffle_partitions(spark, adv + 1) == min(2, sess)
+    assert _stream_shuffle_partitions(spark, adv * (sess + 5)) == sess
+
+    # native streaming aggregation: the narrowed width is applied and
+    # visible in the state operator's progress metrics
+    sf = _stream(spark, stream_dir)
+    expected = _stream_shuffle_partitions(spark, sf.src_bytes)
+    assert sf.src_bytes and expected is not None
+    w = (
+        sf.last()
+        .writeStream.format("memory")
+        .queryName("ek_width_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    )
+    q = sf._sized_start(w)
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["numShufflePartitions"] == expected, ops
+    # session conf restored after the start
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == sess
+
+    # pandas state kernel: keeps the session width
+    sf2 = _stream(spark, stream_dir)
+    w2 = (
+        sf2.running_agg(ema_n=10)
+        .writeStream.format("memory")
+        .queryName("ek_width_pandas")
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    q2 = sf2._sized_start(w2)
+    q2.awaitTermination()
+    ops2 = q2.lastProgress["stateOperators"]
+    assert ops2 and ops2[0]["numShufflePartitions"] == sess, ops2
