@@ -186,6 +186,12 @@ def _pair_counts(docs, k, text_col, id_col, max_df):
     # score, never promote a non-pair): one window riding an id exchange
     sh = sh.withColumn("n", F.count("*").over(W.partitionBy("id")))
     if max_df is not None:
+        # the shingle table feeds both the hot-set aggregate and the
+        # anti-join's probe side — without a materialization boundary
+        # the scan+shingle+distinct+window subtree plans (and runs)
+        # twice (guide §5: per-run boundary; rows are (hash, id, n)
+        # ints, a fraction of the corpus text they derive from)
+        sh = sh.localCheckpoint(eager=False)
         # df-pruning BOUNDS every collect_list at max_df entries. The
         # guard must not itself shuffle on the hot key: a count WINDOW
         # over the shingle put every copy of a boilerplate shingle into
@@ -1659,7 +1665,16 @@ def jaccard_verify(
     ``threshold``; jaccard is over DISTINCT shingles, identical to
     ``ngram_jaccard_pairs``.
     """
-    cand = pairs.select("id_a", "id_b").distinct()
+    # the candidate table feeds THREE subtrees (the id semi-join twice
+    # via the union, and the pair join) and the candidate shingles feed
+    # three more (sizes, the a-leg, the b-leg): without a
+    # materialization boundary every leg re-runs the whole candidate
+    # pipeline — for fuzzy_dedup that is the full minhash banding pass
+    # x3 (guide §5: cache when re-use beats recompute; both tables are
+    # pair-list-sized ints/hashes, never corpus-sized). localCheckpoint
+    # computes each once per run — a per-run boundary, nothing persists
+    # across calls.
+    cand = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -1673,6 +1688,7 @@ def jaccard_verify(
         )
         .select("id", F.xxhash64("__s").alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = cand.join(
