@@ -186,12 +186,15 @@ def _pair_counts(docs, k, text_col, id_col, max_df):
     # score, never promote a non-pair): one window riding an id exchange
     sh = sh.withColumn("n", F.count("*").over(W.partitionBy("id")))
     if max_df is not None:
-        # the shingle table feeds both the hot-set aggregate and the
-        # anti-join's probe side — without a materialization boundary
-        # the scan+shingle+distinct+window subtree plans (and runs)
-        # twice (guide §5: per-run boundary; rows are (hash, id, n)
-        # ints, a fraction of the corpus text they derive from)
-        sh = sh.localCheckpoint(eager=False)
+        # NOTE (r11, measured): do NOT localCheckpoint sh here even
+        # though it feeds both the hot-set aggregate and the anti-join
+        # probe side. The duplicated subtree executes as PARALLEL
+        # stages of one job, while a checkpoint serializes it into a
+        # blocking job and strips size statistics from the anti-join —
+        # measured 3x slower on pagerank/central_dedup (1.5 s -> 4.8 s)
+        # and ~15% slower on dedup_jaccard. Contrast jaccard_verify,
+        # where the shared subtree is the full minhash banding pass and
+        # the boundary wins 30%.
         # df-pruning BOUNDS every collect_list at max_df entries. The
         # guard must not itself shuffle on the hot key: a count WINDOW
         # over the shingle put every copy of a boilerplate shingle into

@@ -2685,7 +2685,8 @@ class StreamFrame:
         after without racing the micro-batch thread."""
         spark = self.df.sparkSession
         parts = _stream_shuffle_partitions(spark, self.src_bytes)
-        if parts is not None and parts < int(
+        explicit = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS") is not None
+        if not explicit and parts is not None and parts < int(
             spark.conf.get("spark.sql.shuffle.partitions")
         ):
             # Byte-derived narrowing is only safe for JVM-native state
