@@ -73,6 +73,16 @@ def get_spark(app_name: str = "eventkit_spark", shuffle_partitions: int | None =
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # generic conf passthrough for experiments / production tuning:
+    # SPARK_GRAFT_EXTRA_CONF="spark.a=1;spark.b=2" (e.g. point
+    # spark.local.dir at the NVMe array on a real cluster — measured
+    # locally and rejected as a default: /tmp writes here are
+    # page-cache-buffered and never fsynced, so a tmpfs scratch moved
+    # nothing and cost ~10% on the stateful streaming contracts)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")
     spark = builder.getOrCreate()

@@ -1,0 +1,100 @@
+"""Profile the streaming contracts' per-batch cost (guide §1: measure
+first). For each named *_stream contract, run it once and print the
+per-micro-batch ``durationMs`` breakdown plus state-operator metrics
+from ``recentProgress`` — so the fixed availableNow overhead (query
+start, WAL, planning) separates from the real addBatch work.
+
+Usage: python scripts/stream_profile.py name [name...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    names = sys.argv[1:]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from eventkit_spark.session import get_spark
+
+    spark = get_spark("stream_profile")
+    qs = entrymod.queries()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    if hasattr(entrymod, "_replay_stream"):
+        entrymod._replay_stream(spark, sf)
+    if hasattr(entrymod, "_replay_stream_multi"):
+        entrymod._replay_stream_multi(spark, sf)
+
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf).write.mode("overwrite").format("noop").save()
+        wall = time.perf_counter() - t0
+        # the contract's stream has terminated; grab the newest
+        # terminated query progress via the listener-free route:
+        # StreamingQueryManager keeps no history after stop, so the
+        # contracts would need instrumentation — instead re-run the
+        # stream manually below for the ones we know how to rebuild.
+        print(f"== {name}: wall {wall:.3f}s")
+    # direct replay with progress capture for running_agg kernels
+    sfr = entrymod._replay_stream(spark, sf)
+    for label, build in (
+        ("running_agg_stream", lambda s: s.running_agg(ema_n=10)),
+        ("enumerate_stream", lambda s: s.enumerate()),
+    ):
+        s = entrymod._replay_stream(spark, sf)
+        sink = build(s)
+        t0 = time.perf_counter()
+        import uuid
+
+        qn = f"prof_{uuid.uuid4().hex[:8]}"
+        writer = (
+            sink.writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(availableNow=True)
+        )
+        q = s._sized_start(writer)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        print(f"-- {label} (manual): wall {wall:.3f}s")
+        for p in q.recentProgress:
+            d = p["durationMs"] if isinstance(p, dict) else json.loads(p.json)["durationMs"]
+            row = json.loads(p.json) if not isinstance(p, dict) else p
+            so = row.get("stateOperators") or []
+            print(
+                "   batch", row.get("batchId"), "rows", row.get("numInputRows"),
+                "durationMs", d,
+                "stateParts", [o.get("numShufflePartitions") for o in so],
+                "commitMs", [o.get("commitTimeMs") for o in so],
+            )
+    # multibatch
+    s = entrymod._replay_stream_multi(spark, sf)
+    sink = s.running_agg(ema_n=10)
+    import uuid
+
+    qn = f"prof_{uuid.uuid4().hex[:8]}"
+    writer = (
+        sink.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(availableNow=True)
+    )
+    t0 = time.perf_counter()
+    q = s._sized_start(writer)
+    q.awaitTermination()
+    print(f"-- running_agg_stream_multibatch (manual): wall {time.perf_counter()-t0:.3f}s")
+    for p in q.recentProgress:
+        row = json.loads(p.json) if not isinstance(p, dict) else p
+        so = row.get("stateOperators") or []
+        print(
+            "   batch", row.get("batchId"), "rows", row.get("numInputRows"),
+            "durationMs", row.get("durationMs"),
+            "stateParts", [o.get("numShufflePartitions") for o in so],
+            "commitMs", [o.get("commitTimeMs") for o in so],
+        )
+
+
+if __name__ == "__main__":
+    main()
