@@ -247,6 +247,18 @@ def _winnow_kernel_df(docs, k, w, text_col, id_col, mod, base):
     base_df = docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     )
+    # The hash kernel is CPU-bound and documents are independent, so
+    # its parallelism is whatever the SCAN gives it — and a small
+    # single-row-group parquet reads as ONE split, serializing the
+    # whole corpus through one core (measured 2.1-4.5 s at sf0.1 vs
+    # 0.8-1.4 s spread over 32 tasks). Same remedy as the multimodal
+    # decode kernels (multimodal._spread): round-robin repartition only
+    # when the input has fewer partitions than the session shuffle
+    # width. At warehouse scale the ingest has far more splits than
+    # cores, the check never fires, and no text bytes are reshuffled.
+    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if base_df.rdd.getNumPartitions() < width:
+        base_df = base_df.repartition(width)
     return base_df.mapInPandas(
         kern, schema=f"__id {id_t}, pos int, fp long"
     ).select(F.col("__id").alias(id_col), "pos", "fp")

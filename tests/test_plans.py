@@ -321,12 +321,19 @@ SHUFFLE_CEILING = {
     "changes_scaled": 3,
     "chunk_scaled": 4,  # + the chunk grouping aggregate
     "previous_scaled": 6,  # rank machinery on BOTH self-join sides
-    "winnow": 0,  # one kernel projection + explode; docs independent
+    # one kernel projection + explode; docs independent. The +1 is the
+    # CPU-spread round-robin repartition before the hash kernel (fires
+    # only when the scan has fewer splits than the session width —
+    # never at warehouse scale, always on the one-row-group test files)
+    "winnow": 1,
     # hourly prep agg + key window + phase agg + the tiny seasonal
     # broadcast's build aggregate
     "seasonal_decompose": 4,
-    # 2x per-side (id,fp) distinct + df-prune agg + pair agg
-    "winnow_overlap": 6,
+    # 2x per-side (id,fp) distinct + df-prune agg + pair agg, plus the
+    # CPU-spread repartition under each of the four planned kernel
+    # subtrees (see "winnow" above; plan-time lineage counts each side
+    # twice — df-guard + join leg)
+    "winnow_overlap": 10,
     "webdataset": 0,  # binaryFile scan -> one tar kernel, no shuffle
     "bpe_train_bytes": 0,  # driver-path merge loop; one count pass
     "bpe_vocab_bytes": 1,  # + the token-frequency aggregate
