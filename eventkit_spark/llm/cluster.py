@@ -79,7 +79,12 @@ def _assign_kernel(cent_mat):
             "dist2": d2[np.arange(len(idx)), idx],
         })
 
-    return F.pandas_udf(k, "cluster int, dist2 double")
+    # asNondeterministic: extracting BOTH struct fields (a.cluster,
+    # a.dist2) through stacked projections otherwise inlines and
+    # re-evaluates the BLAS pass up to 3x (three ArrowEvalPython nodes
+    # in the embed_ivf plan for one assignment). Pure kernel; the mark
+    # pins a single evaluation per row.
+    return F.pandas_udf(k, "cluster int, dist2 double").asNondeterministic()
 
 
 def _maximin_seeds(base, k):
@@ -404,7 +409,10 @@ def pq_encode(
             err += d2[np.arange(len(idx)), idx]
         return pd.DataFrame({"codes": list(codes), "recon_err2": np.maximum(err, 0.0)})
 
-    enc_udf = F.pandas_udf(enc, "codes array<int>, recon_err2 double")
+    # asNondeterministic: same §4.4 duplication as _assign_kernel — the
+    # (codes, recon_err2) struct-field extraction re-planned the whole
+    # PQ encode twice in the pq_topk/opq_gain plans
+    enc_udf = F.pandas_udf(enc, "codes array<int>, recon_err2 double").asNondeterministic()
     vexpr = (
         _int_units(F.col(vec_col), replay_scale)
         if replay_scale

@@ -1899,7 +1899,12 @@ def _bounded_levenshtein_kernel(max_dist: int):
         res[res > k] = -1
         return pd.Series(res)
 
-    return F.pandas_udf(kernel, "int")
+    # asNondeterministic: the verify filter (dist <= max_dist) otherwise
+    # pushes below the projection and the optimizer evaluates the banded
+    # DP TWICE per candidate pair (two ArrowEvalPython nodes for one
+    # kernel — the guide §4.4 duplication; the kernel is pure, the mark
+    # only pins one evaluation)
+    return F.pandas_udf(kernel, "int").asNondeterministic()
 
 
 def edit_near_dups(

@@ -208,7 +208,11 @@ def rp_lsh_topk(
         per_tbl = signs.reshape(len(A), tables, bits) @ pow2  # (n, tables)
         return pd.Series(list(per_tbl.astype(np.int64)))
 
-    buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>")
+    # asNondeterministic: posexplode's implied (size > 0 AND isnotnull)
+    # filter otherwise pushes below the bucket projection and the
+    # optimizer duplicates the hyperplane BLAS pass per side (4
+    # ArrowEvalPython nodes for 2 bucketize calls — guide §4.4)
+    buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>").asNondeterministic()
 
     def bucketize(df, idname):
         vec = _as_double(F.col(vec_col))
@@ -291,7 +295,11 @@ def _cell_assign_kernel(cent_mat, m):
         idx = np.argsort(-S, axis=1, kind="stable")[:, :m]
         return pd.Series(list(cell_ids[idx].astype(np.int32)))
 
-    return F.pandas_udf(k, "array<int>")
+    # asNondeterministic: the probe side explodes the cell list and the
+    # generator's implied (size > 0) filter otherwise duplicates the
+    # centroid BLAS pass below it (three ArrowEvalPython nodes in the
+    # embed_ivf plan for two call sites — guide §4.4)
+    return F.pandas_udf(k, "array<int>").asNondeterministic()
 
 
 def ivf_index_write(
@@ -592,7 +600,9 @@ def embedding_near_dups(
             per_tbl = signs.reshape(len(A), tables, bits) @ pow2
             return pd.Series(list(per_tbl.astype(np.int64)))
 
-        buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>")
+        # asNondeterministic: same §4.4 duplication as the query-side
+        # bucketize above — pin one hyperplane BLAS pass
+        buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>").asNondeterministic()
         vecs = corpus.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
