@@ -256,9 +256,14 @@ def _winnow_kernel_df(docs, k, w, text_col, id_col, mod, base):
     # when the input has fewer partitions than the session shuffle
     # width. At warehouse scale the ingest has far more splits than
     # cores, the check never fires, and no text bytes are reshuffled.
-    width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if base_df.rdd.getNumPartitions() < width:
-        base_df = base_df.repartition(width)
+    # Streaming inputs skip the probe (no .rdd on an unstarted stream;
+    # the per-micro-batch kernel is stateless and partition-invariant).
+    if not docs.isStreaming:
+        width = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if base_df.rdd.getNumPartitions() < width:
+            base_df = base_df.repartition(width)
     return base_df.mapInPandas(
         kern, schema=f"__id {id_t}, pos int, fp long"
     ).select(F.col("__id").alias(id_col), "pos", "fp")
