@@ -341,6 +341,53 @@ HEADLINE = [
 ]
 
 
+def _family(name: str) -> str:
+    """Deterministic family assignment for the compact subtotals line.
+    Buckets only need to be stable across rounds so the driver can
+    localize a regression from the bounded stdout tail."""
+    if "_stream" in name:
+        return "streaming"
+    if name.startswith("tpch_"):
+        return "tpch"
+    if (
+        "dedup" in name
+        or "decontaminate" in name
+        or name in {
+            "containment", "winnow", "winnow_overlap", "pagerank",
+            "central_dedup", "triangles", "novelty",
+            "sorted_neighborhood", "corpus_diff", "contamination_report",
+        }
+    ):
+        return "dedup"
+    if (
+        name.startswith(("embed_", "pq_", "sq_", "ivf", "kmeans", "mm_"))
+        or name in {
+            "cluster_topics", "coreset_sample", "opq_gain",
+            "hard_negatives", "approx_agg", "webdataset",
+        }
+    ):
+        return "ann_mm"
+    if (
+        name.startswith(("bpe_", "unigram_", "text_", "token_"))
+        or name in {
+            "bm25", "bm25_search", "hybrid_rrf", "tfidf", "tfidf_cosine",
+            "char_entropy", "lexical_diversity", "collocations",
+            "bigram_logprob", "stupid_backoff", "ngram_lm_store",
+            "normalize_text", "keyword_hits", "phrase_hits",
+            "phrase_search", "top_ngrams", "sliding_chunks",
+            "line_dedup", "redact_pii", "repetition", "gopher_rules",
+            "c4_filters", "quality_classifier", "url_canonicalize",
+            "cms_counts", "hll_card", "hll_by_key", "dsir",
+            "pipeline_corpus", "pipeline_moderation",
+            "blocklist_verdicts", "corpus_report", "pack_sequences",
+            "pack_spans", "train_order", "ccnet_buckets",
+            "temperature_mix", "upsample_mix", "source_quota",
+        }
+    ):
+        return "text"
+    return "rest"
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -487,7 +534,24 @@ def main():
                 }
                 summary["vs_snapshot"] = vs["ratio"]
                 summary["snapshot"] = vs["snapshot"]
+    # r12 (VERDICT item 3): per-family subtotals as their own compact
+    # line so the driver's bounded stdout tail always carries enough to
+    # LOCALIZE a regression even when the full per-query JSON line is
+    # truncated away (PERF_r11 had per_query: {} for exactly that
+    # reason). Families are assigned by name, deterministically.
+    fam_tot: dict[str, float] = {}
+    fam_n: dict[str, int] = {}
+    for n in ok:
+        f = _family(n)
+        fam_tot[f] = round(fam_tot.get(f, 0.0) + best[n], 3)
+        fam_n[f] = fam_n.get(f, 0) + 1
+    fams = {
+        "metric": "family_subtotals_sec",
+        "families": fam_tot,
+        "n": fam_n,
+    }
     sys.stdout.flush()
+    print(json.dumps(fams))
     if vs is not None:
         print(json.dumps(vs))
     print(json.dumps(summary))

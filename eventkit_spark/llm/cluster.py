@@ -192,7 +192,8 @@ def kmeans(
             # (guide §2.3 "aggregate before you shuffle" — here the
             # posexplode + (c, dim) hash-aggregate exchange disappears
             # entirely; each iteration is one scan -> k x d partials per
-            # Arrow batch -> kilobyte collect). Exact: the vectors are
+            # Arrow batch -> in-cluster combine -> <=k-row collect).
+            # Exact: the vectors are
             # int64 units, so partial-sum order cannot change a digit,
             # and the distance/argmin math below is verbatim
             # _assign_kernel. Float mode keeps the partial-aggregated
@@ -220,27 +221,41 @@ def kmeans(
                         ss.append(A[m].sum(axis=0).tolist())
                     yield pd.DataFrame({"c": cs, "n": ns, "s": ss})
 
-            parts = base.mapInPandas(
-                _partials, "c int, n long, s array<long>"
-            ).collect()
+            # Aggregate the per-batch partials IN-CLUSTER before the
+            # collect (guide §5: the driver must not be a data funnel).
+            # _partials yields up to k rows PER ARROW BATCH; at corpus
+            # scale that is millions of rows, and collecting them all
+            # for a single-threaded Python fold re-created the driver
+            # bottleneck the fused kernel removed. One element-wise
+            # sum groupBy("c") — with map-side partial aggregation —
+            # reduces them to EXACTLY one row per non-empty cluster, so
+            # the driver receives <= k rows per Lloyd iteration. Exact:
+            # the units are int64 (|x|*S ~ 5e5 per element), so the sum
+            # is order-independent and stays far inside long range up
+            # to ~1e12 corpus rows.
             d = cent.shape[1]
-            tot_s = {}
-            tot_n = {}
-            for r in parts:
-                c = r["c"]
-                tot_n[c] = tot_n.get(c, 0) + int(r["n"])
-                acc = tot_s.setdefault(c, [0] * d)
-                for j, x in enumerate(r["s"]):
-                    acc[j] += int(x)
+            parts = (
+                base.mapInPandas(_partials, "c int, n long, s array<long>")
+                .groupBy("c")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.array(
+                        *[F.sum(F.col("s")[j]) for j in range(d)]
+                    ).alias("s"),
+                )
+                .collect()
+            )
             new_cent = cent.copy()
             counts = np.zeros(k)
-            for c, sv in tot_s.items():
-                n = tot_n[c]
+            for r in parts:
+                c = r["c"]
+                n = int(r["n"])
                 counts[c] = n
+                sv = r["s"]
                 for j in range(d):
                     # FLOORED integer mean — Python // floors exactly
                     # like the oracle's floor(sum/n)
-                    new_cent[c, j] = sv[j] // n
+                    new_cent[c, j] = int(sv[j]) // n
         else:
             assigned = base.withColumn("a", _assign_kernel(cent)(F.col("v")))
             sums = (

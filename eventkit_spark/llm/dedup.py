@@ -21,6 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from ..session import session_width
+from ._spread import boundary_if_large
+
 
 def _shingles(text_col, k: int = 3):
     """Word k-grams as an array column, via ONE regex pass.
@@ -186,15 +189,18 @@ def _pair_counts(docs, k, text_col, id_col, max_df):
     # score, never promote a non-pair): one window riding an id exchange
     sh = sh.withColumn("n", F.count("*").over(W.partitionBy("id")))
     if max_df is not None:
-        # NOTE (r11, measured): do NOT localCheckpoint sh here even
-        # though it feeds both the hot-set aggregate and the anti-join
-        # probe side. The duplicated subtree executes as PARALLEL
-        # stages of one job, while a checkpoint serializes it into a
-        # blocking job and strips size statistics from the anti-join —
-        # measured 3x slower on pagerank/central_dedup (1.5 s -> 4.8 s)
-        # and ~15% slower on dedup_jaccard. Contrast jaccard_verify,
-        # where the shared subtree is the full minhash banding pass and
-        # the boundary wins 30%.
+        # sh feeds BOTH the hot-set aggregate and the anti-join probe
+        # side, so the scan+shingle subtree is planned twice. r11
+        # measured an UNCONDITIONAL localCheckpoint here 3x slower on
+        # pagerank/central_dedup (1.5 s -> 4.8 s) and ~15% slower on
+        # dedup_jaccard: at sub-MB corpus sizes the duplicated legs
+        # execute as PARALLEL stages of one job, while a checkpoint
+        # serializes them and strips size statistics. At corpus scale
+        # the re-executed leg re-pays corpus-scale shuffles and the
+        # trade flips (the jaccard_verify precedent wins ~30%), so the
+        # boundary is SIZE-CONDITIONAL (r11 VERDICT item 4): it engages
+        # only above the _spread.materialize_threshold() source size.
+        sh = boundary_if_large(sh, docs)
         # df-pruning BOUNDS every collect_list at max_df entries. The
         # guard must not itself shuffle on the hot key: a count WINDOW
         # over the shingle put every copy of a boilerplate shingle into
@@ -2033,7 +2039,7 @@ def sorted_neighborhood_pairs(
         )
     t = probe.withColumn("__sur", sur)
     spark = docs.sparkSession
-    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = partitions or session_width(spark)
     probs = [i / p for i in range(1, p)]
     bounds = sorted(set(t.stat.approxQuantile("__sur", probs, 0.001))) if p > 1 else []
     bucket = F.lit(0)

@@ -46,17 +46,12 @@ _AUDIO_STEP = 7       # per sample, modulus 2001 -> amplitude in [-1, 1]
 _FRAME_STEP = 13      # per-frame seed offset for video
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Decode kernels are CPU-bound: when the source has FEWER partitions
-    than spark.sql.shuffle.partitions (small test files read as one
-    split), repartition so the mapInPandas decode saturates the cluster
-    instead of running in one task. At 100 TB the ingest already has far
-    more splits than that, so the check never triggers and payload bytes
-    are not reshuffled."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Decode kernels are CPU-bound: when the source has FEWER partitions
+# than the session width (small test files read as one split),
+# repartition so the mapInPandas decode saturates the cluster instead
+# of running in one task. Shared guarded implementation (r12): see
+# llm/_spread.py for the streaming / plan-shape / conf-parse guards.
+from ._spread import spread as _spread
 
 
 def synth_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from ..session import session_width
+
 KNUTH = 2654435761
 
 
@@ -580,7 +582,7 @@ def train_order(
     break on the key itself, so the order is total and deterministic.
     """
     spark = df.sparkSession
-    n_slices = slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_slices = slices or session_width(spark)
     width = ((1 << 31) + n_slices - 1) // n_slices
     b = portable_hash(F.col(key_col) + F.lit(seed * 10007), 1 << 31)
     t = df.withColumn("__b", b).withColumn(

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._spread import boundary_if_large as _boundary_if_large, spread as _spread
+
 # Tiny public stopword marker sets per language (heuristic language ID).
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
@@ -252,18 +254,13 @@ def _winnow_kernel_df(docs, k, w, text_col, id_col, mod, base):
     # single-row-group parquet reads as ONE split, serializing the
     # whole corpus through one core (measured 2.1-4.5 s at sf0.1 vs
     # 0.8-1.4 s spread over 32 tasks). Same remedy as the multimodal
-    # decode kernels (multimodal._spread): round-robin repartition only
-    # when the input has fewer partitions than the session shuffle
-    # width. At warehouse scale the ingest has far more splits than
-    # cores, the check never fires, and no text bytes are reshuffled.
-    # Streaming inputs skip the probe (no .rdd on an unstarted stream;
-    # the per-micro-batch kernel is stateless and partition-invariant).
-    if not docs.isStreaming:
-        width = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        if base_df.rdd.getNumPartitions() < width:
-            base_df = base_df.repartition(width)
+    # decode kernels — now the SHARED guarded helper (llm/_spread.py):
+    # round-robin repartition only when a scan-shaped input has fewer
+    # partitions than the session width; streaming frames and
+    # non-scan upstreams are left untouched. At warehouse scale the
+    # ingest has far more splits than cores, the check never fires,
+    # and no text bytes are reshuffled.
+    base_df = _spread(base_df)
     return base_df.mapInPandas(
         kern, schema=f"__id {id_t}, pos int, fp long"
     ).select(F.col("__id").alias(id_col), "pos", "fp")
@@ -303,6 +300,19 @@ def winnow_overlap(
         .select(F.col(id_col).alias("id_b"), "fp")
         .distinct()
     )
+    # each side's fingerprint subtree is planned TWICE (the df_tot
+    # union leg and the pair-join leg), i.e. the CPU-bound MOSS hash
+    # kernel runs 4x per execution. r11 measured an unconditional
+    # boundary here SLOWER at bench scale (3.4 s -> 5.7 s: the four
+    # kernel subtrees ran as parallel stages of one job) — so, like
+    # _pair_counts, the per-run materialization is SIZE-CONDITIONAL
+    # (r11 VERDICT item 4): it engages only when the source corpus
+    # exceeds _spread.materialize_threshold(), where re-running the
+    # kernel legs costs more than serializing two pair-list-sized
+    # materializations.
+    if max_df is not None:
+        fa = _boundary_if_large(fa, docs_a)
+        fb = _boundary_if_large(fb, docs_b)
     if max_df is not None:
         df_tot = (
             fa.select("fp").unionAll(fb.select("fp"))

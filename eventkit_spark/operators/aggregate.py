@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
+from ..session import session_width
+
 from .common import (
     RN,
     memo_range_bounds,
@@ -69,9 +71,7 @@ def running_scaled(ef, kind: str, start=0, partitions: int | None = None,
     if kind not in kinds:
         raise ValueError(f"kind must be one of {kinds}, got {kind!r}")
     v = value_col(ef)
-    n_part = partitions or int(
-        ef.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = partitions or session_width(ef.df.sparkSession)
     snum = F.col(ef.seq_col).cast("double")
     bounds = memo_range_bounds(ef.df.select(snum.alias("__t")), n_part)
     pid = range_bucket_id(snum, bounds)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 
+from ..session import session_width
+
 from .common import memo_range_bounds, range_bucket_id
 
 
@@ -139,9 +141,7 @@ def asof_join(
         # expression over the broadcast literal array — every branch
         # that re-reads ``u`` recomputes the SAME ids, so no pinning /
         # checkpoint is needed and executor loss just recomputes.
-        n_part = partitions or int(
-            u.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_part = partitions or session_width(u.sparkSession)
         tnum = F.col(ts_col).cast("double")
         # memo the sketch by the semantic hash of the projected plan:
         # constructing the same join twice (or fanning one join out to

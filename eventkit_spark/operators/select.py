@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
+from ..session import session_width
+
 from .common import RN, as_column, wcum, worder
 
 
@@ -94,9 +96,7 @@ def _scaled_prologue(ef, partitions: int | None):
         )
     from .common import memo_range_bounds, range_bucket_id
 
-    n_part = partitions or int(
-        ef.df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = partitions or session_width(ef.df.sparkSession)
     snum = F.col(ef.seq_col).cast("double")
     bounds = memo_range_bounds(ef.df.select(snum.alias("__t")), n_part)
     pid = range_bucket_id(snum, bounds)

@@ -43,6 +43,18 @@ def _advisory_partition_bytes(cpus: int) -> str:
     return "64m"
 
 
+def session_width(spark: SparkSession) -> int:
+    """Parallelism width for explicit repartition/slice decisions:
+    ``spark.sql.shuffle.partitions`` when numeric, else the scheduler's
+    ``defaultParallelism`` (some platforms set the conf to "auto", and
+    ``int()`` on that turned a sizing probe into a hard query failure —
+    r11 ADVICE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(app_name: str = "eventkit_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", cpus))

@@ -85,6 +85,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
+from ..session import session_width
+
 
 def tws_available(spark: SparkSession | None = None) -> bool:
     """True when Spark's ``transformWithStateInPandas`` (Spark 4's
@@ -2674,20 +2676,24 @@ class StreamFrame:
             writer = writer.option("checkpointLocation", checkpoint)
         if available_now:
             writer = writer.trigger(availableNow=True)
-        return self._sized_start(writer)
+        return self._sized_start(writer, sink_df=df)
 
-    def _sized_start(self, writer):
+    def _sized_start(self, writer, sink_df: DataFrame | None = None):
         """Start a streaming query with the state-shuffle width derived
         from the source size (``_stream_shuffle_partitions``; guide
         §2.2 — AQE cannot coalesce stateful streaming shuffles). The
         stream execution clones the session conf synchronously inside
         ``start()``, so the session value is restored immediately
-        after without racing the micro-batch thread."""
+        after without racing the micro-batch thread. Callers pass the
+        frame the writer was built from as ``sink_df`` (the public
+        route — r11 used the private ``DataStreamWriter._df``, which a
+        Spark upgrade could silently drop); without it the frame the
+        StreamFrame wraps is inspected instead."""
         spark = self.df.sparkSession
         parts = _stream_shuffle_partitions(spark, self.src_bytes)
         explicit = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS") is not None
-        if not explicit and parts is not None and parts < int(
-            spark.conf.get("spark.sql.shuffle.partitions")
+        if not explicit and parts is not None and parts < session_width(
+            spark
         ):
             # Byte-derived narrowing is only safe for JVM-native state
             # (aggregations, dropDuplicates): their per-partition cost
@@ -2697,8 +2703,8 @@ class StreamFrame:
             # running_agg at one partition), so they keep the session
             # width, which is already sized to the cluster.
             try:
-                sink = writer._df if hasattr(writer, "_df") else None
-                plan = (sink or self.df)._jdf.queryExecution().analyzed().toString()
+                sink = sink_df if sink_df is not None else self.df
+                plan = sink._jdf.queryExecution().analyzed().toString()
             except Exception:  # noqa: BLE001 — can't inspect: don't narrow
                 plan = "FlatMapGroupsInPandasWithState"
             if "FlatMapGroupsInPandasWithState" in plan or "MapInPandas" in plan:
@@ -2768,6 +2774,6 @@ class StreamFrame:
             .outputMode(output_mode)
             .trigger(availableNow=True)
         )
-        q = self._sized_start(writer)
+        q = self._sized_start(writer, sink_df=df)
         q.awaitTermination()
         return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -57,7 +57,7 @@ def main():
             sink.writeStream.format("memory").queryName(qn)
             .outputMode("append").trigger(availableNow=True)
         )
-        q = s._sized_start(writer)
+        q = s._sized_start(writer, sink_df=sink)
         q.awaitTermination()
         wall = time.perf_counter() - t0
         print(f"-- {label} (manual): wall {wall:.3f}s")
@@ -82,7 +82,7 @@ def main():
         .outputMode("append").trigger(availableNow=True)
     )
     t0 = time.perf_counter()
-    q = s._sized_start(writer)
+    q = s._sized_start(writer, sink_df=sink)
     q.awaitTermination()
     print(f"-- running_agg_stream_multibatch (manual): wall {time.perf_counter()-t0:.3f}s")
     for p in q.recentProgress:

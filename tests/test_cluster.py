@@ -409,3 +409,37 @@ def test_coreset_sample_modes_and_two_phase_equivalence(spark):
         assert sorted(lst, reverse=True)[0] == max(ad[c])
     with _pytest.raises(ValueError, match="mode"):
         coreset_sample(emb, per_cluster=3, mode="nope")
+
+
+def test_kmeans_replay_partials_incluster_aggregate(spark):
+    """r12 (r11 VERDICT item 1): the replay-mode per-batch (c, n, sum v)
+    partials are combined IN-CLUSTER (groupBy("c") element-wise integer
+    sums) so the driver collects <= k rows per Lloyd iteration instead
+    of every per-Arrow-batch partial. Forcing many small Arrow batches
+    (several partial rows per cluster per scan) must give bit-identical
+    centers and assignments to a single-batch run — integer partial
+    sums are order-exact regardless of batch splits."""
+    from pyspark.sql import functions as F
+
+    from eventkit_spark.llm.cluster import kmeans
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(6)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # many batches -> many partials per cluster
+        a_small, c_small, _ = kmeans(emb, k=3, max_iter=3, replay_scale=1_000_000)
+        r_small = sorted(map(tuple, a_small.collect()))
+        spark.conf.set(key, "100000")  # one batch -> aggregate is a pass-through
+        a_big, c_big, _ = kmeans(emb, k=3, max_iter=3, replay_scale=1_000_000)
+        r_big = sorted(map(tuple, a_big.collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert (c_small == c_big).all()
+    assert r_small == r_big and len(r_small) == 60

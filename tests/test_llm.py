@@ -2850,3 +2850,62 @@ def test_upsample_mix_model(spark):
 
     with _pytest.raises(ValueError):
         upsample_mix(df, -0.5, "doc_id")
+
+
+def test_subtree_boundary_size_conditional(spark):
+    """r12 (r11 VERDICT item 4): the duplicated-shared-subtree
+    materialization in _pair_counts / winnow_overlap is SIZE-GATED —
+    off at bench scale (sub-threshold sources keep the measured-optimal
+    parallel-stages form), forced on via SPARK_GRAFT_SUBTREE_MATERIALIZE=0,
+    and in both forms the results are identical."""
+    import os
+
+    from eventkit_spark.llm.dedup import ngram_jaccard_pairs
+    from eventkit_spark.llm.text import winnow_overlap
+
+    docs = load_table(spark, SF, "documents")
+    key = "SPARK_GRAFT_SUBTREE_MATERIALIZE"
+    assert key not in os.environ
+
+    def run():
+        jac = ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_df=64)
+        ovl = winnow_overlap(docs, docs, k=5, w=4, max_df=64)
+        return (
+            sorted((r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in jac.collect()),
+            sorted(map(tuple, ovl.collect())),
+            physical_plan(jac) + physical_plan(ovl),
+        )
+
+    jac_off, ovl_off, plan_off = run()
+    # default threshold (64 MiB) >> sf0.001 documents: no boundary
+    assert "ExistingRDD" not in plan_off
+    os.environ[key] = "0"
+    try:
+        jac_on, ovl_on, plan_on = run()
+    finally:
+        del os.environ[key]
+    # forced boundary: the shared subtrees are LogicalRDD-backed
+    assert "ExistingRDD" in plan_on
+    assert jac_on == jac_off and ovl_on == ovl_off
+    assert len(jac_off) > 0 and len(ovl_off) > 0
+
+
+def test_spread_guards(spark):
+    """r12 (r11 ADVICE): the shared _spread helper only probes
+    scan-shaped plans (the .rdd probe on anything else would finalize
+    the AQE plan and eagerly run upstream shuffles), and returns
+    streaming frames untouched."""
+    from eventkit_spark.llm._spread import spread
+    from eventkit_spark.session import session_width
+
+    width = session_width(spark)
+    docs = load_table(spark, SF, "documents")
+    # scan-shaped single-split input: spread fires
+    sp = spread(docs.select("doc_id", "text"))
+    assert sp.rdd.getNumPartitions() == width
+    # aggregate upstream: the probe is skipped, frame returned as-is
+    agg = docs.groupBy("doc_id").count()
+    assert spread(agg) is agg
+    # already-wide input: no repartition (identity plan)
+    wide = docs.repartition(width + 3).select("doc_id")
+    assert spread(wide) is wide

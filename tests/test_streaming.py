@@ -2060,14 +2060,15 @@ def test_stream_state_width_derivation(spark, stream_dir):
     sf = _stream(spark, stream_dir)
     expected = _stream_shuffle_partitions(spark, sf.src_bytes)
     assert sf.src_bytes and expected is not None
+    sink = sf.last()
     w = (
-        sf.last()
+        sink
         .writeStream.format("memory")
         .queryName("ek_width_native")
         .outputMode("complete")
         .trigger(availableNow=True)
     )
-    q = sf._sized_start(w)
+    q = sf._sized_start(w, sink_df=sink)
     q.awaitTermination()
     ops = q.lastProgress["stateOperators"]
     assert ops and ops[0]["numShufflePartitions"] == expected, ops
@@ -2076,14 +2077,18 @@ def test_stream_state_width_derivation(spark, stream_dir):
 
     # pandas state kernel: keeps the session width
     sf2 = _stream(spark, stream_dir)
+    sink2 = sf2.running_agg(ema_n=10)
     w2 = (
-        sf2.running_agg(ema_n=10)
+        sink2
         .writeStream.format("memory")
         .queryName("ek_width_pandas")
         .outputMode("append")
         .trigger(availableNow=True)
     )
-    q2 = sf2._sized_start(w2)
+    # sink_df is the public route to the plan probe (r12: the private
+    # writer._df fallback is gone) — without it the pandas kernel would
+    # be invisible and the width wrongly narrowed
+    q2 = sf2._sized_start(w2, sink_df=sink2)
     q2.awaitTermination()
     ops2 = q2.lastProgress["stateOperators"]
     assert ops2 and ops2[0]["numShufflePartitions"] == sess, ops2
