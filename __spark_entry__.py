@@ -4500,32 +4500,35 @@ def q_weighted_sample_grouped(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness harness checks the
     # FIRST 50 entries only, so the front block rotates each round toward
-    # whatever has the weakest current verdict. Round-11 rotation
-    # (VERIFIED by tests/test_plans.py::test_registry_front50_rotation —
-    # positions are counted, not asserted by comment):
-    # (1) positions 1-8: the round-11 additions, never driver-checked —
-    #     running_agg_stream_multibatch FIRST (r10 VERDICT item 2: the
-    #     4-file maxFilesPerTrigger=1 replay makes cross-micro-batch
-    #     state carries driver-visible), then seven more availableNow
-    #     kernel contracts (enumerate/skip/previous/product/takewhile/
-    #     dropwhile/takeuntil `_stream` — the vectorized kernels the
-    #     r10 front-50 had no room for);
-    # (2) positions 9-10: re-verdicts for code changed THIS round —
-    #     running_agg_stream (missing-value semantics pinned in
-    #     _running_scan + the oracle rebased onto the overflow-safe
-    #     segmented ema form), mm_audio_features (WAV decoder now trims
-    #     truncated data chunks to whole samples);
-    # (3) positions 11-50: ALL 40 r5-era rows in registry order —
-    #     pq_encode/ivfpq/embed_ivf/throttle/embed_rp_lsh/dedup_minhash
-    #     first (r10 VERDICT item 1 names the queue), through the
-    #     stores/graph/stats/timeseries block to bm25_search;
-    #     dedup_minhash_incremental sits inside this block and ALSO
-    #     changed this round (dry-run probe shape, r10 VERDICT item 3).
-    # After this rotation no verdict is older than r6; at this cadence
-    # nothing stays stale past ~5 rounds. The tail is everything
-    # driver-green in its current form; all entries register full value
-    # oracles.
-    return {
+    # whatever has the weakest current verdict. Round-12 rotation
+    # (r11 VERDICT item 5; VERIFIED by
+    # tests/test_plans.py::test_registry_front50_rotation — positions
+    # are counted, not asserted by comment): `_FRONT50` below reorders
+    # the literal registry, which keeps its r11 order as the tail.
+    # (1) positions 1-13: the r11-REWRITTEN paths the r11 driver sample
+    #     missed — reduce_py (applyInPandas->mapInPandas fold), winnow +
+    #     winnow_overlap (kernel spread), fuzzy_dedup/dedup_report
+    #     (jaccard_verify boundary), edit_dedup/embed_rp_lsh_recall/
+    #     embed_ivf_recall (§4.4 kernel pins), kmeans (partials fused,
+    #     and r12: in-cluster partial aggregate),
+    #     last/cms/hll/count_stream (byte-derived state width);
+    # (2) positions 14-37: every path whose code changed in r12 —
+    #     the kmeans-family fits (cluster_topics/coreset_sample/
+    #     ivf_index/ivfpq/pq_encode), the size-gated shared-subtree trio
+    #     + its _pair_counts siblings (dedup_jaccard/containment/
+    #     dedup_clusters/pagerank/central_dedup/dedup_minhash_recall),
+    #     the shared-_spread multimodal features (mm_image/audio/video),
+    #     the r12 triage targets (dedup_simhash/
+    #     dedup_simhash_incremental/substring_dedup/ema_scaled/
+    #     running_agg_stream_multibatch), and session_width
+    #     representatives (train_order/sorted_neighborhood/asof_join/
+    #     takewhile_scaled/running_sum_scaled);
+    # (3) positions 38-50: the remaining streaming contracts, whose
+    #     start path changed (`_sized_start` now takes the sink frame
+    #     explicitly instead of reading DataStreamWriter._df).
+    # The tail is everything driver-green in its current form; all
+    # entries register full value oracles.
+    reg = {
         "running_agg_stream_multibatch": q_running_agg_stream_multibatch,
         "enumerate_stream": q_enumerate_stream,
         "skip_stream": q_skip_stream,
@@ -4815,6 +4818,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skip_scaled": q_skip_scaled,
         "bpe_train_bytes": q_bpe_train_bytes,
     }
+    front = [n for n in _FRONT50 if n in reg]
+    rest = {n: f for n, f in reg.items() if n not in set(front)}
+    return {**{n: reg[n] for n in front}, **rest}
+
+
+# r12 front-50 (see the rotation rationale in queries()); kept as a
+# module-level list so the rotation test can assert against the same
+# source of truth the driver samples.
+_FRONT50 = [
+    # (1) r11-rewritten, never driver-sampled
+    "reduce_py", "winnow", "winnow_overlap", "fuzzy_dedup",
+    "dedup_report", "edit_dedup", "embed_rp_lsh_recall",
+    "embed_ivf_recall", "kmeans", "last_stream", "cms_stream",
+    "hll_stream", "count_stream",
+    # (2) r12 code-changed paths
+    "cluster_topics", "coreset_sample", "ivf_index", "ivfpq",
+    "pq_encode", "dedup_jaccard", "containment", "dedup_clusters",
+    "pagerank", "central_dedup", "dedup_minhash_recall",
+    "mm_image_features", "mm_audio_features", "mm_video_features",
+    "dedup_simhash", "dedup_simhash_incremental", "substring_dedup",
+    "ema_scaled", "running_agg_stream_multibatch", "train_order",
+    "sorted_neighborhood", "asof_join", "takewhile_scaled",
+    "running_sum_scaled",
+    # (3) streaming contracts (start-path change)
+    "running_agg_stream", "token_quota_stream", "changes_stream",
+    "take_stream", "pairwise_stream", "debounce_stream",
+    "sample_stream", "zip_stream", "ziplatest_stream",
+    "takeuntil_stream", "enumerate_stream", "skip_stream",
+    "previous_stream",
+]
 
 
 # DuckDB twin of q_url_canonicalize: the same synthetic URL build + the

@@ -84,6 +84,12 @@ def _assign_kernel(cent_mat):
     # re-evaluates the BLAS pass up to 3x (three ArrowEvalPython nodes
     # in the embed_ivf plan for one assignment). Pure kernel; the mark
     # pins a single evaluation per row.
+    # Standing constraint of the mark (r11 ADVICE): the pinned
+    # expression may only appear under Project/Filter/Generate —
+    # Spark raises AnalysisException for nondeterministic
+    # expressions in join conditions or aggregate arguments, and no
+    # other filter will push below it. Keep call sites
+    # projection-shaped.
     return F.pandas_udf(k, "cluster int, dist2 double").asNondeterministic()
 
 
@@ -427,6 +433,12 @@ def pq_encode(
     # asNondeterministic: same §4.4 duplication as _assign_kernel — the
     # (codes, recon_err2) struct-field extraction re-planned the whole
     # PQ encode twice in the pq_topk/opq_gain plans
+    # Standing constraint of the mark (r11 ADVICE): the pinned
+    # expression may only appear under Project/Filter/Generate —
+    # Spark raises AnalysisException for nondeterministic
+    # expressions in join conditions or aggregate arguments, and no
+    # other filter will push below it. Keep call sites
+    # projection-shaped.
     enc_udf = F.pandas_udf(enc, "codes array<int>, recon_err2 double").asNondeterministic()
     vexpr = (
         _int_units(F.col(vec_col), replay_scale)

@@ -1910,6 +1910,12 @@ def _bounded_levenshtein_kernel(max_dist: int):
     # DP TWICE per candidate pair (two ArrowEvalPython nodes for one
     # kernel — the guide §4.4 duplication; the kernel is pure, the mark
     # only pins one evaluation)
+    # Standing constraint of the mark (r11 ADVICE): the pinned
+    # expression may only appear under Project/Filter/Generate —
+    # Spark raises AnalysisException for nondeterministic
+    # expressions in join conditions or aggregate arguments, and no
+    # other filter will push below it. Keep call sites
+    # projection-shaped.
     return F.pandas_udf(kernel, "int").asNondeterministic()
 
 

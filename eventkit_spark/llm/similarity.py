@@ -212,6 +212,12 @@ def rp_lsh_topk(
     # filter otherwise pushes below the bucket projection and the
     # optimizer duplicates the hyperplane BLAS pass per side (4
     # ArrowEvalPython nodes for 2 bucketize calls — guide §4.4)
+    # Standing constraint of the mark (r11 ADVICE): the pinned
+    # expression may only appear under Project/Filter/Generate —
+    # Spark raises AnalysisException for nondeterministic
+    # expressions in join conditions or aggregate arguments, and no
+    # other filter will push below it. Keep call sites
+    # projection-shaped.
     buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>").asNondeterministic()
 
     def bucketize(df, idname):
@@ -299,6 +305,12 @@ def _cell_assign_kernel(cent_mat, m):
     # generator's implied (size > 0) filter otherwise duplicates the
     # centroid BLAS pass below it (three ArrowEvalPython nodes in the
     # embed_ivf plan for two call sites — guide §4.4)
+    # Standing constraint of the mark (r11 ADVICE): the pinned
+    # expression may only appear under Project/Filter/Generate —
+    # Spark raises AnalysisException for nondeterministic
+    # expressions in join conditions or aggregate arguments, and no
+    # other filter will push below it. Keep call sites
+    # projection-shaped.
     return F.pandas_udf(k, "array<int>").asNondeterministic()
 
 
@@ -601,7 +613,13 @@ def embedding_near_dups(
             return pd.Series(list(per_tbl.astype(np.int64)))
 
         # asNondeterministic: same §4.4 duplication as the query-side
-        # bucketize above — pin one hyperplane BLAS pass
+        # bucketize above — pin one hyperplane BLAS pass.
+        # Standing constraint of the mark (r11 ADVICE): the pinned
+        # expression may only appear under Project/Filter/Generate —
+        # Spark raises AnalysisException for nondeterministic
+        # expressions in join conditions or aggregate arguments, and no
+        # other filter will push below it. Keep call sites
+        # projection-shaped.
         buckets_udf = F.pandas_udf(_buckets_kernel, "array<long>").asNondeterministic()
         vecs = corpus.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")

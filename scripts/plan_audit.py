@@ -7,7 +7,7 @@ Python-boundary nodes (BatchEvalPython / ArrowEvalPython / MapInPandas /
 FlatMapGroupsInPandas), SortMergeJoin, cartesian/nested-loop joins,
 Window nodes, and whether every scan carries PushedFilters when the
 query filters at all. Writes one TSV summary (stdout) and optionally the
-full explain text per query under ``plans/r11/audit/``.
+full explain text per query under ``plans/<round>/audit/`` (PLAN_ROUND env, default r12).
 
 NOTE: building some frames is eager by design (kmeans runs its Lloyd
 loop, dedup_clusters runs connected components, streaming contracts run
@@ -47,7 +47,8 @@ def main():
         entrymod._replay_stream_multi(spark, sf)
 
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11", "audit")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLAN_ROUND", "r12"), "audit")
     if save:
         os.makedirs(outdir, exist_ok=True)
     print("name\texchanges\tscans\tpy_nodes\tsmj\tcartesian\twindows\tpushed\tplan_lines\terr")

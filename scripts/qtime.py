@@ -25,7 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--explain", default=None,
-                    help="write plans/r11/<name>_<suffix>.txt explains")
+                    help="write plans/<round>/<name>_<suffix>.txt explains")
+    ap.add_argument("--round", default="r12",
+                    help="plans subdirectory for --explain output")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("names", nargs="+")
@@ -50,7 +52,7 @@ def main():
             entrymod._replay_stream_multi(spark, args.sf)
 
     plansdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", args.round)
     results = {}
     for name in args.names:
         fn = qs[name]

@@ -310,8 +310,11 @@ def test_opq_rotation_improves_pq_reconstruction(spark):
     from eventkit_spark.sources.tables import load_table
 
     emb = load_table(spark, SF, "embeddings")
-    pq, _ = pq_encode(emb, m=8, ks=16)
-    opq, books, R, perm = opq_encode(emb, m=8, ks=16)
+    # max_iter=2: the rotation-vs-identity comparison is about the PCA
+    # basis, not Lloyd convergence — 2 iterations keep the strict
+    # inequality while halving the fit wall (r12, VERDICT item 2)
+    pq, _ = pq_encode(emb, m=8, ks=16, max_iter=2)
+    opq, books, R, perm = opq_encode(emb, m=8, ks=16, max_iter=2)
     e_pq = pq.agg(F.avg("recon_err2")).first()[0]
     e_opq = opq.agg(F.avg("recon_err2")).first()[0]
     assert e_opq < e_pq, (e_opq, e_pq)
@@ -354,12 +357,16 @@ def test_ivfopq_composition_preserves_search(spark):
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return sum(len(got.get(qid, set()) & truth(qid)) / 10 for qid in Q) / len(Q)
 
-    base = recall(ivfpq_topk(emb, q, k=10, nprobe=8, refine=2))
-    opq = recall(ivfopq_topk(emb, q, k=10, nprobe=8, refine=2))
+    # max_iter=2 (default 3): the rotated-vs-plain comparison holds at
+    # any common fit depth — both sides use the same params, and the
+    # re-rank distance check below is fit-independent (r12, VERDICT
+    # item 2: this was the 5th-slowest test at 88 s)
+    base = recall(ivfpq_topk(emb, q, k=10, nprobe=8, refine=2, max_iter=2))
+    opq = recall(ivfopq_topk(emb, q, k=10, nprobe=8, refine=2, max_iter=2))
     assert opq >= base - 0.05, (opq, base)
     # exact re-rank distances are original-space-valid: every reported
     # dist2 matches the true distance of that (query, neighbor) pair
-    out = ivfopq_topk(emb, q, k=3, nprobe=8, refine=4).collect()
+    out = ivfopq_topk(emb, q, k=3, nprobe=8, refine=4, max_iter=2).collect()
     for r in out:
         true_d2 = float(np.sum((Q[r["query_id"]] - E[r["neighbor_id"]]) ** 2))
         assert abs(r["dist2"] - round(true_d2, 6)) < 1e-4, r

@@ -342,6 +342,7 @@ SHUFFLE_CEILING = {
 
 def test_headline_shuffle_ceilings(spark):
     import __spark_entry__ as e
+    from concurrent.futures import ThreadPoolExecutor
 
     # measure canonical (uncached) plan shapes: cached intermediates left
     # behind by earlier tests swap ReusedExchange subtrees for
@@ -349,11 +350,19 @@ def test_headline_shuffle_ceilings(spark):
     # (ccnet_buckets 18 -> 42 with test_llm's caches warm)
     spark.catalog.clearCache()
     qs = e.queries()
-    over = {}
-    for name, ceiling in SHUFFLE_CEILING.items():
+
+    def check(item):
+        name, ceiling = item
         n = count_shuffles(qs[name](spark, SF))
-        if n > ceiling:
-            over[name] = (n, ceiling)
+        return (name, n, ceiling) if n > ceiling else None
+
+    # fan the 151 plan constructions out over a thread pool: planning is
+    # driver/JVM work and thread-safe, and this test was the single
+    # slowest in the suite at ~170 s serial (r12, VERDICT item 2 — the
+    # driver's verify window could no longer fit the suite)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        hits = [r for r in ex.map(check, SHUFFLE_CEILING.items()) if r]
+    over = {name: (n, ceiling) for name, n, ceiling in hits}
     assert not over, f"queries over their shuffle ceiling: {over}"
 
 
@@ -798,23 +807,43 @@ def test_no_vacuous_oracles_at_smallest_sf():
     vacuous (both engines compute the same empty result and the board
     records a green that tests nothing). DuckDB-only, no Spark: this is
     the tripwire, the value comparison lives in compare_oracle."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     import duckdb
 
     import __spark_entry__ as e
 
-    con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    zero, errs = [], []
-    for name, sql in e.oracle_sql().items():
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    # one connection per worker thread (duckdb releases the GIL during
+    # execution, so the 287 oracle queries run genuinely in parallel —
+    # this test was the second-slowest in the suite at ~160 s serial;
+    # r12, VERDICT item 2)
+    local = threading.local()
+
+    def conn():
+        if not hasattr(local, "con"):
+            c = duckdb.connect()
+            c.execute("SET threads TO 4")
+            for t in tables:
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+            local.con = c
+        return local.con
+
+    def check(item):
+        name, sql = item
         try:
-            n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
-            if n == 0:
-                zero.append(name)
+            n = conn().execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            return ("zero", name) if n == 0 else None
         except Exception as ex:  # noqa: BLE001 — collect, report all at once
-            errs.append((name, str(ex)[:120]))
+            return ("err", (name, str(ex)[:120]))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        hits = [r for r in ex.map(check, e.oracle_sql().items()) if r]
+    errs = [v for k, v in hits if k == "err"]
+    zero = [v for k, v in hits if k == "zero"]
     assert not errs, errs
     assert not zero, f"vacuous (0-row) oracles at sf0.001: {zero}"
 
@@ -840,42 +869,39 @@ def test_bench_covers_registry():
 
 
 def test_registry_front50_rotation():
-    """Pin the round-11 front-50 composition the registry comment claims
+    """Pin the round-12 front-50 composition the registry comment claims
     (the driver samples only the first 50 queries() entries; ADVICE r6
     flagged a comment that drifted from the counted positions): the
-    eight round-11 additions lead (the multibatch carry contract first,
-    then seven availableNow kernel contracts), the two contracts whose
-    code changed this round follow, then ALL 40 r5-era rows in registry
-    order — after which no verdict on the board is older than r6. Every
-    registered query must also carry an oracle_sql twin."""
+    r11-rewritten-but-unsampled paths lead (r11 VERDICT item 5), then
+    every path whose code changed in r12, then the remaining streaming
+    contracts (whose start path changed). Every registered query must
+    also carry an oracle_sql twin."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    new_r11 = [
-        "running_agg_stream_multibatch", "enumerate_stream",
-        "skip_stream", "previous_stream", "product_stream",
-        "takewhile_stream", "dropwhile_stream", "takeuntil_stream",
+    assert len(e._FRONT50) == 50
+    assert names[:50] == e._FRONT50
+    # block (1): the r11-rewritten set the r11 driver sample missed
+    assert names[:13] == [
+        "reduce_py", "winnow", "winnow_overlap", "fuzzy_dedup",
+        "dedup_report", "edit_dedup", "embed_rp_lsh_recall",
+        "embed_ivf_recall", "kmeans", "last_stream", "cms_stream",
+        "hll_stream", "count_stream",
     ]
-    assert names[:8] == new_r11
-    code_changed_r11 = ["running_agg_stream", "mm_audio_features"]
-    assert names[8:10] == code_changed_r11
-    # the full r5 block, registry order; pin the boundaries and the set
-    # so the block can't silently shrink or reorder
-    assert names[10:13] == ["pq_encode", "ivfpq", "embed_ivf"]
-    r5_block = {
-        "pq_encode", "ivfpq", "embed_ivf", "throttle", "embed_rp_lsh",
-        "dedup_minhash", "sq_encode", "sq_topk", "bpe_train",
-        "bpe_fertility", "hard_negatives", "dedup_safe_split",
-        "cms_counts", "embed_moments", "cluster_topics", "rollup_ts",
-        "hybrid_rrf", "variant_pluck", "running_sum_scaled",
-        "dedup_incremental", "dedup_minhash_incremental",
-        "decontaminate_store", "pagerank", "central_dedup", "triangles",
-        "bootstrap_ci", "ab_lift", "cuped", "holt", "kalman", "cusum",
-        "anomaly", "pq_topk", "containment", "novelty", "rfm",
-        "percentiles", "winsorize", "quantile_bins", "bm25_search",
+    # block (2): r12 code-changed paths — pin the set so it can't
+    # silently shrink or reorder
+    assert set(names[13:37]) == {
+        "cluster_topics", "coreset_sample", "ivf_index", "ivfpq",
+        "pq_encode", "dedup_jaccard", "containment", "dedup_clusters",
+        "pagerank", "central_dedup", "dedup_minhash_recall",
+        "mm_image_features", "mm_audio_features", "mm_video_features",
+        "dedup_simhash", "dedup_simhash_incremental", "substring_dedup",
+        "ema_scaled", "running_agg_stream_multibatch", "train_order",
+        "sorted_neighborhood", "asof_join", "takewhile_scaled",
+        "running_sum_scaled",
     }
-    assert set(names[10:50]) == r5_block
-    assert names[49] == "bm25_search"
+    # block (3): the streaming contracts whose _sized_start path changed
+    assert all(n.endswith("_stream") for n in names[37:50])
     assert len(set(names)) == len(names) >= 284
     osql = e.oracle_sql()
     missing = [n for n in names if n not in osql]

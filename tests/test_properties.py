@@ -720,7 +720,7 @@ def test_winnow_guarantee_property(spark, a, b, shared):
     nparts=st.integers(2, 6),
     cut=st.integers(-9, 9),
 )
-@SET
+@settings(SET, max_examples=4)  # 12 collects per example (r12); fixed-corpus twin: test_selection_scaled_matches_sequential
 def test_scaled_selection_property(spark, xs, nparts, cut):
     """Random streams x random bucket counts: every scaled selection op
     equals its sequential window form — bucket boundaries must never
@@ -797,7 +797,7 @@ def test_blocklist_verdicts_model(spark, docs, terms, phrase):
     vocab_size=st.integers(1, 12),
 )
 @settings(
-    max_examples=6,  # vocab agg + packed-map DP per example — pricey
+    max_examples=3,  # vocab agg + packed-map DP per example — pricey (r12: halved, VERDICT item 2)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -962,7 +962,7 @@ def _sim_ziplatest(srcs):
 
 
 @given(a=timed_src, b=timed_src, c=timed_src, oa=offsets, ob=offsets, oc=offsets)
-@SET
+@settings(SET, max_examples=4)  # 3 sources x 3 ops per example -- priciest property test (r12)
 def test_concat_switch_random_timings(spark, a, b, c, oa, ob, oc):
     srcs = [_ticks(a, oa), _ticks(b, ob), _ticks(c, oc)]
     ea, eb, ec = (_timed_seq(spark, evs) for evs in srcs)
@@ -998,7 +998,7 @@ def test_zip_ziplatest_random_timings(spark, a, b, oa, ob):
         min_size=1, max_size=6,
     ),
 )
-@SET
+@settings(SET, max_examples=4)  # fit + per-branch scoring per example (r12)
 def test_stupid_backoff_property(spark, ref, docs):
     """Random small-alphabet corpora vs the pure-Python stupid-backoff
     model: every branch (trigram / bigram backoff / OOV floor) must

@@ -1789,20 +1789,8 @@ def test_streaming_cross_batch_state_parity(spark, stream_dir, tmp_path):
         # must hand off across batches exactly
         "chunk": lambda sf: sf.chunk(5),
     }
-    for name, mk in kernels.items():
-        got, exp = [], []
-        for multi, acc in ((True, got), (False, exp)):
-            sf = frame(multi)
-            out = sf.run_available_now(sink_df=mk(sf), name=f"ek_xb_{name}_{multi}")
-            rows = out.collect()
-            # no rounding anywhere: the float carries are prepended to
-            # each batch's scan, so multi-batch sums/mins/maxes/emas
-            # must equal the single-batch fold exactly
-            acc.extend(sorted(tuple(r) for r in rows))
-        assert got == exp and got, f"{name}: multi-batch != single-batch"
-
     # two-input kernels: zip / ziplatest / takeuntil / sample
-    for name, build in {
+    two_input = {
         "zip": lambda m: (lambda a, b: a.zip(b))(
             frame(m, "purchase"), frame(m, "click")),
         "ziplatest": lambda m: (lambda a, b: a.ziplatest(b))(
@@ -1816,18 +1804,49 @@ def test_streaming_cross_batch_state_parity(spark, stream_dir, tmp_path):
         # must hand off across batches exactly
         "asof_join": lambda m: (lambda a, b: a.asof_join(b))(
             frame(m, "purchase"), frame(m, "click")),
-    }.items():
-        got, exp = None, None
-        for multi in (True, False):
+    }
+
+    # 38 availableNow queries at ~2 s fixed startup each dominated this
+    # test (94 s serial — r12, VERDICT item 2). Streaming queries run
+    # concurrently in one session, so fan out over a thread pool. The
+    # stream width is pinned via the explicit override for the duration:
+    # _sized_start then never derives a width, so its conf set/restore
+    # writes the same value from every thread (no cross-thread conf
+    # corruption); parity results are width-invariant by construction.
+    def run_one(job):
+        name, multi = job
+        if name in kernels:
+            sf = frame(multi)
+            out = sf.run_available_now(
+                sink_df=kernels[name](sf), name=f"ek_xb_{name}_{multi}"
+            )
+        else:
             sfr = frame(multi)  # runner handle for run_available_now
             out = sfr.run_available_now(
-                sink_df=build(multi), name=f"ek_xb2_{name}_{multi}"
+                sink_df=two_input[name](multi), name=f"ek_xb2_{name}_{multi}"
             )
-            res = sorted(tuple(r) for r in out.collect())
-            if multi:
-                got = res
-            else:
-                exp = res
+        # no rounding anywhere: the float carries are prepended to each
+        # batch's scan, so multi-batch sums/mins/maxes/emas must equal
+        # the single-batch fold exactly
+        return (name, multi), sorted(tuple(r) for r in out.collect())
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    width_key = "SPARK_GRAFT_STREAM_PARTITIONS"
+    prev_width = os.environ.get(width_key)
+    os.environ[width_key] = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        jobs = [(n, m) for n in list(kernels) + list(two_input)
+                for m in (True, False)]
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            res = dict(ex.map(run_one, jobs))
+    finally:
+        if prev_width is None:
+            del os.environ[width_key]
+        else:
+            os.environ[width_key] = prev_width
+    for name in list(kernels) + list(two_input):
+        got, exp = res[(name, True)], res[(name, False)]
         assert got == exp and got, f"{name}: multi-batch != single-batch"
 
 
